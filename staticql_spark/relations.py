@@ -1,0 +1,171 @@
+"""Relation (join) compilation: staticql relations -> Spark joins.
+
+Reference semantics (src/utils/relationResolver.ts, src/QueryBuilder.ts
+:357-502):
+- all relations are equi joins on STRINGIFIED keys; an array-valued local
+  key fans out (any element may match).
+- to-one variants (hasOne, hasOneThrough) attach the FIRST match or null;
+  to-many variants attach ALL matches as an array ([] when none).
+  First-match order = the reference's foreign load order, which is its
+  index order (v, vs) — i.e. (key value, foreign slug); we pin exactly that.
+- belongsTo/belongsToMany share one code path (QueryBuilder.ts:392-429):
+  both compute the full match list; belongsTo is *typed* to-one
+  (cli/generate-types.ts:162-163), so we attach first-or-null for it.
+- matched foreign slugs are deduplicated before attach
+  (QueryBuilder.ts:414 ``new Set(allSlugs)``).
+- through relations are two chained equi joins over the intermediate
+  source (relationResolver.ts:108-147), with nested array keys
+  (e.g. ``combinedHerbs.slug``) flattened via explode.
+- J7 partial-key containment fallback (relationResolver.ts:79-89) is NOT
+  reproduced: it substring-matches map keys when a local key resolves to
+  >1 value, which double-matches unrelated keys; we use exact per-element
+  equality (documented divergence, SURVEY §2.3 J7).
+
+Scale notes: the foreign side aggregates to one row per key *before* the
+join where possible; content dims are broadcast (they are small by
+definition in this engine — the reference caps at 100k records), so the
+fact side never shuffles for relation attachment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import Relation, SourceConfig
+from .plans.filters import field_column
+
+
+def _key_values(df: DataFrame, path: str) -> Column:
+    """Key column as array<string> (scalar keys wrap; nulls drop)."""
+    col, is_array = field_column(df, path)
+    if is_array:
+        return col
+    return F.filter(F.array(col), lambda x: x.isNotNull())
+
+
+def _record_struct(df: DataFrame) -> Column:
+    return F.struct(*[F.col(c) for c in df.columns])
+
+
+def _matches_per_slug(
+    local: DataFrame,
+    local_key: str,
+    foreign: DataFrame,
+    foreign_key: str,
+    broadcast_foreign: bool = True,
+) -> DataFrame:
+    """(slug, matches: array<struct<foreign record>>) for rows with >=1 match.
+
+    The array is ordered by (key value, foreign slug) and deduped by foreign
+    slug — the reference's deterministic load order.
+    """
+    lhs = local.select(
+        F.col("slug").alias("_lslug"),
+        F.explode(_key_values(local, local_key)).alias("_lv"),
+    )
+    rhs = foreign.select(
+        F.explode(_key_values(foreign, foreign_key)).alias("_fv"),
+        F.col("slug").cast("string").alias("_fslug"),
+        _record_struct(foreign).alias("_rec"),
+    )
+    if broadcast_foreign:
+        rhs = F.broadcast(rhs)
+    joined = lhs.join(rhs, lhs["_lv"] == rhs["_fv"], "inner")
+    # dedupe by foreign slug, keep min (key value, slug) as the sort rank
+    per_foreign = joined.groupBy("_lslug", "_fslug").agg(
+        F.min(F.struct(F.col("_fv"), F.col("_fslug"))).alias("_rank"),
+        F.first("_rec").alias("_rec"),
+    )
+    return (
+        per_foreign.groupBy("_lslug")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_rank"), F.col("_rec")))),
+                lambda x: x.getField("_rec"),
+            ).alias("_matches")
+        )
+        .withColumnRenamed("_lslug", "slug")
+    )
+
+
+def attach_relation(
+    df: DataFrame,
+    rel: Relation,
+    sources: dict[str, DataFrame],
+    configs: dict[str, SourceConfig] | None = None,
+) -> DataFrame:
+    """Attach one relation as a new column named ``rel.name``.
+
+    to-one -> struct (null when no match); to-many -> array<struct> ([]).
+    """
+    if rel.is_through:
+        matches = _through_matches(df, rel, sources)
+    else:
+        foreign = sources[rel.to]
+        if rel.rel_type in ("hasOne", "hasMany"):
+            matches = _matches_per_slug(df, rel.local_key, foreign, rel.foreign_key)
+        else:  # belongsTo / belongsToMany — same probe, inverse declaration
+            matches = _matches_per_slug(df, rel.local_key, foreign, rel.foreign_key)
+
+    out = df.join(F.broadcast(matches), "slug", "left")
+    if rel.is_to_one or rel.rel_type == "belongsTo":
+        out = out.withColumn(rel.name, F.col("_matches").getItem(0))
+    else:
+        out = out.withColumn(
+            rel.name,
+            F.coalesce(F.col("_matches"), F.array().cast(out.schema["_matches"].dataType)),
+        )
+    return out.drop("_matches")
+
+
+def _through_matches(
+    df: DataFrame, rel: Relation, sources: dict[str, DataFrame]
+) -> DataFrame:
+    """Two-hop: src.sourceLocalKey = through.throughForeignKey AND
+    through.throughLocalKey = target.targetForeignKey."""
+    through = sources[rel.through]
+    target = sources[rel.to]
+
+    hop1 = df.select(
+        F.col("slug").alias("_lslug"),
+        F.explode(_key_values(df, rel.source_local_key)).alias("_lv"),
+    ).join(
+        F.broadcast(
+            # one generator per select: explode the two key arrays in stages
+            through.select(
+                _key_values(through, rel.through_foreign_key).alias("_tfka"),
+                _key_values(through, rel.through_local_key).alias("_tlka"),
+            )
+            .select(F.explode("_tfka").alias("_tfk"), F.col("_tlka"))
+            .select("_tfk", F.explode("_tlka").alias("_tlk"))
+        ),
+        F.col("_lv") == F.col("_tfk"),
+        "inner",
+    )
+    # NOTE: double explode above would cross-product if both keys are arrays;
+    # reference resolves value-by-value the same way (every combination of
+    # through-FK match and through-LK value probes the target).
+
+    rhs = F.broadcast(
+        target.select(
+            F.explode(_key_values(target, rel.target_foreign_key)).alias("_fv"),
+            F.col("slug").cast("string").alias("_fslug"),
+            _record_struct(target).alias("_rec"),
+        )
+    )
+    joined = hop1.join(rhs, F.col("_tlk") == F.col("_fv"), "inner")
+    per_foreign = joined.groupBy("_lslug", "_fslug").agg(
+        F.min(F.struct(F.col("_fv"), F.col("_fslug"))).alias("_rank"),
+        F.first("_rec").alias("_rec"),
+    )
+    return (
+        per_foreign.groupBy("_lslug")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_rank"), F.col("_rec")))),
+                lambda x: x.getField("_rec"),
+            ).alias("_matches")
+        )
+        .withColumnRenamed("_lslug", "slug")
+    )

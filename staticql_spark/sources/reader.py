@@ -1,0 +1,161 @@
+"""Spark-side ingestion: content files -> typed DataFrames.
+
+Pipeline (all distributed, no driver-side file loops):
+
+    spark.read.text(glob, wholetext=True)      # one row per file, executor-side listing
+      -> mapInPandas(parse batch)              # Python parser (Arrow batches), emits
+                                               #   (slug, raw, json_payload) per record
+      -> from_json(json_payload, declared schema)  # JVM-side typing
+      -> select(slug, *fields, raw)
+
+Parity notes:
+- slug from file path relative to the glob base, "/" -> "--", extension
+  stripped (reference: src/SourceConfigResolver.ts:143-182).
+- multi-record YAML/JSON files carry an explicit ``slug`` per record
+  (src/SourceLoader.ts:102-107); a single-record file whose embedded slug
+  disagrees with the path-derived slug is a load error
+  (src/SourceLoader.ts:163-169).
+- schema validation = required-field check after typing (simpleValidate.ts
+  semantics); violations raise with the source name in the message.
+
+At 100 TB the "many tiny content files" layout is hostile to any engine;
+``compact_to_parquet`` materializes the parsed source as Parquet once so all
+queries run against columnar storage with pushdown (SURVEY §7.3.8).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import SourceConfig
+from ..functions import glob_base_and_regex, path_to_slug
+from .parsers import get_parser
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("slug", T.StringType(), False),
+        T.StructField("raw", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+
+def _rel_path(file_uri: str, base_dir: str) -> str:
+    path = unquote(urlparse(file_uri).path) if "://" in file_uri else file_uri
+    base = base_dir.rstrip("/") + "/"
+    return path[len(base):] if path.startswith(base) else path.rsplit("/", 1)[-1]
+
+
+def read_source(
+    spark: SparkSession,
+    cfg: SourceConfig,
+    base_dir: str = "",
+    validate: bool = True,
+) -> DataFrame:
+    """Load one source as a typed DataFrame (slug, *schema fields, raw)."""
+    if cfg.type == "parquet":
+        path = cfg.pattern if "/" in cfg.pattern else f"{base_dir}/{cfg.pattern}"
+        return spark.read.parquet(path)
+
+    pattern = f"{base_dir}/{cfg.pattern}" if base_dir else cfg.pattern
+    glob_base, _ = glob_base_and_regex(pattern)
+    parser_type = cfg.type
+    source_name = cfg.name
+
+    reader = spark.read
+    if "**" in pattern:
+        # Hadoop globs are not recursive; '**' patterns read the static base
+        # dir with recursiveFileLookup + a suffix filter instead.
+        suffix = pattern.rsplit("/", 1)[-1]
+        reader = reader.option("recursiveFileLookup", "true").option(
+            "pathGlobFilter", suffix
+        )
+        read_path = glob_base
+    else:
+        read_path = pattern
+    files = reader.text(read_path, wholetext=True).select(
+        F.col("value").alias("raw_text"),
+        F.input_file_name().alias("file_path"),
+    )
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser = get_parser(parser_type)
+        for pdf in batches:
+            out_slug, out_raw, out_payload = [], [], []
+            for raw_text, file_path in zip(pdf["raw_text"], pdf["file_path"]):
+                rel = _rel_path(file_path, glob_base)
+                path_slug = path_to_slug(rel)
+                parsed = parser(raw_text)
+                if isinstance(parsed, list):
+                    # multi-record file: explicit slug per record
+                    for rec in parsed:
+                        slug = rec.get("slug")
+                        if slug is None:
+                            raise ValueError(
+                                f"[{source_name}] record in {rel} missing explicit slug"
+                            )
+                        out_slug.append(str(slug))
+                        out_raw.append(raw_text)
+                        out_payload.append(json.dumps(rec, ensure_ascii=False, default=str))
+                else:
+                    embedded = parsed.get("slug")
+                    if embedded is not None and str(embedded) != path_slug:
+                        # parity: src/SourceLoader.ts:163-169
+                        raise ValueError(
+                            f"[{source_name}] slug mismatch in {rel}: "
+                            f"file says {embedded!r}, path says {path_slug!r}"
+                        )
+                    out_slug.append(path_slug)
+                    out_raw.append(raw_text)
+                    out_payload.append(json.dumps(parsed, ensure_ascii=False, default=str))
+            yield pd.DataFrame({"slug": out_slug, "raw": out_raw, "payload": out_payload})
+
+    parsed = files.mapInPandas(parse_batch, schema=_RAW_SCHEMA)
+
+    struct = cfg.spark_schema()
+    if struct is None:
+        return parsed
+
+    field_struct = T.StructType(
+        [f for f in struct.fields if f.name not in ("slug", "raw")]
+    )
+    typed = parsed.select(
+        "slug",
+        F.from_json("payload", field_struct).alias("doc"),
+        "raw",
+    ).select("slug", "doc.*", "raw")
+
+    if validate and cfg.schema:
+        required = [
+            f for f in cfg.schema.get("required", []) if f not in ("slug", "raw")
+        ]
+        # Wrap each required column so a null raises with source+slug context
+        # (parity with simpleValidate's load-time errors). The when/otherwise
+        # keeps the column value itself, so Catalyst cannot prune the check.
+        for name in required:
+            typed = typed.withColumn(
+                name,
+                F.when(
+                    F.col(name).isNull(),
+                    F.raise_error(
+                        F.format_string(
+                            f"[{cfg.name}] required field '{name}' is null for slug=%s",
+                            F.col("slug"),
+                        )
+                    ).cast(typed.schema[name].dataType),
+                ).otherwise(F.col(name)),
+            )
+    return typed
+
+
+def compact_to_parquet(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Materialize a parsed source as Parquet (the scale-path layout)."""
+    writer = df.repartition(partitions) if partitions else df
+    writer.write.mode("overwrite").parquet(path)

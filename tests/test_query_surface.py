@@ -1,0 +1,187 @@
+"""E2E staticql-surface tests on the herbal fixture corpus.
+
+This is the reference's primary correctness layer (tests/query.test.ts,
+SURVEY §5.2) — the six canonical queries plus ingestion shape checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from staticql_spark import NeedsIndexError
+
+
+def test_ingestion_shapes(herbal):
+    assert herbal.df("herbs").count() == 3
+    assert herbal.df("tags").count() == 6
+    assert herbal.df("compounds").count() == 5
+    assert herbal.df("recipes").count() == 2
+    assert herbal.df("recipeGroups").count() == 2
+    assert herbal.df("processes").count() == 6
+    # multi-record YAML slugs are explicit; markdown slugs derive from path
+    slugs = {r["slug"] for r in herbal.df("herbs").select("slug").collect()}
+    assert slugs == {"arctium-lappa", "centella-asiatica", "cymbopogon-citratus"}
+    # nested-dir slug with '--' separator
+    rslugs = {r["slug"] for r in herbal.df("recipes").select("slug").collect()}
+    assert rslugs == {"recipeGroup001--001", "recipeGroup002--001"}
+
+
+def test_q1_point_filter(herbal):
+    # query.test.ts:16-25
+    page = herbal.from_("herbs").where("slug", "eq", "arctium-lappa").exec()
+    assert len(page.data) == 1
+    assert page.data[0]["name"] == "ゴボウ"
+
+
+def test_q2_join_filter_on_relation_field(herbal):
+    # query.test.ts:27-37 — 1 recipe; its herbs array has exactly 2 elements
+    page = (
+        herbal.from_("recipes")
+        .join("herbs")
+        .where("herbs.slug", "in", ["centella-asiatica"])
+        .exec()
+    )
+    assert len(page.data) == 1
+    rec = page.data[0]
+    assert rec["slug"] == "recipeGroup002--001"
+    assert len(rec["herbs"]) == 2
+    herb_slugs = {h["slug"] for h in rec["herbs"]}
+    assert herb_slugs == {"centella-asiatica", "cymbopogon-citratus"}
+
+
+def test_q3_full_scan_default_order(herbal):
+    # query.test.ts:41-54 — slug asc, no cursor
+    page = herbal.from_("herbs").exec()
+    assert [r["slug"] for r in page.data] == [
+        "arctium-lappa",
+        "centella-asiatica",
+        "cymbopogon-citratus",
+    ]
+    assert page.page_info.has_next_page is False
+    assert page.page_info.has_previous_page is False
+    assert page.page_info.start_cursor and page.page_info.end_cursor
+
+
+def test_q4_order_by_name(herbal):
+    # query.test.ts:57-81 — ゴツゴラ < ゴボウ < レモングラス
+    asc = herbal.from_("herbs").order_by("name", "asc").exec()
+    assert [r["slug"] for r in asc.data] == [
+        "centella-asiatica",
+        "arctium-lappa",
+        "cymbopogon-citratus",
+    ]
+    desc = herbal.from_("herbs").order_by("name", "desc").exec()
+    assert [r["slug"] for r in desc.data] == [
+        "cymbopogon-citratus",
+        "arctium-lappa",
+        "centella-asiatica",
+    ]
+
+
+def test_q5_cursor_pagination(herbal):
+    # query.test.ts:84-108
+    p1 = herbal.from_("herbs").order_by("name", "asc").page_size(2).exec()
+    assert [r["slug"] for r in p1.data] == ["centella-asiatica", "arctium-lappa"]
+    assert p1.page_info.has_next_page is True
+    assert p1.page_info.has_previous_page is False
+
+    p2 = (
+        herbal.from_("herbs")
+        .order_by("name", "asc")
+        .page_size(2)
+        .cursor(p1.page_info.end_cursor, "after")
+        .exec()
+    )
+    assert [r["slug"] for r in p2.data] == ["cymbopogon-citratus"]
+    assert p2.page_info.has_next_page is False
+    assert p2.page_info.has_previous_page is True
+
+
+def test_q5b_cursor_before(herbal):
+    p1 = herbal.from_("herbs").order_by("name", "asc").page_size(2).exec()
+    back = (
+        herbal.from_("herbs")
+        .order_by("name", "asc")
+        .page_size(2)
+        .cursor(p1.page_info.end_cursor, "before")
+        .exec()
+    )
+    # rows strictly before arctium-lappa in name order
+    assert [r["slug"] for r in back.data] == ["centella-asiatica"]
+
+
+def test_q6_needs_index_error(herbal):
+    # query.test.ts:111-122
+    with pytest.raises(NeedsIndexError) as ei:
+        herbal.from_("herbs").where("overview", "eq", "ゴボウの概要").exec()
+    msg = str(ei.value)
+    assert msg.startswith("[herbs] needs index:")
+    assert '"field":"overview"' in msg
+
+
+def test_has_many_join_attach(herbal):
+    page = herbal.from_("herbs").join("tags").where("slug", "eq", "arctium-lappa").exec()
+    tags = page.data[0]["tags"]
+    assert {t["slug"] for t in tags} == {"antioxidant", "antiinflammatory"}
+    assert all("name" in t.asDict() for t in tags)
+
+
+def test_dangling_fk_tolerated(herbal):
+    # arctigenin is not in compounds — reference tolerates dangling FKs
+    page = herbal.from_("herbs").join("compounds").where("slug", "eq", "arctium-lappa").exec()
+    comps = page.data[0]["compounds"]
+    assert {c["slug"] for c in comps} == {"inulin"}
+
+
+def test_has_one_through(herbal):
+    page = herbal.from_("recipes").join("process").where("slug", "eq", "recipeGroup001--001").exec()
+    proc = page.data[0]["process"]
+    assert proc is not None and proc["slug"] == "infusion"
+
+
+def test_through_from_herbs_side(herbal):
+    # herbs -> recipes via recipeGroups (nested array through key)
+    page = herbal.from_("herbs").join("recipes").where("slug", "eq", "centella-asiatica").exec()
+    recs = page.data[0]["recipes"]
+    assert [r["slug"] for r in recs] == ["recipeGroup002--001"]
+
+
+def test_array_field_any_element_eq(herbal):
+    # eq on array field = membership (P5)
+    page = herbal.from_("herbs").where("tagSlugs", "eq", "memory").exec()
+    assert [r["slug"] for r in page.data] == ["centella-asiatica"]
+
+
+def test_startswith_filter(herbal):
+    page = herbal.from_("herbs").where("name", "startsWith", "ゴ").exec()
+    assert {r["slug"] for r in page.data} == {"arctium-lappa", "centella-asiatica"}
+
+
+def test_find(herbal):
+    row = herbal.from_("herbs").find("centella-asiatica")
+    assert row is not None and row["name"] == "ゴツゴラ"
+    assert herbal.from_("herbs").find("nope") is None
+
+
+def test_peek_index_only(herbal):
+    page = herbal.from_("herbs").where("slug", "eq", "arctium-lappa").peek()
+    row = page.data[0]
+    cols = set(row.asDict().keys())
+    # only indexed/covering columns — no overview/raw
+    assert "overview" not in cols and "raw" not in cols
+    assert "slug" in cols and "name" in cols
+
+
+def test_spark_native_sql_surface(herbal):
+    out = herbal.sql(
+        """
+        SELECT h.slug, count(*) AS n_tags
+        FROM herbs h LATERAL VIEW explode(tagSlugs) t AS tag
+        GROUP BY h.slug ORDER BY h.slug
+        """
+    ).collect()
+    assert [(r["slug"], r["n_tags"]) for r in out] == [
+        ("arctium-lappa", 2),
+        ("centella-asiatica", 2),
+        ("cymbopogon-citratus", 2),
+    ]
