@@ -1,0 +1,65 @@
+"""Covering-index artifacts: build, layout, prefix parity, incremental refresh."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from staticql_spark.indexing import index_entries, load_index, save_indexes
+from staticql_spark.streaming import apply_diff
+
+
+def test_index_entries_shape(herbal):
+    cfg = herbal.configs["herbs"]
+    dfs = {n: herbal.df(n) for n in herbal.configs}
+    entries = index_entries(dfs["herbs"], cfg, dfs)
+    rows = entries.collect()
+    fields = {r["field"] for r in rows}
+    # slug always indexed; declared + relation-derived fields present
+    assert "slug" in fields and "name" in fields and "tagSlugs" in fields
+    # array fan-out: each tagSlug element gets its own entry
+    tag_entries = [r for r in rows if r["field"] == "tagSlugs"]
+    assert len(tag_entries) == 6  # 3 herbs x 2 tags
+    # unicode prefix parity: name ゴボウ -> 30b4
+    name_prefix = {r["v"]: r["prefix"] for r in rows if r["field"] == "name"}
+    assert name_prefix["ゴボウ"] == "30b4"
+    assert name_prefix["レモングラス"] == "30ec"
+    # slug prefix ascii: arctium-lappa -> 0061
+    slug_prefix = {r["v"]: r["prefix"] for r in rows if r["field"] == "slug"}
+    assert slug_prefix["arctium-lappa"] == "0061"
+
+
+def test_save_and_load_roundtrip(herbal, tmp_path):
+    out = str(tmp_path / "index")
+    save_indexes(herbal, out)
+    idx = load_index(herbal.spark, out, "herbs")
+    # partition pruning on (field, prefix) is the trie descent
+    hit = idx.filter((F.col("field") == "slug") & (F.col("prefix") == "0063")).collect()
+    assert {r["v"] for r in hit} == {"centella-asiatica", "cymbopogon-citratus"}
+
+
+def test_relation_path_index_denormalized(herbal):
+    cfg = herbal.configs["recipes"]
+    dfs = {n: herbal.df(n) for n in herbal.configs}
+    entries = index_entries(dfs["recipes"], cfg, dfs)
+    rel = entries.filter(F.col("field") == "herbs.slug").collect()
+    # recipe recipeGroup002--001 joins 2 herbs; recipeGroup001--001 joins 1
+    by_slug: dict[str, set] = {}
+    for r in rel:
+        by_slug.setdefault(r["slug"], set()).add(r["v"])
+    assert by_slug["recipeGroup002--001"] == {"centella-asiatica", "cymbopogon-citratus"}
+    assert by_slug["recipeGroup001--001"] == {"arctium-lappa"}
+
+
+def test_apply_diff_merge_semantics(spark):
+    current = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["slug", "val"]
+    )
+    new_records = spark.createDataFrame(
+        [("b", 20), ("d", 4)], ["slug", "val"]
+    )
+    diff = spark.createDataFrame(
+        [("M", "src", "b"), ("D", "src", "c"), ("A", "src", "d")],
+        ["status", "source", "slug"],
+    )
+    out = {r["slug"]: r["val"] for r in apply_diff(current, new_records, diff).collect()}
+    assert out == {"a": 1, "b": 20, "d": 4}

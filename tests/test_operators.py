@@ -1,0 +1,172 @@
+"""Operator-level tests over the synthetic tables (sf0.001) and tiny
+hand-built DataFrames where exactness matters.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from staticql_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["group_size"] for r in dedup.exact_dedup(df).collect()}
+    # normalization (case + whitespace) merges 1 and 2; min id kept
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one two three four")], ["doc_id", "text"])
+    sh = dedup.shingles(df, n=3).collect()
+    ids = {r["doc_id"] for r in sh}
+    assert ids == {2}  # doc 1 has < 3 tokens -> no shingles
+    assert {r["shingle"] for r in sh} == {"one two three", "two three four"}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "z y x w v u t")],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingles(df, n=3)
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(sh, num_hashes=8).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely unrelated text about spark query engines")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert fps[1] == fps[2]
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(queries, emb, k=3).collect()
+    assert len(out) == 3
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+    # ranks are 1..3 with non-increasing cosine
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, emb):
+    queries = emb.filter(F.col("vec_id") == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(queries, emb, k=500).collect()
+    }
+    approx = similarity.lsh_topk(queries, emb, k=3, dim=64, num_planes=4).collect()
+    # approximate results must carry the same cosine the exact path computes
+    for r in approx:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_embedding_neardup_identical_vectors(spark):
+    vec = [0.5] * 16
+    df = spark.createDataFrame([(1, vec, 0), (2, vec, 0), (3, [-0.5] * 16, 1)],
+                               ["vec_id", "embedding", "label"])
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["cosine"] == 1.0
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame([(1, ""), (2, "  "), (3, "a b  c"), (4, "x,y!")],
+                               ["doc_id", "text"])
+    out = {r["doc_id"]: (r["ws_tokens"], r["re_tokens"]) for r in text.token_count(df).collect()}
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (3, 3)
+    assert out[4] == (1, 4)  # x , y !
+
+
+def test_quality_and_lang_on_real_docs(spark, docs):
+    q = text.quality_score(docs)
+    assert q.count() == docs.count()
+    row = q.filter(F.col("doc_id") == 0).collect()[0]
+    assert 0.0 <= row["quality"] <= 1.0
+    langs = {r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert langs <= {"en", "und", "de", "es", "fr", "ja", "ko", "zh", "ru", "ar"}
+
+
+def test_lang_id_character_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "これは日本語のテキストです"),
+            (2, "这是一段中文文本内容"),
+            (3, "Это русский текст для теста"),
+            (4, "the cat sat on the mat with a hat"),
+            (5, "zzz qqq vvv"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert out == {1: "ja", 2: "zh", 3: "ru", 4: "en", 5: "und"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   world"), (2, "hello world"), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp_md5"] for r in text.fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_feature_shapes(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized fake features
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.synthetic_media(spark, n=2)
+    out = multimodal.extract_features(media, decode_fn=multimodal.real_decode)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        out.collect()
+
+
+def test_frame_sampling_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4).collect()
+    # only video rows (1 in 3), duration 5000ms capped at 4 frames
+    vids = {r["media_id"] for r in frames}
+    assert all(m % 3 == 2 for m in vids)
+    by_vid = [r for r in frames if r["media_id"] == min(vids)]
+    assert [f["ts_ms"] for f in by_vid] == [0, 1000, 2000, 3000]
