@@ -52,11 +52,13 @@ class StaticQL:
         spark: SparkSession | None = None,
         strict_index: bool = True,
         dataframes: dict[str, DataFrame] | None = None,
+        indexers: dict[str, object] | None = None,
     ):
         self.spark = spark or get_spark()
         self.configs = configs
         self.base_dir = base_dir
         self.strict_index = strict_index
+        self.indexers = dict(indexers or {})  # "{source}.{field}" -> callback (U2)
         self._dfs: dict[str, DataFrame] = dict(dataframes or {})
 
     def df(self, name: str) -> DataFrame:
@@ -98,6 +100,7 @@ def define(config: dict, **defaults):
         spark: SparkSession | None = None,
         strict_index: bool = True,
         dataframes: dict[str, DataFrame] | None = None,
+        indexers: dict[str, object] | None = None,
         **kw,
     ) -> StaticQL:
         return StaticQL(
@@ -106,6 +109,7 @@ def define(config: dict, **defaults):
             spark=spark,
             strict_index=strict_index,
             dataframes=dataframes,
+            indexers=indexers,
             **kw,
         )
 

@@ -1,0 +1,77 @@
+"""CLI: index generation, full and incremental — parity with the
+reference's ``staticql-gen-index`` (cli/generate-index.ts:19-41):
+
+    python -m staticql_spark.cli generate-index \
+        --config config.json --base-dir ./content-root --output ./index \
+        [--incremental --diff-file diff.json] [--manifest]
+
+- full mode rebuilds every source's covering index (the reference first
+  deletes the index dir, :97-102 — partition overwrite gives the same
+  result without the delete).
+- incremental mode reads a DiffEntry JSON array [{status, source, slug}]
+  and refreshes only affected (field, prefix) partitions (§2.9 T2).
+- --manifest writes staticql-manifest.json listing the index files
+  (:202-214). Gzip flags are intentionally absent: Parquet compression
+  replaces per-shard gzip (S8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _build_manifest(out_dir: str) -> dict:
+    files = []
+    for root, _dirs, names in os.walk(out_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.relpath(os.path.join(root, n), out_dir))
+    return {"files": sorted(files)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="staticql-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+    gen = sub.add_parser("generate-index", help="build covering-index parquet")
+    gen.add_argument("--config", required=True, help="staticql config JSON path")
+    gen.add_argument("--base-dir", required=True, help="content root directory")
+    gen.add_argument("--output", required=True, help="index output directory")
+    gen.add_argument("--incremental", action="store_true")
+    gen.add_argument("--diff-file", help="DiffEntry JSON (required with --incremental)")
+    gen.add_argument("--manifest", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.incremental and not args.diff_file:
+        # parity: missing-arg validation exits non-zero (generate-index.test.ts:44-62)
+        parser.error("--incremental requires --diff-file")
+
+    from . import define
+    from .streaming import DIFF_SCHEMA, refresh_index_partitions
+
+    with open(args.config, encoding="utf-8") as f:
+        config = json.load(f)
+    sql = define(config)(base_dir=args.base_dir)
+
+    if args.incremental:
+        with open(args.diff_file, encoding="utf-8") as f:
+            entries = json.load(f)
+        diff = sql.spark.createDataFrame(
+            [(e["status"], e["source"], e["slug"]) for e in entries], DIFF_SCHEMA
+        )
+        for source in sorted({e["source"] for e in entries}):
+            refresh_index_partitions(sql, source, diff, args.output)
+    else:
+        sql.save_indexes(args.output)
+
+    if args.manifest:
+        manifest = _build_manifest(args.output)
+        with open(os.path.join(args.output, "staticql-manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

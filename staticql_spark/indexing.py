@@ -36,14 +36,42 @@ def index_entries(
     cfg: SourceConfig,
     sources: dict[str, DataFrame] | None = None,
     depth: int | None = None,
+    indexers: dict[str, object] | None = None,
 ) -> DataFrame:
     """Explode one source into covering-index entries.
 
     Relation-path fields (``rel.field``) are denormalized via the relation
     join first (reference does this at build time, IndexBuilder.ts:495-520).
+
+    ``indexers`` maps ``"{source}.{field}"`` to a Python callback
+    ``record_dict -> value | list[value]`` — the reference's custom-indexer
+    injection (U2, src/IndexBuilder.ts:46-62, 793-822). Callback errors are
+    caught per-record and the record is skipped for that field, matching the
+    reference's catch-and-log behavior.
     """
     depth = depth or cfg.index_depth
     work = df
+    for key, fn in (indexers or {}).items():
+        src_name, _, field = key.partition(".")
+        if src_name != cfg.name or not field:
+            continue
+        from pyspark.sql import functions as SF
+        from pyspark.sql import types as T
+
+        def _apply(row, _fn=fn):
+            try:
+                out = _fn(row.asDict(recursive=True))
+            except Exception:  # noqa: BLE001 — parity: indexer errors logged+skipped
+                return []
+            if out is None:
+                return []
+            vals = out if isinstance(out, (list, tuple)) else [out]
+            return [str(v) for v in vals if v is not None]
+
+        udf = SF.udf(_apply, T.ArrayType(T.StringType()))
+        work = work.withColumn(field, udf(SF.struct(*[work[c] for c in work.columns])))
+        if field not in cfg.index_fields:
+            cfg.index_fields.append(field)
     rel_fields = [f for f in cfg.index_fields if "." in f and f.split(".", 1)[0] in cfg.relations]
     if rel_fields and sources is not None:
         from .relations import attach_relation
@@ -90,8 +118,9 @@ def index_entries(
 def save_indexes(staticql, out_dir: str, depth: int | None = None) -> None:
     """Write covering-index Parquet per source (partitioned, sorted)."""
     dfs = {name: staticql.df(name) for name in staticql.configs}
+    indexers = getattr(staticql, "indexers", None)
     for name, cfg in staticql.configs.items():
-        entries = index_entries(dfs[name], cfg, dfs, depth)
+        entries = index_entries(dfs[name], cfg, dfs, depth, indexers)
         (
             entries.repartition("field", "prefix")
             .sortWithinPartitions("v", "vs")

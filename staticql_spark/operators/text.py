@@ -51,8 +51,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     Deterministic closed-form — the SQL oracle reproduces it exactly.
     """
     c = F.col(text_col)
+    # bind the token array once — every later reference reuses the column
+    # instead of re-running regex+split (see dedup.shingles for the same
+    # pattern and the measured cost of not doing this)
+    df = df.withColumn("_toks", tokens(c))
+    toks = F.col("_toks")
     n_chars = F.length(c)
-    toks = tokens(c)
     n_tokens = F.size(toks)
     n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
@@ -104,7 +108,8 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     de_chars = ratio(r"[äöüßÄÖÜ]")
     fr_chars = ratio(r"[àâçéèêëîïôûùüÿœ]")
     es_chars = ratio(r"[áéíóúñ¿¡]")
-    toks = tokens(c)
+    df = df.withColumn("_toks", tokens(c))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     stop_ratio = F.when(
         n_tokens > 0,

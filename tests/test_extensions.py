@@ -1,0 +1,97 @@
+"""Extension points: custom indexers (U2), SSG export (S9), CLI (S7/S8)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from staticql_spark.indexing import index_entries
+from staticql_spark.ssg import export_query, static_query
+from tests.conftest import CONFIG
+
+
+def test_custom_indexer_derived_field(herbal):
+    # U2: callback computing a derived indexed value; arrays fan out
+    cfg = herbal.configs["herbs"]
+    dfs = {n: herbal.df(n) for n in herbal.configs}
+    indexers = {
+        "herbs.nameLength": lambda rec: str(len(rec["name"])),
+        "herbs.firstTag": lambda rec: rec["tagSlugs"][:1],
+    }
+    before = list(cfg.index_fields)
+    try:
+        entries = index_entries(dfs["herbs"], cfg, dfs, indexers=indexers)
+        rows = entries.filter(F.col("field") == "nameLength").collect()
+        by_slug = {r["slug"]: r["v"] for r in rows}
+        assert by_slug["arctium-lappa"] == "3"  # ゴボウ
+        assert by_slug["cymbopogon-citratus"] == "6"  # レモングラス
+        first = entries.filter(F.col("field") == "firstTag").collect()
+        assert {r["v"] for r in first} == {"antioxidant", "memory", "relaxation"}
+    finally:
+        cfg.index_fields = before
+
+
+def test_custom_indexer_errors_skipped(herbal):
+    cfg = herbal.configs["herbs"]
+    dfs = {n: herbal.df(n) for n in herbal.configs}
+    before = list(cfg.index_fields)
+    try:
+        entries = index_entries(
+            dfs["herbs"], cfg, dfs,
+            indexers={"herbs.boom": lambda rec: 1 / 0},
+        )
+        assert entries.filter(F.col("field") == "boom").count() == 0
+    finally:
+        cfg.index_fields = before
+
+
+def test_ssg_static_query_payload(herbal):
+    payload = static_query(
+        herbal, lambda sq: sq.from_("herbs").order_by("name", "asc").page_size(2)
+    )
+    assert [r["slug"] for r in payload["data"]] == ["centella-asiatica", "arctium-lappa"]
+    assert payload["pageInfo"]["hasNextPage"] is True
+    assert payload["generatedAt"]
+
+
+def test_ssg_export_writes_json(herbal, tmp_path):
+    out = tmp_path / "herbs.json"
+    export_query(herbal, lambda sq: sq.from_("herbs").page_size(1), str(out))
+    data = json.loads(out.read_text())
+    assert data["data"][0]["slug"] == "arctium-lappa"
+    assert data["pageInfo"]["endCursor"]
+
+
+def test_cli_generate_index_full(content_dir, tmp_path):
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(CONFIG))
+    out_dir = tmp_path / "index"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "staticql_spark.cli", "generate-index",
+            "--config", str(cfg_path), "--base-dir", str(content_dir),
+            "--output", str(out_dir), "--manifest",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    manifest = json.loads((out_dir / "staticql-manifest.json").read_text())
+    assert manifest["files"]
+    assert (out_dir / "herbs").exists()
+
+
+def test_cli_incremental_requires_diff_file(tmp_path):
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "staticql_spark.cli", "generate-index",
+            "--config", "x.json", "--base-dir", ".", "--output", str(tmp_path),
+            "--incremental",
+        ],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    # parity: flag-validation failure exits non-zero (generate-index.test.ts:44-62)
+    assert res.returncode != 0
+    assert "diff-file" in res.stderr
