@@ -315,6 +315,77 @@ def q_events_sessionize(spark, sf):
 # =====================================================================
 
 
+def q_rollup_agg(spark, sf):
+    # multi-level aggregation: GROUP BY ROLLUP (free via Catalyst Expand)
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_exists_subquery(spark, sf):
+    # EXISTS (correlated) -> left_semi at plan level
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join(spark, sf):
+    # NOT EXISTS -> left_anti: parts never shipped
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_conditional_pivot(spark, sf):
+    # pivot-style conditional aggregation (engine-portable CASE form)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_open"),
+        F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_filled"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_scalar_subquery(spark, sf):
+    # orders above the global average price (scalar subquery -> broadcast)
+    o = _t(spark, sf, "orders")
+    avg_price = o.select(F.avg("o_totalprice").alias("ap"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("ap") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_union_distinct(spark, sf):
+    # set op: union of two customer segments, distinct keys
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 7500.0).select("c_custkey")
+    return a.union(b).distinct()
+
+
+def q_salted_hot_key_agg(spark, sf):
+    # skew path: two-phase salted aggregation (operators.skew) — result is
+    # identical to a plain GROUP BY, which is exactly what the oracle runs
+    from staticql_spark.operators.skew import two_phase_agg
+
+    li = _t(spark, sf, "lineitem")
+    out = two_phase_agg(li, "l_returnflag", "l_quantity", salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("sum_l_quantity"), 2).alias("sum_qty"),
+        "n_rows",
+        F.round(F.col("avg_l_quantity"), 4).alias("avg_qty"),
+    )
+
+
 def q_doc_tokens(spark, sf):
     return text.token_count(_t(spark, sf, "documents"))
 
@@ -415,6 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "rollup_agg": q_rollup_agg,
+        "exists_subquery": q_exists_subquery,
+        "anti_join": q_anti_join,
+        "conditional_pivot": q_conditional_pivot,
+        "scalar_subquery": q_scalar_subquery,
+        "union_distinct": q_union_distinct,
+        "salted_hot_key_agg": q_salted_hot_key_agg,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_lang": q_doc_lang,
@@ -660,6 +738,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sess_id
+        """,
+        "rollup_agg": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "exists_subquery": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        """,
+        "anti_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "conditional_pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_filled,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "scalar_subquery": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        """,
+        "union_distinct": """
+            SELECT DISTINCT c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION ALL
+              SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0
+            )
+        """,
+        "salted_hot_key_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows,
+                   round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "doc_tokens": f"""
             SELECT doc_id,
