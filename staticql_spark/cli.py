@@ -42,7 +42,30 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--incremental", action="store_true")
     gen.add_argument("--diff-file", help="DiffEntry JSON (required with --incremental)")
     gen.add_argument("--manifest", action="store_true")
+    dif = sub.add_parser(
+        "diff", help="git refs -> DiffEntry JSON for --incremental (§2.9 T1)"
+    )
+    dif.add_argument("--config", required=True, help="staticql config JSON path")
+    dif.add_argument("--repo-dir", required=True, help="content git repository")
+    dif.add_argument("--from-ref", required=True)
+    dif.add_argument("--to-ref", default="HEAD")
+    dif.add_argument("--out", help="output path (default: stdout)")
     args = parser.parse_args(argv)
+
+    if args.command == "diff":
+        from .config import resolve_config
+        from .diff import extract_diff
+
+        with open(args.config, encoding="utf-8") as f:
+            configs = resolve_config(json.load(f))
+        entries = extract_diff(args.repo_dir, args.from_ref, args.to_ref, configs)
+        text = json.dumps(entries, indent=2, ensure_ascii=False)
+        if args.out:
+            with open(args.out, "w", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            print(text)
+        return 0
 
     if args.incremental and not args.diff_file:
         # parity: missing-arg validation exits non-zero (generate-index.test.ts:44-62)
