@@ -450,6 +450,21 @@ def q_ann_lsh(spark, sf):
     return similarity.lsh_topk(queries, emb, k=5, dim=64, num_planes=6)
 
 
+def q_ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(queries, emb, k=5, centroid_stride=100, nprobe=3)
+
+
+def q_stream_first_seen(spark, sf):
+    """Batch twin of the applyInPandasWithState stateful dedup (the
+    streaming execution itself is exercised in tests/test_streaming.py)."""
+    from staticql_spark.streaming import load_events, streaming_first_seen
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return streaming_first_seen(ev, F.col("event_type"))
+
+
 def q_multimodal_features(spark, sf):
     media = multimodal.synthetic_media(spark, n=128)
     feats = multimodal.extract_features(media)
@@ -506,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "stream_first_seen": q_stream_first_seen,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -544,9 +561,21 @@ shingles AS (
 )
 """
 
-_MINHASH16_COLS = ",\n    ".join(
-    f"min(md5('s{k}|' || shingle)) AS h{k}" for k in range(16)
-)
+# universal-hash min-hash family — formula mirrors dedup.minhash_params /
+# minhash_signatures exactly (one md5 per shingle, k BIGINT projections)
+_MINHASH_HM = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1099511627776)"
+
+
+def _minhash_cols(num_hashes: int) -> str:
+    from staticql_spark.operators.dedup import MINHASH_P, minhash_params
+
+    return ",\n    ".join(
+        f"min(({_MINHASH_HM} * {a} + {b}) % {MINHASH_P}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+
+
+_MINHASH16_COLS = _minhash_cols(16)
 
 _SIMHASH_CTE = f"""
 toks AS (
@@ -866,7 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sig": f"""
             WITH {_SHINGLES_CTE}
             SELECT doc_id,
-                   {",".join(f"min(md5('s{k}|' || shingle)) AS h{k}" for k in range(8))}
+                   {_minhash_cols(8)}
             FROM shingles GROUP BY doc_id
         """,
         "dedup_minhash_lsh": f"""
@@ -876,13 +905,13 @@ def oracle_sql() -> dict[str, str]:
               FROM shingles GROUP BY doc_id
             ),
             banded AS (
-              SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS key FROM sig
+              SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS key FROM sig
               UNION ALL
-              SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sig
+              SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
               UNION ALL
-              SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM sig
+              SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM sig
               UNION ALL
-              SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM sig
+              SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM sig
             ),
             cands AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1021,6 +1050,52 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ann_ivf": """
+            WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id % 50 = 0),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT neighbor_id, cv, cell FROM (
+                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(qv, centroid)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 3
+            ),
+            scored AS (
+              SELECT p.query_id, s.neighbor_id,
+                     round(list_dot_product(p.qv, s.cv)
+                           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
+                           6) AS cosine
+              FROM probes p JOIN cells s USING (cell)
+              WHERE p.query_id <> s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "stream_first_seen": """
+            SELECT event_type AS fp, min(ts) AS first_ts,
+                   count(*) - 1 AS n_dups
+            FROM events GROUP BY event_type
         """,
         # multimodal_features: no SQL oracle (synthetic binary payloads,
         # Python decode kernel) — rows-only check by design.

@@ -68,19 +68,47 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     return toks_df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
+# Universal-hash min-hash family: ONE md5 per shingle, then k cheap
+# arithmetic projections (a_k*h + b_k) mod P — the standard datasketch
+# construction. 16x fewer cryptographic hashes than salting md5 per k,
+# and every operation is plain BIGINT math DuckDB reproduces exactly.
+# Bounds guarantee no int64 overflow in either engine:
+#   h mod 2^40 (< 2^40) * a_k (< 2^22) + b_k (< P < 2^61) < 2^63.
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+MINHASH_HM = 1 << 40
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs, identical formula on the oracle side."""
+    return [
+        (
+            ((2654435761 * (k + 1)) % 4194304) | 1,
+            (40503 * (k + 1) * 65537 + 17) % MINHASH_P,
+        )
+        for k in range(num_hashes)
+    ]
+
+
+def shingle_hash(col: Column) -> Column:
+    """60-bit integer hash of a shingle string (md5-derived, portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """(id, sig: array<string>) — k independent min-hashes per doc.
+    """(id, sig: array<long>) — k independent min-hashes per doc.
 
-    One aggregation: min(md5(salt_k || shingle)) for k salts. Partial
-    (map-side) min keeps the shuffle at |docs| rows x k values.
+    One aggregation: min((a_k*h + b_k) mod P) over shingle hashes h.
+    Partial (map-side) min keeps the shuffle at |docs| rows x k values.
     """
+    hm = (shingle_hash(F.col("shingle")) % MINHASH_HM).alias("hm")
+    hashed = sh.select(F.col(id_col), hm)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"h{k}")
-        for k in range(num_hashes)
+        F.min((F.col("hm") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{k}")
+        for k, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    per_doc = sh.groupBy(id_col).agg(*aggs)
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
     return per_doc.select(
         id_col, F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
     )
@@ -110,7 +138,13 @@ def minhash_lsh_pairs(
     band_cols = []
     for b in range(bands):
         band_key = F.md5(
-            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|")
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
     banded = sig.select(

@@ -105,6 +105,79 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_alias: str = "v",
+    id_alias: str = "vid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) — nearest ``nprobe`` centroid ids per vector by cosine.
+
+    Centroids are broadcast (they are tiny by construction); ties break on
+    centroid id. One pass over the vectors, no shuffle of the big side.
+    """
+    pairs = vectors.crossJoin(F.broadcast(centroids))
+    scored = pairs.select(
+        id_alias,
+        vec_alias,
+        "cid",
+        F.round(cosine(F.col(vec_alias), F.col("centroid")), 6).alias("csim"),
+    )
+    w = W.partitionBy(id_alias).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_alias, vec_alias, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Centroids are data-sampled deterministically (every ``centroid_stride``-th
+    corpus vector — sampling is a standard coarse-quantizer init, pinned here
+    so the result is reproducible and oracle-checkable). Corpus vectors are
+    assigned to their nearest cell; queries probe their ``nprobe`` nearest
+    cells and score only those cells' members.
+
+    Scale shape: assignment is a broadcast argmax (no corpus shuffle); the
+    probe join is an equi join on ``cell``. At 1e9+ vectors the assignment
+    is a one-off index build persisted as parquet PARTITIONED BY cell, so a
+    query reads only nprobe/num_cells of the corpus — the IVF pruning that
+    makes ANN sublinear without a vector-DB dependency.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
+    )
+    cells = ivf_assign(c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
+    probes = ivf_assign(
+        F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
+    )
+    pairs = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

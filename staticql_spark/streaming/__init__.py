@@ -103,6 +103,88 @@ def sessionize(
     )
 
 
+# ------------------------------------------------- custom stateful operator
+
+FIRST_SEEN_SCHEMA = (
+    "fp string, first_ts timestamp, n_dups long"
+)
+_FIRST_SEEN_STATE = "first_ts timestamp, n long"
+
+
+def streaming_first_seen(
+    docs: DataFrame,
+    fp_col,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    emit_updates: bool = True,
+) -> DataFrame:
+    """Stateful streaming dedup: first occurrence wins per fingerprint.
+
+    The custom-stateful-operator path (applyInPandasWithState): state per
+    fingerprint = (first_ts, running duplicate count). Each trigger emits
+    the fingerprint's current (first_ts, n_dups) — downstream keeps the
+    first occurrence and knows how many duplicates arrived.
+
+    This is the streaming twin of exact_dedup: at 100 TB ingest the batch
+    job dedups the backfill and this operator dedups the live feed with the
+    same fingerprint definition. State is hash-partitioned by fingerprint
+    (Spark shuffles groups to their state store); the per-group pandas
+    batch is tiny (one fingerprint's new rows), so state memory is
+    O(distinct fingerprints per executor), the same budget any streaming
+    dedup pays.
+
+    Works on a batch DataFrame too (applyInPandas fallback) so tests and
+    the oracle can check the same semantics without a stream.
+    """
+    import pandas as pd
+
+    keyed = docs.select(
+        fp_col.alias("fp") if not isinstance(fp_col, str) else F.col(fp_col).alias("fp"),
+        F.col(ts_col).alias("ts"),
+    )
+
+    if not keyed.isStreaming:
+        return (
+            keyed.groupBy("fp")
+            .agg(
+                F.min("ts").alias("first_ts"),
+                (F.count("*") - F.lit(1)).alias("n_dups"),
+            )
+        )
+
+    def update(key, pdf_iter, state):
+        (fp,) = key
+        n = 0
+        first_ts = None
+        if state.exists:
+            first_ts, n = state.get
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            batch_min = pdf["ts"].min()
+            if first_ts is None or batch_min < first_ts:
+                first_ts = batch_min
+        state.update((first_ts, n))
+        yield pd.DataFrame(
+            {"fp": [fp], "first_ts": [first_ts], "n_dups": [n - 1]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("fp")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FIRST_SEEN_SCHEMA,
+            stateStructType=_FIRST_SEEN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # ---------------------------------------------------------------- CDC / diff
 
 DIFF_SCHEMA = T.StructType(

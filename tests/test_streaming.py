@@ -54,6 +54,38 @@ def test_stream_windowed_agg_matches_batch(spark, tmp_path_factory):
         assert expected[k] == v, k
 
 
+def test_streaming_first_seen_matches_batch(spark, tmp_path_factory):
+    from staticql_spark.streaming import streaming_first_seen
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch = streaming_first_seen(
+        spark.read.parquet(d), F.col("event_type")
+    )
+    expected = {
+        r["fp"]: (r["first_ts"], r["n_dups"]) for r in batch.collect()
+    }
+
+    stream = read_event_stream(spark, d, max_files=1)
+    q = (
+        streaming_first_seen(stream, F.col("event_type"))
+        .writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode emits per-trigger snapshots; the final state per fp is the
+    # row with the highest duplicate count (monotone non-decreasing)
+    rows = spark.sql(
+        """select fp, first_ts, n_dups from (
+             select *, row_number() over (partition by fp order by n_dups desc) rn
+             from first_seen_test) where rn = 1"""
+    ).collect()
+    got = {r["fp"]: (r["first_ts"], r["n_dups"]) for r in rows}
+    assert got == expected
+
+
 def test_sessionize_batch_sanity(spark):
     ev = load_events(spark, f"{SF_SMOKE}/events.parquet")
     sess = sessionize(ev, gap="30 minutes")
