@@ -1,0 +1,94 @@
+"""Physical-plan assertions — the scale contract, encoded as tests.
+
+Correctness says a query returns the right rows at sf0.01; these tests say
+the PLAN is the one that survives a 100x scale-up: filters reach the
+parquet scan, scans read only projected columns, small dimensions broadcast
+instead of shuffling the fact side, and aggregations are partial (map-side
+combine) before the exchange. A regression here is a 100 TB incident that
+no correctness test would catch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_eq(spark):
+    p = plan(entrymod.q_where_eq(spark, SF_SMOKE))
+    assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING\)", p), p
+
+
+def test_filter_pushdown_startswith(spark):
+    p = plan(entrymod.q_where_startswith(spark, SF_SMOKE))
+    assert re.search(r"PushedFilters:.*StringStartsWith\(p_name,small\)", p), p
+
+
+def test_filter_pushdown_range_conjunction(spark):
+    p = plan(entrymod.q_where_and(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p, p
+    assert "GreaterThan(l_discount,0.05)" in p, p
+
+
+def test_column_pruning(spark):
+    p = plan(entrymod.q_projection_prune(spark, SF_SMOKE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # scan reads exactly the filter + projection columns, nothing else
+    assert cols == {"c_custkey", "c_mktsegment", "c_acctbal"}, cols
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    p = plan(entrymod.entry(spark))
+    assert "BroadcastHashJoin" in p, p
+    # the three dims (customer, nation, region) broadcast; the only
+    # sort-merge-eligible join left is lineitem x orders (both large)
+    assert p.count("BroadcastExchange") >= 3, p
+
+
+def test_agg_is_partial_before_exchange(spark):
+    p = plan(entrymod.q_pricing_summary(spark, SF_SMOKE))
+    # partial hash agg on the map side, final after the exchange: the
+    # map-side combine that keeps the shuffle proportional to groups
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Exchange" in p, p
+
+
+def test_keyset_pagination_has_limit(spark):
+    # O3: the cursor page plan carries a global limit (n+1 probe), so the
+    # scan terminates early instead of materializing the full order
+    df = entrymod.q_cursor_after(spark, SF_SMOKE)
+    p = plan(df)
+    assert re.search(r"(TakeOrderedAndProject|GlobalLimit|CollectLimit)", p), p
+
+
+def test_semi_join_for_exists(spark):
+    p = plan(entrymod.q_exists_subquery(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+
+
+def test_anti_join_plan(spark):
+    p = plan(entrymod.q_anti_join(spark, SF_SMOKE))
+    assert "LeftAnti" in p, p
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # doc_quality is pure built-in expressions -> must stay inside
+    # WholeStageCodegen (no Python/UDF stage boundaries)
+    p = plan(entrymod.q_doc_quality(spark, SF_SMOKE))
+    # formatted mode marks codegen stages with "[codegen id : N]"; the
+    # higher-order filter() lambda legitimately evaluates outside codegen
+    assert "codegen id" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
