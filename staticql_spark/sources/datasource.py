@@ -1,0 +1,102 @@
+"""PySpark 4 Python DataSource for structured static content (S1-S4).
+
+The cleaner sibling of ``reader.read_source``'s wholetext+mapInPandas
+pipeline: registers a real ``spark.read.format("staticql_content")`` source
+
+    spark.dataSource.register(ContentDataSource)
+    df = (spark.read.format("staticql_content")
+          .option("pattern", "/data/content/herbs/*.md")
+          .option("type", "markdown")          # markdown | yaml | json | csv ...
+          .load())                              # -> (slug, raw, payload)
+
+Parity: parser dispatch per declared type (reference src/parser/index.ts:72-88),
+slug from path relative to the glob base with '/'->'--' (SourceConfigResolver
+.ts:143-182), explicit per-record slug for multi-record YAML/JSON files
+(SourceLoader.ts:102-107), slug-mismatch load error (SourceLoader.ts:163-169).
+
+Scale shape: file listing happens once at plan time (driver); files are
+grouped into ``parallelism`` input partitions, and each executor parses its
+own batch — the same distribution contract as Spark's file sources. At
+100 TB, content should be compacted to parquet once (reader.compact_to_parquet)
+and this source used only for the initial ingest hop.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..functions import path_to_slug
+from .parsers import parse_by_type
+
+_DEFAULT_PARALLELISM = 32
+
+
+class _FileBatch(InputPartition):
+    def __init__(self, files: list[str], base: str):
+        self.files = files
+        self.base = base
+
+
+class ContentDataSource(DataSource):
+    """``staticql_content`` — (slug, raw, payload-JSON) rows from content files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "staticql_content"
+
+    def schema(self) -> str:
+        return "slug string, raw string, payload string"
+
+    def reader(self, schema) -> "ContentReader":
+        return ContentReader(self.options)
+
+
+class ContentReader(DataSourceReader):
+    def __init__(self, options):
+        self.pattern = options["pattern"]
+        self.parser_type = options.get("type", "markdown")
+        self.parallelism = int(options.get("parallelism", _DEFAULT_PARALLELISM))
+        # glob base = longest wildcard-free prefix, for slug derivation
+        parts = self.pattern.split("/")
+        base_parts = []
+        for p in parts[:-1]:
+            if any(ch in p for ch in "*?["):
+                break
+            base_parts.append(p)
+        self.base = "/".join(base_parts)
+
+    def partitions(self):
+        files = sorted(_glob.glob(self.pattern, recursive=True))
+        if not files:
+            return [_FileBatch([], self.base)]
+        width = max(1, (len(files) + self.parallelism - 1) // self.parallelism)
+        return [
+            _FileBatch(files[i : i + width], self.base)
+            for i in range(0, len(files), width)
+        ]
+
+    def read(self, partition: _FileBatch):
+        for path in partition.files:
+            with open(path, encoding="utf-8") as f:
+                raw = f.read()
+            rel = os.path.relpath(path, partition.base) if partition.base else path
+            slug_from_path = path_to_slug(rel)
+            parsed = parse_by_type(self.parser_type, raw)
+            if isinstance(parsed, list):
+                for rec in parsed:
+                    slug = rec.get("slug")
+                    if slug is None:
+                        raise ValueError(f"record in {rel} missing explicit slug")
+                    yield (str(slug), raw, json.dumps(rec, ensure_ascii=False, default=str))
+            else:
+                embedded = parsed.get("slug")
+                if embedded is not None and str(embedded) != slug_from_path:
+                    raise ValueError(
+                        f"slug mismatch in {rel}: file says {embedded!r}, "
+                        f"path says {slug_from_path!r}"
+                    )
+                yield (slug_from_path, raw, json.dumps(parsed, ensure_ascii=False, default=str))

@@ -7,6 +7,8 @@ prefix hexification incl. Unicode (tests/constants.test.ts:20-40).
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from staticql_spark.functions import (
@@ -98,3 +100,58 @@ def test_cursor_invalid():
         decode_cursor("!!!notbase64!!!")
     with pytest.raises(ValueError, match="invalid cursor"):
         decode_cursor("eyJ4IjogMX0=")  # valid b64 JSON but no slug
+
+
+# ---------------------------------------------------- PySpark 4 DataSource
+
+
+def test_content_datasource_markdown(spark, content_dir):
+    from staticql_spark.sources.datasource import ContentDataSource
+
+    spark.dataSource.register(ContentDataSource)
+    df = (
+        spark.read.format("staticql_content")
+        .option("pattern", f"{content_dir}/content/herbs/*.md")
+        .option("type", "markdown")
+        .load()
+    )
+    rows = {r["slug"]: json.loads(r["payload"]) for r in df.collect()}
+    assert set(rows) == {"arctium-lappa", "centella-asiatica", "cymbopogon-citratus"}
+    assert rows["arctium-lappa"]["name"] == "ゴボウ"
+    assert rows["arctium-lappa"]["compoundSlugs"] == ["inulin", "arctigenin"]
+
+
+def test_content_datasource_multirecord_yaml(spark, content_dir):
+    from staticql_spark.sources.datasource import ContentDataSource
+
+    spark.dataSource.register(ContentDataSource)
+    df = (
+        spark.read.format("staticql_content")
+        .option("pattern", f"{content_dir}/content/tags.yaml")
+        .option("type", "yaml")
+        .load()
+    )
+    slugs = sorted(r["slug"] for r in df.collect())
+    assert slugs == [
+        "antibacterial",
+        "antiinflammatory",
+        "antioxidant",
+        "memory",
+        "relaxation",
+        "skin",
+    ]
+
+
+def test_content_datasource_nested_glob(spark, content_dir):
+    from staticql_spark.sources.datasource import ContentDataSource
+
+    spark.dataSource.register(ContentDataSource)
+    df = (
+        spark.read.format("staticql_content")
+        .option("pattern", f"{content_dir}/content/recipes/**/*.md")
+        .option("type", "markdown")
+        .load()
+    )
+    slugs = sorted(r["slug"] for r in df.collect())
+    # nested dirs become '--'-joined slugs (reference slug semantics)
+    assert all("--" in s for s in slugs) and len(slugs) == 2
