@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf",
+    "stream_first_seen",
 ]
 
 

@@ -92,3 +92,37 @@ def test_whole_stage_codegen_on_hot_path(spark):
     # higher-order filter() lambda legitimately evaluates outside codegen
     assert "codegen id" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path_factory):
+    # co-located storage: same key, same bucket count -> the join reads
+    # pre-bucketed files with no Exchange under it
+    from staticql_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    # warehouse dir is static config; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", num_buckets=8)
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        # disable broadcast so the test exercises the SMJ path a real
+        # fact x fact join would take
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = plan(joined)
+            assert "SortMergeJoin" in p, p
+            assert "Exchange" not in p, p
+            assert joined.count() == spark.read.parquet(
+                f"{SF_SMOKE}/lineitem.parquet"
+            ).count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
