@@ -51,8 +51,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry.queries()
-    # JVM/codegen warmup on a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM/codegen/scan warmup: touch every table once so timings measure
+    # engine throughput, not first-use class loading + footer reads
+    import glob
+
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

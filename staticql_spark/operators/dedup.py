@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from . import ensure_parallelism
 from .text import tokens
 
 
@@ -52,7 +53,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     # expression inside the transform() lambda would re-run the regex+split
     # once per shingle index (O(tokens^2) regex work per doc — measured 10x
     # slowdown at 5k docs before this was split into two selects).
-    toks_df = df.select(
+    toks_df = ensure_parallelism(df).select(
         F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_toks")
     )
     t = F.col("_toks")
@@ -238,7 +239,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     groupBy — pure SQL, map-side combined, no UDFs.
     """
     toks = F.array_distinct(tokens(normalize_text(F.col(text_col))))
-    tok = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    tok = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     tok_h = tok.select(id_col, h.alias("h"))
     pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos")
@@ -326,7 +327,7 @@ def embedding_neardup_pairs(
             F.transform(F.slice(v, 1, 8), lambda x: (x >= 0).cast("int").cast("string")),
             "",
         )
-    side = df.select(F.col(id_col), v.alias("v"), block_col.alias("blk"))
+    side = ensure_parallelism(df).select(F.col(id_col), v.alias("v"), block_col.alias("blk"))
     l = side.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "blk")
     r = side.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "blk")
     pairs = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b"))

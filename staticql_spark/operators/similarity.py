@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from . import ensure_parallelism
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -60,7 +62,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -155,7 +157,7 @@ def ivf_topk(
     query reads only nprobe/num_cells of the corpus — the IVF pruning that
     makes ANN sublinear without a vector-DB dependency.
     """
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
@@ -197,7 +199,7 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))

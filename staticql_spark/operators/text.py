@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import ensure_parallelism
+
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols.
 # RE2/Java-portable (no lookarounds).
 TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
@@ -35,6 +37,7 @@ def tokens(col: Column) -> Column:
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc whitespace and regex token counts."""
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     return df.select(
         "doc_id",
@@ -50,6 +53,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     score = mean of: token-length sanity, stopword presence, alpha ratio.
     Deterministic closed-form — the SQL oracle reproduces it exactly.
     """
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     # bind the token array once — every later reference reuses the column
     # instead of re-running regex+split (see dedup.shingles for the same
@@ -93,6 +97,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     unambiguous), then Latin-script diacritic classes, then an English
     stopword-rate fallback. Pure regex + length arithmetic -> portable.
     """
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     n = F.length(c).cast("double")
 
@@ -142,6 +147,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``fp_md5``: md5 of whitespace-normalized lowercased text (exact-dup key)
     - ``fp_head``: first-64-chars fingerprint (cheap prefix clustering)
     """
+    df = ensure_parallelism(df)
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.select(
         "doc_id",

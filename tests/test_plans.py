@@ -87,7 +87,9 @@ def test_anti_join_plan(spark):
 def test_whole_stage_codegen_on_hot_path(spark):
     # doc_quality is pure built-in expressions -> must stay inside
     # WholeStageCodegen (no Python/UDF stage boundaries)
-    p = plan(entrymod.q_doc_quality(spark, SF_SMOKE))
+    df = entrymod.q_doc_quality(spark, SF_SMOKE)
+    df.collect()  # AQE: codegen markers appear once the final plan is picked
+    p = plan(df)
     # formatted mode marks codegen stages with "[codegen id : N]"; the
     # higher-order filter() lambda legitimately evaluates outside codegen
     assert "codegen id" in p, p
