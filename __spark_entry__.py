@@ -209,9 +209,58 @@ def q_cursor_after(spark, sf):
     )
 
 
+def q_cursor_before(spark, sf):
+    # O3 'before' direction: rows strictly before the cursor in (name, key)
+    # order — reversed keyset predicate + reversed sort + limit, re-sorted
+    # ascending (the reference's readBackward walk, QueryBuilder.ts:246-274)
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    name, key = "Customer#000000100", 100
+    pred = (F.col("c_name") < name) | (
+        (F.col("c_name") == name) & (F.col("c_custkey") < key)
+    )
+    page = (
+        c.filter(pred)
+        .orderBy(F.col("c_name").desc(), F.col("c_custkey").desc())
+        .limit(20)
+    )
+    return page.orderBy("c_name", "c_custkey")
+
+
 # =====================================================================
 # Spark-native relational surface (aggregations / windows / set ops)
 # =====================================================================
+
+
+def q_set_intersect(spark, sf):
+    # set op: custkeys that placed an order AND hold acctbal > 5000
+    a = _t(spark, sf, "orders").select(F.col("o_custkey").alias("ckey"))
+    b = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_custkey").alias("ckey"))
+    )
+    return a.intersect(b)
+
+
+def q_ship_priority(spark, sf):
+    # TPC-H Q3 shape: selective filters on three tables, broadcast dim,
+    # one shuffle agg, deterministic top-10
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
 
 
 def q_pricing_summary(spark, sf):
@@ -493,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "through_rows": q_through_rows,
         "order_page1": q_order_page1,
         "cursor_after": q_cursor_after,
+        "cursor_before": q_cursor_before,
+        "set_intersect": q_set_intersect,
+        "ship_priority": q_ship_priority,
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "region_revenue": q_region_revenue,
@@ -685,6 +737,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_name > 'Customer#000000100'
                OR (c_name = 'Customer#000000100' AND c_custkey > 100)
             ORDER BY c_name, c_custkey LIMIT 20
+        """,
+        "cursor_before": """
+            SELECT c_custkey, c_name, c_acctbal FROM (
+              SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_name < 'Customer#000000100'
+                 OR (c_name = 'Customer#000000100' AND c_custkey < 100)
+              ORDER BY c_name DESC, c_custkey DESC LIMIT 20
+            ) ORDER BY c_name, c_custkey
+        """,
+        "set_intersect": """
+            SELECT o_custkey AS ckey FROM orders
+            INTERSECT
+            SELECT c_custkey AS ckey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "ship_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -27,6 +27,7 @@ HEADLINE = [
     "through_count",
     "cursor_after",
     "pricing_summary",
+    "ship_priority",
     "topk_per_group",
     "region_revenue",
     "agg_distinct",
