@@ -95,6 +95,55 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Distributed image resize via mapInPandas; same MEDIA_SCHEMA out.
+
+    ``resize_fn(payload, w, h) -> payload`` is the injectable kernel (PIL in
+    production). The default deterministic fake maps the payload onto a
+    w*h byte grid by index striding, so output size really is w*h and the
+    full Spark path (Arrow batch in, binary out, meta rewrite) is exercised.
+    Non-image rows pass through untouched.
+    """
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        if payload is None:
+            return None
+        n = w * h
+        if len(payload) == 0:
+            return bytes(n)
+        return bytes(payload[(i * len(payload)) // n] for i in range(n))
+
+    fn = resize_fn or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if k == "image":
+                    out_payload.append(fn(p, width, height))
+                    m = dict(m) if m is not None else {}
+                    m["width"], m["height"] = width, height
+                    out_meta.append(m)
+                else:
+                    out_payload.append(p)
+                    out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 16
 ) -> DataFrame:

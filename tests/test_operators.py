@@ -170,3 +170,18 @@ def test_frame_sampling_plan(spark):
     assert all(m % 3 == 2 for m in vids)
     by_vid = [r for r in frames if r["media_id"] == min(vids)]
     assert [f["ts_ms"] for f in by_vid] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_rewrites_payload_and_meta(spark):
+    from staticql_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=12)
+    out = resize_images(media, width=8, height=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    for r in rows.values():
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 8 * 4
+            assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        else:  # non-image rows untouched
+            assert r["meta"] is not None and len(r["payload"]) >= 64
