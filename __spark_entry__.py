@@ -209,6 +209,59 @@ def q_cursor_after(spark, sf):
     )
 
 
+def q_top_supplier(spark, sf):
+    # TPC-H Q15 shape: revenue per supplier over a ship-date window, then
+    # keep suppliers at the max (scalar-subquery comparison against an agg)
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_brand_supplier_count(spark, sf):
+    # TPC-H Q16 shape: distinct-supplier count per brand/size bucket with a
+    # NOT-IN-style exclusion (suppliers with negative balance excluded)
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_large_volume_customer(spark, sf):
+    # TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    # (HAVING over a join-side agg), attached back to the customer
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
 def q_cursor_before(spark, sf):
     # O3 'before' direction: rows strictly before the cursor in (name, key)
     # order — reversed keyset predicate + reversed sort + limit, re-sorted
@@ -545,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_before": q_cursor_before,
         "set_intersect": q_set_intersect,
         "ship_priority": q_ship_priority,
+        "top_supplier": q_top_supplier,
+        "brand_supplier_count": q_brand_supplier_count,
+        "large_volume_customer": q_large_volume_customer,
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "region_revenue": q_region_revenue,
@@ -750,6 +806,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS ckey FROM orders
             INTERSECT
             SELECT c_custkey AS ckey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "brand_supplier_count": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size IN (1, 5, 9, 13)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "large_volume_customer": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 150
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "ship_priority": """
             SELECT l_orderkey, o_orderdate,

@@ -1,0 +1,55 @@
+"""Property test: keyset pagination is a complete, ordered, exactly-once
+traversal — for any data (incl. heavy order-key duplicates), any page size,
+and both directions of the sort.
+
+This is the invariant the reference's cursor machinery promises
+(src/utils/pagenation.ts); OFFSET paging breaks it under concurrent inserts,
+keyset paging cannot.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from staticql_spark.plans.pagination import keyset_page_df
+
+
+@given(
+    page_size=st.integers(min_value=1, max_value=7),
+    n=st.integers(min_value=0, max_value=30),
+    dup_mod=st.integers(min_value=1, max_value=4),
+    desc=st.booleans(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_keyset_paging_total_ordered_exactly_once(spark, page_size, n, dup_mod, desc):
+    rows = [(i, f"g{i % dup_mod}") for i in range(n)]
+    df = spark.createDataFrame(rows, "key long, grp string")
+
+    expected = sorted(rows, key=lambda r: (r[1], r[0]), reverse=False)
+    if desc:
+        # order col desc, tiebreak still asc within equal groups
+        expected = sorted(rows, key=lambda r: (r[1], r[0]))
+        expected = sorted(expected, key=lambda r: r[1], reverse=True)
+
+    visited = []
+    after = None
+    for _ in range(n + 2):  # bounded loop: must terminate
+        page = keyset_page_df(
+            df, [(F.col("grp"), desc)], F.col("key"), after, page_size
+        ).collect()
+        if not page:
+            break
+        visited.extend((r["key"], r["grp"]) for r in page)
+        last = page[-1]
+        after = [last["grp"], last["key"]]
+    else:
+        pytest.fail("pagination did not terminate")
+
+    assert visited == expected
