@@ -212,6 +212,48 @@ def apply_diff(current: DataFrame, new_records: DataFrame, diff: DataFrame) -> D
     return kept.unionByName(upserts)
 
 
+def stream_diff_refresh(
+    staticql,
+    diff_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous incremental index maintenance: a file-source stream of
+    DiffEntry parquet drops -> foreachBatch -> partition-level index refresh.
+
+    This is the reference's CI-triggered incremental CLI (cli/generate-index
+    .ts:133-153) turned into a Structured Streaming job: each micro-batch of
+    change records refreshes exactly the affected (field, prefix) index
+    partitions per touched source. Checkpointing makes the maintenance
+    exactly-once across restarts — the property the reference approximates
+    by diffing explicit git refs.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    spark = staticql.spark
+    stream = (
+        spark.readStream.schema(DIFF_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(diff_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sources = [r["source"] for r in batch_df.select("source").distinct().collect()]
+        for source in sorted(sources):
+            refresh_index_partitions(
+                staticql, source, batch_df.filter(F.col("source") == source), out_dir
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def refresh_index_partitions(
     staticql, source: str, diff: DataFrame, out_dir: str
 ) -> None:
@@ -229,17 +271,56 @@ def refresh_index_partitions(
     dfs = {name: staticql.df(name) for name in staticql.configs}
     entries = index_entries(dfs[source], cfg, dfs)
     touched = diff.select(F.col("slug").cast("string")).distinct()
+    target = f"{out_dir.rstrip('/')}/{source}"
+
+    # Affected partitions = where the touched slugs' entries land NOW
+    # plus where they lived BEFORE (a changed value can move to a different
+    # prefix partition — the old shard must be rewritten too, exactly like
+    # the reference's per-shard delete branch, IndexBuilder.ts:354-391).
     affected = (
         entries.join(touched, entries["slug"] == touched["slug"], "left_semi")
         .select("field", "prefix")
         .distinct()
     )
-    new_parts = entries.join(affected, ["field", "prefix"], "left_semi")
+    try:
+        existing = spark.read.parquet(target)
+        old_affected = (
+            existing.join(touched, existing["slug"] == touched["slug"], "left_semi")
+            .select("field", "prefix")
+            .distinct()
+        )
+        affected = affected.union(old_affected).distinct()
+    except Exception:
+        existing = None  # first build: nothing to reconcile
+
+    # Materialize the (tiny) partition list BEFORE writing: the lazy plan
+    # references the existing index files, and a write that re-reads the
+    # location it is overwriting races its own deletes.
+    affected_rows = [(r["field"], r["prefix"]) for r in affected.collect()]
+    if not affected_rows:
+        return
+    affected_lit = spark.createDataFrame(affected_rows, "field string, prefix string")
+    new_parts = entries.join(
+        F.broadcast(affected_lit), ["field", "prefix"], "left_semi"
+    )
     (
         new_parts.repartition("field", "prefix")
         .sortWithinPartitions("v", "vs")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("field", "prefix")
-        .parquet(f"{out_dir.rstrip('/')}/{source}")
+        .parquet(target)
     )
+    # Dynamic overwrite only replaces partitions it writes rows into; an
+    # affected partition with NO remaining entries must be removed by hand
+    # (the reference's remove-dir-when-empty, IndexBuilder.ts:393-447).
+    nonempty = {
+        (r["field"], r["prefix"])
+        for r in new_parts.select("field", "prefix").distinct().collect()
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for field, prefix in affected_rows:
+        if (field, prefix) not in nonempty:
+            p = jvm.org.apache.hadoop.fs.Path(f"{target}/field={field}/prefix={prefix}")
+            p.getFileSystem(hconf).delete(p, True)

@@ -63,3 +63,39 @@ def test_apply_diff_merge_semantics(spark):
     )
     out = {r["slug"]: r["val"] for r in apply_diff(current, new_records, diff).collect()}
     assert out == {"a": 1, "b": 20, "d": 4}
+
+
+def test_refresh_removes_emptied_prefix_partition(spark, content_dir, tmp_path):
+    """A changed value that moves to a different prefix partition must purge
+    its old shard — including DELETING the directory when it empties
+    (reference: IndexBuilder.ts:393-447 remove-dir-when-empty)."""
+    import os
+    import shutil
+
+    from staticql_spark import define
+    from staticql_spark.streaming import DIFF_SCHEMA, refresh_index_partitions
+    from tests.conftest import CONFIG
+
+    root = tmp_path / "content"
+    shutil.copytree(content_dir, root)
+    out = str(tmp_path / "idx")
+    define(CONFIG)(base_dir=str(root), spark=spark).save_indexes(out)
+
+    # レモングラス is the only herbs.name with prefix 30ec; renaming it must
+    # delete that partition dir entirely
+    assert os.path.isdir(f"{out}/herbs/field=name/prefix=30ec")
+    p = root / "content" / "herbs" / "cymbopogon-citratus.md"
+    p.write_text(
+        p.read_text().replace("name: レモングラス", "name: lemongrass"),
+        encoding="utf-8",
+    )
+    sql2 = define(CONFIG)(base_dir=str(root), spark=spark)
+    diff = spark.createDataFrame([("M", "herbs", "cymbopogon-citratus")], DIFF_SCHEMA)
+    refresh_index_partitions(sql2, "herbs", diff, out)
+
+    assert not os.path.isdir(f"{out}/herbs/field=name/prefix=30ec")
+    vals = {
+        r["v"]
+        for r in spark.read.parquet(f"{out}/herbs").filter("field = 'name'").collect()
+    }
+    assert "lemongrass" in vals and "レモングラス" not in vals

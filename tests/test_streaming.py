@@ -96,3 +96,45 @@ def test_sessionize_batch_sanity(spark):
         assert r["session_end"] > r["session_start"]
     total_events = sum(r["n_events"] for r in rows)
     assert total_events == ev.count()
+
+
+def test_stream_diff_refresh_updates_index(spark, content_dir, tmp_path):
+    """DiffEntry parquet drop -> foreachBatch -> affected index partitions
+    refreshed (the reference's incremental CLI as a streaming job)."""
+    import shutil
+
+    from staticql_spark import define
+    from staticql_spark.streaming import DIFF_SCHEMA, stream_diff_refresh
+    from tests.conftest import CONFIG
+
+    root = tmp_path / "content"
+    shutil.copytree(content_dir, root)
+    out = str(tmp_path / "idx")
+
+    define(CONFIG)(base_dir=str(root), spark=spark).save_indexes(out)
+    before = {
+        r["v"]
+        for r in spark.read.parquet(f"{out}/herbs").filter("field = 'name'").collect()
+    }
+    assert "ゴボウ" in before and "牛蒡" not in before
+
+    # content change lands (rename ゴボウ -> 牛蒡), CI drops a DiffEntry file
+    p = root / "content" / "herbs" / "arctium-lappa.md"
+    p.write_text(p.read_text().replace("name: ゴボウ", "name: 牛蒡"), encoding="utf-8")
+    diff_dir = str(tmp_path / "diffs")
+    spark.createDataFrame([("M", "herbs", "arctium-lappa")], DIFF_SCHEMA).write.parquet(
+        diff_dir
+    )
+
+    # fresh session over the changed content (as the maintenance job sees it)
+    sql2 = define(CONFIG)(base_dir=str(root), spark=spark)
+    q = stream_diff_refresh(sql2, diff_dir, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    after = {
+        r["v"]
+        for r in spark.read.parquet(f"{out}/herbs").filter("field = 'name'").collect()
+    }
+    assert "牛蒡" in after and "ゴボウ" not in after
+    # untouched herbs' entries survive the partition-level overwrite
+    assert "ゴツゴラ" in after
