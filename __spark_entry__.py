@@ -209,6 +209,52 @@ def q_cursor_after(spark, sf):
     )
 
 
+def q_returned_item_revenue(spark, sf):
+    # TPC-H Q10 shape: revenue lost to returns per customer in a quarter,
+    # nation attached, top 20 by revenue
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_promo_revenue(spark, sf):
+    # TPC-H Q14 shape: conditional aggregation ratio (promo parts share)
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 def q_top_supplier(spark, sf):
     # TPC-H Q15 shape: revenue per supplier over a ship-date window, then
     # keep suppliers at the max (scalar-subquery comparison against an agg)
@@ -598,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_before": q_cursor_before,
         "set_intersect": q_set_intersect,
         "ship_priority": q_ship_priority,
+        "returned_item_revenue": q_returned_item_revenue,
+        "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
         "brand_supplier_count": q_brand_supplier_count,
         "large_volume_customer": q_large_volume_customer,
@@ -806,6 +854,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS ckey FROM orders
             INTERSECT
             SELECT c_custkey AS ckey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate <  TIMESTAMP '1996-01-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "promo_revenue": """
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate <  TIMESTAMP '1995-10-01'
         """,
         "top_supplier": """
             WITH rev AS (
