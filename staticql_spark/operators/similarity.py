@@ -180,6 +180,75 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+) -> None:
+    """Persist the IVF index: corpus vectors written PARTITIONED BY cell.
+
+    The one-off build that makes `ivf_query` sublinear: a query probing
+    nprobe cells reads only those partition directories — Spark partition
+    pruning turns the coarse quantizer into a disk-level skip list. Cell
+    assignment is the broadcast argmax of `ivf_assign` (no corpus shuffle
+    beyond the partitioned write itself).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
+    )
+    cells = ivf_assign(c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
+    (
+        cells.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Top-k against a persisted IVF index, reading only probed cells.
+
+    The probe cells are computed driver-side from the (tiny) centroid set,
+    then pushed as a partition filter — `.explain` shows the scan's
+    PartitionFilters pruning to nprobe directories
+    (tests/test_plans.py::test_ivf_query_partition_pruning).
+    """
+    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = ivf_assign(
+        F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
+    )
+    probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    pairs = probes.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

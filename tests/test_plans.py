@@ -128,3 +128,26 @@ def test_bucketed_join_no_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_query_partition_pruning(spark, tmp_path_factory):
+    # persisted IVF index: a query probing nprobe cells must SCAN only those
+    # cell partitions (disk-level pruning), and match the in-memory ivf_topk
+    from staticql_spark.operators.similarity import ivf_build, ivf_query, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = str(tmp_path_factory.mktemp("ivf")) + "/index"
+    ivf_build(emb, idx, centroid_stride=100)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    df = ivf_query(spark, idx, queries, emb, k=5, centroid_stride=100, nprobe=3)
+    p = plan(df)
+    assert re.search(r"PartitionFilters: \[.*cell", p), p
+
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb.filter(F.col("vec_id") % 50 == 0), emb,
+                          k=5, centroid_stride=100, nprobe=3).collect()
+    }
+    assert got == want
