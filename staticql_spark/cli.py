@@ -50,7 +50,29 @@ def main(argv: list[str] | None = None) -> int:
     dif.add_argument("--from-ref", required=True)
     dif.add_argument("--to-ref", default="HEAD")
     dif.add_argument("--out", help="output path (default: stdout)")
+    comp = sub.add_parser(
+        "compact",
+        help="parse content sources once and materialize as parquet "
+        "(the 100 TB ingest hop — SCALE.md §1)",
+    )
+    comp.add_argument("--config", required=True, help="staticql config JSON path")
+    comp.add_argument("--base-dir", required=True, help="content root directory")
+    comp.add_argument("--output", required=True, help="parquet output directory")
     args = parser.parse_args(argv)
+
+    if args.command == "compact":
+        from . import define
+        from .sources.reader import compact_to_parquet
+
+        with open(args.config, encoding="utf-8") as f:
+            config = json.load(f)
+        sql = define(config)(base_dir=args.base_dir)
+        for name, cfg in sorted(sql.configs.items()):
+            if cfg.type == "parquet":
+                continue
+            compact_to_parquet(sql.df(name), f"{args.output.rstrip('/')}/{name}")
+            print(f"compacted {name}", file=sys.stderr)
+        return 0
 
     if args.command == "diff":
         from .config import resolve_config

@@ -95,3 +95,25 @@ def test_cli_incremental_requires_diff_file(tmp_path):
     # parity: flag-validation failure exits non-zero (generate-index.test.ts:44-62)
     assert res.returncode != 0
     assert "diff-file" in res.stderr
+
+
+def test_cli_compact_materializes_sources(spark, content_dir, tmp_path):
+    from staticql_spark.cli import main
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(CONFIG))
+    out = str(tmp_path / "compacted")
+    rc = main(
+        [
+            "compact",
+            "--config", str(cfg_path),
+            "--base-dir", str(content_dir),
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    herbs = spark.read.parquet(f"{out}/herbs")
+    assert herbs.count() == 3
+    assert {"slug", "name", "raw"} <= set(herbs.columns)
+    tags = spark.read.parquet(f"{out}/tags")
+    assert tags.count() == 6
