@@ -550,6 +550,12 @@ def q_doc_fingerprint(spark, sf):
     return text.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_doc_winnow(spark, sf):
+    # winnowing fingerprints over a slice (rolling-hash family; bounded rows)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return text.winnow_fingerprints(docs, k=8, window=4)
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -668,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang": q_doc_lang,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow": q_doc_winnow,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1123,6 +1130,27 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) AS fp_md5,
                    md5(substr({_NORM}, 1, 64)) AS fp_head
             FROM documents
+        """,
+        "doc_winnow": f"""
+            WITH d AS (
+              SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(n) >= 8 THEN
+                       list_transform(range(1, length(n) - 8 + 2),
+                         i -> (('0x' || substr(md5(substr(n, i, 8)), 1, 15))::BIGINT))
+                     ELSE []::BIGINT[] END AS grams
+              FROM d
+            )
+            SELECT DISTINCT doc_id, fp FROM (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(grams) >= 4 THEN
+                       list_transform(range(1, len(grams) - 4 + 2),
+                         j -> list_min(grams[j:j+3]))
+                     ELSE grams END) AS fp
+              FROM g
+            )
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

@@ -141,6 +141,46 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    char k-gram of the normalized text, then keep the MINIMUM hash of each
+    sliding window of ``window`` consecutive k-grams — the classic
+    rolling-hash fingerprint family that guarantees any shared substring of
+    length >= k + window - 1 yields a shared fingerprint.
+
+    Pure built-in expressions (sequence/transform/slice/array_min): one
+    narrow projection + one explode, map-side distinct before the shuffle.
+    Returns (doc_id, fp) — fp is a 60-bit portable integer hash.
+    """
+    df = ensure_parallelism(df)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d = df.select("doc_id", norm.alias("_n"))
+    n = F.length(F.col("_n"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.col("_n").substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.select("doc_id", grams.alias("_g"))
+    m = F.size(F.col("_g"))
+    fps = F.when(
+        m >= window,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+        ),
+    ).otherwise(F.col("_g"))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints:
 

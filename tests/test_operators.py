@@ -185,3 +185,19 @@ def test_resize_images_rewrites_payload_and_meta(spark):
             assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
         else:  # non-image rows untouched
             assert r["meta"] is not None and len(r["payload"]) >= 64
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: a shared substring of length >= k + w - 1
+    # (8 + 4 - 1 = 11) always yields at least one shared fingerprint
+    from staticql_spark.operators.text import winnow_fingerprints
+
+    common = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, f"xxx {common} yyy"), (2, f"zzzz {common} wwww"), (3, "unrelated words")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=8, window=4).collect()
+    fps = {i: {r["fp"] for r in rows if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
