@@ -209,6 +209,39 @@ def q_cursor_after(spark, sf):
     )
 
 
+def q_forecast_revenue(spark, sf):
+    # TPC-H Q6 shape: pure scan-side predicate aggregation — the whole
+    # query folds into PushedFilters + one partial agg
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_latest_per_user(spark, sf):
+    # keep-latest-version-per-key: the training-data dedup for re-crawled
+    # documents, as a window rank over (key, event time)
+    from staticql_spark.streaming import load_events
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
 def q_returned_item_revenue(spark, sf):
     # TPC-H Q10 shape: revenue lost to returns per customer in a quarter,
     # nation attached, top 20 by revenue
@@ -650,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_before": q_cursor_before,
         "set_intersect": q_set_intersect,
         "ship_priority": q_ship_priority,
+        "forecast_revenue": q_forecast_revenue,
+        "latest_per_user": q_latest_per_user,
         "returned_item_revenue": q_returned_item_revenue,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
@@ -861,6 +896,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey AS ckey FROM orders
             INTERSECT
             SELECT c_custkey AS ckey FROM customer WHERE c_acctbal > 5000.0
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "latest_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT user_id, event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "returned_item_revenue": """
             SELECT c_custkey, c_name, n_name,
