@@ -185,3 +185,44 @@ def test_spark_native_sql_surface(herbal):
         ("centella-asiatica", 2),
         ("cymbopogon-citratus", 2),
     ]
+
+
+def test_unknown_source_and_relation_errors(herbal):
+    with pytest.raises(ValueError, match="unknown source"):
+        herbal.from_("nope")
+    with pytest.raises(ValueError, match="unknown relation"):
+        herbal.from_("herbs").join("nonexistent").exec()
+
+
+def test_garbage_cursor_rejected(herbal):
+    with pytest.raises(ValueError, match="invalid cursor"):
+        herbal.from_("herbs").cursor("!!!garbage!!!").exec()
+
+
+def test_slug_mismatch_is_load_error(spark, tmp_path):
+    # single-record file whose embedded slug disagrees with the path-derived
+    # slug must fail the load (reference: src/SourceLoader.ts:163-169)
+    from staticql_spark import define
+
+    d = tmp_path / "content" / "herbs"
+    d.mkdir(parents=True)
+    (d / "real-name.md").write_text(
+        "---\nslug: other-name\nname: x\ntagSlugs:\n  - t\noverview: o\n---\n",
+        encoding="utf-8",
+    )
+    cfg = {
+        "sources": {
+            "herbs": {
+                "pattern": "content/herbs/*.md",
+                "type": "markdown",
+                "schema": {
+                    "type": "object",
+                    "properties": {"name": {"type": "string"}},
+                    "required": ["name"],
+                },
+            }
+        }
+    }
+    sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
+    with pytest.raises(Exception, match="slug mismatch"):
+        sql.df("herbs").collect()
