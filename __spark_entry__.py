@@ -583,6 +583,14 @@ def q_doc_fingerprint(spark, sf):
     return text.fingerprint(_t(spark, sf, "documents"))
 
 
+def q_stratified_sample(spark, sf):
+    # training-data mixture control: deterministic per-language quotas
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return text.hash_sample(
+        docs, {"en": 0.5, "ja": 0.25, "de": 0.1}, strata_col="lang"
+    )
+
+
 def q_doc_winnow(spark, sf):
     # winnowing fingerprints over a slice (rolling-hash family; bounded rows)
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -710,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang": q_doc_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow": q_doc_winnow,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1181,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) AS fp_md5,
                    md5(substr({_NORM}, 1, 64)) AS fp_head
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE (('0x' || substr(md5('sample1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000)
+                  < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'ja' THEN 250000
+                              WHEN 'de' THEN 100000
+                              ELSE 0 END
         """,
         "doc_winnow": f"""
             WITH d AS (

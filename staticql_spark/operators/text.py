@@ -141,6 +141,35 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang_pred",
+    id_col: str = "doc_id",
+    salt: str = "sample1",
+) -> DataFrame:
+    """Deterministic stratified sampling — training-data mixture control.
+
+    Keeps a row iff md5(salt || id) mod 10^6 < fraction * 10^6 for its
+    stratum. Unlike Bernoulli `sample()`, this is reproducible across
+    engines and runs (no RNG state), stable under re-partitioning, and a
+    row's fate never changes when other rows appear — the property that
+    lets incremental pipeline runs extend a sample instead of redrawing it.
+    Strata missing from ``fractions`` are dropped.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    frac = None
+    for stratum, p in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == stratum, F.lit(int(p * 1_000_000)))
+        frac = cond if frac is None else frac.when(F.col(strata_col) == stratum, F.lit(int(p * 1_000_000)))
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    return df.filter(bucket < frac)
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:
