@@ -151,3 +151,24 @@ def test_ivf_query_partition_pruning(spark, tmp_path_factory):
                           k=5, centroid_stride=100, nprobe=3).collect()
     }
     assert got == want
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    # TPC-H Q6: every predicate reaches the scan; agg is partial+final
+    p = plan(entrymod.q_forecast_revenue(spark, SF_SMOKE))
+    for needle in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert needle in p, (needle, p)
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_ship_priority_broadcasts_dim(spark):
+    # TPC-H Q3: customer is the selective dim -> broadcast, not shuffled
+    p = plan(entrymod.q_ship_priority(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p, p
