@@ -28,6 +28,9 @@ HEADLINE = [
     "cursor_after",
     "pricing_summary",
     "ship_priority",
+    "market_share",
+    "waiting_supplier",
+    "customer_order_distribution",
     "topk_per_group",
     "region_revenue",
     "agg_distinct",
