@@ -1048,24 +1048,41 @@ _TOKS_RAW = (
 )
 _STOPS = "('the','a','of','and','to','in','is','on','for','with')"
 
+# hashed shingles — the exact SQL twin of dedup.shingles: token hashes are
+# 40-bit md5-derived ints, a shingle hash is the mod-P weighted sum of its
+# 3 token hashes (weights = dedup.SHINGLE_WEIGHTS, P = dedup.MINHASH_P)
+_SHINGLE_EXPR = (
+    "((th[i] * 1299721) % 2305843009213693951"
+    " + (th[i+1] * 2750161) % 2305843009213693951"
+    " + (th[i+2] * 4194301) % 2305843009213693951) % 2305843009213693951"
+)
+
+_SHINGLES_BODY = f"""
+  SELECT DISTINCT doc_id, sh AS shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(th) - 2, 0) + 1),
+                                 i -> {_SHINGLE_EXPR})) AS sh
+    FROM tokh WHERE len(th) >= 3
+  )
+"""
+
 _SHINGLES_CTE = f"""
 toks AS (
   SELECT doc_id, {_TOKS_NORM} AS t FROM documents
 ),
-shingles AS (
-  SELECT DISTINCT doc_id, sh AS shingle
-  FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-                                 i -> array_to_string(t[i:i+2], ' '))) AS sh
-    FROM toks WHERE len(t) >= 3
-  )
-)
+tokh AS (
+  SELECT doc_id,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                                % 1099511627776) AS th
+  FROM toks
+),
+shingles AS ({_SHINGLES_BODY})
 """
 
 # universal-hash min-hash family — formula mirrors dedup.minhash_params /
-# minhash_signatures exactly (one md5 per shingle, k BIGINT projections)
-_MINHASH_HM = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT % 1099511627776)"
+# minhash_signatures exactly (k BIGINT projections of the shingle hash)
+_MINHASH_HM = "(shingle % 1099511627776)"
 
 
 def _minhash_cols(num_hashes: int) -> str:
@@ -1707,15 +1724,13 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
               SELECT doc_id, {_TOKS_NORM} AS t FROM docs
             ),
-            shingles AS (
-              SELECT DISTINCT doc_id, sh AS shingle
-              FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-                                             i -> array_to_string(t[i:i+2], ' '))) AS sh
-                FROM toks WHERE len(t) >= 3
-              )
+            tokh AS (
+              SELECT doc_id,
+                     list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+                                            % 1099511627776) AS th
+              FROM toks
             ),
+            shingles AS ({_SHINGLES_BODY}),
             bucket_ok AS (
               SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 1000
             ),

@@ -47,36 +47,97 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams of normalized text."""
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh: array<long>) — the distinct hashed shingle SET per doc,
+    computed entirely map-side (no explode, no shuffle): the unit the
+    min-hash signature and the pairwise Jaccard verify both consume.
+
+    Each token is md5-hashed ONCE (reduced to 40 bits), and a shingle hash
+    is the mod-P linear combination of its n token hashes. Downstream the
+    whole dedup pipeline — min-hash aggregation, candidate blocking,
+    Jaccard verification — shuffles and joins 8-byte longs instead of
+    n-word strings: at corpus scale that is the difference between
+    shuffling the corpus text again and shuffling one long per shingle.
+    (Positional weights make the hash order-sensitive, as word n-grams
+    must be; collisions in a 61-bit space are negligible at 100 TB.)
+    """
+    # Drop short docs HERE, on a cheap tokenize-count predicate against the
+    # raw column, never downstream on size(sh): a filter referencing the
+    # built array gets pushed below the projections by substitution, and
+    # the inlined md5-transform tree then evaluates ~15-20x per row
+    # (measured 2.6s -> 54s at sf0.1 before this was moved).
+    df = ensure_parallelism(df).filter(
+        F.size(tokens(normalize_text(F.col(text_col)))) >= F.lit(n)
+    )
     # Bind tokens to a concrete column FIRST: referencing the tokenize
     # expression inside the transform() lambda would re-run the regex+split
     # once per shingle index (O(tokens^2) regex work per doc — measured 10x
     # slowdown at 5k docs before this was split into two selects).
-    toks_df = ensure_parallelism(df).select(
+    toks_df = df.select(
         F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_toks")
     )
-    t = F.col("_toks")
-    # guard: sequence(1, 0) in Spark yields a DESCENDING [1, 0], so short
-    # docs must short-circuit to an empty shingle set explicitly
+    th_df = toks_df.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_toks"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % MINHASH_HM,
+        ).alias("_th"),
+    )
+    t = F.col("_th")
+    # combine n consecutive 40-bit token hashes: sum of (th * C_j) % P terms
+    # stays under 2^63 (each term < 2^61, n <= 3 by construction below)
+    if n > len(SHINGLE_WEIGHTS):
+        raise ValueError(f"shingle n > {len(SHINGLE_WEIGHTS)} unsupported")
+
+    def shingle_at(i: Column) -> Column:
+        acc = None
+        for j, w in enumerate(SHINGLE_WEIGHTS[:n]):
+            term = (F.element_at(t, i + F.lit(j)) * F.lit(w)) % F.lit(MINHASH_P)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(MINHASH_P)
+
+    # The >= n-token filter above already drops short docs, but the guard
+    # must STAY in the expression: optimizer rules (InferFiltersFromGenerate
+    # + predicate pushdown) can clone this expression into a predicate that
+    # runs on unfiltered rows, where sequence(1, 0) yields a DESCENDING
+    # [1, 0] and element_at throws under ANSI mode.
     sh = F.when(
         F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toks_df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        F.transform(F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)), shingle_at),
+    ).otherwise(F.array().cast("array<long>"))
+    return th_df.select(F.col(id_col), F.array_distinct(sh).alias("sh"))
 
 
-# Universal-hash min-hash family: ONE md5 per shingle, then k cheap
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) pairs — the row form of :func:`doc_shingles`,
+    for blocking joins that need one row per (doc, shingle).
+
+    explode_outer, not explode: a plain explode makes the optimizer infer a
+    ``size(sh) > 0`` filter and push a full clone of the shingle-hash
+    expression tree below the projection — doubling the map work (and, pre-
+    guard, crashing on short docs). doc_shingles already guarantees rows
+    are non-empty, so outer semantics are identical here.
+    """
+    return (
+        doc_shingles(df, text_col, id_col, n)
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+# Universal-hash min-hash family: ONE md5 per token, then k cheap
 # arithmetic projections (a_k*h + b_k) mod P — the standard datasketch
-# construction. 16x fewer cryptographic hashes than salting md5 per k,
-# and every operation is plain BIGINT math DuckDB reproduces exactly.
-# Bounds guarantee no int64 overflow in either engine:
+# construction. Every operation is plain BIGINT math DuckDB reproduces
+# exactly. Bounds guarantee no int64 overflow in either engine:
 #   h mod 2^40 (< 2^40) * a_k (< 2^22) + b_k (< P < 2^61) < 2^63.
 MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 MINHASH_HM = 1 << 40
+# positional weights for combining token hashes into a shingle hash
+# (odd, < 2^22 so a 40-bit token hash times a weight stays < 2^62)
+SHINGLE_WEIGHTS = (1299721, 2750161, 4194301)
 
 
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -90,20 +151,17 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def shingle_hash(col: Column) -> Column:
-    """60-bit integer hash of a shingle string (md5-derived, portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
     """(id, sig: array<long>) — k independent min-hashes per doc.
 
-    One aggregation: min((a_k*h + b_k) mod P) over shingle hashes h.
+    One aggregation: min((a_k*h + b_k) mod P) over shingle hashes h
+    (h = the 61-bit shingle hash reduced to 40 bits so the projection
+    arithmetic cannot overflow int64).
     Partial (map-side) min keeps the shuffle at |docs| rows x k values.
     """
-    hm = (shingle_hash(F.col("shingle")) % MINHASH_HM).alias("hm")
+    hm = (F.col("shingle") % MINHASH_HM).alias("hm")
     hashed = sh.select(F.col(id_col), hm)
     aggs = [
         F.min((F.col("hm") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{k}")
@@ -113,6 +171,24 @@ def minhash_signatures(
     return per_doc.select(
         id_col, F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
     )
+
+
+def sig_from_array(num_hashes: int = 16, sh_col: str = "sh") -> Column:
+    """Min-hash signature as a per-row expression over the shingle-hash
+    array — the zero-shuffle form of :func:`minhash_signatures`: k
+    array_min projections computed map-side, identical values."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(sh_col),
+                    lambda s: ((s % MINHASH_HM) * F.lit(a) + F.lit(b))
+                    % F.lit(MINHASH_P),
+                )
+            )
+            for (a, b) in minhash_params(num_hashes)
+        ]
+    ).alias("sig")
 
 
 def minhash_lsh_pairs(
@@ -131,10 +207,17 @@ def minhash_lsh_pairs(
     -> 5. verify exact Jaccard on shingle sets -> filter >= threshold.
 
     Returns (id_a, id_b, jaccard). All joins are bucketed equi joins.
+
+    Shuffle accounting (the thing that matters at corpus scale): shingle
+    sets and signatures are pure map work — the first exchange in the whole
+    plan is the band-key self-join, which carries |docs| x |bands| rows of
+    (long, small-struct). Verification joins the candidate pairs (tiny)
+    back to the per-doc shingle arrays and intersects arrays per row;
+    nothing ever shuffles one row per (doc, shingle).
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    dsh = doc_shingles(df, text_col, id_col, n).cache()
+    sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
 
     band_cols = []
     for b in range(bands):
@@ -167,33 +250,30 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = verify_jaccard(cands, sh, id_col)
+    verified = verify_jaccard(cands, dsh, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def verify_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs.
+def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs over per-doc shingle-SET arrays.
 
-    |A ∩ B| via a (pair x shared-shingle) equi join; |A ∪ B| = |A|+|B|-∩.
+    Two equi joins attach each side's array; |A ∩ B| is a per-row
+    array_intersect — no (pair x shingle) explosion, no aggregation. The
+    joined payload is one array per doc (bounded by doc length), so the
+    shuffle is O(|pairs| x avg_doc_shingles) exactly once.
     """
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+    a = dsh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = dsh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter),
                 6,
             ).alias("jaccard"),
         )
@@ -214,7 +294,8 @@ def ngram_jaccard_pairs(
     buckets larger than ``max_bucket`` — they cannot discriminate and they
     quadratically blow up the join).
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    dsh = doc_shingles(df, text_col, id_col, n).cache()
+    sh = dsh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bc")).filter(
         F.col("bc") <= max_bucket
     )
@@ -227,7 +308,7 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(cands, sh, id_col).filter(F.col("jaccard") >= threshold)
+    return verify_jaccard(cands, dsh, id_col).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:

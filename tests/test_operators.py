@@ -36,7 +36,15 @@ def test_shingles_short_doc_empty(spark):
     sh = dedup.shingles(df, n=3).collect()
     ids = {r["doc_id"] for r in sh}
     assert ids == {2}  # doc 1 has < 3 tokens -> no shingles
-    assert {r["shingle"] for r in sh} == {"one two three", "two three four"}
+    # doc 2 ('one two three four') has exactly 2 distinct trigram hashes,
+    # both non-null 61-bit longs
+    hashes = {r["shingle"] for r in sh}
+    assert len(hashes) == 2
+    assert all(isinstance(h, int) and 0 <= h < dedup.MINHASH_P for h in hashes)
+    # order sensitivity: reversed word order must hash differently
+    df_rev = spark.createDataFrame([(3, "four three two one")], ["doc_id", "text"])
+    rev_hashes = {r["shingle"] for r in dedup.shingles(df_rev, n=3).collect()}
+    assert rev_hashes.isdisjoint(hashes)
 
 
 def test_minhash_identical_docs_identical_sigs(spark):
