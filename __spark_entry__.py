@@ -882,6 +882,28 @@ def q_doc_winnow(spark, sf):
     return text.winnow_fingerprints(docs, k=8, window=4)
 
 
+def q_doc_pii(spark, sf):
+    # PII scrub plumbing check: the synthetic docs carry no natural PII, so
+    # deterministic emails/phones/IPs derived from doc_id are injected into
+    # the text IDENTICALLY on both engines, then counted + redacted
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 2000)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1 555 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" 9876 via 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return text.pii_scrub(docs.select("doc_id", injected.alias("text")))
+
+
+def q_doc_repetition(spark, sf):
+    return text.repetition_score(_t(spark, sf, "documents"))
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1013,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang": q_doc_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow": q_doc_winnow,
+        "doc_pii": q_doc_pii,
+        "doc_repetition": q_doc_repetition,
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1672,6 +1696,48 @@ def oracle_sql() -> dict[str, str]:
                      ELSE grams END) AS fp
               FROM g
             )
+        """,
+        "doc_pii": """
+            WITH injected AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com or +1 555 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' 9876 via 10.1.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7' AS text
+              FROM documents WHERE doc_id < 2000
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '@EMAIL@')) AS n_emails,
+                     regexp_replace(text, '@EMAIL@', '<EMAIL>', 'g') AS t1
+              FROM injected
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, '@IP@')) AS n_ips,
+                     regexp_replace(t1, '@IP@', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '@PHONE@')) AS n_phones,
+                   regexp_replace(t2, '@PHONE@', '<PHONE>', 'g') AS redacted
+            FROM s2
+        """.replace("@EMAIL@", text.PII_EMAIL_RE)
+           .replace("@IP@", text.PII_IPV4_RE)
+           .replace("@PHONE@", text.PII_PHONE_RE),
+        "doc_repetition": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS_RAW}) AS tok FROM documents
+            ),
+            per AS (
+              SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_frac,
+                   round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_frac
+            FROM per GROUP BY doc_id
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

@@ -141,6 +141,82 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns — RE2-safe (no backrefs/lookarounds) so the Java regex
+# engine and DuckDB's RE2 match byte-for-byte identically
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count and redact emails, IPv4 addresses, and phone-like numbers.
+
+    Pure regexp_extract_all/regexp_replace — JVM-side, codegen'd, linear in
+    text bytes, zero shuffles. Redaction order is load-bearing and fixed:
+    emails, then IPs, then phones — phone counting runs on IP-redacted text
+    so an address's digit runs are never double-counted as phone numbers.
+    Returns (id, n_emails, n_ips, n_phones, redacted).
+    """
+    df = ensure_parallelism(df)
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    no_email = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    # bind intermediate redaction stages as columns so each regex pass runs
+    # once (same optimizer-substitution hazard as dedup.doc_shingles)
+    step1 = df.select(
+        F.col(id_col), n_emails.alias("n_emails"), no_email.alias("_t1")
+    )
+    n_ips = F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_IPV4_RE), F.lit(0)))
+    step2 = step1.select(
+        F.col(id_col),
+        "n_emails",
+        n_ips.alias("n_ips"),
+        F.regexp_replace(F.col("_t1"), PII_IPV4_RE, "<IP>").alias("_t2"),
+    )
+    n_phones = F.size(
+        F.regexp_extract_all(F.col("_t2"), F.lit(PII_PHONE_RE), F.lit(0))
+    )
+    return step2.select(
+        F.col(id_col),
+        "n_emails",
+        "n_ips",
+        n_phones.alias("n_phones"),
+        F.regexp_replace(F.col("_t2"), PII_PHONE_RE, "<PHONE>").alias("redacted"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per doc over whitespace tokens.
+
+    dup_token_frac = 1 - distinct/total; top_token_frac = mode count/total.
+    explode -> (doc, token) count -> per-doc agg: both aggregations are
+    map-side combined, the shuffle carries one row per distinct (doc,
+    token). Docs with no tokens produce no row.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = tok.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_frac"),
+        )
+    )
+
+
 def hash_sample(
     df: DataFrame,
     fractions: dict[str, float],

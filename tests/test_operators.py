@@ -209,3 +209,40 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     fps = {i: {r["fp"] for r in rows if r["doc_id"] == i} for i in (1, 2, 3)}
     assert fps[1] & fps[2], "shared substring must share a fingerprint"
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.0.1 and 10.0.0.254 up"),
+            (3, "call +1 555 0100 9876 or 030-1234-5678"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 2, 0)
+    assert out[2]["redacted"] == "server <IP> and <IP> up"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 2)
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted"] == out[4]["redacted"] == "clean text with no pii at all"
+
+
+def test_repetition_score_fracs(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_score(df).collect()}
+    # doc 1: 4 tokens, 2 distinct -> dup 0.5; top 'a' 3/4
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.5
+    assert out[1]["top_token_frac"] == 0.75
+    # doc 2: all distinct
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_frac"] == 0.25
+    # doc 3: no tokens -> no row
+    assert 3 not in out
