@@ -400,7 +400,7 @@ def embedding_neardup_pairs(
     """Embedding near-dups: cosine >= threshold, blocked by ``block_col``
     (default: the sign pattern of the first 8 dims — a cheap deterministic
     hyperplane LSH; identical vectors always collide)."""
-    from .similarity import cosine
+    from .similarity import cosine_with_norms, norm
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if block_col is None:
@@ -408,11 +408,13 @@ def embedding_neardup_pairs(
             F.transform(F.slice(v, 1, 8), lambda x: (x >= 0).cast("int").cast("string")),
             "",
         )
-    side = ensure_parallelism(df).select(F.col(id_col), v.alias("v"), block_col.alias("blk"))
-    l = side.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "blk")
-    r = side.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "blk")
+    side = ensure_parallelism(df).select(
+        F.col(id_col), v.alias("v"), block_col.alias("blk")
+    ).withColumn("n", norm(F.col("v")))
+    l = side.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "blk")
+    r = side.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "blk")
     pairs = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

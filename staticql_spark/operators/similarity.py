@@ -46,6 +46,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """Cosine from a precomputed norm per side.
+
+    Per-pair work drops from three interpreted higher-order aggregates
+    (dot + 2 norms) to one: norms are bound as columns ONCE per row before
+    the pairing join, never recomputed per pair. Numerically identical to
+    :func:`cosine` (same summation order), so oracle values are unchanged.
+    """
+    return dot(a, b) / (an * bn)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -61,15 +72,17 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -118,13 +131,22 @@ def ivf_assign(
 
     Centroids are broadcast (they are tiny by construction); ties break on
     centroid id. One pass over the vectors, no shuffle of the big side.
+    Norms are bound per side before the cross join, so the per-(vector,
+    centroid) work is a single dot product.
     """
+    vectors = vectors.withColumn("_vn", norm(F.col(vec_alias)))
+    centroids = centroids.withColumn("_cn", norm(F.col("centroid")))
     pairs = vectors.crossJoin(F.broadcast(centroids))
     scored = pairs.select(
         id_alias,
         vec_alias,
         "cid",
-        F.round(cosine(F.col(vec_alias), F.col("centroid")), 6).alias("csim"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_alias), F.col("centroid"), F.col("_vn"), F.col("_cn")
+            ),
+            6,
+        ).alias("csim"),
     )
     w = W.partitionBy(id_alias).orderBy(F.col("csim").desc(), F.col("cid").asc())
     return (
@@ -166,15 +188,19 @@ def ivf_topk(
     centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
     )
-    cells = ivf_assign(c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
+    cells = ivf_assign(
+        c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1
+    ).withColumn("cn", norm(F.col("cv")))
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     pairs = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -237,13 +263,20 @@ def ivf_query(
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
     )
+    probes = probes.withColumn("qn", norm(F.col("qv")))
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
-    index = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .withColumn("cn", norm(F.col("cv")))
+    )
     pairs = probes.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -264,21 +297,32 @@ def lsh_topk(
     keys are computed with the same deterministic planes on both sides, so
     the join is a plain equi join on the bucket string.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
+        .withColumn("cn", norm(F.col("cv")))
+    )
     pairs = F.broadcast(q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
