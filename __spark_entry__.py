@@ -597,6 +597,87 @@ def q_waiting_supplier(spark, sf):
     )
 
 
+def q_cheapest_supplier(spark, sf):
+    # TPC-H Q2 shape (adapted: no partsupp — lineitem is the supply
+    # relation, avg sale price the cost): for small parts, the supplier(s)
+    # whose average price for that part is the part's minimum (correlated
+    # min subquery -> per-part window min, zero extra shuffle since the
+    # window reuses the groupBy partitioning)
+    p = _t(spark, sf, "part").filter(F.col("p_size") < 10)
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    per = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        per.withColumn("min_price", F.min("avg_price").over(w))
+        .filter(F.col("avg_price") == F.col("min_price"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "avg_price",
+        )
+    )
+
+
+def q_important_part_value(spark, sf):
+    # TPC-H Q11 shape (adapted: shipped volume stands in for stock value):
+    # parts whose total shipped value exceeds 1.5x the average part value
+    # (scale-invariant threshold) — group-agg + scalar-subquery HAVING
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    val = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias("value"))
+    )
+    total = val.agg((F.avg("value") * 1.5).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("p_partkey", "p_name", "value")
+        .orderBy(F.col("value").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q_dominant_supplier(spark, sf):
+    # TPC-H Q20 shape (adapted: no partsupp/availqty — a supplier is
+    # 'dominant' for a red part if it shipped > 30% of that part's total
+    # 1996 volume): nested aggregation feeding a semi-join into supplier
+    p = _t(spark, sf, "part").filter(F.col("p_name").startswith("red"))
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf, "supplier")
+    red_li = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+    per_supp = red_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = red_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.sum("l_quantity") * 0.3).alias("part_qty_threshold")
+    )
+    dominant = (
+        per_supp.join(
+            per_part,
+            (per_supp.l_partkey == per_part.t_partkey)
+            & (per_supp.supp_qty > per_part.part_qty_threshold),
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_idle_customer_balance(spark, sf):
     # TPC-H Q22 shape (adapted: no phone column, and every customer has at
     # least one order — so 'idle' = above-average balance with no orders in
@@ -1015,6 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_filter_revenue": q_disjunctive_filter_revenue,
         "waiting_supplier": q_waiting_supplier,
         "idle_customer_balance": q_idle_customer_balance,
+        "cheapest_supplier": q_cheapest_supplier,
+        "important_part_value": q_important_part_value,
+        "dominant_supplier": q_dominant_supplier,
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "region_revenue": q_region_revenue,
@@ -1440,6 +1524,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "cheapest_supplier": """
+            WITH per AS (
+              SELECT l_partkey, l_suppkey,
+                     round(avg(l_extendedprice), 2) AS avg_price
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_size < 10
+              GROUP BY l_partkey, l_suppkey
+            )
+            SELECT l_partkey AS p_partkey, s_suppkey, s_name, avg_price
+            FROM per
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE avg_price = (SELECT min(avg_price) FROM per p2
+                               WHERE p2.l_partkey = per.l_partkey)
+        """,
+        "important_part_value": """
+            WITH val AS (
+              SELECT p_partkey, p_name,
+                     round(sum(l_quantity * p_retailprice), 2) AS value
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_partkey, p_name
+            )
+            SELECT p_partkey, p_name, value FROM val
+            WHERE value > (SELECT avg(value) * 1.5 FROM val)
+            ORDER BY value DESC, p_partkey ASC
+        """,
+        "dominant_supplier": """
+            WITH red_li AS (
+              SELECT l_partkey, l_suppkey, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+            ),
+            per_supp AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM red_li GROUP BY l_partkey, l_suppkey
+            ),
+            per_part AS (
+              SELECT l_partkey, sum(l_quantity) * 0.3 AS part_qty_threshold
+              FROM red_li GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT ps.l_suppkey FROM per_supp ps
+              JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+              WHERE ps.supp_qty > pp.part_qty_threshold
+            )
+            ORDER BY s_suppkey
         """,
         "idle_customer_balance": """
             SELECT n_name, count(*) AS numcust,
