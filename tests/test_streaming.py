@@ -138,3 +138,64 @@ def test_stream_diff_refresh_updates_index(spark, content_dir, tmp_path):
     assert "牛蒡" in after and "ゴボウ" not in after
     # untouched herbs' entries survive the partition-level overwrite
     assert "ゴツゴラ" in after
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data bound: an event older than the watermark must NOT reopen
+    its already-emitted window. Two availableNow runs share one checkpoint
+    (file sink — memory sinks can't recover one), so the watermark
+    persisted by run 1 governs run 2."""
+    import datetime as dt
+
+    from staticql_spark.streaming import EVENT_SCHEMA, read_event_stream
+
+    d = str(tmp_path / "drops")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def ev(eid, hhmm, etype="click", value=1.0):
+        h, m = map(int, hhmm.split(":"))
+        return (eid, dt.datetime(2024, 1, 1, h, m), 7, etype, value, "{}")
+
+    def run_once():
+        q = (
+            windowed_agg(read_event_stream(spark, d, max_files=10), window="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: events up to 06:00 -> watermark advances to 04:00 (2h bound);
+    # the 00:00 and 01:00 windows close and emit
+    batch1 = spark.createDataFrame(
+        [ev(1, "00:10"), ev(2, "00:40"), ev(3, "01:15"), ev(4, "06:00")],
+        schema=EVENT_SCHEMA,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(d)
+    run1 = run_once()
+    assert run1[(dt.datetime(2024, 1, 1, 0, 0), "click")] == 2
+
+    # run 2: one event at 00:30 — 3.5h behind the persisted watermark,
+    # inside a window that already emitted -> dropped, sink unchanged
+    spark.createDataFrame([ev(5, "00:30")], schema=EVENT_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    run2 = run_once()
+    assert run2 == run1
+
+    # control: a batch run sees all five events at once (no watermark
+    # cutoff applies), so the same 00:00 window counts the late row
+    control = windowed_agg(spark.read.parquet(d), window="1 hour")
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in control.collect()
+    }
+    assert got[(dt.datetime(2024, 1, 1, 0, 0), "click")] == 3
