@@ -315,32 +315,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """60-bit SimHash per doc (60 keeps the value in a signed int64 for
     engine portability; md5-derived token hashes).
 
-    fingerprint bit i = sign of sum over tokens of (2*bit_i(h(token)) - 1).
-    Implemented as explode(tokens) x explode(bit positions) -> two-level
-    groupBy — pure SQL, map-side combined, no UDFs.
+    fingerprint bit i = sign of sum over tokens of (2*bit_i(h(token)) - 1),
+    i.e. bit set iff 2*(count of tokens with bit i set) > n_tokens.
+    Implemented as explode(tokens) -> ONE groupBy with 60 conditional sum
+    columns (all codegen'd, map-side combined): the shuffle carries one
+    61-value row per doc, vs 60x the token count for the naive
+    explode(tokens) x explode(positions) formulation — and vs a nested-
+    lambda map-only fold, which loses because higher-order-function lambdas
+    evaluate interpreted outside codegen (measured 2x slower).
     """
     toks = F.array_distinct(tokens(normalize_text(F.col(text_col))))
     tok = ensure_parallelism(df).select(F.col(id_col), F.explode(toks).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     tok_h = tok.select(id_col, h.alias("h"))
-    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos")
-    # shiftright/shiftleft with a *column* shift amount need the SQL form
-    # (the Python wrappers only accept int literals)
-    bit_rows = tok_h.select(id_col, "h", pos).select(
-        id_col,
-        "pos",
-        F.expr("(shiftright(h, CAST(pos AS INT)) & 1) * 2 - 1").alias("sign"),
+    per_doc = tok_h.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1))).alias(f"b{p}")
+            for p in range(bits)
+        ],
+        F.count("*").alias("n"),
     )
-    per_pos = bit_rows.groupBy(id_col, "pos").agg(F.sum("sign").alias("s"))
-    fp = per_pos.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
-    return fp
+    fp_expr = None
+    for p in range(bits):
+        bit = F.when(
+            F.col(f"b{p}") * 2 > F.col("n"), F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = bit if fp_expr is None else fp_expr + bit
+    return per_doc.select(F.col(id_col), fp_expr.alias("simhash"))
 
 
 def simhash_pairs(
