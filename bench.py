@@ -39,6 +39,7 @@ HEADLINE = [
     "events_sessionize",
     "doc_quality",
     "doc_lang",
+    "doc_pii",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
