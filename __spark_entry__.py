@@ -1011,6 +1011,16 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_components(spark, sf):
+    # duplicate CLUSTERS from near-dup pairs: min-label propagation over
+    # the LSH pair graph (the step that turns pairwise evidence into a
+    # keep-one-per-cluster decision)
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+    return dedup.connected_components(pairs)
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
@@ -1133,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1211,6 +1222,44 @@ def _minhash_cols(num_hashes: int) -> str:
 
 
 _MINHASH16_COLS = _minhash_cols(16)
+
+# the full MinHash-LSH pair pipeline as CTEs ending in `lsh_pairs` — shared
+# by the dedup_minhash_lsh oracle and the dedup_components recursive CTE
+_LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, {_MINHASH16_COLS}
+              FROM shingles GROUP BY doc_id
+            ),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS key FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM sig
+            ),
+            cands AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cands c
+              JOIN shingles a ON a.doc_id = c.id_a
+              JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            ),
+            lsh_pairs AS (
+              SELECT i.id_a, i.id_b,
+                     round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
+            )"""
 
 _SIMHASH_CTE = f"""
 toks AS (
@@ -1894,39 +1943,25 @@ def oracle_sql() -> dict[str, str]:
             FROM shingles GROUP BY doc_id
         """,
         "dedup_minhash_lsh": f"""
-            WITH {_SHINGLES_CTE},
-            sig AS (
-              SELECT doc_id, {_MINHASH16_COLS}
-              FROM shingles GROUP BY doc_id
+            WITH {_LSH_PAIRS_CTES}
+            SELECT id_a, id_b, jaccard FROM lsh_pairs
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
             ),
-            banded AS (
-              SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS key FROM sig
-              UNION ALL
-              SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
-              UNION ALL
-              SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM sig
-              UNION ALL
-              SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM sig
-            ),
-            cands AS (
-              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM banded l JOIN banded r
-                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
-            inter AS (
-              SELECT c.id_a, c.id_b, count(*) AS inter
-              FROM cands c
-              JOIN shingles a ON a.doc_id = c.id_a
-              JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              GROUP BY c.id_a, c.id_b
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
             )
-            SELECT i.id_a, i.id_b,
-                   round(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-            FROM inter i
-            JOIN sizes sa ON sa.doc_id = i.id_a
-            JOIN sizes sb ON sb.doc_id = i.id_b
-            WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
+            SELECT node AS member_id, min(other) AS component_id
+            FROM reach GROUP BY node
         """,
         "dedup_ngram_jaccard": f"""
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),

@@ -419,3 +419,65 @@ def embedding_neardup_pairs(
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """(member_id, component_id) — transitive closure of near-dup pairs,
+    component_id = min member id. The step pairs alone cannot do: dedup
+    keeps ONE doc per duplicate *cluster*, and clusters are the connected
+    components of the pair graph.
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors; converges in <= diameter rounds (near-
+    dup clusters are tiny, so 2-4 rounds in practice). Each round is one
+    equi join + one groupBy min — both map-side combined, shuffling on the
+    node id. ``localCheckpoint`` truncates lineage per round; without it
+    the plan doubles every iteration and the driver, not the data, becomes
+    the bottleneck (the standard Spark iterative-algorithm trap).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "comp"
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("comp").alias("component_id")
+    )
+
+
+def dedup_keep(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The kept set after near-dup clustering: every doc not in any pair,
+    plus the min-id representative of each component. One anti join against
+    the non-representative members."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("member_id") != F.col("component_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

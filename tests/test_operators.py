@@ -246,3 +246,21 @@ def test_repetition_score_fracs(spark):
     assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_frac"] == 0.25
     # doc 3: no tokens -> no row
     assert 3 not in out
+
+
+def test_connected_components_and_keep(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["member_id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    # chain 1-2-3-9 collapses to min id 1; pair 5-6 to 5
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 6, 9)], ["doc_id", "text"]
+    )
+    kept = {r["doc_id"] for r in dedup.dedup_keep(docs, pairs).collect()}
+    # representatives 1 and 5 kept, untouched doc 4 kept
+    assert kept == {1, 4, 5}
