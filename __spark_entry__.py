@@ -1021,6 +1021,14 @@ def q_dedup_components(spark, sf):
     return dedup.connected_components(pairs)
 
 
+def q_dedup_keep(spark, sf):
+    # end-to-end near-dup dedup: the kept document set (cluster
+    # representatives + untouched docs) after LSH pairing + clustering
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    return dedup.dedup_keep(docs, pairs).select("doc_id", "lang", "source")
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
@@ -1144,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1962,6 +1971,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS member_id, min(other) AS component_id
             FROM reach GROUP BY node
+        """,
+        "dedup_keep": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            dropped AS (
+              SELECT node FROM reach GROUP BY node HAVING min(other) <> node
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
         """,
         "dedup_ngram_jaccard": f"""
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
