@@ -870,6 +870,25 @@ def q_events_sessionize(spark, sf):
 # =====================================================================
 
 
+def q_order_value_percentiles(spark, sf):
+    # ordered-set aggregates: exact interpolated percentiles per group
+    # (percentile() is Spark's exact linear-interpolation variant — matches
+    # DuckDB quantile_cont; approx_percentile would NOT hash-match)
+    o = _t(spark, sf, "orders")
+    pcts = F.expr("percentile(o_totalprice, array(0.5D, 0.95D))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pcts.alias("_p"), F.count("*").alias("n_orders"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("_p").getItem(0), 2).alias("p50_value"),
+            F.round(F.col("_p").getItem(1), 2).alias("p95_value"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_rollup_agg(spark, sf):
     # multi-level aggregation: GROUP BY ROLLUP (free via Catalyst Expand)
     o = _t(spark, sf, "orders")
@@ -1134,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "rollup_agg": q_rollup_agg,
+        "order_value_percentiles": q_order_value_percentiles,
         "exists_subquery": q_exists_subquery,
         "anti_join": q_anti_join,
         "conditional_pivot": q_conditional_pivot,
@@ -1462,6 +1482,15 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "order_value_percentiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50_value,
+                   round(quantile_cont(o_totalprice, 0.95), 2) AS p95_value,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS order_count
