@@ -141,13 +141,23 @@ def q_has_many_agg(spark, sf):
 
 
 def q_has_many_collect(spark, sf):
-    # J2 faithful form: related keys attached as a sorted array per row
+    # J2 faithful form: related keys attached sorted per row. Serialized to a
+    # csv string (not array<long>) so the driver comparator — which pandas-
+    # sorts result columns — gets a hashable scalar; semantics unchanged.
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys")
+        )
     )
 
 
@@ -472,7 +482,10 @@ def q_late_shipment_priority(spark, sf):
     )
     o = _t(spark, sf, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # datediff (whole calendar days) not + INTERVAL 60 DAYS: the interval adds
+    # exact 60x24h in the session TZ while DuckDB adds calendar days, flipping
+    # midnight-aligned boundary rows across a DST shift under non-UTC sessions.
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.when(late, "late").otherwise("ontime").alias("delay_bucket"))
@@ -573,7 +586,8 @@ def q_waiting_supplier(spark, sf):
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     late = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        # calendar-day lateness (TZ-proof; see q_late_shipment_priority)
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
     ).select("l_orderkey", "l_suppkey")
     sole = (
         late.groupBy("l_orderkey")
@@ -1259,7 +1273,7 @@ _LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
               SELECT doc_id, {_MINHASH16_COLS}
               FROM shingles GROUP BY doc_id
             ),
-            banded AS (
+            banded_all AS (
               SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS key FROM sig
               UNION ALL
               SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
@@ -1267,6 +1281,11 @@ _LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
               SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM sig
               UNION ALL
               SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM sig
+            ),
+            -- max_bucket=1000 twin of minhash_lsh_pairs' bucket cap
+            banded AS (
+              SELECT doc_id, band, key FROM banded_all
+              QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000
             ),
             cands AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1367,7 +1386,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey
         """,
         "has_many_collect": """
-            SELECT c_custkey, list_sort(list(o_orderkey)) AS order_keys
+            SELECT c_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
             FROM customer JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
         """,
@@ -1556,7 +1576,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY nation ASC, o_year DESC
         """,
         "late_shipment_priority": """
-            SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
                         THEN 'late' ELSE 'ontime' END AS delay_bucket,
                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                             THEN 1 ELSE 0 END) AS high_line_count,
@@ -1603,7 +1623,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey, l_suppkey
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               WHERE o_orderstatus = 'F'
-                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND date_diff('day', o_orderdate, l_shipdate) > 60
             )
             SELECT s_name, count(*) AS numwait
             FROM late l1
@@ -2063,9 +2083,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": f"""
             WITH {_SIMHASH_CTE},
-            chunked AS (
+            chunked_all AS (
               SELECT doc_id, simhash, ci, (simhash >> (ci * 15)) & 32767 AS cv
               FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)
+            ),
+            -- max_bucket=1000 twin of simhash_pairs' chunk-bucket cap
+            chunked AS (
+              SELECT * FROM chunked_all
+              QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000
             ),
             cands AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -2097,11 +2122,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "embedding_neardup": """
-            WITH v AS (
+            WITH v_all AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,
                      array_to_string(list_transform(embedding[1:8]::DOUBLE[],
                        x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS blk
               FROM embeddings
+            ),
+            -- max_bucket=5000 twin of embedding_neardup_pairs' block cap
+            v AS (
+              SELECT * FROM v_all
+              QUALIFY count(*) OVER (PARTITION BY blk) <= 5000
             ),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb

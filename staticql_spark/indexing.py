@@ -102,13 +102,23 @@ def index_entries(
     for p in parts[1:]:
         entries = entries.unionByName(p)
 
-    # prefix = first `depth` code points, each as 4 hex digits joined by '/'
-    # ("a" -> "0061", "あ" -> "3042") — reference src/constants.ts:21-27.
-    # ascii() on a single-char substr yields its code point.
+    # prefix = first `depth` code points, each as >= 4 hex digits joined by
+    # '/' ("a" -> "0061", "あ" -> "3042", U+1F600 -> "1f600") — reference
+    # src/constants.ts:21-27. ascii() on a single-char substr yields its
+    # code point. Supplementary-plane chars need 5 digits: pad short values
+    # with a conditional, never a bare lpad — lpad TRUNCATES longer strings,
+    # which would silently corrupt the prefix (and disagree with
+    # functions.prefix_hex_path's `{ord:04x}`, which pads but never
+    # truncates). Deliberate divergence from the reference's UTF-16
+    # charCodeAt surrogates ('d83d'): we shard by full code point.
+    def _cp_hex(i):
+        h = F.lower(F.hex(F.ascii(F.substr(F.col("v"), i, F.lit(1)))))
+        return F.when(F.length(h) < 4, F.lpad(h, 4, "0")).otherwise(h)
+
     prefix = F.array_join(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.least(F.length("v"), F.lit(depth)), F.lit(1))),
-            lambda i: F.lpad(F.lower(F.hex(F.ascii(F.substr(F.col("v"), i, F.lit(1))))), 4, "0"),
+            _cp_hex,
         ),
         "/",
     )

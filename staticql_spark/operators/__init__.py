@@ -25,10 +25,26 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     cost is O(input bytes), always dwarfed by the per-row compute it
     parallelizes. Inputs that already have >= defaultParallelism partitions
     (any real 100 TB table) pass through untouched.
+
+    The width probe is ``df.inputFiles()`` (a catalog/metadata call), NOT
+    ``df.rdd.getNumPartitions()``: the RDD conversion forces full physical
+    planning of the DataFrame on every operator call. File count slightly
+    undercounts splits for multi-row-group files (worst case: one redundant
+    repartition of an input small enough to sit in one file), and returns
+    [] for non-file sources, which pass through untouched — local
+    createDataFrame inputs are already sliced to defaultParallelism. On a
+    cluster where even the file listing is unwanted, set
+    ``spark.staticql.ensureParallelism=off`` to make this a no-op.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    if spark.conf.get("spark.staticql.ensureParallelism", "auto") == "off":
+        return df
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming sources raise; never block the pipeline
+        return df
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

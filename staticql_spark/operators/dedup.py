@@ -199,6 +199,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, Jaccard-verified.
 
@@ -214,6 +215,17 @@ def minhash_lsh_pairs(
     (long, small-struct). Verification joins the candidate pairs (tiny)
     back to the per-doc shingle arrays and intersects arrays per row;
     nothing ever shuffles one row per (doc, shingle).
+
+    ``max_bucket`` drops (band, key) buckets larger than the cap before the
+    self-join: a cluster of m identical docs otherwise lands in ONE bucket
+    and emits O(m^2) candidate pairs — the classic dedup straggler at
+    corpus scale (boilerplate pages guarantee such clusters at 100 TB).
+    Run :func:`exact_dedup` first so identical docs collapse to one
+    representative; LSH is for *near* dups, and with exact dups removed a
+    legitimate near-dup bucket stays far under any sane cap. The cap is
+    computed as a count window over the bucket key, which hash-partitions
+    on exactly the key the self-join shuffles on — AQE reuses the exchange,
+    so the guard costs no extra shuffle.
     """
     rows_per_band = num_hashes // bands
     dsh = doc_shingles(df, text_col, id_col, n).cache()
@@ -234,6 +246,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = (
+        banded.withColumn(
+            "_bc", F.count("*").over(W.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -351,12 +370,19 @@ def simhash_pairs(
     max_hamming: int = 8,
     chunks: int = 4,
     bits: int = 60,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Blocking: split the fingerprint into ``chunks`` bit-ranges; by
     pigeonhole any pair within distance < chunks shares one exact chunk, so
     candidates come from equi joins on (chunk_idx, chunk_value).
+
+    ``max_bucket`` drops (chunk, value) buckets above the cap before the
+    self-join — identical-doc clusters collide on EVERY chunk and would
+    otherwise emit O(m^2) candidates (see :func:`minhash_lsh_pairs`; same
+    exact-dedup-first recipe applies). Window-count guard, same-key
+    partitioning as the join, no extra shuffle.
     """
     fp = simhash(df, text_col, id_col, bits).cache()
     chunk_bits = bits // chunks
@@ -372,6 +398,11 @@ def simhash_pairs(
     chunked = fp.select(
         id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")
     ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunked = (
+        chunked.withColumn("_bc", F.count("*").over(W.partitionBy("ci", "cv")))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
+    )
     l = chunked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
     )
@@ -397,10 +428,17 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.98,
     block_col: Column | None = None,
+    max_bucket: int = 5000,
 ) -> DataFrame:
     """Embedding near-dups: cosine >= threshold, blocked by ``block_col``
     (default: the sign pattern of the first 8 dims — a cheap deterministic
-    hyperplane LSH; identical vectors always collide)."""
+    hyperplane LSH; identical vectors always collide).
+
+    ``max_bucket`` drops sign-pattern blocks above the cap before the
+    self-join (identical-vector clusters collapse into one block → O(m^2)
+    pairs; see :func:`minhash_lsh_pairs`). At larger corpus sizes the
+    primary lever is a finer ``block_col`` (more sign dims → exponentially
+    more blocks); the cap is the backstop that bounds the worst bucket."""
     from .similarity import cosine_with_norms, norm
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -412,6 +450,11 @@ def embedding_neardup_pairs(
     side = ensure_parallelism(df).select(
         F.col(id_col), v.alias("v"), block_col.alias("blk")
     ).withColumn("n", norm(F.col("v")))
+    side = (
+        side.withColumn("_bc", F.count("*").over(W.partitionBy("blk")))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
+    )
     l = side.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "blk")
     r = side.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "blk")
     pairs = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b"))

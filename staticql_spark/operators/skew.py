@@ -50,8 +50,20 @@ def two_phase_agg(
     Phase 1 shuffles on (key, salt) — hot keys split across tasks; phase 2
     shuffles |keys| x salts pre-aggregated rows only.
     """
+    # Salt by a per-ROW position hash, never by hash(value): a hot key whose
+    # rows share one constant value (all-zeros spam) hashes to a single salt
+    # and does not split. A position-derived salt scatters even fully
+    # identical rows; it is partition-layout-dependent, which is harmless
+    # here — the salt only buckets the partial aggregation, and sums/counts
+    # re-combine identically under any scatter.
     partial = (
-        df.withColumn("_salt", F.pmod(F.hash(value), F.lit(salts)))
+        df.withColumn(
+            "_salt",
+            F.pmod(
+                F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.lit(salts),
+            ),
+        )
         .groupBy(key, "_salt")
         .agg(F.sum(value).alias("_s"), F.count("*").alias("_c"))
     )

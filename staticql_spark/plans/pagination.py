@@ -84,6 +84,12 @@ def paginate(
         )
 
     oc = F.coalesce(order_col, F.lit(""))
+    # Carry the RESOLVED order value alongside each row: for a dot-path
+    # order key (e.g. 'combinedHerbs.slug') the collected Row has no field
+    # named order_key, and encoding the slug instead (the old fallback)
+    # poisons the next page's keyset predicate. The reference encodes the
+    # resolved index value (QueryBuilder.ts encodeCursorCallback).
+    work = work.withColumn("_ov", order_col.cast("string"))
     if walk_desc:
         work = work.orderBy(oc.desc(), slug_col.desc())
     else:
@@ -104,11 +110,8 @@ def paginate(
 
     def _cursor_for(row) -> str:
         slug = row["slug"]
-        try:
-            ov = row[order_key]
-        except (KeyError, ValueError):
-            ov = slug
-        return encode_cursor(str(slug), {order_key: None if ov is None else str(ov)})
+        ov = row["_ov"]
+        return encode_cursor(str(slug), {order_key: ov})
 
     info = PageInfo(
         has_next_page=has_next,
@@ -116,7 +119,17 @@ def paginate(
         start_cursor=_cursor_for(rows[0]) if rows else None,
         end_cursor=_cursor_for(rows[-1]) if rows else None,
     )
-    return Page(data=rows, page_info=info)
+    data = [_strip_ov(r) for r in rows]
+    return Page(data=data, page_info=info)
+
+
+def _strip_ov(row):
+    """Drop the internal ``_ov`` carrier field from a collected Row."""
+    from pyspark.sql import Row
+
+    d = row.asDict()
+    d.pop("_ov", None)
+    return Row(**d)
 
 
 def keyset_page_df(

@@ -37,11 +37,28 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
 
     With ``spark.sql.legacy.parquet.nanosAsLong`` the ns-precision ``ts``
     arrives as int64 nanos; convert to a microsecond timestamp the way
-    engines that *can* read nanos (DuckDB) truncate it."""
+    engines that *can* read nanos (DuckDB) truncate it.
+
+    The conf is a runtime SQL conf, so set it here rather than relying on
+    session-construction configs: this loader must work under any caller's
+    SparkSession (without it, reading TIMESTAMP(NANOS) parquet throws
+    PARQUET_TYPE_ILLEGAL before the LongType fallback below can run)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — float division loses precision at 1e18 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # TIMESTAMP_NTZ, not timestamp_micros (LTZ): an instant renders in
+        # the session TZ, so downstream values (windows, sessions, first-
+        # seen) would shift under a non-UTC session while the DuckDB oracle
+        # shows naive UTC wall-clock. NTZ epoch arithmetic is TZ-free and
+        # matches the oracle bit-for-bit under any session TZ.
+        # ts DIV 1000: integer division — float loses precision at 1e18 ns.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

@@ -2,11 +2,20 @@
 query on Spark AND its oracle on DuckDB over the same parquet, compare
 row count, schema width, and order-insensitive values.
 
+Deliberately adversarial vs our own session defaults: builds a VANILLA
+SparkSession (no staticql_spark.session configs) under a NON-UTC timezone,
+because the driver's harness does its own SparkSession and any query that
+silently depends on get_spark()'s configs (nanosAsLong, UTC pin, ...) is
+broken there even if green here with get_spark. Canonicalization mirrors
+the driver: plain pandas sort_values — list/array cells crash it, which is
+exactly the driver behavior we must survive.
+
 Usage:  python tests/oracle_harness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -26,12 +35,10 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirror the driver comparator: sort columns by name, then a plain
+    # sort_values over all columns. No list→tuple rescue — a query that
+    # emits array cells must fail here the way it fails in the driver.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray" else v
-            )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -73,9 +80,18 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from staticql_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-harness")
+    # Vanilla session, non-UTC TZ — adversarial stand-in for the driver's.
+    tz = os.environ.get("ORACLE_HARNESS_TZ", "America/New_York")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-harness-vanilla")
+        .config("spark.sql.session.timeZone", tz)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 

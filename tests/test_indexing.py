@@ -99,3 +99,23 @@ def test_refresh_removes_emptied_prefix_partition(spark, content_dir, tmp_path):
         for r in spark.read.parquet(f"{out}/herbs").filter("field = 'name'").collect()
     }
     assert "lemongrass" in vals and "レモングラス" not in vals
+
+
+def test_prefix_supplementary_plane_char(spark):
+    # U+1F600 has a 5-hex-digit code point: the prefix must carry all 5
+    # digits (a truncating lpad would emit '1f60' and disagree with
+    # functions.prefix_hex_path)
+    from staticql_spark.config import SourceConfig
+    from staticql_spark.functions import prefix_hex_path
+    from staticql_spark.indexing import index_entries
+
+    cfg = SourceConfig(name="s", pattern="*.md", type="markdown",
+                       index_fields=["title"])
+    df = spark.createDataFrame(
+        [("a", "\U0001F600 grinning"), ("b", "plain")], ["slug", "title"]
+    )
+    rows = {r["v"]: r["prefix"] for r in index_entries(df, cfg, depth=1).collect()}
+    assert rows["\U0001F600 grinning"] == "1f600"
+    assert rows["plain"] == "0070"
+    assert prefix_hex_path("\U0001F600 grinning") == "1f600"
+    assert prefix_hex_path("plain") == "0070"

@@ -264,3 +264,49 @@ def test_connected_components_and_keep(spark):
     kept = {r["doc_id"] for r in dedup.dedup_keep(docs, pairs).collect()}
     # representatives 1 and 5 kept, untouched doc 4 kept
     assert kept == {1, 4, 5}
+
+
+def test_lsh_bucket_cap_drops_pathological_cluster(spark):
+    # 120 byte-identical docs (the boilerplate-page scenario): every copy
+    # lands in ONE (band, key) bucket per band -> O(m^2) candidates unless
+    # the bucket cap drops it. Two near-dup-but-distinct docs alongside
+    # must still pair up.
+    boiler = [(i, "all rights reserved contact us terms of service apply here")
+              for i in range(120)]
+    near = [(1000, "spark engines make distributed queries fast and simple"),
+            (1001, "spark engines make distributed queries fast and simple")]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, threshold=0.9, max_bucket=50
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1000, 1001)]
+    # with the cap above the cluster size the quadratic set comes back
+    uncapped = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, threshold=0.9, max_bucket=1000
+    )
+    assert uncapped.count() == 120 * 119 // 2 + 1
+
+
+def test_simhash_bucket_cap_drops_pathological_cluster(spark):
+    boiler = [(i, "all rights reserved contact us terms of service apply")
+              for i in range(80)]
+    near = [(1000, "spark engines make distributed queries fast and simple"),
+            (1001, "spark engines make distributed queries fast and simple")]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+    pairs = dedup.simhash_pairs(df, max_hamming=0, max_bucket=40).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1000, 1001)]
+
+
+def test_embedding_block_cap_drops_pathological_cluster(spark):
+    vec = [0.5] * 16
+    other = [0.5] * 8 + [-0.5] * 8  # same sign block as vec (first 8 dims)
+    boiler = [(i, vec, 0) for i in range(60)]
+    near = [(1000, other, 1), (1001, other, 1)]
+    df = spark.createDataFrame(boiler + near, ["vec_id", "embedding", "label"])
+    # cap below the identical-cluster size: its block is dropped entirely —
+    # including the near pair sharing the block, demonstrating the cap is a
+    # backstop (finer blocks, not bigger caps, are the scale lever)
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.99, max_bucket=40).collect()
+    assert pairs == []
+    pairs2 = dedup.embedding_neardup_pairs(df, threshold=0.99, max_bucket=100).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs2} >= {(1000, 1001)}

@@ -226,3 +226,24 @@ def test_slug_mismatch_is_load_error(spark, tmp_path):
     sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
     with pytest.raises(Exception, match="slug mismatch"):
         sql.df("herbs").collect()
+
+
+def test_q5c_cursor_dot_path_order_key(herbal):
+    # ordering by an indexed relation dot-path ('herbs.slug' on recipes):
+    # the emitted cursor must carry the RESOLVED order value, not the row
+    # slug — a slug-valued cursor poisons the next page's keyset predicate
+    from staticql_spark.functions import decode_cursor
+
+    q = lambda: herbal.from_("recipes").join("herbs").order_by("herbs.slug", "asc")
+    full = [r["slug"] for r in q().page_size(10).exec().data]
+    assert len(full) == 2
+
+    p1 = q().page_size(1).exec()
+    cur = decode_cursor(p1.page_info.end_cursor)
+    row1 = p1.data[0]
+    first_herb_slug = sorted(h["slug"] for h in row1["herbs"])[0]
+    assert cur["order"]["herbs.slug"] == first_herb_slug
+    assert cur["order"]["herbs.slug"] != row1["slug"]
+
+    p2 = q().page_size(1).cursor(p1.page_info.end_cursor, "after").exec()
+    assert [r["slug"] for r in p1.data] + [r["slug"] for r in p2.data] == full

@@ -36,3 +36,26 @@ def test_two_phase_agg_matches_plain_agg(spark):
         for r in two_phase_agg(li, "l_returnflag", "l_quantity", salts=8).collect()
     }
     assert plain == salted
+
+
+def test_two_phase_agg_splits_constant_value_hot_key(spark):
+    # one hot key, every row the SAME value: a hash(value) salt would land
+    # all rows in one salt bucket and the "split" would be a no-op
+    df = spark.createDataFrame(
+        [("hot", 0.0)] * 5000 + [("cold", 1.0)] * 10, ["k", "v"]
+    ).repartition(8)
+    partial = (
+        df.withColumn(
+            "_salt",
+            F.pmod(
+                F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
+                F.lit(16),
+            ),
+        )
+        .groupBy("k", "_salt")
+        .count()
+    )
+    n_salts = partial.filter(F.col("k") == "hot").count()
+    assert n_salts > 1  # the hot group actually scatters
+    out = {r["k"]: (r["sum_v"], r["n_rows"]) for r in two_phase_agg(df, "k", "v").collect()}
+    assert out == {"hot": (0.0, 5000), "cold": (10.0, 10)}
