@@ -53,19 +53,28 @@ class StaticQL:
         strict_index: bool = True,
         dataframes: dict[str, DataFrame] | None = None,
         indexers: dict[str, object] | None = None,
+        prefer_gzip: bool = False,
     ):
         self.spark = spark or get_spark()
         self.configs = configs
         self.base_dir = base_dir
         self.strict_index = strict_index
         self.indexers = dict(indexers or {})  # "{source}.{field}" -> callback (U2)
+        # an http(s):// base_dir selects the CDN backend; prefer_gzip is its
+        # ".gz first" content-fetch option (reference options.preferGzip)
+        self.prefer_gzip = prefer_gzip
         self._dfs: dict[str, DataFrame] = dict(dataframes or {})
 
     def df(self, name: str) -> DataFrame:
         if name not in self.configs:
             raise ValueError(f"unknown source: {name}")
         if name not in self._dfs:
-            self._dfs[name] = read_source(self.spark, self.configs[name], self.base_dir)
+            self._dfs[name] = read_source(
+                self.spark,
+                self.configs[name],
+                self.base_dir,
+                prefer_gzip=self.prefer_gzip,
+            )
         return self._dfs[name]
 
     def register_views(self) -> None:

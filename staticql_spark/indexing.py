@@ -142,3 +142,59 @@ def save_indexes(staticql, out_dir: str, depth: int | None = None) -> None:
 
 def load_index(spark, out_dir: str, source: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir.rstrip('/')}/{source}")
+
+
+def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) -> None:
+    """Reference-layout JSONL index artifacts: for each source and indexed
+    field, ``index/{source}.{field}/{prefix dirs}/_index.jsonl`` (lines
+    ``{v, vs, ref}`` sorted by (v, vs) — src/IndexBuilder.ts:645-652,
+    src/constants.ts:43-57) plus a ``_prefixes.jsonl`` per directory level
+    naming its children. This is the artifact tree FetchRepository walks
+    over HTTP (readAllIndexesRemote), so exporting it is what makes a
+    corpus servable from a CDN to both the reference client and our HTTP
+    backend (sources/http.py).
+
+    Driver-side write is correct here: this is the reference's *static
+    site* deployment format, bounded by site size (it writes one JSONL line
+    per record per field via Node fs). The cluster-scale covering index is
+    the parquet layout (save_indexes); this exporter is the bridge out.
+    """
+    import json as _json
+    import os
+
+    dfs = {name: staticql.df(name) for name in staticql.configs}
+    root = out_dir.rstrip("/")
+    for name, cfg in staticql.configs.items():
+        entries = index_entries(dfs[name], cfg, dfs)
+        keep = fields if fields is not None else (["slug"] + cfg.index_fields)
+        rows = (
+            entries.filter(F.col("field").isin(*set(keep)))
+            .orderBy("field", "v", "vs")
+            .collect()
+        )
+        by_field_prefix: dict[tuple[str, str], list] = {}
+        for r in rows:
+            by_field_prefix.setdefault((r["field"], r["prefix"]), []).append(r)
+        dirs_per_field: dict[str, set[str]] = {}
+        for (fld, prefix), frows in by_field_prefix.items():
+            leaf = f"{root}/index/{name}.{fld}/{prefix}"
+            os.makedirs(leaf, exist_ok=True)
+            with open(f"{leaf}/_index.jsonl", "w", encoding="utf-8") as f:
+                for r in frows:
+                    line = {"v": r["v"], "vs": r["vs"], "ref": {r["slug"]: {}}}
+                    f.write(_json.dumps(line, ensure_ascii=False) + "\n")
+            dirs_per_field.setdefault(fld, set()).add(prefix)
+        # _prefixes.jsonl per directory level: immediate children only
+        for fld, prefixes in dirs_per_field.items():
+            children: dict[str, set[str]] = {}
+            for prefix in prefixes:
+                parts = prefix.split("/")
+                for i in range(len(parts)):
+                    parent = "/".join(parts[:i])
+                    children.setdefault(parent, set()).add(parts[i])
+            for parent, kids in children.items():
+                d = f"{root}/index/{name}.{fld}" + (f"/{parent}" if parent else "")
+                os.makedirs(d, exist_ok=True)
+                with open(f"{d}/_prefixes.jsonl", "w", encoding="utf-8") as f:
+                    for kid in sorted(kids):
+                        f.write(kid + "\n")

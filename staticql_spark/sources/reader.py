@@ -53,72 +53,46 @@ def _rel_path(file_uri: str, base_dir: str) -> str:
     return path[len(base):] if path.startswith(base) else path.rsplit("/", 1)[-1]
 
 
-def read_source(
-    spark: SparkSession,
-    cfg: SourceConfig,
-    base_dir: str = "",
-    validate: bool = True,
-) -> DataFrame:
-    """Load one source as a typed DataFrame (slug, *schema fields, raw)."""
-    if cfg.type == "parquet":
-        path = cfg.pattern if "/" in cfg.pattern else f"{base_dir}/{cfg.pattern}"
-        return spark.read.parquet(path)
+def parse_file_records(
+    parser, source_name: str, rel: str, raw_text: str
+) -> list[tuple[str, str, str]]:
+    """Parse ONE content file into (slug, raw, json_payload) records.
 
-    pattern = f"{base_dir}/{cfg.pattern}" if base_dir else cfg.pattern
-    glob_base, _ = glob_base_and_regex(pattern)
-    parser_type = cfg.type
-    source_name = cfg.name
-
-    reader = spark.read
-    if "**" in pattern:
-        # Hadoop globs are not recursive; '**' patterns read the static base
-        # dir with recursiveFileLookup + a suffix filter instead.
-        suffix = pattern.rsplit("/", 1)[-1]
-        reader = reader.option("recursiveFileLookup", "true").option(
-            "pathGlobFilter", suffix
-        )
-        read_path = glob_base
+    The shared per-file semantics of every backend (local glob scan and
+    HTTP fetch alike): multi-record files need explicit slugs, single-record
+    files take the path slug and must not contradict an embedded one."""
+    path_slug = path_to_slug(rel)
+    parsed = parser(raw_text)
+    out: list[tuple[str, str, str]] = []
+    if isinstance(parsed, list):
+        # multi-record file: explicit slug per record
+        for rec in parsed:
+            slug = rec.get("slug")
+            if slug is None:
+                raise ValueError(
+                    f"[{source_name}] record in {rel} missing explicit slug"
+                )
+            out.append(
+                (str(slug), raw_text, json.dumps(rec, ensure_ascii=False, default=str))
+            )
     else:
-        read_path = pattern
-    files = reader.text(read_path, wholetext=True).select(
-        F.col("value").alias("raw_text"),
-        F.input_file_name().alias("file_path"),
-    )
+        embedded = parsed.get("slug")
+        if embedded is not None and str(embedded) != path_slug:
+            # parity: src/SourceLoader.ts:163-169
+            raise ValueError(
+                f"[{source_name}] slug mismatch in {rel}: "
+                f"file says {embedded!r}, path says {path_slug!r}"
+            )
+        out.append(
+            (path_slug, raw_text, json.dumps(parsed, ensure_ascii=False, default=str))
+        )
+    return out
 
-    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parser = get_parser(parser_type)
-        for pdf in batches:
-            out_slug, out_raw, out_payload = [], [], []
-            for raw_text, file_path in zip(pdf["raw_text"], pdf["file_path"]):
-                rel = _rel_path(file_path, glob_base)
-                path_slug = path_to_slug(rel)
-                parsed = parser(raw_text)
-                if isinstance(parsed, list):
-                    # multi-record file: explicit slug per record
-                    for rec in parsed:
-                        slug = rec.get("slug")
-                        if slug is None:
-                            raise ValueError(
-                                f"[{source_name}] record in {rel} missing explicit slug"
-                            )
-                        out_slug.append(str(slug))
-                        out_raw.append(raw_text)
-                        out_payload.append(json.dumps(rec, ensure_ascii=False, default=str))
-                else:
-                    embedded = parsed.get("slug")
-                    if embedded is not None and str(embedded) != path_slug:
-                        # parity: src/SourceLoader.ts:163-169
-                        raise ValueError(
-                            f"[{source_name}] slug mismatch in {rel}: "
-                            f"file says {embedded!r}, path says {path_slug!r}"
-                        )
-                    out_slug.append(path_slug)
-                    out_raw.append(raw_text)
-                    out_payload.append(json.dumps(parsed, ensure_ascii=False, default=str))
-            yield pd.DataFrame({"slug": out_slug, "raw": out_raw, "payload": out_payload})
 
-    parsed = files.mapInPandas(parse_batch, schema=_RAW_SCHEMA)
+def typed_from_parsed(parsed: DataFrame, cfg: SourceConfig, validate: bool) -> DataFrame:
+    """(slug, raw, payload) -> typed columns via from_json + required checks.
 
+    Shared typing/validation tail of every content backend."""
     struct = cfg.spark_schema()
     if struct is None:
         return parsed
@@ -153,6 +127,63 @@ def read_source(
                 ).otherwise(F.col(name)),
             )
     return typed
+
+
+def read_source(
+    spark: SparkSession,
+    cfg: SourceConfig,
+    base_dir: str = "",
+    validate: bool = True,
+    prefer_gzip: bool = False,
+) -> DataFrame:
+    """Load one source as a typed DataFrame (slug, *schema fields, raw).
+
+    An ``http(s)://`` base_dir selects the HTTP/CDN backend (the
+    reference's FetchRepository deployment): slug-index-driven listing +
+    executor-side fetch, ``prefer_gzip`` = try ``.gz`` content first. See
+    sources/http.py."""
+    if base_dir.startswith(("http://", "https://")):
+        from .http import read_source_http
+
+        return read_source_http(
+            spark, cfg, base_dir, prefer_gzip=prefer_gzip, validate=validate
+        )
+    if cfg.type == "parquet":
+        path = cfg.pattern if "/" in cfg.pattern else f"{base_dir}/{cfg.pattern}"
+        return spark.read.parquet(path)
+
+    pattern = f"{base_dir}/{cfg.pattern}" if base_dir else cfg.pattern
+    glob_base, _ = glob_base_and_regex(pattern)
+    parser_type = cfg.type
+    source_name = cfg.name
+
+    reader = spark.read
+    if "**" in pattern:
+        # Hadoop globs are not recursive; '**' patterns read the static base
+        # dir with recursiveFileLookup + a suffix filter instead.
+        suffix = pattern.rsplit("/", 1)[-1]
+        reader = reader.option("recursiveFileLookup", "true").option(
+            "pathGlobFilter", suffix
+        )
+        read_path = glob_base
+    else:
+        read_path = pattern
+    files = reader.text(read_path, wholetext=True).select(
+        F.col("value").alias("raw_text"),
+        F.input_file_name().alias("file_path"),
+    )
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser = get_parser(parser_type)
+        for pdf in batches:
+            out: list[tuple[str, str, str]] = []
+            for raw_text, file_path in zip(pdf["raw_text"], pdf["file_path"]):
+                rel = _rel_path(file_path, glob_base)
+                out.extend(parse_file_records(parser, source_name, rel, raw_text))
+            yield pd.DataFrame(out, columns=["slug", "raw", "payload"])
+
+    parsed = files.mapInPandas(parse_batch, schema=_RAW_SCHEMA)
+    return typed_from_parsed(parsed, cfg, validate)
 
 
 def compact_to_parquet(df: DataFrame, path: str, partitions: int | None = None) -> None:

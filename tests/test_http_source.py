@@ -1,0 +1,125 @@
+"""HTTP/CDN backend E2E: serve the herbal fixture over a real local HTTP
+server (content + reference-layout JSONL slug index), read sources through
+the http backend, and drive the full query surface against it.
+
+Covers reference FetchRepository semantics: slug-index-driven listing
+(listFiles:82-99, readAllIndexesRemote:165-199) and gzip-first content
+fetch with plain fallback (readFile:41-57).
+"""
+
+from __future__ import annotations
+
+import gzip
+import socket
+import threading
+from functools import partial
+from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import pytest
+
+from staticql_spark import define
+from staticql_spark.indexing import export_jsonl_index
+from staticql_spark.sources.http import fetch_text, list_source_files, read_prefix_tree
+from tests.conftest import CONFIG
+
+
+class _QuietHandler(SimpleHTTPRequestHandler):
+    def log_message(self, *args):  # noqa: D102 — silence per-request stderr
+        pass
+
+
+@pytest.fixture(scope="module")
+def served(spark, content_dir, tmp_path_factory):
+    """The herbal corpus + its JSONL slug index served over HTTP.
+
+    Returns (base_url, site_root). Content files exist BOTH plain and as
+    .gz twins so the same server exercises prefer_gzip on and off.
+    """
+    site = tmp_path_factory.mktemp("site")
+    # content: copy plain + write .gz twins
+    src_root = Path(content_dir)
+    for p in src_root.rglob("*"):
+        if not p.is_file():
+            continue
+        rel = p.relative_to(src_root)
+        dst = site / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        data = p.read_bytes()
+        dst.write_bytes(data)
+        (site / (str(rel) + ".gz")).write_bytes(gzip.compress(data))
+    # index artifacts from the local read of the same corpus
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    export_jsonl_index(local, str(site))
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), partial(_QuietHandler, directory=str(site))
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", site
+    server.shutdown()
+
+
+def test_prefix_tree_walk_lists_all_slugs(served):
+    base_url, _ = served
+    lines = read_prefix_tree(base_url, "index/herbs.slug")
+    slugs = {l["v"] for l in lines}
+    assert slugs == {"arctium-lappa", "centella-asiatica", "cymbopogon-citratus"}
+
+
+def test_list_source_files_star_and_doublestar(served):
+    base_url, _ = served
+    cfgs = define(CONFIG)(base_dir="unused").configs
+    herbs = sorted(list_source_files(base_url, cfgs["herbs"]))
+    assert herbs == [
+        "content/herbs/arctium-lappa.md",
+        "content/herbs/centella-asiatica.md",
+        "content/herbs/cymbopogon-citratus.md",
+    ]
+    # '**' pattern: slug '--' maps back to a nested path
+    recipes = sorted(list_source_files(base_url, cfgs["recipes"]))
+    assert recipes == [
+        "content/recipes/recipeGroup001/001.md",
+        "content/recipes/recipeGroup002/001.md",
+    ]
+    # single-file multi-record source lists its one file
+    tags = list_source_files(base_url, cfgs["tags"])
+    assert tags == ["content/tags.yaml"]
+
+
+def test_fetch_text_gzip_first_and_fallback(served, tmp_path):
+    base_url, site = served
+    plain = fetch_text(base_url, "content/tags.yaml")
+    gz = fetch_text(base_url, "content/tags.yaml", prefer_gzip=True)
+    assert plain == gz
+    # gz-only file: prefer_gzip finds it, plain fetch of the bare path 404s
+    (site / "content" / "gzonly.txt.gz").write_bytes(gzip.compress(b"only gz"))
+    assert fetch_text(base_url, "content/gzonly.txt", prefer_gzip=True) == "only gz"
+    with pytest.raises(OSError):
+        fetch_text(base_url, "content/gzonly.txt")
+
+
+def test_http_source_matches_local_read(spark, content_dir, served):
+    base_url, _ = served
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    remote = define(CONFIG)(base_dir=base_url, spark=spark)
+    for name in ("herbs", "tags", "recipes"):
+        a = sorted((r.asDict(recursive=True) for r in local.df(name).collect()),
+                   key=lambda d: d["slug"])
+        b = sorted((r.asDict(recursive=True) for r in remote.df(name).collect()),
+                   key=lambda d: d["slug"])
+        assert a == b, name
+
+
+def test_http_query_surface_end_to_end(spark, served):
+    base_url, _ = served
+    sql = define(CONFIG)(base_dir=base_url, spark=spark, prefer_gzip=True)
+    page = sql.from_("herbs").where("slug", "eq", "arctium-lappa").exec()
+    assert [r["slug"] for r in page.data] == ["arctium-lappa"]
+    joined = sql.from_("herbs").join("tags").order_by("name", "asc").exec()
+    assert len(joined.data) == 3
+    assert all(r["tags"] is not None for r in joined.data)
