@@ -82,3 +82,62 @@ def test_extract_diff_record_level(git_content):
     assert ("A", "herbs", "lemongrass") in got
     # nothing else leaked in
     assert len(got) == 5
+
+
+def test_github_provider_mocked_api():
+    # canned GitHub API responses: same DiffEntry contract as the git CLI
+    # provider, no network (reference: src/diff/providers/github.ts:27-71)
+    import json as _json
+
+    from staticql_spark.diff import GitHubDiffProvider, extract_diff_with_provider
+
+    herb_old = "---\nname: old name\ntags: [roots]\n---\nbody"
+    herb_new = "---\nname: new name\ntags: [roots]\n---\nbody"
+    added = "---\nname: fresh\ntags: [leaves]\n---\nnew herb"
+    compare = {
+        "files": [
+            {"status": "modified", "filename": "content/herbs/arctium-lappa.md"},
+            {"status": "added", "filename": "content/herbs/mentha-piperita.md"},
+            {"status": "removed", "filename": "content/herbs/cymbopogon-citratus.md"},
+            {"status": "renamed", "filename": "content/herbs/renamed.md"},
+            {"status": "modified", "filename": "README.md"},  # no source match
+        ]
+    }
+
+    def fake_fetch(url, headers):
+        assert headers["Authorization"] == "token tok123"
+        if "/compare/main...feat" in url:
+            assert headers["Accept"] == "application/vnd.github.v3+json"
+            return 200, _json.dumps(compare).encode()
+        assert headers["Accept"] == "application/vnd.github.v3.raw"
+        ref = url.rsplit("?ref=", 1)[1]
+        if "arctium-lappa" in url:
+            return 200, (herb_old if ref == "main" else herb_new).encode()
+        if "mentha-piperita" in url:
+            return (404, b"") if ref == "main" else (200, added.encode())
+        if "cymbopogon-citratus" in url:
+            return (200, herb_old.encode()) if ref == "main" else (404, b"")
+        return 404, b""
+
+    provider = GitHubDiffProvider("acme/site", token="tok123", fetch=fake_fetch)
+    entries = extract_diff_with_provider(
+        provider, "main", "feat", resolve_config(CONFIG)
+    )
+    got = {(e["status"], e["source"], e["slug"]) for e in entries}
+    # renamed is dropped (reference filters to added/removed/modified);
+    # README matches no source pattern
+    assert got == {
+        ("M", "herbs", "arctium-lappa"),
+        ("A", "herbs", "mentha-piperita"),
+        ("D", "herbs", "cymbopogon-citratus"),
+    }
+
+
+def test_github_provider_api_error_raises():
+    from staticql_spark.diff import GitHubDiffProvider
+
+    provider = GitHubDiffProvider(
+        "acme/site", fetch=lambda u, h: (403, b'{"message": "rate limited"}')
+    )
+    with pytest.raises(RuntimeError, match="rate limited"):
+        provider.diff_lines("a", "b")
