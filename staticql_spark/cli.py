@@ -58,7 +58,21 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("--config", required=True, help="staticql config JSON path")
     comp.add_argument("--base-dir", required=True, help="content root directory")
     comp.add_argument("--output", required=True, help="parquet output directory")
+    tg = sub.add_parser(
+        "generate-types",
+        help="emit staticql_types.py TypedDicts from the config schemas "
+        "(parity: cli/generate-types.ts)",
+    )
+    tg.add_argument("--config", required=True, help="staticql config JSON path")
+    tg.add_argument("--output", required=True, help="output directory")
     args = parser.parse_args(argv)
+
+    if args.command == "generate-types":
+        from .typegen import load_config, write_types
+
+        out_path = write_types(load_config(args.config), args.output)
+        print(f"types generated to {out_path}", file=sys.stderr)
+        return 0
 
     if args.command == "compact":
         from . import define

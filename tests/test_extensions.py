@@ -117,3 +117,44 @@ def test_cli_compact_materializes_sources(spark, content_dir, tmp_path):
     assert {"slug", "name", "raw"} <= set(herbs.columns)
     tags = spark.read.parquet(f"{out}/tags")
     assert tags.count() == 6
+
+
+def test_generate_types_importable_and_shaped(tmp_path):
+    # parity: cli/generate-types.ts + tests/generate-type.test.ts — the
+    # emitted module must import cleanly and type every source
+    import importlib.util
+    import json
+
+    from staticql_spark.cli import main
+    from tests.conftest import CONFIG
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(CONFIG), encoding="utf-8")
+    rc = main(["generate-types", "--config", str(cfg_path), "--output", str(tmp_path)])
+    assert rc == 0
+    out = tmp_path / "staticql_types.py"
+    assert out.exists()
+
+    spec = importlib.util.spec_from_file_location("staticql_types", out)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert set(mod.SOURCE_TYPES) == set(CONFIG["sources"])
+    herbs = mod.SOURCE_TYPES["herbs"]
+    hints = herbs.__annotations__
+    assert "slug" in hints and "name" in hints and "tags" in hints
+    # relation field typed to the target record list (hasManyThrough etc.)
+    text = out.read_text(encoding="utf-8")
+    assert "tags: list[TagsRecord]" in text
+    assert "recipes: list[RecipesRecord]" in text
+    # nested object in recipeGroups becomes an auxiliary TypedDict
+    assert "combinedHerbs" in text
+
+
+def test_generate_types_missing_args_exits_nonzero(capsys):
+    import pytest as _pytest
+
+    from staticql_spark.cli import main
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["generate-types", "--config", "only-config.json"])
+    assert exc.value.code != 0
