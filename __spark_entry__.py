@@ -1026,6 +1026,16 @@ def q_doc_repetition(spark, sf):
     return text.repetition_score(_t(spark, sf, "documents"))
 
 
+def q_doc_decontaminate(spark, sf):
+    # benchmark decontamination: every 10th doc plays the eval set; corpus
+    # docs sharing any 5-gram with it are flagged with their overlap count.
+    # The benchmark gram set is broadcast — the corpus never shuffles.
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return text.decontaminate(corpus, bench, n=5, min_shared=1)
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1181,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": q_doc_winnow,
         "doc_pii": q_doc_pii,
         "doc_repetition": q_doc_repetition,
+        "doc_decontaminate": q_doc_decontaminate,
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1988,6 +1999,30 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_frac,
                    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_frac
             FROM per GROUP BY doc_id
+        """,
+        "doc_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+            ),
+            corpus AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE doc_id % 10 <> 0 AND len(t) >= 5
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 5
+              )
+            )
+            SELECT c.doc_id, count(*) AS n_shared
+            FROM corpus c JOIN bench b USING (gram)
+            GROUP BY c.doc_id
+            HAVING count(*) >= 1
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

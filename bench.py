@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_quality",
     "doc_lang",
     "doc_pii",
+    "doc_decontaminate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

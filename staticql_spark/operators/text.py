@@ -299,3 +299,86 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_head"),
     )
+
+
+# ------------------------------------------------- benchmark decontamination
+
+NGRAM_SEP = "\x1f"  # unit separator — cannot occur inside whitespace tokens
+
+
+def ngram_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """(id, gram) — DISTINCT word n-gram md5 fingerprints per doc, any n.
+
+    md5 over the n normalized tokens joined by a separator: one hash per
+    position, portable to any engine, collision-free at 128 bits (unlike
+    the 61-bit arithmetic shingles capped at n=3 by int64 headroom). All
+    map-side: tokenize -> positional transform -> array_distinct ->
+    explode; nothing shuffles here.
+    """
+    from .dedup import normalize_text
+
+    df = ensure_parallelism(df).filter(
+        F.size(tokens(normalize_text(F.col(text_col)))) >= F.lit(n)
+    )
+    d = df.select(F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_t"))
+    m = F.size(F.col("_t"))
+    # totality guard stays inside the expression (optimizer clones it into
+    # predicates on unfiltered rows — the established ANSI sequence() trap)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i, n), NGRAM_SEP)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(grams)).alias("gram")
+    ).filter(F.col("gram").isNotNull())
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_shared) for every corpus doc
+    sharing >= ``min_shared`` distinct word n-grams with ANY benchmark doc
+    — the standard eval-leakage filter for training corpora (13-gram
+    overlap in GPT-3/Pile writeups; n is a knob here).
+
+    100 TB shape: the benchmark side is tiny (eval sets are thousands of
+    docs, the corpus is billions) — its distinct gram set is BROADCAST, so
+    the corpus never shuffles for the join; the only exchange is the final
+    per-doc count, map-side combined to one row per contaminated doc.
+    """
+    corpus = ngram_fingerprints(docs, text_col, id_col, n)
+    bench = ngram_fingerprints(
+        benchmark, bench_text_col or text_col, bench_id_col or id_col, n
+    ).select("gram").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate_keep(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """The clean corpus: docs minus contaminated ones (left anti join on
+    the decontamination hit list)."""
+    hits = decontaminate(docs, benchmark, text_col, id_col, n=n, min_shared=min_shared)
+    return docs.join(hits.select(id_col), id_col, "left_anti")

@@ -310,3 +310,22 @@ def test_embedding_block_cap_drops_pathological_cluster(spark):
     assert pairs == []
     pairs2 = dedup.embedding_neardup_pairs(df, threshold=0.99, max_bucket=100).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs2} >= {(1000, 1001)}
+
+
+def test_decontaminate_flags_and_keep(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps over the lazy dog end"),
+         (2, "completely unrelated content about query engines and spark"),
+         (3, "short")],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_shared"] for r in
+            text.decontaminate(docs, bench, n=5, min_shared=1).collect()}
+    assert 1 in hits and hits[1] >= 1  # shares 5-grams with the benchmark
+    assert 2 not in hits and 3 not in hits
+    kept = {r["doc_id"] for r in
+            text.decontaminate_keep(docs, bench, n=5, min_shared=1).collect()}
+    assert kept == {2, 3}

@@ -243,3 +243,11 @@ def test_idle_customer_balance_anti_join(spark):
     p = plan(entrymod.q_idle_customer_balance(spark, SF_SMOKE))
     assert "LeftAnti" in p, p
     assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark gram set must broadcast — a shuffled corpus-side join
+    # here is the 100 TB regression this test exists to catch
+    p = plan(entrymod.q_doc_decontaminate(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
