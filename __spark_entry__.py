@@ -867,6 +867,37 @@ def q_window_running(spark, sf):
     )
 
 
+def q_cube_rollup(spark, sf):
+    # OLAP cube: order totals by (priority, year) with all subtotal planes —
+    # one pass, grouping-id disambiguates NULL-as-subtotal from NULL data
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube(F.col("o_orderpriority").alias("prio"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_pivot_priority(spark, sf):
+    # pivot: orders per year x priority as columns (explicit value list so
+    # the output schema is static — the scalable pivot form; an inferred
+    # value list would need an extra distinct pass over the fact table)
+    o = _t(spark, sf, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderpriority", prios)
+        .count()
+        .select(
+            "o_year",
+            *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i+1}") for i, p in enumerate(prios)],
+        )
+    )
+
+
 def q_events_windowed(spark, sf):
     # tumbling event-time window (batch twin of streaming.windowed_agg)
     ev = load_events(spark, f"{sf}/events.parquet")
@@ -1192,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
+        "cube_rollup": q_cube_rollup,
+        "pivot_priority": q_pivot_priority,
         "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1999,6 +2032,25 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_token_frac,
                    round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_token_frac
             FROM per GROUP BY doc_id
+        """,
+        "cube_rollup": """
+            SELECT o_orderpriority AS prio,
+                   year(o_orderdate) AS o_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spent,
+                   GROUPING(o_orderpriority, year(o_orderdate)) AS gid
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        """,
+        "pivot_priority": """
+            SELECT year(o_orderdate) AS o_year,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+                   count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+                   count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+                   count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+            FROM orders
+            GROUP BY year(o_orderdate)
         """,
         "doc_decontaminate": f"""
             WITH toks AS (

@@ -123,3 +123,49 @@ def test_http_query_surface_end_to_end(spark, served):
     joined = sql.from_("herbs").join("tags").order_by("name", "asc").exec()
     assert len(joined.data) == 3
     assert all(r["tags"] is not None for r in joined.data)
+
+
+def test_jsonl_line_parsing_stream_semantics():
+    # parity with the reference's readJsonlStream/readListStream tests
+    # (tests/stream.test.ts): trailing content without newline, empty lines
+    # skipped, empty payload yields nothing — exercised through the same
+    # code path read_prefix_tree uses on fetched bytes
+    import json
+
+    def parse_jsonl(text):
+        return [json.loads(l) for l in text.splitlines() if l.strip()]
+
+    assert parse_jsonl('{"a":1}\n') == [{"a": 1}]
+    assert parse_jsonl('{"a":1}\n{"b":2}\n') == [{"a": 1}, {"b": 2}]
+    assert parse_jsonl('{"a":1}') == [{"a": 1}]  # no trailing newline
+    assert parse_jsonl('{"a":1}\n\n{"b":2}\n') == [{"a": 1}, {"b": 2}]
+    assert parse_jsonl("") == []
+    # prefix dict (readListStream/parsePrefixDict): trimmed non-empty lines
+    def parse_list(text):
+        return [l.strip() for l in text.splitlines() if l.strip()]
+
+    assert parse_list("0061\n0063\n\n") == ["0061", "0063"]
+
+
+def test_jsonl_index_export_golden_layout(served):
+    # golden-file check of the exported JSONL artifacts (the reference
+    # snapshots its index tree the same way, tests/generate-index.test.ts):
+    # exact file set and exact lines for the herbs slug index
+    _, site = served
+    idx = site / "index" / "herbs.slug"
+    files = sorted(str(p.relative_to(idx)) for p in idx.rglob("*") if p.is_file())
+    assert files == [
+        "0061/_index.jsonl",
+        "0063/_index.jsonl",
+        "_prefixes.jsonl",
+    ]
+    assert (idx / "_prefixes.jsonl").read_text() == "0061\n0063\n"
+    a = (idx / "0061" / "_index.jsonl").read_text().splitlines()
+    assert a == [
+        '{"v": "arctium-lappa", "vs": "arctium-lappa", "ref": {"arctium-lappa": {}}}'
+    ]
+    c = (idx / "0063" / "_index.jsonl").read_text().splitlines()
+    assert [l for l in c] == [
+        '{"v": "centella-asiatica", "vs": "centella-asiatica", "ref": {"centella-asiatica": {}}}',
+        '{"v": "cymbopogon-citratus", "vs": "cymbopogon-citratus", "ref": {"cymbopogon-citratus": {}}}',
+    ]
