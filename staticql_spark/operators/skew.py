@@ -44,26 +44,34 @@ def two_phase_agg(
     key: str,
     value: str,
     salts: int = 16,
+    id_col: str | None = None,
 ) -> DataFrame:
     """sum/count/avg of ``value`` per ``key`` via salted partial aggregation.
 
     Phase 1 shuffles on (key, salt) — hot keys split across tasks; phase 2
     shuffles |keys| x salts pre-aggregated rows only.
+
+    Pass ``id_col`` (any unique-ish row attribute, e.g. a primary key) to get
+    a fully DETERMINISTIC salt: the phase-1 shuffle key is then reproducible
+    across task retries, so a fetch failure re-runs only the lost map tasks.
     """
-    # Salt by a per-ROW position hash, never by hash(value): a hot key whose
-    # rows share one constant value (all-zeros spam) hashes to a single salt
-    # and does not split. A position-derived salt scatters even fully
-    # identical rows; it is partition-layout-dependent, which is harmless
-    # here — the salt only buckets the partial aggregation, and sums/counts
-    # re-combine identically under any scatter.
+    if id_col is not None:
+        # Preferred: salt from a stable row attribute. Deterministic map
+        # output — no indeterminate-stage resubmission on executor loss.
+        salt = F.pmod(F.hash(F.col(id_col)), F.lit(salts))
+    else:
+        # Fallback: positional salt. Never hash(value) — a hot key whose rows
+        # share one constant value (all-zeros spam) hashes to a single salt
+        # and does not split. monotonically_increasing_id already embeds the
+        # partition id in its high bits, so it alone scatters identical rows.
+        # COST: this is a nondeterministic shuffle key, so Spark marks the
+        # map stage indeterminate — a shuffle-fetch failure forces the whole
+        # stage (not just lost tasks) to re-run. Results are still correct
+        # under any scatter (sums/counts recombine identically); prefer
+        # ``id_col`` when one exists to avoid the retry amplification.
+        salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salts))
     partial = (
-        df.withColumn(
-            "_salt",
-            F.pmod(
-                F.hash(F.spark_partition_id(), F.monotonically_increasing_id()),
-                F.lit(salts),
-            ),
-        )
+        df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
         .agg(F.sum(value).alias("_s"), F.count("*").alias("_c"))
     )

@@ -89,7 +89,12 @@ def paginate(
     # named order_key, and encoding the slug instead (the old fallback)
     # poisons the next page's keyset predicate. The reference encodes the
     # resolved index value (QueryBuilder.ts encodeCursorCallback).
-    work = work.withColumn("_ov", order_col.cast("string"))
+    # Collision-safe carrier name: a source may legitimately own any short
+    # column name, so uniquify until free rather than clobbering user data.
+    ov = "__staticql_ov"
+    while ov in work.columns:
+        ov += "_"
+    work = work.withColumn(ov, order_col.cast("string"))
     if walk_desc:
         work = work.orderBy(oc.desc(), slug_col.desc())
     else:
@@ -110,8 +115,7 @@ def paginate(
 
     def _cursor_for(row) -> str:
         slug = row["slug"]
-        ov = row["_ov"]
-        return encode_cursor(str(slug), {order_key: ov})
+        return encode_cursor(str(slug), {order_key: row[ov]})
 
     info = PageInfo(
         has_next_page=has_next,
@@ -119,16 +123,16 @@ def paginate(
         start_cursor=_cursor_for(rows[0]) if rows else None,
         end_cursor=_cursor_for(rows[-1]) if rows else None,
     )
-    data = [_strip_ov(r) for r in rows]
+    data = [_strip_ov(r, ov) for r in rows]
     return Page(data=data, page_info=info)
 
 
-def _strip_ov(row):
-    """Drop the internal ``_ov`` carrier field from a collected Row."""
+def _strip_ov(row, ov: str):
+    """Drop the internal order-value carrier field from a collected Row."""
     from pyspark.sql import Row
 
     d = row.asDict()
-    d.pop("_ov", None)
+    d.pop(ov, None)
     return Row(**d)
 
 

@@ -56,6 +56,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value hash is dtype-sensitive: an int64 Spark column vs a
+        # float64 oracle column hash-mismatches even when every value compares
+        # equal (DuckDB HUGEINT -> pandas float64 hid late_shipment_priority for
+        # a full round). Flag the split loudly instead of coercing past it.
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        flt_a = pd.api.types.is_float_dtype(av)
+        flt_b = pd.api.types.is_float_dtype(bv)
+        if (int_a and flt_b) or (flt_a and int_b):
+            problems.append(
+                f"col {c} dtype split spark={av.dtype} duck={bv.dtype} "
+                "(driver hash is dtype-sensitive; cast the oracle, e.g. ::BIGINT)"
+            )
+            continue
         try:
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 ok = (
