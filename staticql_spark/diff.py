@@ -105,10 +105,11 @@ class GitHubDiffProvider:
         return headers
 
     def diff_lines(self, ref1: str, ref2: str) -> list[tuple[str, str]]:
-        """File-level statuses from the compare endpoint. Faithful to the
-        reference (:43-53): only added/removed/modified map (to A/D/M);
-        GitHub's 'renamed' entries are dropped, unlike the git-CLI
-        provider's D+A decomposition."""
+        """File-level statuses from the compare endpoint. added/removed/
+        modified map to A/D/M; GitHub's 'renamed' entries decompose into
+        D(previous_filename) + A(filename) to match GitCliProvider — the
+        reference (:43-53) silently drops renames, which loses index
+        updates for both paths; a documented divergence-as-fix."""
         url = f"{self.api_url}/repos/{self.repo}/compare/{ref1}...{ref2}"
         status, body = self._fetch(url, self._headers("application/vnd.github.v3+json"))
         data = json.loads(body or b"{}")
@@ -119,11 +120,15 @@ class GitHubDiffProvider:
         if not isinstance(files, list):
             return []
         status_map = {"added": "A", "removed": "D", "modified": "M"}
-        return [
-            (status_map[f["status"]], f["filename"])
-            for f in files
-            if f.get("status") in status_map
-        ]
+        out: list[tuple[str, str]] = []
+        for f in files:
+            st = f.get("status")
+            if st == "renamed" and f.get("previous_filename"):
+                out.append(("D", f["previous_filename"]))
+                out.append(("A", f["filename"]))
+            elif st in status_map:
+                out.append((status_map[st], f["filename"]))
+        return out
 
     def show(self, ref: str, path: str) -> str | None:
         """Raw file content at a ref via the contents endpoint. A 404 maps

@@ -154,6 +154,15 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
     corpus servable from a CDN to both the reference client and our HTTP
     backend (sources/http.py).
 
+    ``ref`` carries the reference client's full payload shape
+    ``{slug: {field: [prefix paths]}}`` — the per-slug map of every indexed
+    field's value prefix-paths (IndexBuilder.ts:650-653 embeds
+    ``prefixes.get(slug)``). The client dereferences it for startsWith
+    candidate filtering (QueryBuilder.ts:546-551, compared against
+    getPrefixIndexPath of the search value) and cursor order values
+    (QueryBuilder.ts:208-210), so an export without it is only servable to
+    this repo's HTTP backend (which reads just ``v``), not to the reference.
+
     Driver-side write is correct here: this is the reference's *static
     site* deployment format, bounded by site size (it writes one JSONL line
     per record per field via Node fs). The cluster-scale covering index is
@@ -172,6 +181,12 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
             .orderBy("field", "v", "vs")
             .collect()
         )
+        # Per-slug {field: sorted prefix paths} across ALL exported entries —
+        # the reference embeds the record's complete prefix map in every line
+        # that references it, regardless of which field the line indexes.
+        ref_map: dict[str, dict[str, set[str]]] = {}
+        for r in rows:
+            ref_map.setdefault(r["slug"], {}).setdefault(r["field"], set()).add(r["prefix"])
         by_field_prefix: dict[tuple[str, str], list] = {}
         for r in rows:
             by_field_prefix.setdefault((r["field"], r["prefix"]), []).append(r)
@@ -181,7 +196,12 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
             os.makedirs(leaf, exist_ok=True)
             with open(f"{leaf}/_index.jsonl", "w", encoding="utf-8") as f:
                 for r in frows:
-                    line = {"v": r["v"], "vs": r["vs"], "ref": {r["slug"]: {}}}
+                    ref = {
+                        r["slug"]: {
+                            fl: sorted(ps) for fl, ps in ref_map[r["slug"]].items()
+                        }
+                    }
+                    line = {"v": r["v"], "vs": r["vs"], "ref": ref}
                     f.write(_json.dumps(line, ensure_ascii=False) + "\n")
             dirs_per_field.setdefault(fld, set()).add(prefix)
         # _prefixes.jsonl per directory level: immediate children only

@@ -99,7 +99,11 @@ def test_github_provider_mocked_api():
             {"status": "modified", "filename": "content/herbs/arctium-lappa.md"},
             {"status": "added", "filename": "content/herbs/mentha-piperita.md"},
             {"status": "removed", "filename": "content/herbs/cymbopogon-citratus.md"},
-            {"status": "renamed", "filename": "content/herbs/renamed.md"},
+            {
+                "status": "renamed",
+                "filename": "content/herbs/lemongrass.md",
+                "previous_filename": "content/herbs/old-lemongrass.md",
+            },
             {"status": "modified", "filename": "README.md"},  # no source match
         ]
     }
@@ -117,6 +121,10 @@ def test_github_provider_mocked_api():
             return (404, b"") if ref == "main" else (200, added.encode())
         if "cymbopogon-citratus" in url:
             return (200, herb_old.encode()) if ref == "main" else (404, b"")
+        if "old-lemongrass" in url:
+            return (200, herb_old.encode()) if ref == "main" else (404, b"")
+        if "lemongrass" in url:
+            return (404, b"") if ref == "main" else (200, herb_new.encode())
         return 404, b""
 
     provider = GitHubDiffProvider("acme/site", token="tok123", fetch=fake_fetch)
@@ -124,12 +132,14 @@ def test_github_provider_mocked_api():
         provider, "main", "feat", resolve_config(CONFIG)
     )
     got = {(e["status"], e["source"], e["slug"]) for e in entries}
-    # renamed is dropped (reference filters to added/removed/modified);
-    # README matches no source pattern
+    # renamed decomposes into D(previous_filename) + A(filename), matching
+    # GitCliProvider; README matches no source pattern
     assert got == {
         ("M", "herbs", "arctium-lappa"),
         ("A", "herbs", "mentha-piperita"),
         ("D", "herbs", "cymbopogon-citratus"),
+        ("D", "herbs", "old-lemongrass"),
+        ("A", "herbs", "lemongrass"),
     }
 
 

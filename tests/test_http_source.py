@@ -160,12 +160,22 @@ def test_jsonl_index_export_golden_layout(served):
         "_prefixes.jsonl",
     ]
     assert (idx / "_prefixes.jsonl").read_text() == "0061\n0063\n"
+    # ref = the reference client's payload shape {slug: {field: [prefix
+    # paths]}} (IndexBuilder.ts:650-653), dereferenced by QueryBuilder for
+    # startsWith candidate filtering (:546-551) and cursor order values
+    # (:208-210)
     a = (idx / "0061" / "_index.jsonl").read_text().splitlines()
     assert a == [
-        '{"v": "arctium-lappa", "vs": "arctium-lappa", "ref": {"arctium-lappa": {}}}'
+        '{"v": "arctium-lappa", "vs": "arctium-lappa", "ref": {"arctium-lappa": '
+        '{"compoundSlugs": ["0061", "0069"], "name": ["30b4"], "slug": ["0061"], '
+        '"tagSlugs": ["0061"]}}}'
     ]
     c = (idx / "0063" / "_index.jsonl").read_text().splitlines()
     assert [l for l in c] == [
-        '{"v": "centella-asiatica", "vs": "centella-asiatica", "ref": {"centella-asiatica": {}}}',
-        '{"v": "cymbopogon-citratus", "vs": "cymbopogon-citratus", "ref": {"cymbopogon-citratus": {}}}',
+        '{"v": "centella-asiatica", "vs": "centella-asiatica", "ref": {"centella-asiatica": '
+        '{"compoundSlugs": ["0061", "006d"], "name": ["30b4"], "slug": ["0063"], '
+        '"tagSlugs": ["006d", "0073"]}}}',
+        '{"v": "cymbopogon-citratus", "vs": "cymbopogon-citratus", "ref": {"cymbopogon-citratus": '
+        '{"compoundSlugs": ["0063", "0067"], "name": ["30ec"], "slug": ["0063"], '
+        '"tagSlugs": ["0061", "0072"]}}}',
     ]
