@@ -1149,8 +1149,11 @@ def q_stream_first_seen(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    media = multimodal.synthetic_media(spark, n=128)
-    feats = multimodal.extract_features(media)
+    # Real bytes -> features: payloads are actual PPM/WAV containers parsed
+    # by the pure-Python codecs (multimodal.real_decode), distributed via
+    # the same Arrow-batched mapInPandas path as any injected decoder.
+    media = multimodal.synthetic_media_real(spark, n=128)
+    feats = multimodal.extract_features(media, decode_fn=multimodal.real_decode)
     return feats.select(
         "media_id",
         "kind",

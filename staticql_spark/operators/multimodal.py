@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real at Spark level (schema, batching, partition sizing, UDF signatures);
-the codec kernels are STUBS — image/audio libraries are not in this
-container. ``decode_fn`` is injectable: pass a real decoder in production;
-the default deterministic fake derives features from the payload bytes so
-tests exercise the full distributed path end-to-end.
+Real at Spark level (schema, batching, partition sizing, UDF signatures)
+AND real at codec level for the two simple containers that need no C
+libraries: PPM/PGM images (netpbm binary P5/P6: header parse + numpy
+reshape) and RIFF/WAV PCM audio (stdlib ``wave`` + numpy frombuffer).
+``real_decode`` dispatches to these; exotic codecs (JPEG/H.264/...) remain
+an injection point — pass a ``decode_fn`` backed by PIL/librosa/av in
+production.
 
 Layout stance for 100 TB of media: payload stays an opaque ``binary``
 column co-located with its metadata struct in Parquet (no tiny-file zoo);
@@ -14,8 +16,11 @@ column co-located with its metadata struct in Parquet (no tiny-file zoo);
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,12 +69,160 @@ def _fake_decode(payload: bytes, kind: str, dim: int = 8) -> list[float]:
     return [a / total for a in acc]
 
 
-def real_decode(payload: bytes, kind: str) -> list[float]:  # pragma: no cover
-    """The production decode hook. Requires PIL / librosa / av."""
+# ---------------------------------------------------------------------------
+# Real codecs: netpbm (PGM P5 / PPM P6) and RIFF/WAV PCM. Pure Python +
+# numpy — header parse and buffer reshape, no external media libraries.
+# ---------------------------------------------------------------------------
+
+
+def _pnm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer header tokens after the
+    magic, skipping '#' comments; returns (tokens, offset-after-single-
+    whitespace) per the netpbm spec: exactly ONE whitespace byte separates
+    the maxval token from raster data."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # single whitespace after maxval, then raster
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """PGM (P5) -> (h, w) / PPM (P6) -> (h, w, 3) uint8 or uint16 array.
+
+    Binary netpbm only (the interchange subset); maxval > 255 means
+    big-endian 2-byte samples per the spec.
+    """
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM payload (magic {magic!r})")
+    (w, h, maxval), off = _pnm_tokens(payload, 3)
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    count = w * h * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=count, offset=off)
+    if raster.size < count:
+        raise ValueError("truncated netpbm raster")
+    arr = raster.reshape((h, w, 3)) if channels == 3 else raster.reshape((h, w))
+    return arr.astype(np.uint16) if maxval > 255 else arr
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) -> PGM P5, (h, w, 3) -> PPM P6."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, h, w = b"P5", *a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w) = b"P6", a.shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV PCM -> (float32 samples in [-1, 1] averaged to mono,
+    sample_rate). 8/16/32-bit integer PCM via the stdlib wave reader."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # 8-bit WAV is unsigned
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float samples in [-1, 1] -> 16-bit PCM mono WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def image_features(arr: np.ndarray, dim: int = 8) -> list[float]:
+    """Fixed-``dim`` image descriptor: [mean, std, (dim-2) coarse-grid luma
+    means]. Luma = channel mean; grid cells = equal row-band means, the
+    deterministic analogue of a pooled embedding."""
+    a = np.asarray(arr, dtype=np.float64)
+    scale = 65535.0 if a.max(initial=0) > 255 else 255.0
+    luma = (a.mean(axis=2) if a.ndim == 3 else a) / scale
+    cells = np.array_split(luma.ravel(), max(dim - 2, 1))
+    grid = [float(c.mean()) if c.size else 0.0 for c in cells]
+    return [float(luma.mean()), float(luma.std())] + grid[: dim - 2]
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> list[float]:
+    """Fixed-``dim`` audio descriptor: [rms, mean|x|, zero-crossing rate,
+    peak, (dim-4) segment RMS energies]."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0:
+        return [0.0] * dim
+    zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if s.size > 1 else 0.0
+    head = [
+        float(np.sqrt(np.mean(s**2))),
+        float(np.mean(np.abs(s))),
+        zcr,
+        float(np.max(np.abs(s))),
+    ]
+    segs = np.array_split(s, max(dim - 4, 1))
+    energies = [float(np.sqrt(np.mean(c**2))) if c.size else 0.0 for c in segs]
+    return head + energies[: dim - 4]
+
+
+def real_decode(payload: bytes, kind: str, dim: int = 8) -> list[float]:
+    """Real bytes -> features decode for the built-in pure-Python codecs:
+    ``image`` payloads must be binary PGM/PPM, ``audio`` payloads RIFF/WAV
+    PCM. Other kinds (video and exotic image/audio codecs) remain the
+    injection point — pass a PIL/librosa/av-backed ``decode_fn`` to
+    extract_features() in production."""
+    if payload is None:
+        return [0.0] * dim
+    if kind == "image":
+        return image_features(decode_image(payload), dim)
+    if kind == "audio":
+        samples, rate = decode_audio(payload)
+        return audio_features(samples, rate, dim)
     raise NotImplementedError(
-        "media codecs are not available in this environment; inject a "
-        "decode_fn into extract_features() in production"
+        f"no built-in codec for kind={kind!r}; inject a decode_fn into "
+        "extract_features() in production"
     )
+
+
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize for PGM/PPM payloads: decode, index-map
+    the pixel grid, re-encode. Plug into resize_images(resize_fn=...)."""
+    arr = decode_image(payload)
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_image(arr[rows][:, cols].astype(np.uint8))
 
 
 def extract_features(
@@ -178,5 +331,38 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             if kind == "audio"
             else (320, 240, None, 5_000, "h264")
         )
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_media_real(spark, n: int = 64) -> DataFrame:
+    """Deterministic media table whose payloads are REAL containers the
+    built-in codecs parse: even rows are 8x6 PPM gradient images, odd rows
+    are 120-sample 16-bit PCM WAV tones. Feeds the real bytes->features
+    path end-to-end without committing binaries to the repo."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8, 6
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 32 + i * 7) % 256,
+                    (yy * 40 + i * 13) % 256,
+                    (xx * 8 + yy * 8 + i * 29) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_image(img)
+            meta = (w, h, None, None, "ppm")
+            kind = "image"
+        else:
+            rate = 8000
+            t = np.arange(120, dtype=np.float64)
+            freq = 200.0 + (i % 7) * 100.0
+            samples = 0.5 * np.sin(2.0 * np.pi * freq * t / rate)
+            payload = encode_audio(samples, rate)
+            meta = (None, None, rate, int(120 * 1000 / rate), "pcm_s16le")
+            kind = "audio"
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
