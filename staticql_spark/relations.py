@@ -59,6 +59,17 @@ def _matches_per_slug(
 
     The array is ordered by (key value, foreign slug) and deduped by foreign
     slug — the reference's deterministic load order.
+
+    Determinism invariant: ``F.first("_rec")`` below is order-sensitive by
+    API contract, but every (_lslug, _fslug) group holds exactly one
+    DISTINCT ``_rec`` value — ``_rec`` is the whole foreign record keyed by
+    its slug, and slugs are unique within a source (the reference's
+    path->slug mapping guarantees it; duplicate-slug files are load errors,
+    sources/reader.py). first() over identical values is the same under any
+    partitioning, AQE re-plan, or retry. The ordered array itself comes
+    from array_sort over (key value, slug) ranks, not from shuffle order.
+    Pinned by tests/test_relations_determinism.py across shuffle-partition
+    counts and AQE on/off.
     """
     lhs = local.select(
         F.col("slug").alias("_lslug"),

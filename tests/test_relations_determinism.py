@@ -1,0 +1,73 @@
+"""Relation first-match determinism under plan perturbation.
+
+_matches_per_slug builds per-row ordered match arrays with F.first("_rec")
+inside a groupBy — order-sensitive by API contract. The invariant that
+makes it safe (every (_lslug, _fslug) group has exactly one distinct _rec;
+see the docstring) must hold under ANY physical plan, so this pins the
+output across shuffle-partition counts and AQE on/off, on a fixture built
+to produce duplicate join rows per (local, foreign) pair: multi-valued
+local keys AND multi-valued foreign keys that overlap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from staticql_spark.relations import _matches_per_slug
+
+
+@pytest.fixture()
+def dup_heavy(spark):
+    # local rows whose key arrays repeat values; foreign rows whose key
+    # arrays carry several values matching the same local value — every
+    # (_lslug, _fslug) group in the join sees multiple rows
+    local = spark.createDataFrame(
+        [
+            ("l1", ["a", "b", "a"]),
+            ("l2", ["b", "c", "b", "c"]),
+            ("l3", ["zzz"]),
+            ("l4", []),
+        ],
+        ["slug", "ks"],
+    )
+    foreign = spark.createDataFrame(
+        [
+            ("f1", ["a", "b"], 10),
+            ("f2", ["b", "b", "c"], 20),
+            ("f3", ["c", "a"], 30),
+        ],
+        ["slug", "fks", "payload"],
+    )
+    return local, foreign
+
+
+def _run(local, foreign):
+    rows = _matches_per_slug(local, "ks", foreign, "fks").collect()
+    return sorted(
+        (r["slug"], [(m["slug"], m["payload"]) for m in r["_matches"]]) for r in rows
+    )
+
+
+def test_first_match_arrays_stable_under_partitions_and_aqe(spark, dup_heavy):
+    local, foreign = dup_heavy
+    baseline = None
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for parts in ("1", "8", "200"):
+            for aqe in ("false", "true"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                got = _run(local, foreign)
+                if baseline is None:
+                    baseline = got
+                else:
+                    assert got == baseline, f"partitions={parts} aqe={aqe}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+    # and the content itself is the (key value, slug)-ordered dedup
+    assert baseline == [
+        ("l1", [("f1", 10), ("f3", 30), ("f2", 20)]),
+        ("l2", [("f1", 10), ("f2", 20), ("f3", 30)]),
+    ]
