@@ -216,16 +216,24 @@ def minhash_lsh_pairs(
     back to the per-doc shingle arrays and intersects arrays per row;
     nothing ever shuffles one row per (doc, shingle).
 
-    ``max_bucket`` drops (band, key) buckets larger than the cap before the
-    self-join: a cluster of m identical docs otherwise lands in ONE bucket
-    and emits O(m^2) candidate pairs — the classic dedup straggler at
-    corpus scale (boilerplate pages guarantee such clusters at 100 TB).
+    ``max_bucket`` drops (band, key) buckets larger than the cap before
+    pair expansion: a cluster of m identical docs otherwise lands in ONE
+    bucket and emits O(m^2) candidate pairs — the classic dedup straggler
+    at corpus scale (boilerplate pages guarantee such clusters at 100 TB).
     Run :func:`exact_dedup` first so identical docs collapse to one
     representative; LSH is for *near* dups, and with exact dups removed a
-    legitimate near-dup bucket stays far under any sane cap. The cap is
-    computed as a count window over the bucket key, which hash-partitions
-    on exactly the key the self-join shuffles on — AQE reuses the exchange,
-    so the guard costs no extra shuffle.
+    legitimate near-dup bucket stays far under any sane cap.
+
+    Candidate generation is ONE groupBy on the bucket key (collect the
+    bucket's id list, cap it by size, expand i<j pairs in-row from the
+    array) — not a band-key self-join. The self-join formulation shuffles
+    ``banded`` twice and needs a separate count pass for the cap; this one
+    shuffles it once and gets the cap for free from size(ids). A/B at
+    sf0.1, identical 252-pair output: 1.23 s vs 1.72 s (window-guard
+    self-join) vs 2.51 s (groupBy-count + broadcast-anti + self-join).
+    In-row expansion is safe BECAUSE of the cap: worst case is
+    max_bucket^2/2 id pairs transiently in one row, bounded by
+    construction.
     """
     rows_per_band = num_hashes // bands
     dsh = doc_shingles(df, text_col, id_col, n).cache()
@@ -246,31 +254,35 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    banded = (
-        banded.withColumn(
-            "_bc", F.count("*").over(W.partitionBy("band", "key"))
-        )
-        .filter(F.col("_bc") <= max_bucket)
-        .drop("_bc")
-    )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     cands = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
     verified = verify_jaccard(cands, dsh, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _pairs_within(ids_col: str) -> Column:
+    """array<struct<id_a, id_b>> of all i<j pairs from a sorted id array —
+    in-row candidate expansion for capped blocking buckets."""
+    ids = F.col(ids_col)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
 
 
 def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -378,11 +390,13 @@ def simhash_pairs(
     pigeonhole any pair within distance < chunks shares one exact chunk, so
     candidates come from equi joins on (chunk_idx, chunk_value).
 
-    ``max_bucket`` drops (chunk, value) buckets above the cap before the
-    self-join — identical-doc clusters collide on EVERY chunk and would
-    otherwise emit O(m^2) candidates (see :func:`minhash_lsh_pairs`; same
-    exact-dedup-first recipe applies). Window-count guard, same-key
-    partitioning as the join, no extra shuffle.
+    ``max_bucket`` drops (chunk, value) buckets above the cap — identical-
+    doc clusters collide on EVERY chunk and would otherwise emit O(m^2)
+    candidates (see :func:`minhash_lsh_pairs`; same exact-dedup-first
+    recipe applies). Same single-groupBy bucket-list formulation as
+    minhash: collect (id, fingerprint) per bucket, cap by size, expand
+    i<j pairs in-row — one shuffle of the chunked rows instead of a
+    window count plus a two-sided self-join.
     """
     fp = simhash(df, text_col, id_col, bits).cache()
     chunk_bits = bits // chunks
@@ -398,21 +412,33 @@ def simhash_pairs(
     chunked = fp.select(
         id_col, "simhash", F.explode(F.array(*chunk_cols)).alias("c")
     ).select(id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    chunked = (
-        chunked.withColumn("_bc", F.count("*").over(W.partitionBy("ci", "cv")))
-        .filter(F.col("_bc") <= max_bucket)
-        .drop("_bc")
+    buckets = (
+        chunked.groupBy("ci", "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    l = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
-    )
-    r = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    ms = F.col("ms")
+    pair_expr = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    y.getField("id").alias("id_b"),
+                    x.getField("simhash").alias("sh_a"),
+                    y.getField("simhash").alias("sh_b"),
+                ),
+            ),
+        )
     )
     cands = (
-        l.join(r, ["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
