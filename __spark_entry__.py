@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from staticql_spark.operators import dedup, multimodal, similarity, text
+from staticql_spark.operators import asof, dedup, multimodal, similarity, sketch, text
 from staticql_spark.plans.pagination import keyset_page_df
 from staticql_spark.streaming import load_events, sessionize, windowed_agg
 
@@ -910,6 +910,107 @@ def q_events_sessionize(spark, sf):
     return sessionize(ev, gap="30 minutes")
 
 
+def q_events_sliding(spark, sf):
+    # hopping event-time window (15 min wide, 5 min hop): each event lands
+    # in exactly 3 overlapping windows via Spark's window() explode
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return (
+        windowed_agg(ev, window="15 minutes", slide="5 minutes")
+        .drop("approx_users")
+    )
+
+
+def q_events_lag_gap(spark, sf):
+    # lag/lead analytics: per-user inter-event gaps. Gap sums stay in
+    # exact integer microseconds; the single trailing division is the only
+    # float op, so the rounded average is engine-portable.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    ts_us = asof.epoch_us(ev, "ts")
+    w = W.partitionBy("user_id").orderBy(ts_us, "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    return (
+        ev.select("user_id", gap.alias("_gap"))
+        .groupBy("user_id")
+        .agg(
+            F.count("_gap").alias("n_gaps"),
+            F.sum("_gap").alias("sum_gap_us"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .select(
+            "user_id",
+            "n_gaps",
+            "sum_gap_us",
+            F.round(F.col("sum_gap_us") / F.col("n_gaps") / F.lit(1_000_000.0), 3).alias(
+                "avg_gap_s"
+            ),
+        )
+    )
+
+
+def q_asof_click_purchase(spark, sf):
+    # as-of join (backward inclusive): each click sees the user's most
+    # recent purchase at-or-before it — the join family Spark lacks
+    # natively, built as union + last-ignorenulls window (one shuffle).
+    # The right side is pre-deduped to unique (user_id, ts) so "most
+    # recent" is well-defined on both engines.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("value").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event"),
+        )
+    )
+    res = asof.asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "purchase_event"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "purchase_event",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+def q_range_followups(spark, sf):
+    # bucketed range join: events within 5 minutes AFTER each click, same
+    # user — equi join on (user, time-bucket), never a cross join; the
+    # left-outer "zeros included" shape composes as count + join-back.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    matched = asof.range_join(
+        clicks,
+        ev.select(
+            "user_id", "ts",
+            F.col("event_id").alias("f_event"),
+            F.col("event_type").alias("f_type"),
+        ),
+        on="user_id", left_ts="ts", right_ts="ts",
+        lower_us=0, upper_us=300_000_000, include_lower=False,
+        right_cols=["f_event", "f_type"],
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count("f_event").alias("n_followups"),
+        F.sum((F.col("f_type") == "purchase").cast("long")).alias("n_purchases"),
+    )
+    return clicks.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_followups", F.lit(0)).alias("n_followups"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+def q_kmv_distinct(spark, sf):
+    # KMV (bottom-k) distinct sketch: deterministic md5-hash estimator
+    # next to the exact count — the oracle-checkable cousin of HLL
+    orders = _t(spark, sf, "orders")
+    return sketch.kmv_distinct(orders, "o_custkey", k=256)
+
+
 # =====================================================================
 # text analysis / dedup / similarity (training-data pipeline surface)
 # =====================================================================
@@ -1067,6 +1168,37 @@ def q_doc_decontaminate(spark, sf):
     return text.decontaminate(corpus, bench, n=5, min_shared=1)
 
 
+def q_doc_normalize(spark, sf):
+    # canonical normalization (lowercase, strip punctuation, collapse ws)
+    # with md5 dedup key and token count — map-only regexp chain
+    return text.normalize_corpus(_t(spark, sf, "documents"))
+
+
+def q_doc_selfdedup(spark, sf):
+    # substring-level self-dedup (Lee et al. n-gram formulation): share of
+    # each doc's 5-grams already owned by an earlier doc
+    return text.selfdedup_grams(_t(spark, sf, "documents"), n=5, threshold=0.5)
+
+
+def q_corpus_report(spark, sf):
+    # mixture report: token mass and corpus share per (lang, source)
+    return text.corpus_report(_t(spark, sf, "documents"))
+
+
+def q_doc_bm25(spark, sf):
+    # BM25 keyword retrieval: top-50 docs for a fixed query bag; scores
+    # rounded before ranking so the order is engine-portable
+    return text.bm25_rank(
+        _t(spark, sf, "documents"), terms=["spark", "hash", "table"], k=50
+    )
+
+
+def q_embedding_quantize(spark, sf):
+    # symmetric int8 quantization of the embedding column, summarized in
+    # exact-integer code stats (list cells would crash the comparator)
+    return similarity.quantize_int8(_t(spark, sf, "embeddings"))
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1210,6 +1342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "events_lag_gap": q_events_lag_gap,
+        "asof_click_purchase": q_asof_click_purchase,
+        "range_followups": q_range_followups,
+        "kmv_distinct": q_kmv_distinct,
         "rollup_agg": q_rollup_agg,
         "order_value_percentiles": q_order_value_percentiles,
         "exists_subquery": q_exists_subquery,
@@ -1226,6 +1363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii": q_doc_pii,
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_normalize": q_doc_normalize,
+        "doc_selfdedup": q_doc_selfdedup,
+        "corpus_report": q_corpus_report,
+        "doc_bm25": q_doc_bm25,
+        "embedding_quantize": q_embedding_quantize,
         "cube_rollup": q_cube_rollup,
         "pivot_priority": q_pivot_priority,
         "stratified_sample": q_stratified_sample,
@@ -1845,6 +1987,77 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, sess_id
         """,
+        "events_sliding": """
+            -- hopping window 15min/5min: every event is in exactly the 3
+            -- windows starting at floor5(ts) - k*5min, k in 0..2 (epoch-
+            -- aligned, matching Spark's window() origin)
+            SELECT ws AS window_start,
+                   ws + INTERVAL 15 MINUTE AS window_end,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+              SELECT e.event_type, e.value,
+                     time_bucket(INTERVAL 5 MINUTE, e.ts) - k * INTERVAL 5 MINUTE AS ws
+              FROM events e, unnest([0, 1, 2]) AS t(k)
+            )
+            GROUP BY ws, event_type
+        """,
+        "events_lag_gap": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   count(gap)::BIGINT AS n_gaps,
+                   sum(gap)::BIGINT AS sum_gap_us,
+                   round(sum(gap)::DOUBLE / count(gap) / 1000000.0, 3) AS avg_gap_s
+            FROM g GROUP BY user_id
+            HAVING count(gap) > 0
+        """,
+        "asof_click_purchase": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, ts,
+                     max(value) AS purchase_value,
+                     max(event_id) AS purchase_event
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, p.purchase_event,
+                   round(p.purchase_value, 4) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "range_followups": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   count(e.event_id)::BIGINT AS n_followups,
+                   coalesce(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS n_purchases
+            FROM clicks c LEFT JOIN events e
+              ON e.user_id = c.user_id
+             AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+            GROUP BY c.event_id, c.user_id
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT ('0x' || substr(md5('kmv1|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+              FROM orders WHERE o_custkey IS NOT NULL
+            ),
+            sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+            a AS (SELECT count(*)::BIGINT AS sketch_k, max(h) AS kth_hash FROM sk)
+            SELECT sketch_k, kth_hash,
+                   round(CASE WHEN sketch_k < 256 THEN sketch_k::DOUBLE
+                         ELSE 255.0 / (kth_hash::DOUBLE / 1152921504606846976.0) END, 2) AS est_ndv,
+                   (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS exact_ndv
+            FROM a
+        """,
         "rollup_agg": """
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
@@ -2078,6 +2291,114 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gram)
             GROUP BY c.doc_id
             HAVING count(*) >= 1
+        """,
+        "doc_normalize": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                       '\\s+', ' ', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+                   CASE WHEN norm_text = '' THEN 0
+                        ELSE len(string_split(norm_text, ' ')) END AS n_norm_tokens
+            FROM n
+        """,
+        "doc_selfdedup": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE len(t) >= 5
+              )
+            ),
+            owner AS (
+              SELECT gram, min(doc_id) AS o FROM grams GROUP BY gram
+            ),
+            per_doc AS (
+              SELECT g.doc_id,
+                     count(*)::BIGINT AS n_grams,
+                     sum(CASE WHEN o.o < g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup
+              FROM grams g JOIN owner o USING (gram)
+              GROUP BY g.doc_id
+            )
+            SELECT doc_id, n_grams, n_dup,
+                   round(n_dup / n_grams, 4) AS dup_frac,
+                   round(n_dup / n_grams, 4) < 0.5 AS keep
+            FROM per_doc
+        """,
+        "corpus_report": f"""
+            WITH cells AS (
+              SELECT lang, source,
+                     count(*)::BIGINT AS n_docs,
+                     sum(len({_TOKS_RAW}))::BIGINT AS n_tokens
+              FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, n_docs, n_tokens,
+                   round(n_tokens / (sum(n_tokens) OVER ()), 6) AS token_share
+            FROM cells
+        """,
+        "doc_bm25": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len({_TOKS_NORM})::DOUBLE AS dl,
+                     len(list_filter({_TOKS_NORM}, x -> x = 'spark'))::DOUBLE AS tf0,
+                     len(list_filter({_TOKS_NORM}, x -> x = 'hash'))::DOUBLE AS tf1,
+                     len(list_filter({_TOKS_NORM}, x -> x = 'table'))::DOUBLE AS tf2
+              FROM documents
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS n, sum(dl) AS suml,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM base
+            )
+            SELECT doc_id,
+                   round(
+                       ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                         * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                         * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                     + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                         * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                   , 4) AS bm25
+            FROM base, stats
+            WHERE round(
+                       ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                         * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                     + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                         * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                     + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                         * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (suml / n)))
+                   , 4) > 0
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 50
+        """,
+        "embedding_quantize": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+              FROM embeddings
+            ),
+            codes AS (
+              SELECT e.vec_id,
+                     CASE WHEN q.maxabs > 0 THEN 127.0 / q.maxabs END AS scale,
+                     list_transform(e.embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * (CASE WHEN q.maxabs > 0 THEN 127.0 / q.maxabs END)) AS INT)) AS c
+              FROM embeddings e JOIN q USING (vec_id)
+            )
+            SELECT vec_id,
+                   list_aggregate(list_transform(c, x -> abs(x)::BIGINT), 'sum')::BIGINT AS q_l1,
+                   list_aggregate(list_transform(c, x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END::BIGINT), 'sum')::BIGINT AS q_nnz,
+                   list_max(list_transform(c, x -> abs(x))) AS q_max,
+                   round(scale, 6) AS scale_r
+            FROM codes
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

@@ -37,10 +37,14 @@ HEADLINE = [
     "window_running",
     "events_windowed",
     "events_sessionize",
+    "asof_click_purchase",
+    "range_followups",
+    "kmv_distinct",
     "doc_quality",
     "doc_lang",
     "doc_pii",
     "doc_decontaminate",
+    "doc_selfdedup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -382,3 +382,146 @@ def decontaminate_keep(
     the decontamination hit list)."""
     hits = decontaminate(docs, benchmark, text_col, id_col, n=n, min_shared=min_shared)
     return docs.join(hits.select(id_col), id_col, "left_anti")
+
+
+# ------------------------------------------------- normalization & self-dedup
+
+def normalize_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization for dedup keys and downstream NLP:
+    lowercase -> strip non-alphanumeric (keeping spaces) -> collapse
+    whitespace -> trim. Emits the normalized text, its md5 (the exact-dup
+    key after aggressive normalization — catches punctuation-only edits
+    that ``fingerprint`` misses) and its token count.
+
+    Pure regexp_replace chain: map-only, codegen'd, zero shuffles.
+    """
+    df = ensure_parallelism(df)
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        "doc_id",
+        c.alias("norm_text"),
+        F.md5(c).alias("norm_hash"),
+        F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, " "))).alias("n_norm_tokens"),
+    )
+
+
+def selfdedup_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Substring-level self-dedup à la Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), n-gram formulation:
+    every distinct word n-gram is owned by the lowest doc_id containing
+    it; a doc's duplication fraction is the share of its grams owned by an
+    earlier doc. ``keep`` = dup_frac < threshold.
+
+    The suffix-array original is inherently sequential; this n-gram
+    owner-join is its scalable twin: one shuffle keyed on the gram hash
+    (min() map-side combined), one shuffle for the per-doc ratio. Gram
+    keys are md5s — uniform, so the gram shuffle has no skew by
+    construction.
+    """
+    grams = ngram_fingerprints(df, text_col, id_col, n)  # (id, distinct gram)
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("_owner"))
+    per_doc = (
+        grams.join(owner, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("_owner") < F.col(id_col)).cast("long")).alias("n_dup"),
+        )
+    )
+    dup_frac = F.round(F.col("n_dup") / F.col("n_grams"), 4)
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_dup",
+        dup_frac.alias("dup_frac"),
+        (dup_frac < F.lit(threshold)).alias("keep"),
+    )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mixture report per (lang, source): doc count, token mass, and each
+    cell's share of total corpus tokens — the table a data-mixture owner
+    reads before weighting sources.
+
+    Two-level aggregation: the per-cell groupBy map-side combines; the
+    total-token denominator is an unpartitioned window over the (tiny)
+    cell table, not a second pass over the corpus.
+    """
+    cells = (
+        ensure_parallelism(df)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k docs for a bag of query terms.
+
+    tf comes from one map-only pass (aggregate over the token array —
+    no explode, no shuffle per term); df(term) and avgdl come from one
+    tiny global aggregate that is BROADCAST back (scalar subquery shape),
+    so the corpus is scanned twice and shuffled only for the final top-k,
+    which compiles to TakeOrderedAndProject (per-partition heaps, no
+    global sort).
+
+    Scores are rounded to 4dp BEFORE ranking so the (score, id) order is
+    reproducible across engines despite last-ulp log/divide noise.
+    """
+    from .dedup import normalize_text
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("double").alias("_dl")
+    )
+    for i, term in enumerate(terms):
+        base = base.withColumn(
+            f"_tf{i}",
+            F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term))).cast("double"),
+        )
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_dl").cast("double").alias("_suml"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}") for i in range(len(terms))],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log((F.col("_n") - F.col(f"_df{i}") + F.lit(0.5)) / (F.col(f"_df{i}") + F.lit(0.5)) + F.lit(1.0))
+        tf = F.col(f"_tf{i}")
+        denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / (F.col("_suml") / F.col("_n")))
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+    return (
+        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -401,3 +401,69 @@ def test_decontaminate_flags_and_keep(spark):
     kept = {r["doc_id"] for r in
             text.decontaminate_keep(docs, bench, n=5, min_shared=1).collect()}
     assert kept == {2, 3}
+
+
+def test_normalize_corpus_strips_and_hashes(spark):
+    docs = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42 "), (2, "hello world 42"), (3, "!!!")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.normalize_corpus(docs).collect()}
+    assert rows[1]["norm_text"] == "hello world 42"
+    # punctuation-only differences collapse to the same dedup key
+    assert rows[1]["norm_hash"] == rows[2]["norm_hash"]
+    assert rows[1]["n_norm_tokens"] == 3
+    assert rows[3]["norm_text"] == "" and rows[3]["n_norm_tokens"] == 0
+
+
+def test_selfdedup_grams_owner_semantics(spark):
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, base),                       # owns all its grams
+         (2, base + " eta"),              # mostly owned by doc 1
+         (3, "one two three four five")], # unrelated
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            text.selfdedup_grams(docs, n=5, threshold=0.5).collect()}
+    assert rows[1]["n_dup"] == 0 and rows[1]["keep"]
+    # doc 2's 3 grams: the 2 inside doc 1's text are owned by doc 1
+    assert rows[2]["n_dup"] == 2 and not rows[2]["keep"]  # 2/3 > 0.5
+    assert rows[3]["n_dup"] == 0 and rows[3]["keep"]
+
+
+def test_corpus_report_shares_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, "d e", "en", "web"), (3, "f", "ja", "book")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    rows = text.corpus_report(docs).collect()
+    got = {(r["lang"], r["source"]): (r["n_docs"], r["n_tokens"]) for r in rows}
+    assert got == {("en", "web"): (2, 5), ("ja", "book"): (1, 1)}
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and hash"), (3, "nothing here"),
+         (4, "hash table hash table")],
+        ["doc_id", "text"],
+    )
+    rows = text.bm25_rank(docs, terms=["spark", "hash"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids          # zero-score docs are dropped
+    assert set(ids) == {1, 2, 4}
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
+
+
+def test_quantize_int8_codes(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    # scale = 127/2 = 63.5 -> codes [64, -127, 32] (round half up)
+    assert rows[1]["q_max"] == 127
+    assert rows[1]["q_l1"] == 64 + 127 + 32
+    assert rows[1]["q_nnz"] == 3
+    assert rows[2]["scale_r"] is None  # zero vector: nothing to scale

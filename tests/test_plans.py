@@ -251,3 +251,36 @@ def test_decontaminate_broadcasts_benchmark(spark):
     p = plan(entrymod.q_doc_decontaminate(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_asof_join_single_key_shuffle_no_cartesian(spark):
+    # as-of = union + window: the only exchanges are hashpartitioning on
+    # the join key (one per union branch pre-AQE); no join operator at all,
+    # so no cartesian/BNLJ can regress in
+    p = plan(entrymod.q_asof_click_purchase(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
+    assert re.search(r"hashpartitioning\(user_id", p), p
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    # interval predicate compiles to an equi join on (key, bucket) — the
+    # range filter rides as a post-join condition, never a nested loop
+    p = plan(entrymod.q_range_followups(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "_bkt" in p, p
+
+
+def test_kmv_topk_is_take_ordered(spark):
+    # the k-smallest-hashes step must be TakeOrderedAndProject (per-
+    # partition heaps), not a global Sort of all distinct hashes
+    p = plan(entrymod.q_kmv_distinct(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bm25_stats_broadcast_and_topk(spark):
+    # corpus stats (one row) broadcast back; final ranking is top-k, not a
+    # global sort
+    p = plan(entrymod.q_doc_bm25(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "TakeOrderedAndProject" in p, p
