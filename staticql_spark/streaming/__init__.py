@@ -122,6 +122,114 @@ def sessionize(
 
 # ------------------------------------------------- custom stateful operator
 
+STREAM_ASOF_SCHEMA = (
+    "key string, left_id long, ts timestamp, matched_value double, matched_ts timestamp"
+)
+_ASOF_STATE = "last_ts timestamp, last_value double"
+
+
+def stream_asof_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_id: str = "event_id",
+    right_value: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming temporal (as-of) join: enrich each left row with the most
+    recent right value at-or-before it for the same key — the streaming
+    twin of ``operators.asof.asof_join`` (same shape as Flink's temporal
+    join).
+
+    Custom stateful operator (applyInPandasWithState): both sides union
+    into one keyed stream; state per key = (latest right ts, value). Each
+    micro-batch's group is sorted by (ts, side) with right rows first at
+    ties, so WITHIN a batch matching is exact as-of; ACROSS batches the
+    state carries only the latest right row, so a left row arriving in a
+    later batch than a not-yet-seen older right row matches "latest known"
+    instead — the standard processing-progress caveat every streaming
+    temporal join shares (exact history would mean unbounded state). State
+    is O(1) per key: one (ts, value) pair, hash-partitioned to the state
+    store on the join key.
+
+    On batch inputs this falls back to the exact batch as-of join, so
+    tests and oracles can pin identical semantics without a stream.
+    """
+    import pandas as pd
+
+    l = left.select(
+        F.col(on).cast("string").alias("key"),
+        F.col(left_ts).alias("ts"),
+        F.lit(1).alias("side"),
+        F.col(left_id).cast("long").alias("left_id"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    r = right.select(
+        F.col(on).cast("string").alias("key"),
+        F.col(right_ts).alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("left_id"),
+        F.col(right_value).cast("double").alias("val"),
+    )
+
+    if not left.isStreaming and not right.isStreaming:
+        from ..operators.asof import asof_join
+
+        rb = r.select("key", "ts", F.col("val").alias("matched_value")).withColumn(
+            "matched_ts", F.col("ts")
+        )
+        return asof_join(
+            l.select("key", "ts", "left_id"),
+            rb,
+            on="key",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=["matched_value", "matched_ts"],
+            tiebreak="matched_value",
+        ).select("key", "left_id", "ts", "matched_value", "matched_ts")
+
+    unioned = l.unionByName(r).withWatermark("ts", watermark)
+
+    def update(key, pdf_iter, state):
+        (k,) = key
+        last_ts, last_val = state.get if state.exists else (None, None)
+        out_id, out_ts, out_val, out_mts = [], [], [], []
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        # right rows sort before left rows at equal ts -> inclusive match
+        batch = batch.sort_values(["ts", "side"], kind="mergesort")
+        for row in batch.itertuples(index=False):
+            if row.side == 0:
+                if last_ts is None or row.ts >= last_ts:
+                    last_ts, last_val = row.ts, row.val
+            else:
+                out_id.append(row.left_id)
+                out_ts.append(row.ts)
+                out_val.append(last_val)
+                out_mts.append(last_ts)
+        state.update((last_ts, last_val))
+        yield pd.DataFrame(
+            {
+                "key": [k] * len(out_id),
+                "left_id": out_id,
+                "ts": out_ts,
+                "matched_value": out_val,
+                "matched_ts": out_mts,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return unioned.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=STREAM_ASOF_SCHEMA,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FIRST_SEEN_SCHEMA = (
     "fp string, first_ts timestamp, n_dups long"
 )

@@ -199,3 +199,82 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for r in control.collect()
     }
     assert got[(dt.datetime(2024, 1, 1, 0, 0), "click")] == 3
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming temporal join: two checkpointed availableNow runs with
+    time-ordered drops must reproduce the exact batch as-of join (arrivals
+    in order = the case where 'latest known' IS 'as of event time')."""
+    import datetime as dt
+
+    from staticql_spark.streaming import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stream_asof_enrich,
+    )
+
+    d = str(tmp_path / "drops")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def ev(eid, minute, etype, value):
+        return (eid, dt.datetime(2024, 1, 1, 10, minute), 7, etype, value, "{}")
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'")
+        purch = df.filter("event_type = 'purchase'")
+        return clicks, purch
+
+    def run_once():
+        stream = read_event_stream(spark, d, max_files=10)
+        clicks, purch = split(stream)
+        q = (
+            stream_asof_enrich(clicks, purch, on="user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["left_id"]: (r["matched_value"], r["matched_ts"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    batch1 = spark.createDataFrame(
+        [
+            ev(1, 0, "purchase", 10.0),
+            ev(2, 5, "click", 0.0),     # -> 10.0
+            ev(3, 10, "purchase", 20.0),
+            ev(4, 10, "click", 0.0),    # tie ts -> inclusive, 20.0
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(d)
+    run1 = run_once()
+    assert run1[2] == (10.0, dt.datetime(2024, 1, 1, 10, 0))
+    assert run1[4] == (20.0, dt.datetime(2024, 1, 1, 10, 10))
+
+    # run 2: later drop — state must carry purchase 20.0 across batches,
+    # then supersede it mid-batch
+    spark.createDataFrame(
+        [
+            ev(5, 20, "click", 0.0),    # -> carried 20.0 from run 1 state
+            ev(6, 25, "purchase", 30.0),
+            ev(7, 30, "click", 0.0),    # -> 30.0
+        ],
+        schema=EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(d)
+    run2 = run_once()
+    assert run2[5] == (20.0, dt.datetime(2024, 1, 1, 10, 10))
+    assert run2[7] == (30.0, dt.datetime(2024, 1, 1, 10, 25))
+
+    # batch fallback twin: identical semantics on the full static input
+    clicks, purch = split(spark.read.parquet(d))
+    got = {
+        r["left_id"]: (r["matched_value"], r["matched_ts"])
+        for r in stream_asof_enrich(clicks, purch, on="user_id").collect()
+    }
+    assert got == run2
