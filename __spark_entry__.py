@@ -1011,6 +1011,51 @@ def q_kmv_distinct(spark, sf):
     return sketch.kmv_distinct(orders, "o_custkey", k=256)
 
 
+def q_cm_heavy_hitters(spark, sf):
+    # count-min sketch: frequency estimates (upper bounds) for a probe
+    # set next to exact counts; the sketch is depth x width counts, so
+    # the shuffle is O(1) regardless of input size
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return sketch.cm_estimate(
+        ev, "user_id", probes=["1", "2", "3", "999999"], depth=4, width=256
+    )
+
+
+def q_full_outer_activity(spark, sf):
+    # full outer join: overdrawn customers vs urgent-order counts — rows
+    # survive from either side (the one outer-join form no other query
+    # exercises); dims coalesce into one key
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    left = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("neg_bal")
+    )
+    right = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return left.join(
+        right, left["c_custkey"] == right["o_custkey"], "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "neg_bal",
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+    )
+
+
+def q_events_props_json(spark, sf):
+    # semi-structured metadata: extract a JSON field from the props column
+    # (JVM-side get_json_object, no UDF) and aggregate over its buckets
+    ev = load_events(spark, f"{sf}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 # =====================================================================
 # text analysis / dedup / similarity (training-data pipeline surface)
 # =====================================================================
@@ -1347,6 +1392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": q_asof_click_purchase,
         "range_followups": q_range_followups,
         "kmv_distinct": q_kmv_distinct,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "full_outer_activity": q_full_outer_activity,
+        "events_props_json": q_events_props_json,
         "rollup_agg": q_rollup_agg,
         "order_value_percentiles": q_order_value_percentiles,
         "exists_subquery": q_exists_subquery,
@@ -2057,6 +2105,53 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 255.0 / (kth_hash::DOUBLE / 1152921504606846976.0) END, 2) AS est_ndv,
                    (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS exact_ndv
             FROM a
+        """,
+        "cm_heavy_hitters": """
+            WITH vals AS (
+              SELECT user_id::VARCHAR AS v FROM events WHERE user_id IS NOT NULL
+            ),
+            sketch AS (
+              SELECT d,
+                     ('0x' || substr(md5('cm1|' || d::VARCHAR || '|' || v), 1, 15))::BIGINT % 256 AS bucket,
+                     count(*)::BIGINT AS n
+              FROM vals, unnest([0, 1, 2, 3]) AS t(d)
+              GROUP BY 1, 2
+            ),
+            probes AS (SELECT unnest(['1', '2', '3', '999999']) AS user_id),
+            pb AS (
+              SELECT user_id, d,
+                     ('0x' || substr(md5('cm1|' || d::VARCHAR || '|' || user_id), 1, 15))::BIGINT % 256 AS bucket
+              FROM probes, unnest([0, 1, 2, 3]) AS t(d)
+            ),
+            est AS (
+              SELECT p.user_id, min(coalesce(s.n, 0))::BIGINT AS est_count
+              FROM pb p LEFT JOIN sketch s USING (d, bucket) GROUP BY 1
+            ),
+            exact AS (
+              SELECT user_id::VARCHAR AS user_id, count(*)::BIGINT AS exact_count
+              FROM events WHERE user_id::VARCHAR IN ('1', '2', '3', '999999')
+              GROUP BY 1
+            )
+            SELECT e.user_id, e.est_count,
+                   coalesce(x.exact_count, 0)::BIGINT AS exact_count
+            FROM est e LEFT JOIN exact x USING (user_id)
+        """,
+        "full_outer_activity": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.neg_bal,
+                   coalesce(o.n_urgent, 0)::BIGINT AS n_urgent
+            FROM (SELECT c_custkey, round(c_acctbal, 2) AS neg_bal
+                  FROM customer WHERE c_acctbal < 0) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*)::BIGINT AS n_urgent
+                  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "events_props_json": """
+            SELECT (props->>'$.k')::INT % 10 AS k_bucket,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1
         """,
         "rollup_agg": """
             SELECT o_orderstatus, o_orderpriority,

@@ -58,3 +58,84 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256, salt: str = "kmv1") -> D
     )
     exact = df.select(F.countDistinct(col).alias("exact_ndv"))
     return agg.withColumn("est_ndv", F.round(est, 2)).crossJoin(exact)
+
+
+def _cm_bucket(col, d, width: int, salt: str):
+    """Row-d count-min bucket of a value: md5-derived 60-bit hash mod width,
+    identical in Spark and DuckDB."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), d.cast("string"), F.lit("|"), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cm_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256, salt: str = "cm1"
+) -> DataFrame:
+    """Count-min sketch build: (d, bucket, n) counts over ``depth``
+    independent md5-derived hash rows of ``width`` buckets.
+
+    One groupBy keyed on (d, bucket) — at most depth x width groups, so
+    map-side combine collapses the shuffle to a few KB per partition no
+    matter how large the input: the sketch of a 100 TB column ships in a
+    single small table. Sketches add: union two builds and re-sum to merge
+    streams or partitions.
+    """
+    rows = df.select(F.col(col).cast("string").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    exploded = rows.select(
+        "_v", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    return (
+        exploded.select("d", _cm_bucket(F.col("_v"), F.col("d"), width, salt).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cm_estimate(
+    df: DataFrame,
+    col: str,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm1",
+) -> DataFrame:
+    """Count-min frequency estimates for a probe set, next to exact counts.
+
+    est(v) = min over hash rows d of sketch[d][h_d(v)] — an upper bound on
+    the true count (collisions only inflate). The probe side is a tiny
+    literal frame: its (d, bucket) pairs BROADCAST against the sketch, so
+    estimation never shuffles the sketch, and the exact-count join is one
+    aggregate over the (already filtered) probed values.
+    """
+    spark = df.sparkSession
+    sketch = cm_sketch(df, col, depth, width, salt)
+    probe_df = spark.createDataFrame([(p,) for p in probes], f"{col} string")
+    probe_buckets = probe_df.select(
+        col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    ).select(col, "d", _cm_bucket(F.col(col), F.col("d"), width, salt).alias("bucket"))
+    est = (
+        F.broadcast(probe_buckets)
+        .join(sketch, ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.select(F.col(col).cast("string").alias(col))
+        .filter(F.col(col).isin(probes))
+        .groupBy(col)
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, col, "left").select(
+        col, "est_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count")
+    )

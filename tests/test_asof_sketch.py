@@ -174,3 +174,28 @@ class TestKmv:
         a = kmv_distinct(df.repartition(1), "v", k=64).collect()[0]
         b = kmv_distinct(df.repartition(16), "v", k=64).collect()[0]
         assert a == b
+
+
+class TestCountMin:
+    def test_estimates_upper_bound_exact(self, spark):
+        from staticql_spark.operators.sketch import cm_estimate
+
+        df = spark.range(3000).select((F.col("id") % 30).alias("v"))
+        rows = cm_estimate(df, "v", probes=["0", "7", "29", "absent"],
+                           depth=4, width=256).collect()
+        got = {r["v"]: (r["est_count"], r["exact_count"]) for r in rows}
+        assert set(got) == {"0", "7", "29", "absent"}
+        for est, exact in got.values():
+            assert est >= exact  # CM never underestimates
+        # 30 distinct values in 4x256 buckets: collisions are unlikely, so
+        # the present probes should be exact and the absent one near zero
+        assert got["0"] == (100, 100)
+        assert got["absent"][1] == 0
+
+    def test_sketch_is_partitioning_invariant(self, spark):
+        from staticql_spark.operators.sketch import cm_sketch
+
+        df = spark.range(2000).select((F.col("id") % 50).alias("v"))
+        a = sorted(map(tuple, cm_sketch(df.repartition(1), "v").collect()))
+        b = sorted(map(tuple, cm_sketch(df.repartition(16), "v").collect()))
+        assert a == b
