@@ -1244,6 +1244,31 @@ def q_embedding_quantize(spark, sf):
     return similarity.quantize_int8(_t(spark, sf, "embeddings"))
 
 
+def q_doc_split(spark, sf):
+    # reproducible train/val/test split: the md5 bucket that decides a
+    # doc's split never changes when other docs appear — rows can be
+    # added to a corpus without reshuffling anyone's assignment
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split1|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars_total"))
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
@@ -1259,6 +1284,36 @@ def q_dedup_minhash_sig(spark, sf):
 def q_dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def q_dedup_jaccard_hist(spark, sf):
+    # similarity-distribution report over the near-dup pairs: decile bins
+    # of exact Jaccard — the table a dedup-threshold owner reads before
+    # picking the cut; one extra tiny aggregate over the pair output
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+    bin_ = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return pairs.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.min("jaccard"), 6).alias("min_j"),
+        F.round(F.max("jaccard"), 6).alias("max_j"),
+    )
+
+
+def q_grouping_sets_agg(spark, sf):
+    # explicit GROUPING SETS (finer control than cube/rollup): status-only,
+    # year-only, and grand-total planes in one pass
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus", F.year("o_orderdate").alias("o_year"), "o_totalprice"
+    )
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_year"], []], "o_orderstatus", "o_year"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().alias("gid"),
     )
 
 
@@ -1419,9 +1474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": q_cube_rollup,
         "pivot_priority": q_pivot_priority,
         "stratified_sample": q_stratified_sample,
+        "doc_split": q_doc_split,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard_hist": q_dedup_jaccard_hist,
+        "grouping_sets_agg": q_grouping_sets_agg,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2281,6 +2339,19 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'de' THEN 100000
                               ELSE 0 END
         """,
+        "doc_split": """
+            WITH b AS (
+              SELECT CASE
+                       WHEN (('0x' || substr(md5('split1|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 80 THEN 'train'
+                       WHEN (('0x' || substr(md5('split1|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100) < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                     n_chars
+              FROM documents
+            )
+            SELECT split, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars_total
+            FROM b GROUP BY split
+        """,
         "doc_winnow": f"""
             WITH d AS (
               SELECT doc_id, {_NORM} AS n FROM documents WHERE doc_id < 200
@@ -2509,6 +2580,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_LSH_PAIRS_CTES}
             SELECT id_a, id_b, jaccard FROM lsh_pairs
+        """,
+        "dedup_jaccard_hist": f"""
+            WITH {_LSH_PAIRS_CTES}
+            SELECT least(floor(jaccard * 10), 9)::INT AS bin,
+                   count(*)::BIGINT AS n_pairs,
+                   round(min(jaccard), 6) AS min_j,
+                   round(max(jaccard), 6) AS max_j
+            FROM lsh_pairs GROUP BY 1
+        """,
+        "grouping_sets_agg": """
+            SELECT o_orderstatus, year(o_orderdate) AS o_year,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total,
+                   GROUPING(o_orderstatus, year(o_orderdate)) AS gid
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
         """,
         "dedup_components": f"""
             WITH RECURSIVE {_LSH_PAIRS_CTES},
