@@ -1354,6 +1354,15 @@ def q_ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(queries, emb, k=5)
 
 
+def q_ann_quantized(spark, sf):
+    # memory-compressed retrieval: top-k cosine over int8 codes — the
+    # dot/norms are exact integer sums (no float-order hazard), scales
+    # cancel out of cosine so codes compare directly
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.quantized_topk(queries, emb, k=5)
+
+
 def q_embedding_neardup(spark, sf):
     # synthetic embeddings top out near cosine 0.43; 0.35 keeps the tail
     return dedup.embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
@@ -1486,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_quantized": q_ann_quantized,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2711,6 +2721,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, neighbor_id, cosine,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_quantized": """
+            WITH codes AS (
+              SELECT vec_id,
+                     list_transform(embedding::DOUBLE[],
+                       x -> CASE WHEN m > 0 THEN round(x * (127.0 / m)) ELSE NULL END::BIGINT) AS c
+              FROM (SELECT vec_id, embedding,
+                           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+                    FROM embeddings)
+            ),
+            n AS (
+              SELECT vec_id, c, sqrt(list_dot_product(c, c)::DOUBLE) AS nn FROM codes
+            ),
+            q AS (SELECT vec_id AS query_id, c AS qc, nn AS qn FROM n WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                     round(list_dot_product(qc, c)::DOUBLE / (qn * nn), 6) AS qcosine
+              FROM q CROSS JOIN n WHERE query_id <> vec_id
+            )
+            SELECT query_id, neighbor_id, qcosine, rank FROM (
+              SELECT query_id, neighbor_id, qcosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qcosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
         """,

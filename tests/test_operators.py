@@ -467,3 +467,14 @@ def test_quantize_int8_codes(spark):
     assert rows[1]["q_l1"] == 64 + 127 + 32
     assert rows[1]["q_nnz"] == 3
     assert rows[2]["scale_r"] is None  # zero vector: nothing to scale
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    quant = similarity.quantized_topk(queries, emb, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    # int8 codes preserve cosine to ~1% — top-5 recall should be near-total
+    assert len(e & q) / len(e) >= 0.8
