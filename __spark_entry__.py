@@ -947,6 +947,25 @@ def q_events_lag_gap(spark, sf):
     )
 
 
+def q_events_range_window(spark, sf):
+    # RANGE-framed window (value-based frame, not row-based): per user,
+    # count of events in the trailing 10 minutes at each event — exact
+    # integer frame bounds over epoch-µs, so no float frame edges
+    ev = load_events(spark, f"{sf}/events.parquet")
+    ts_us = asof.epoch_us(ev, "ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_trailing_10m"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_10m"),
+    )
+
+
 def q_asof_click_purchase(spark, sf):
     # as-of join (backward inclusive): each click sees the user's most
     # recent purchase at-or-before it — the join family Spark lacks
@@ -1453,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
         "events_lag_gap": q_events_lag_gap,
+        "events_range_window": q_events_range_window,
         "asof_click_purchase": q_asof_click_purchase,
         "range_followups": q_range_followups,
         "kmv_distinct": q_kmv_distinct,
@@ -2132,6 +2152,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(gap)::DOUBLE / count(gap) / 1000000.0, 3) AS avg_gap_s
             FROM g GROUP BY user_id
             HAVING count(gap) > 0
+        """,
+        "events_range_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_trailing_10m,
+                   round(sum(value) OVER w, 4) AS sum_trailing_10m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         """,
         "asof_click_purchase": """
             WITH clicks AS (

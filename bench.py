@@ -70,11 +70,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # best of 2: run 1 includes one-time whole-stage-codegen class
+        # best of 3: run 1 includes one-time whole-stage-codegen class
         # compilation (measured 3-4x the steady-state on expression-heavy
-        # queries); run 2 is the engine's sustained throughput
+        # queries), and this host shows ±25% background drift between
+        # identical runs — a third rep keeps the minimum near sustained
+        # engine throughput
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
