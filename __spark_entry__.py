@@ -1232,10 +1232,47 @@ def q_doc_decontaminate(spark, sf):
     return text.decontaminate(corpus, bench, n=5, min_shared=1)
 
 
+def q_doc_quality_filter(spark, sf):
+    # distribution-based filtering: keep docs at or above their language's
+    # exact median quality — the per-stratum percentile cut a corpus
+    # curator applies instead of one global threshold. The (tiny) per-lang
+    # median table broadcasts back against the scored corpus.
+    docs = _t(spark, sf, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    ql = q.join(docs.select("doc_id", "lang"), "doc_id")
+    med = ql.groupBy("lang").agg(F.expr("percentile(quality, 0.5D)").alias("med"))
+    return (
+        ql.join(F.broadcast(med), "lang")
+        .filter(F.col("quality") >= F.col("med"))
+        .select("doc_id", "lang", "quality", F.round("med", 4).alias("lang_median"))
+    )
+
+
 def q_doc_normalize(spark, sf):
     # canonical normalization (lowercase, strip punctuation, collapse ws)
     # with md5 dedup key and token count — map-only regexp chain
     return text.normalize_corpus(_t(spark, sf, "documents"))
+
+
+def q_doc_term_df(spark, sf):
+    # inverted-index statistics: the 50 highest-document-frequency terms —
+    # the posting-list size table a search-index planner reads; distinct
+    # terms per doc explode map-side, one uniform-key shuffle counts df
+    from staticql_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.tokens(normalize_text(F.col("text"))))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df_docs"))
+        .orderBy(F.col("df_docs").desc(), F.col("term"))
+        .limit(50)
+    )
 
 
 def q_doc_selfdedup(spark, sf):
@@ -1489,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_key_agg": q_salted_hot_key_agg,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
+        "doc_quality_filter": q_doc_quality_filter,
         "doc_lang": q_doc_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow": q_doc_winnow,
@@ -1496,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_normalize": q_doc_normalize,
+        "doc_term_df": q_doc_term_df,
         "doc_selfdedup": q_doc_selfdedup,
         "corpus_report": q_corpus_report,
         "doc_bm25": q_doc_bm25,
@@ -1574,6 +1613,33 @@ tokh AS (
 ),
 shingles AS ({_SHINGLES_BODY})
 """
+
+# quality-score CTEs (base text stats -> per-doc ratios + rounded score) —
+# shared by the doc_quality and doc_quality_filter oracles; the formula is
+# the SQL twin of text.quality_score (DuckDB lateral alias reuse lets the
+# score reference the ratio columns defined in the same SELECT)
+_QUALITY_CTES = f"""base AS (
+              SELECT doc_id, text,
+                     length(text) AS n_chars,
+                     {_TOKS_RAW} AS toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     len(list_filter(toks, t -> lower(t) IN {_STOPS})) AS stop_hits,
+                     CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE / len(toks) ELSE 0.0 END AS mean_tok_len,
+                     CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
+                     CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+                     round(((CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 1 ELSE 0 END)::DOUBLE
+                          + (CASE WHEN len(toks) > 0 AND stop_hits > 0 THEN 1 ELSE 0 END)::DOUBLE
+                          + alpha_ratio) / 3.0, 4) AS quality
+              FROM base
+            )"""
 
 # universal-hash min-hash family — formula mirrors dedup.minhash_params /
 # minhash_signatures exactly (k BIGINT projections of the shingle hash)
@@ -2297,35 +2363,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_quality": f"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     length(text) AS n_chars,
-                     {_TOKS_RAW} AS toks,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
-              FROM documents
-            ),
-            r AS (
-              SELECT doc_id,
-                     len(toks) AS n_tokens,
-                     len(list_filter(toks, t -> lower(t) IN {_STOPS})) AS stop_hits,
-                     CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE / len(toks) ELSE 0.0 END AS mean_tok_len,
-                     CASE WHEN n_chars > 0 THEN n_alpha::DOUBLE / n_chars ELSE 0.0 END AS alpha_ratio,
-                     CASE WHEN n_chars > 0 THEN n_digit::DOUBLE / n_chars ELSE 0.0 END AS digit_ratio,
-                     CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio
-              FROM base
-            )
+            WITH {_QUALITY_CTES}
             SELECT doc_id, n_tokens,
                    round(mean_tok_len, 4) AS mean_tok_len,
                    round(alpha_ratio, 4) AS alpha_ratio,
                    round(digit_ratio, 4) AS digit_ratio,
                    round(punct_ratio, 4) AS punct_ratio,
                    round(CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END, 4) AS stop_ratio,
-                   round(((CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 1 ELSE 0 END)::DOUBLE
-                        + (CASE WHEN n_tokens > 0 AND stop_hits > 0 THEN 1 ELSE 0 END)::DOUBLE
-                        + alpha_ratio) / 3.0, 4) AS quality
+                   quality
             FROM r
+        """,
+        "doc_quality_filter": f"""
+            WITH {_QUALITY_CTES},
+            j AS (
+              SELECT r.doc_id, d.lang, r.quality
+              FROM r JOIN documents d USING (doc_id)
+            ),
+            med AS (
+              SELECT lang, quantile_cont(quality, 0.5) AS med
+              FROM j GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.quality, round(m.med, 4) AS lang_median
+            FROM j JOIN med m USING (lang)
+            WHERE j.quality >= m.med
         """,
         "doc_lang": f"""
             WITH base AS (
@@ -2508,6 +2568,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN norm_text = '' THEN 0
                         ELSE len(string_split(norm_text, ' ')) END AS n_norm_tokens
             FROM n
+        """,
+        "doc_term_df": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS_NORM})) AS term
+              FROM documents
+            )
+            SELECT term, count(*)::BIGINT AS df_docs
+            FROM t WHERE term <> ''
+            GROUP BY term
+            ORDER BY df_docs DESC, term
+            LIMIT 50
         """,
         "doc_selfdedup": f"""
             WITH toks AS (
