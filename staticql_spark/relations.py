@@ -16,10 +16,12 @@ Reference semantics (src/utils/relationResolver.ts, src/QueryBuilder.ts
 - through relations are two chained equi joins over the intermediate
   source (relationResolver.ts:108-147), with nested array keys
   (e.g. ``combinedHerbs.slug``) flattened via explode.
-- J7 partial-key containment fallback (relationResolver.ts:79-89) is NOT
-  reproduced: it substring-matches map keys when a local key resolves to
-  >1 value, which double-matches unrelated keys; we use exact per-element
-  equality (documented divergence, SURVEY §2.3 J7).
+- J7 partial-key containment fallback (relationResolver.ts:79-89): when a
+  local key resolves to >1 value the reference substring-matches map keys
+  (``key.includes(k)``), which can double-match unrelated keys. Default
+  here is exact per-element equality (the sane semantics; SURVEY §2.3 J7),
+  with the reference-faithful quirk available behind
+  ``containment_fallback=True`` for byte-level parity.
 
 Scale notes: the foreign side aggregates to one row per key *before* the
 join where possible; content dims are broadcast (they are small by
@@ -54,6 +56,7 @@ def _matches_per_slug(
     foreign: DataFrame,
     foreign_key: str,
     broadcast_foreign: bool = True,
+    containment_fallback: bool = False,
 ) -> DataFrame:
     """(slug, matches: array<struct<foreign record>>) for rows with >=1 match.
 
@@ -71,9 +74,11 @@ def _matches_per_slug(
     Pinned by tests/test_relations_determinism.py across shuffle-partition
     counts and AQE on/off.
     """
+    lvs = _key_values(local, local_key)
     lhs = local.select(
         F.col("slug").alias("_lslug"),
-        F.explode(_key_values(local, local_key)).alias("_lv"),
+        (F.size(lvs) > 1).alias("_lmulti"),
+        F.explode(lvs).alias("_lv"),
     )
     rhs = foreign.select(
         F.explode(_key_values(foreign, foreign_key)).alias("_fv"),
@@ -82,7 +87,19 @@ def _matches_per_slug(
     )
     if broadcast_foreign:
         rhs = F.broadcast(rhs)
-    joined = lhs.join(rhs, lhs["_lv"] == rhs["_fv"], "inner")
+    if containment_fallback:
+        # J7 quirk parity (relationResolver.ts:79-89 + findEntriesByPartial
+        # Key :44-56): a MULTI-valued local key probes by substring
+        # containment over foreign keys; single values stay exact. The
+        # containment disjunct makes this a broadcast nested-loop join —
+        # acceptable only because the foreign side is a broadcast-small
+        # content dim; the default exact path stays a hash join.
+        cond = (~F.col("_lmulti") & (lhs["_lv"] == rhs["_fv"])) | (
+            F.col("_lmulti") & rhs["_fv"].contains(lhs["_lv"])
+        )
+    else:
+        cond = lhs["_lv"] == rhs["_fv"]
+    joined = lhs.join(rhs, cond, "inner")
     # dedupe by foreign slug, keep min (key value, slug) as the sort rank
     per_foreign = joined.groupBy("_lslug", "_fslug").agg(
         F.min(F.struct(F.col("_fv"), F.col("_fslug"))).alias("_rank"),
@@ -105,19 +122,29 @@ def attach_relation(
     rel: Relation,
     sources: dict[str, DataFrame],
     configs: dict[str, SourceConfig] | None = None,
+    containment_fallback: bool = False,
 ) -> DataFrame:
     """Attach one relation as a new column named ``rel.name``.
 
     to-one -> struct (null when no match); to-many -> array<struct> ([]).
+
+    ``containment_fallback=True`` reproduces the reference's J7 quirk on
+    DIRECT relations (multi-valued local keys probe by substring
+    containment); through relations always match exactly.
     """
     if rel.is_through:
         matches = _through_matches(df, rel, sources)
     else:
         foreign = sources[rel.to]
-        if rel.rel_type in ("hasOne", "hasMany"):
-            matches = _matches_per_slug(df, rel.local_key, foreign, rel.foreign_key)
-        else:  # belongsTo / belongsToMany — same probe, inverse declaration
-            matches = _matches_per_slug(df, rel.local_key, foreign, rel.foreign_key)
+        # hasOne/hasMany and belongsTo/belongsToMany share one probe path
+        # (inverse declaration only changes attach arity)
+        matches = _matches_per_slug(
+            df,
+            rel.local_key,
+            foreign,
+            rel.foreign_key,
+            containment_fallback=containment_fallback,
+        )
 
     out = df.join(F.broadcast(matches), "slug", "left")
     if rel.is_to_one or rel.rel_type == "belongsTo":

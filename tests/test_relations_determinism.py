@@ -71,3 +71,35 @@ def test_first_match_arrays_stable_under_partitions_and_aqe(spark, dup_heavy):
         ("l1", [("f1", 10), ("f3", 30), ("f2", 20)]),
         ("l2", [("f1", 10), ("f2", 20), ("f3", 30)]),
     ]
+
+
+def test_j7_containment_fallback_quirk(spark):
+    """J7 parity switch: a MULTI-valued local key probes foreign keys by
+    substring containment (relationResolver.ts:79-89), single values stay
+    exact; default mode is exact for both."""
+    from staticql_spark.relations import _matches_per_slug
+
+    local = spark.createDataFrame(
+        [("L1", ["ab", "cd"]),   # multi-valued -> containment in quirk mode
+         ("L2", ["ab"])],        # single-valued -> always exact
+        "slug string, k array<string>",
+    )
+    foreign = spark.createDataFrame(
+        [("ab", "F-exact"), ("zabz", "F-contains"), ("qq", "F-none")],
+        "fk string, slug string",
+    )
+
+    def matched(containment):
+        rows = _matches_per_slug(
+            local, "k", foreign, "fk", containment_fallback=containment
+        ).collect()
+        return {
+            r["slug"]: [m["slug"] for m in r["_matches"]] for r in rows
+        }
+
+    exact = matched(False)
+    assert exact == {"L1": ["F-exact"], "L2": ["F-exact"]}
+    quirk = matched(True)
+    # 'ab' ⊂ 'zabz' pulls in the unrelated key — the reference's behavior
+    assert quirk["L1"] == ["F-exact", "F-contains"]
+    assert quirk["L2"] == ["F-exact"]
