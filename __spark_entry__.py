@@ -947,6 +947,21 @@ def q_events_lag_gap(spark, sf):
     )
 
 
+def q_unpivot_metrics(spark, sf):
+    # wide-to-long reshape (unpivot/melt): lineitem measure columns become
+    # (metric, value) rows in one pass — no per-metric scan union
+    li = _t(spark, sf, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total")
+    )
+
+
 def q_events_range_window(spark, sf):
     # RANGE-framed window (value-based frame, not row-based): per user,
     # count of events in the trailing 10 minutes at each event — exact
@@ -1510,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_lag_gap": q_events_lag_gap,
         "events_range_window": q_events_range_window,
+        "unpivot_metrics": q_unpivot_metrics,
         "asof_click_purchase": q_asof_click_purchase,
         "range_followups": q_range_followups,
         "kmv_distinct": q_kmv_distinct,
@@ -2218,6 +2234,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(gap)::DOUBLE / count(gap) / 1000000.0, 3) AS avg_gap_s
             FROM g GROUP BY user_id
             HAVING count(gap) > 0
+        """,
+        "unpivot_metrics": """
+            SELECT metric, count(*)::BIGINT AS n, round(sum(val), 2) AS total
+            FROM (
+              UNPIVOT (SELECT l_orderkey, l_quantity::DOUBLE AS l_quantity,
+                              l_extendedprice, l_discount FROM lineitem)
+              ON l_quantity, l_extendedprice, l_discount
+              INTO NAME metric VALUE val
+            )
+            GROUP BY metric
         """,
         "events_range_window": """
             SELECT event_id, user_id,
