@@ -122,6 +122,43 @@ def sessionize(
 
 # ------------------------------------------------- custom stateful operator
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window: str = "5 minutes",
+    watermark: str = "2 hours",
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: tuple[str, ...] = ("event_id", "value"),
+) -> DataFrame:
+    """Stream-stream interval join: right rows within (left.ts, left.ts +
+    window] for the same key — the streaming twin of
+    ``operators.asof.range_join``, built on Spark's NATIVE watermarked
+    stream-stream join (state eviction is derived from the watermark +
+    time-range condition, so state is bounded to the window span; no
+    custom state code needed). Works identically on batch inputs, which
+    is what the equivalence test pins.
+    """
+    l = left.select(
+        F.col(on).alias("_lkey"), F.col("ts").alias("lts"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    )
+    r = right.select(
+        F.col(on).alias("_rkey"), F.col("ts").alias("rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    )
+    if left.isStreaming:
+        l = l.withWatermark("lts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("rts", watermark)
+    cond = (
+        (F.col("_lkey") == F.col("_rkey"))
+        & (F.col("rts") > F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL {window}"))
+    )
+    return l.join(r, cond, "inner").drop("_rkey").withColumnRenamed("_lkey", on)
+
+
 STREAM_ASOF_SCHEMA = (
     "key string, left_id long, ts timestamp, matched_value double, matched_ts timestamp"
 )

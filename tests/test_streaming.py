@@ -278,3 +278,38 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
         for r in stream_asof_enrich(clicks, purch, on="user_id").collect()
     }
     assert got == run2
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Native watermarked stream-stream join reproduces the batch interval
+    join exactly under availableNow replay."""
+    from staticql_spark.streaming import stream_interval_join
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch_ev = spark.read.parquet(d)
+    bl = batch_ev.filter("event_type = 'click'")
+    br = batch_ev.filter("event_type = 'purchase'")
+    expected = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in stream_interval_join(bl, br, on="user_id").collect()
+    }
+
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_interval_join(
+            stream.filter("event_type = 'click'"),
+            stream.filter("event_type = 'purchase'"),
+            on="user_id",
+        )
+        .writeStream.format("memory")
+        .queryName("ivj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("select * from ivj_test").collect()
+    }
+    assert got == expected and len(expected) > 0
