@@ -284,3 +284,27 @@ def test_bm25_stats_broadcast_and_topk(spark):
     p = plan(entrymod.q_doc_bm25(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_selfdedup_has_no_join(spark):
+    # gram ownership is a whole-partition window over one gram pass — a
+    # regression to the owner-aggregate + self-join doubles the map work
+    p = plan(entrymod.q_doc_selfdedup(spark, SF_SMOKE))
+    assert "Window" in p, p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+
+
+def test_cm_probe_broadcasts_against_sketch(spark):
+    # probe (d, bucket) pairs broadcast; the sketch build is the only
+    # aggregate over the input — the corpus must never sort-merge
+    p = plan(entrymod.q_cm_heavy_hitters(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_quantized_ann_is_broadcast_corpus_scan(spark):
+    # same shape contract as the exact baseline: queries broadcast against
+    # a single corpus scan; no shuffle of the corpus for pairing
+    p = plan(entrymod.q_ann_quantized(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
