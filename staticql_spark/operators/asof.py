@@ -22,6 +22,10 @@ existing DataFrame ops so Catalyst/AQE keep optimizing around them:
 Timestamps are normalized to epoch microseconds with TZ-free arithmetic
 (``timestampdiff`` against an NTZ epoch) so results are identical under
 any session timezone — the hazard class that bit round 1's event queries.
+
+Internal working columns use the ``__asof_`` / ``__rj_`` prefixes so a
+source that legitimately owns names like ``_side`` or ``_bkt`` is never
+silently overwritten (same discipline as pagination's ``__staticql_ov``).
 """
 
 from __future__ import annotations
@@ -88,43 +92,43 @@ def asof_join(
         )
     l_us, r_us = epoch_us(left, left_ts), epoch_us(right, right_ts)
 
-    lhs = left.withColumn("_ts_us", l_us).withColumn("_side", F.lit(1))
+    lhs = left.withColumn("__asof_ts", l_us).withColumn("__asof_side", F.lit(1))
     rhs = right.select(
         *keys,
-        r_us.alias("_ts_us"),
-        F.lit(0).alias("_side"),
+        r_us.alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
         *[F.col(c) for c in value_cols],
-        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tie"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__asof_tie"),
     )
     # Align schemas for the union: left carries null value columns.
     for c in value_cols:
         lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
-    lhs = lhs.withColumn("_tie", F.lit(0).cast(rhs.schema["_tie"].dataType))
+    lhs = lhs.withColumn("__asof_tie", F.lit(0).cast(rhs.schema["__asof_tie"].dataType))
     unioned = lhs.select(*rhs.columns, *[c for c in lhs.columns if c not in rhs.columns]).unionByName(
         rhs, allowMissingColumns=True
     )
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_ts_us", "_side", "_tie")
+        .orderBy("__asof_ts", "__asof_side", "__asof_tie")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}") for c in value_cols],
-        F.last(F.when(F.col("_side") == 0, F.col("_ts_us")), ignorenulls=True)
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_m_{c}") for c in value_cols],
+        F.last(F.when(F.col("__asof_side") == 0, F.col("__asof_ts")), ignorenulls=True)
         .over(w)
-        .alias("_m_ts_us"),
+        .alias("__asof_m_ts"),
     )
-    out = carried.filter(F.col("_side") == 1)
+    out = carried.filter(F.col("__asof_side") == 1)
     if tolerance_us is not None:
-        stale = F.col("_m_ts_us") < F.col("_ts_us") - F.lit(tolerance_us)
+        stale = F.col("__asof_m_ts") < F.col("__asof_ts") - F.lit(tolerance_us)
         for c in value_cols:
-            out = out.withColumn(f"_m_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}")))
-        out = out.withColumn("_m_ts_us", F.when(stale, F.lit(None)).otherwise(F.col("_m_ts_us")))
+            out = out.withColumn(f"__asof_m_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__asof_m_{c}")))
+        out = out.withColumn("__asof_m_ts", F.when(stale, F.lit(None)).otherwise(F.col("__asof_m_ts")))
     keep = [c for c in left.columns]
     return out.select(
-        *keep, *[F.col(f"_m_{c}").alias(c) for c in value_cols]
+        *keep, *[F.col(f"__asof_m_{c}").alias(c) for c in value_cols]
     )
 
 
@@ -177,18 +181,18 @@ def range_join(
         # silently dropping boundary matches. pmod keeps it sign-correct.
         return ((t - F.pmod(t, F.lit(width))) / F.lit(width)).cast("long")
 
-    lhs = left.withColumn("_l_us", l_us)
+    lhs = left.withColumn("__rj_l_us", l_us)
     rhs = right.select(
-        *keys, r_us.alias("_r_us"), *[F.col(c).alias(f"_r_{c}") for c in rcols]
-    ).withColumn("_bkt", bucket(F.col("_r_us")))
+        *keys, r_us.alias("__rj_r_us"), *[F.col(c).alias(f"__rj_r_{c}") for c in rcols]
+    ).withColumn("__rj_bkt", bucket(F.col("__rj_r_us")))
 
-    lo, hi = F.col("_l_us") + F.lit(lower_us), F.col("_l_us") + F.lit(upper_us)
+    lo, hi = F.col("__rj_l_us") + F.lit(lower_us), F.col("__rj_l_us") + F.lit(upper_us)
     probe = lhs.withColumn(
-        "_bkt", F.explode(F.sequence(bucket(lo), bucket(hi)))
+        "__rj_bkt", F.explode(F.sequence(bucket(lo), bucket(hi)))
     )
-    in_lo = (F.col("_r_us") >= lo) if include_lower else (F.col("_r_us") > lo)
-    in_hi = (F.col("_r_us") <= hi) if include_upper else (F.col("_r_us") < hi)
-    joined = probe.join(rhs, on=keys + ["_bkt"], how="inner").filter(in_lo & in_hi)
+    in_lo = (F.col("__rj_r_us") >= lo) if include_lower else (F.col("__rj_r_us") > lo)
+    in_hi = (F.col("__rj_r_us") <= hi) if include_upper else (F.col("__rj_r_us") < hi)
+    joined = probe.join(rhs, on=keys + ["__rj_bkt"], how="inner").filter(in_lo & in_hi)
 
-    out_cols = list(left.columns) + [F.col(f"_r_{c}").alias(c) for c in rcols]
+    out_cols = list(left.columns) + [F.col(f"__rj_r_{c}").alias(c) for c in rcols]
     return joined.select(*out_cols)

@@ -268,7 +268,7 @@ def test_range_join_is_bucketed_equi_join(spark):
     # range filter rides as a post-join condition, never a nested loop
     p = plan(entrymod.q_range_followups(spark, SF_SMOKE))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
-    assert "_bkt" in p, p
+    assert "__rj_bkt" in p, p
 
 
 def test_kmv_topk_is_take_ordered(spark):
