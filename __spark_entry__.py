@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 
 from staticql_spark.operators import asof, dedup, multimodal, similarity, sketch, text
 from staticql_spark.plans.pagination import keyset_page_df
-from staticql_spark.streaming import load_events, sessionize, windowed_agg
+from staticql_spark.streaming import load_events, sessionize, trending_topk, windowed_agg
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -920,6 +920,16 @@ def q_events_sliding(spark, sf):
     )
 
 
+def q_events_trending(spark, sf):
+    # trending heavy hitters: top-3 event types per sliding window. The
+    # heavy shuffle is the windowed count (map-side combined to |windows| x
+    # |types| rows); the rank stage then runs over that tiny aggregate —
+    # the streaming twin ranks the same counts per micro-batch via
+    # foreachBatch (tests/test_streaming.py::test_stream_trending).
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return trending_topk(ev, window="15 minutes", slide="5 minutes", k=3)
+
+
 def q_events_lag_gap(spark, sf):
     # lag/lead analytics: per-user inter-event gaps. Gap sums stay in
     # exact integer microseconds; the single trailing division is the only
@@ -1523,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
+        "events_trending": q_events_trending,
         "events_lag_gap": q_events_lag_gap,
         "events_range_window": q_events_range_window,
         "unpivot_metrics": q_unpivot_metrics,
@@ -2220,6 +2231,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events e, unnest([0, 1, 2]) AS t(k)
             )
             GROUP BY ws, event_type
+        """,
+        "events_trending": """
+            -- top-3 event types per 15min/5min hopping window (rank ties
+            -- break on event_type so the cut is engine-portable)
+            WITH c AS (
+              SELECT ws AS window_start, event_type, count(*)::BIGINT AS n_events
+              FROM (
+                SELECT e.event_type,
+                       time_bucket(INTERVAL 5 MINUTE, e.ts) - k * INTERVAL 5 MINUTE AS ws
+                FROM events e, unnest([0, 1, 2]) AS t(k)
+              )
+              GROUP BY ws, event_type
+            )
+            SELECT window_start, event_type, n_events, rnk FROM (
+              SELECT *, rank() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, event_type ASC) AS rnk
+              FROM c
+            ) WHERE rnk <= 3
         """,
         "events_lag_gap": """
             WITH g AS (

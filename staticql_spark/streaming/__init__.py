@@ -16,7 +16,7 @@ micro-batch incremental index maintenance from a git-diff change feed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -118,6 +118,64 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def trending_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+    by: str = "event_type",
+) -> DataFrame:
+    """Sliding-window counts per ``by`` value — the streaming-safe half of
+    trending top-k.
+
+    A plain windowed aggregation (valid under streaming append mode with a
+    watermark). The shuffle key is (window, by): map-side partial counts
+    collapse each task's input to |windows-in-task| x |distinct by| rows, so
+    at 100 TB the shuffle moves pre-aggregated counts, never raw events.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), F.col(by))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), by, "n_events")
+    )
+
+
+def rank_topk(counts: DataFrame, k: int = 3, by: str = "event_type") -> DataFrame:
+    """Rank finisher: keep the top-k ``by`` values per window.
+
+    Ties break on ``by`` ascending so the result is engine-portable. Window
+    functions are not allowed on a streaming DataFrame — in streaming, apply
+    this inside ``foreachBatch``: with append mode each window is emitted
+    exactly once, complete, after the watermark closes it, so per-batch
+    ranking equals batch ranking (tests/test_streaming.py exercises this).
+    Input is already one row per (window, by) — |windows| x |types| rows —
+    so the rank stage is orders of magnitude smaller than the raw stream.
+    """
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc(by))
+    return counts.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= k)
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    k: int = 3,
+    watermark: str = "2 hours",
+    by: str = "event_type",
+) -> DataFrame:
+    """Batch composition of trending_counts + rank_topk (heavy hitters per
+    sliding window). For a streaming source, call the two halves yourself:
+    ``trending_counts(stream).writeStream.foreachBatch(lambda b, _:
+    sink(rank_topk(b)))``."""
+    if events.isStreaming:
+        raise ValueError(
+            "trending_topk is the batch twin; for streams rank per micro-batch "
+            "via foreachBatch(rank_topk) on trending_counts output"
+        )
+    return rank_topk(trending_counts(events, window, slide, watermark, by), k, by)
 
 
 # ------------------------------------------------- custom stateful operator

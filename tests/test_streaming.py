@@ -313,3 +313,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path_factory):
         for r in spark.sql("select * from ivj_test").collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_stream_trending_topk_matches_batch(spark, tmp_path_factory):
+    """Trending heavy hitters: windowed counts stream under append mode,
+    ranked per micro-batch via foreachBatch. Append emits each window once,
+    complete, after the watermark closes it — so per-batch rank() equals
+    the batch twin on every emitted window."""
+    from staticql_spark.streaming import rank_topk, trending_counts, trending_topk
+
+    d = _events_dir(spark, tmp_path_factory)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["rnk"])
+        for r in trending_topk(
+            spark.read.parquet(d), window="15 minutes", slide="5 minutes", k=3
+        ).collect()
+    }
+
+    ranked: list = []
+
+    def sink(batch_df, _epoch):
+        ranked.extend(rank_topk(batch_df, k=3).collect())
+
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        trending_counts(stream, window="15 minutes", slide="5 minutes")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["rnk"]) for r in ranked}
+    # every watermark-closed window must match the batch ranking exactly
+    assert len(got) > 0
+    for key, v in got.items():
+        assert expected[key] == v, key
