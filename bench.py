@@ -69,19 +69,24 @@ def main() -> None:
         spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         # best of 3: run 1 includes one-time whole-stage-codegen class
         # compilation (measured 3-4x the steady-state on expression-heavy
         # queries), and this host shows ±25% background drift between
         # identical runs — a third rep keeps the minimum near sustained
-        # engine throughput
-        best = float("inf")
+        # engine throughput.  All reps are recorded in the artifact so
+        # host contention is visible in the numbers themselves: a healthy
+        # run has rep spread within ~±15%; a contaminated run (like the
+        # r3 driver artifact) shows uniform 2-4x spread on every query.
+        runs = []
         for _ in range(3):
             df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        reps[name] = runs
 
     total = round(sum(timings.values()), 3)
     print(
@@ -91,6 +96,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
