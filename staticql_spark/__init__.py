@@ -69,10 +69,14 @@ class StaticQL:
         if name not in self.configs:
             raise ValueError(f"unknown source: {name}")
         if name not in self._dfs:
+            cfg = self.configs[name]
+            # per-source storage routing (MultiRepository.ts:47-80): a source
+            # with its own baseDir reads from that repository; others share
+            # the session base_dir.
             self._dfs[name] = read_source(
                 self.spark,
-                self.configs[name],
-                self.base_dir,
+                cfg,
+                cfg.base_dir if cfg.base_dir is not None else self.base_dir,
                 prefer_gzip=self.prefer_gzip,
             )
         return self._dfs[name]

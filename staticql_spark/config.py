@@ -71,6 +71,10 @@ class SourceConfig:
     relations: dict[str, Relation] = field(default_factory=dict)
     index_fields: list[str] = field(default_factory=list)
     index_depth: int = 1
+    # per-source storage root override (reference MultiRepository.ts:47-80:
+    # each source may live in its own repository, e.g. content on FS + one
+    # source on a CDN).  None -> the session-wide base_dir.
+    base_dir: str | None = None
 
     def __post_init__(self) -> None:
         if not 1 <= self.index_depth <= 10:
@@ -174,6 +178,7 @@ def resolve_config(config: dict) -> dict[str, SourceConfig]:
             relations=relations,
             index_fields=list(raw.get("index") or []),
             index_depth=int(raw.get("indexDepth", 1)),
+            base_dir=raw.get("baseDir"),
         )
 
     # index derivation: slug always; own relation local keys; foreign keys of

@@ -104,12 +104,42 @@ def typed_from_parsed(parsed: DataFrame, cfg: SourceConfig, validate: bool) -> D
         "slug",
         F.from_json("payload", field_struct).alias("doc"),
         "raw",
-    ).select("slug", "doc.*", "raw")
+        F.col("payload").alias("__staticql_payload"),
+    ).select("slug", "doc.*", "raw", "__staticql_payload")
 
     if validate and cfg.schema:
+        props = cfg.schema.get("properties", {})
         required = [
             f for f in cfg.schema.get("required", []) if f not in ("slug", "raw")
         ]
+        # Type-mismatch parity (simpleValidate.ts:82-115, "Expected number at
+        # 'age', got string"): from_json PERMISSIVE-nulls a wrong-typed field,
+        # so "typed is null but the raw payload carries a value" ≡ type error.
+        # JSON null / absent keys stay null in both views and fall through to
+        # the required check below.  Divergence from the reference, documented:
+        # the message shows the offending raw value instead of its JS typeof
+        # (get_json_object unquotes strings, so typeof isn't recoverable).
+        for f_ in field_struct.fields:
+            name = f_.name
+            declared = (props.get(name) or {}).get("type")
+            if not declared:
+                continue
+            types = " or ".join(declared) if isinstance(declared, list) else declared
+            raw_val = F.get_json_object(F.col("__staticql_payload"), f"$.{name}")
+            typed = typed.withColumn(
+                name,
+                F.when(
+                    F.col(name).isNull() & raw_val.isNotNull(),
+                    F.raise_error(
+                        F.format_string(
+                            f"[{cfg.name}] expected {types} at '{name}', "
+                            "got %s, for slug=%s",
+                            raw_val,
+                            F.col("slug"),
+                        )
+                    ).cast(f_.dataType),
+                ).otherwise(F.col(name)),
+            )
         # Wrap each required column so a null raises with source+slug context
         # (parity with simpleValidate's load-time errors). The when/otherwise
         # keeps the column value itself, so Catalyst cannot prune the check.
@@ -126,7 +156,7 @@ def typed_from_parsed(parsed: DataFrame, cfg: SourceConfig, validate: bool) -> D
                     ).cast(typed.schema[name].dataType),
                 ).otherwise(F.col(name)),
             )
-    return typed
+    return typed.drop("__staticql_payload")
 
 
 def read_source(

@@ -125,6 +125,33 @@ def test_http_query_surface_end_to_end(spark, served):
     assert all(r["tags"] is not None for r in joined.data)
 
 
+def test_per_source_base_dir_routing(spark, content_dir, served):
+    # MultiRepository parity (reference src/repository/MultiRepository.ts:
+    # 47-80): one session can route each source to its own repository.
+    # Here `tags` is pinned to the HTTP repository via per-source baseDir
+    # while every other source reads from the local FS base_dir.
+    import copy
+
+    base_url, _ = served
+    config = copy.deepcopy(CONFIG)
+    config["sources"]["tags"]["baseDir"] = base_url
+    mixed = define(config)(base_dir=str(content_dir), spark=spark)
+    assert mixed.configs["tags"].base_dir == base_url
+    assert mixed.configs["herbs"].base_dir is None
+
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    for name in ("herbs", "tags"):
+        a = sorted((r.asDict(recursive=True) for r in local.df(name).collect()),
+                   key=lambda d: d["slug"])
+        b = sorted((r.asDict(recursive=True) for r in mixed.df(name).collect()),
+                   key=lambda d: d["slug"])
+        assert a == b, name
+    # relation join crosses the storage boundary: FS herbs -> HTTP tags
+    joined = mixed.from_("herbs").join("tags").order_by("name", "asc").exec()
+    assert len(joined.data) == 3
+    assert all(r["tags"] is not None for r in joined.data)
+
+
 def test_jsonl_line_parsing_stream_semantics():
     # parity with the reference's readJsonlStream/readListStream tests
     # (tests/stream.test.ts): trailing content without newline, empty lines

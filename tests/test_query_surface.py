@@ -228,6 +228,44 @@ def test_slug_mismatch_is_load_error(spark, tmp_path):
         sql.df("herbs").collect()
 
 
+def test_type_mismatch_is_descriptive_load_error(spark, tmp_path):
+    # simpleValidate parity (reference src/validator/simpleValidate.ts:82-115):
+    # a wrong-typed field must fail loudly with the expected type in the
+    # message, not silently load as null (from_json's PERMISSIVE default).
+    from staticql_spark import define
+
+    d = tmp_path / "content" / "items"
+    d.mkdir(parents=True)
+    (d / "bad.md").write_text(
+        "---\nname: x\nrating: not-a-number\n---\n", encoding="utf-8"
+    )
+    cfg = {
+        "sources": {
+            "items": {
+                "pattern": "content/items/*.md",
+                "type": "markdown",
+                "schema": {
+                    "type": "object",
+                    "properties": {
+                        "name": {"type": "string"},
+                        "rating": {"type": "number"},
+                    },
+                    "required": ["name"],
+                },
+            }
+        }
+    }
+    sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
+    with pytest.raises(Exception, match="expected number at 'rating'"):
+        sql.df("items").collect()
+
+    # a genuinely absent / null optional field still loads as null
+    (d / "bad.md").unlink()
+    (d / "ok.md").write_text("---\nname: x\nrating:\n---\n", encoding="utf-8")
+    rows = define(cfg)(base_dir=str(tmp_path), spark=spark).df("items").collect()
+    assert rows[0]["rating"] is None
+
+
 def test_q5c_cursor_dot_path_order_key(herbal):
     # ordering by an indexed relation dot-path ('herbs.slug' on recipes):
     # the emitted cursor must carry the RESOLVED order value, not the row
