@@ -4,8 +4,9 @@ has no native operator for either. Both are built as compositions of
 existing DataFrame ops so Catalyst/AQE keep optimizing around them:
 
 - ``asof_join``: union-then-window. One shuffle on the join key, constant
-  per-row state (the "last seen right row" carried by ``last(...,
-  ignorenulls=True)``), no range explosion, no per-key driver loop. This
+  per-row state (the "last seen right row" carried as one struct by
+  ``last(..., ignorenulls=True)``), no range explosion, no per-key driver
+  loop; ``coarse_bucket_us`` splits hot keys across time buckets. This
   is the standard distributed as-of formulation (the same shape Flink's
   temporal join and kdb's aj compile to): at 100 TB it costs exactly one
   hash shuffle of left+right on the key — the same as the equi join a
@@ -65,12 +66,18 @@ def asof_join(
     *,
     tolerance_us: int | None = None,
     tiebreak: str | None = None,
+    coarse_bucket_us: int | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of join: attach to every left row the right
     row with the greatest ``right_ts`` <= ``left_ts`` for the same key(s).
 
     Unmatched left rows keep null value columns (left-outer semantics),
     matching DuckDB's ``ASOF LEFT JOIN``.
+
+    The matched right row is carried as ONE struct (timestamp + all value
+    columns), so a null in a right value column is attached as that null —
+    per-column ``last(ignorenulls)`` would instead resurrect an older
+    non-null value and silently mix columns from different right rows.
 
     Determinism: right rows sort before left rows at equal timestamps
     (inclusive match), and ``tiebreak`` (a unique-ish right column, e.g.
@@ -80,8 +87,14 @@ def asof_join(
     guarantee (key, ts) uniqueness on the right.
 
     Scale: one shuffle, partitioned by the join key. A pathologically hot
-    key serializes its own window; for that shape use ``range_join`` with
-    a time bucket in the key instead.
+    key serializes its own window; pass ``coarse_bucket_us`` (e.g. 1 hour
+    in micros) to split every key's timeline into fixed buckets: the
+    carry-forward window then runs per (key, bucket) — parallelism is
+    key × bucket — and a per-bucket summary (one row per non-empty
+    bucket) is carried across buckets to fix up rows whose match lies in
+    an earlier bucket. Output is identical to the plain path; cost is two
+    extra narrow shuffles over #distinct(key, bucket) rows. SCALE.md
+    documents when to flip it.
     """
     keys = [on] if isinstance(on, str) else list(on)
     clash = set(value_cols) & set(left.columns)
@@ -90,45 +103,97 @@ def asof_join(
             f"asof_join: value_cols collide with left columns {sorted(clash)};"
             " alias the right-side columns first"
         )
+    if "__asof_ts" in value_cols:
+        raise ValueError("asof_join: '__asof_ts' is a reserved name")
     l_us, r_us = epoch_us(left, left_ts), epoch_us(right, right_ts)
 
-    lhs = left.withColumn("__asof_ts", l_us).withColumn("__asof_side", F.lit(1))
     rhs = right.select(
         *keys,
         r_us.alias("__asof_ts"),
         F.lit(0).alias("__asof_side"),
-        *[F.col(c) for c in value_cols],
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__asof_tie"),
+        F.struct(
+            r_us.alias("__asof_ts"), *[F.col(c) for c in value_cols]
+        ).alias("__asof_p"),
     )
-    # Align schemas for the union: left carries null value columns.
-    for c in value_cols:
-        lhs = lhs.withColumn(c, F.lit(None).cast(rhs.schema[c].dataType))
-    lhs = lhs.withColumn("__asof_tie", F.lit(0).cast(rhs.schema["__asof_tie"].dataType))
-    unioned = lhs.select(*rhs.columns, *[c for c in lhs.columns if c not in rhs.columns]).unionByName(
-        rhs, allowMissingColumns=True
-    )
-
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__asof_ts", "__asof_side", "__asof_tie")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
+    lhs = left.select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_m_{c}") for c in value_cols],
-        F.last(F.when(F.col("__asof_side") == 0, F.col("__asof_ts")), ignorenulls=True)
-        .over(w)
-        .alias("__asof_m_ts"),
+        l_us.alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(0).cast(rhs.schema["__asof_tie"].dataType).alias("__asof_tie"),
+        F.lit(None).cast(rhs.schema["__asof_p"].dataType).alias("__asof_p"),
     )
-    out = carried.filter(F.col("__asof_side") == 1)
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    order = [F.col("__asof_ts"), F.col("__asof_side"), F.col("__asof_tie")]
+    if coarse_bucket_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = unioned.withColumn(
+            "__asof_m", F.last("__asof_p", ignorenulls=True).over(w)
+        ).filter(F.col("__asof_side") == 1)
+    else:
+        width = int(coarse_bucket_us)
+        if width <= 0:
+            raise ValueError("asof_join: coarse_bucket_us must be > 0")
+        # Exact floor division in long arithmetic (same hazard note as
+        # range_join.bucket: double division flips boundary buckets).
+        t = F.col("__asof_ts")
+        bucketed = unioned.withColumn(
+            "__asof_bkt",
+            ((t - F.pmod(t, F.lit(width))) / F.lit(width)).cast("long"),
+        )
+        # Phase 1: carry within each (key, bucket) — the hot key's window
+        # is now split across its buckets instead of one serial partition.
+        w1 = (
+            Window.partitionBy(*keys, "__asof_bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = bucketed.withColumn(
+            "__asof_loc", F.last("__asof_p", ignorenulls=True).over(w1)
+        )
+        # Phase 2: per-bucket final right payload (one row per non-empty
+        # (key, bucket)), carried across STRICTLY EARLIER buckets per key.
+        # This window orders #distinct buckets per key — bounded by
+        # time-span / width, not by the hot key's row count.
+        summ = (
+            bucketed.filter(F.col("__asof_side") == 0)
+            .groupBy(*keys, "__asof_bkt")
+            .agg(
+                F.max_by(
+                    "__asof_p", F.struct("__asof_ts", "__asof_tie")
+                ).alias("__asof_fin")
+            )
+        )
+        all_bkts = bucketed.select(*keys, "__asof_bkt").distinct()
+        w2 = (
+            Window.partitionBy(*keys)
+            .orderBy("__asof_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_bkts.join(summ, [*keys, "__asof_bkt"], "left")
+            .withColumn("__asof_in", F.last("__asof_fin", ignorenulls=True).over(w2))
+            .select(*keys, "__asof_bkt", "__asof_in")
+        )
+        out = (
+            local.filter(F.col("__asof_side") == 1)
+            .join(carry, [*keys, "__asof_bkt"], "left")
+            .withColumn("__asof_m", F.coalesce("__asof_loc", "__asof_in"))
+        )
+
+    m = F.col("__asof_m")
     if tolerance_us is not None:
-        stale = F.col("__asof_m_ts") < F.col("__asof_ts") - F.lit(tolerance_us)
-        for c in value_cols:
-            out = out.withColumn(f"__asof_m_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"__asof_m_{c}")))
-        out = out.withColumn("__asof_m_ts", F.when(stale, F.lit(None)).otherwise(F.col("__asof_m_ts")))
-    keep = [c for c in left.columns]
+        stale = m["__asof_ts"] < F.col("__asof_ts") - F.lit(tolerance_us)
+        out = out.withColumn(
+            "__asof_m", F.when(stale, F.lit(None).cast(rhs.schema["__asof_p"].dataType)).otherwise(m)
+        )
     return out.select(
-        *keep, *[F.col(f"__asof_m_{c}").alias(c) for c in value_cols]
+        *left.columns, *[F.col("__asof_m")[c].alias(c) for c in value_cols]
     )
 
 

@@ -53,3 +53,54 @@ def test_asof_matches_bruteforce(spark, left, right):
     want = {lid: brute(k, t) for (k, t, lid) in lrows}
     assert got == want
     assert len(got) == len(lrows)  # every left row survives exactly once
+
+    # the hot-key-safe bucketed path must be output-identical; width 7 over
+    # the 0..20 ts domain forces multiple buckets AND cross-bucket carries
+    out_b = asof_join(
+        ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+        value_cols=["v", "rid"], tiebreak="rid", coarse_bucket_us=7,
+    )
+    got_b = {r["lid"]: (r["v"], r["rid"]) for r in out_b.collect()}
+    assert got_b == want
+
+
+def test_asof_hot_key_bucketed_identical(spark):
+    # skewed fixture: one user owns 50% of all rows on both sides; the
+    # bucketed path (coarse_bucket_us) must return exactly the plain
+    # path's rows while splitting the hot key's window across buckets
+    import random
+
+    rng = random.Random(7)
+    lrows, rrows = [], []
+    for i in range(2000):
+        key = "hot" if i % 2 == 0 else f"u{rng.randrange(50)}"
+        lrows.append((key, rng.randrange(0, 1_000_000), i))
+        rrows.append((key, rng.randrange(0, 1_000_000), i, float(i)))
+    ldf = spark.createDataFrame(lrows, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(rrows, "key string, rts long, rid long, v double")
+
+    kw = dict(on="key", left_ts="lts", right_ts="rts",
+              value_cols=["v", "rid"], tiebreak="rid")
+    plain = {r["lid"]: (r["v"], r["rid"])
+             for r in asof_join(ldf, rdf, **kw).collect()}
+    bucketed = {r["lid"]: (r["v"], r["rid"])
+                for r in asof_join(ldf, rdf, coarse_bucket_us=50_000, **kw).collect()}
+    assert bucketed == plain
+    assert len(plain) == len(lrows)
+
+
+def test_asof_attaches_matching_rows_null_value(spark):
+    # a null in the matched right row's value column must be attached AS
+    # null — not replaced by an older non-null value (struct carry, not
+    # per-column last(ignorenulls))
+    ldf = spark.createDataFrame([("k", 10, 0), ("k", 30, 1)],
+                                "key string, lts long, lid long")
+    rdf = spark.createDataFrame(
+        [("k", 5, 0, "old"), ("k", 20, 1, None)],
+        "key string, rts long, rid long, v string",
+    )
+    out = {r["lid"]: (r["v"], r["rid"]) for r in asof_join(
+        ldf, rdf, on="key", left_ts="lts", right_ts="rts",
+        value_cols=["v", "rid"], tiebreak="rid",
+    ).collect()}
+    assert out == {0: ("old", 0), 1: (None, 1)}
