@@ -21,12 +21,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from pyspark.sql import types as T
 
 from . import ensure_parallelism
 
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def centroid_sample(
+    corpus: DataFrame, vec_col: str, id_col: str, stride: int
+) -> DataFrame:
+    """Deterministic ~1/stride centroid sample -> (cid, centroid).
+
+    Numeric roughly-uniform ids keep the cheap ``id % stride`` predicate
+    (bit-stable with the ann_ivf oracle). Any other id type samples by an
+    md5 bucket of the id (same idiom as text.hash_sample) — a string-keyed
+    corpus under ``% stride`` would silently get NO centroids (null
+    predicate) and the probe join would return nothing.
+    """
+    dt = corpus.schema[id_col].dataType
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        pred = (F.col(id_col) % stride) == 0
+    else:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ivf|"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(stride))
+        )
+        pred = bucket == 0
+    return corpus.filter(pred).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -185,9 +219,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
-    )
+    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     cells = ivf_assign(
         c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1
     ).withColumn("cn", norm(F.col("cv")))
@@ -224,9 +256,7 @@ def ivf_build(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
-    )
+    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     cells = ivf_assign(c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
     (
         cells.repartition("cell")
@@ -254,9 +284,7 @@ def ivf_query(
     PartitionFilters pruning to nprobe directories
     (tests/test_plans.py::test_ivf_query_partition_pruning).
     """
-    centroids = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centroid")
-    )
+    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )

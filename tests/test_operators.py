@@ -101,6 +101,22 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, emb):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_ivf_topk_string_ids(spark, emb):
+    # a string-keyed corpus must still get centroids: `id % stride` nulls
+    # on strings (the old silent-empty-result hazard); the md5-bucket
+    # sample path must yield a working IVF with the same score semantics
+    s = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    queries = s.filter(F.col("vec_id").isin("doc-0", "doc-50"))
+    out = similarity.ivf_topk(queries, s, k=3, centroid_stride=20, nprobe=3).collect()
+    assert {r["query_id"] for r in out} == {"doc-0", "doc-50"}
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(queries, s, k=500).collect()
+    }
+    for r in out:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
 def test_embedding_neardup_identical_vectors(spark):
     vec = [0.5] * 16
     df = spark.createDataFrame([(1, vec, 0), (2, vec, 0), (3, [-0.5] * 16, 1)],
