@@ -136,6 +136,27 @@ def _strip_ov(row, ov: str):
     return Row(**d)
 
 
+def _beyond(col: Column, a, desc: bool) -> Column:
+    """Rows strictly beyond value ``a`` in walk order, null-aware.
+
+    Walk order matches Spark's sort defaults: asc = NULLS FIRST, desc =
+    NULLS LAST. A bare ``col > lit(a)`` is null-rejecting twice over — a
+    NULL row value never compares, and ``a is None`` (the previous page
+    ended on a NULL) nulls the whole predicate — so a null-bearing order
+    column silently drops rows mid-walk.
+    """
+    if a is None:
+        # asc: NULLs lead, so everything non-null is beyond; desc: NULLs
+        # trail, so nothing is beyond.
+        return F.lit(False) if desc else col.isNotNull()
+    return (col.isNull() | (col < F.lit(a))) if desc else (col > F.lit(a))
+
+
+def _same(col: Column, a) -> Column:
+    """Null-safe equality against a cursor value."""
+    return col.isNull() if a is None else col.eqNullSafe(F.lit(a))
+
+
 def keyset_page_df(
     df: DataFrame,
     order_cols: list[tuple[Column, bool]],
@@ -146,15 +167,17 @@ def keyset_page_df(
     """Generic keyset page as a *DataFrame* (Spark-native surface; used by
     the oracle-checked pagination queries). ``order_cols`` = [(col, desc)].
     ``after`` = values of (order_cols..., tiebreak) from the previous page's
-    last row, or None for page 1."""
+    last row, or None for page 1. Order columns may contain NULLs (walk
+    order = Spark sort defaults: asc NULLS FIRST, desc NULLS LAST); the
+    tiebreak must be non-null and unique."""
     cols = [c for c, _ in order_cols] + [tiebreak]
     if after is not None:
         pred = None
         for i, (col, desc) in enumerate(list(order_cols) + [(tiebreak, False)]):
-            gt = col < F.lit(after[i]) if desc else col > F.lit(after[i])
+            gt = _beyond(col, after[i], desc)
             eq_prefix = None
             for j in range(i):
-                e = cols[j] == F.lit(after[j])
+                e = _same(cols[j], after[j])
                 eq_prefix = e if eq_prefix is None else (eq_prefix & e)
             term = gt if eq_prefix is None else (eq_prefix & gt)
             pred = term if pred is None else (pred | term)
