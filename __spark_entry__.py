@@ -1019,6 +1019,45 @@ def q_asof_click_purchase(spark, sf):
     )
 
 
+def q_asof_hotkey_bucketed(spark, sf):
+    # the hot-key-safe as-of variant (coarse_bucket_us splits each key's
+    # timeline so no single key serializes its window) — semantics are
+    # identical to asof_click_purchase, checked against the SAME DuckDB
+    # ASOF LEFT JOIN oracle
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("value").alias("purchase_value"),
+            F.max("event_id").alias("purchase_event"),
+        )
+    )
+    res = asof.asof_join(
+        clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value", "purchase_event"],
+        coarse_bucket_us=3_600_000_000,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "purchase_event",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+def q_ann_ivf_trained(spark, sf):
+    # IVF over kmeans_fit-trained centroids (2 Lloyd iterations, assign =
+    # broadcast cosine argmax, update = one map-side-combined aggregation
+    # per iteration). Iterative -> no SQL oracle; rows-only + the NumPy
+    # Lloyd twin test (test_kmeans_fit_matches_numpy_lloyd).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    return similarity.ivf_topk(queries, emb, k=5, nprobe=3, centroids=cents)
+
+
 def q_range_followups(spark, sf):
     # bucketed range join: events within 5 minutes AFTER each click, same
     # user — equi join on (user, time-bucket), never a cross join; the
@@ -1598,6 +1637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag_gap": q_events_lag_gap,
         "events_range_window": q_events_range_window,
         "unpivot_metrics": q_unpivot_metrics,
+        # --- new in r4 (beyond the 50-key window; harness-covered) ---
+        "asof_hotkey_bucketed": q_asof_hotkey_bucketed,
+        "ann_ivf_trained": q_ann_ivf_trained,
     }
 
 
@@ -2294,6 +2336,23 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         """,
         "asof_click_purchase": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, ts,
+                     max(value) AS purchase_value,
+                     max(event_id) AS purchase_event
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, p.purchase_event,
+                   round(p.purchase_value, 4) AS purchase_value
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # same oracle as asof_click_purchase: the bucketed variant must be
+        # output-identical to the plain as-of path
+        "asof_hotkey_bucketed": """
             WITH clicks AS (
               SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
             ),

@@ -190,6 +190,42 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training -> (cid, centroid).
+
+    Initialization is the deterministic :func:`centroid_sample` (so the
+    whole fit is reproducible — no RNG state anywhere); each iteration is
+    assign (broadcast cosine argmax, no corpus shuffle) then update (one
+    hash aggregation per iteration: ``dim`` per-element ``avg`` columns,
+    map-side combined, shuffling |cells| × dim doubles only). Cells that
+    lose all members drop out, standard Lloyd behavior. Trained centroids
+    plug into :func:`ivf_topk` / :func:`ivf_build` via ``centroids=`` for
+    tighter cells than the raw sample — better recall at the same nprobe.
+
+    Iterative and therefore not SQL-expressible — verified against a
+    NumPy Lloyd twin in tests, not a DuckDB oracle.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if dim is None:
+        dim = len(vecs.select("v").first()["v"])
+    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+        centroids = assigned.groupBy("cell").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("centroid")
+        ).select(F.col("cell").alias("cid"), "centroid")
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -198,14 +234,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroid_stride: int = 100,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
     Centroids are data-sampled deterministically (every ``centroid_stride``-th
     corpus vector — sampling is a standard coarse-quantizer init, pinned here
-    so the result is reproducible and oracle-checkable). Corpus vectors are
-    assigned to their nearest cell; queries probe their ``nprobe`` nearest
-    cells and score only those cells' members.
+    so the result is reproducible and oracle-checkable), or passed in via
+    ``centroids`` (e.g. :func:`kmeans_fit` output) for trained cells.
+    Corpus vectors are assigned to their nearest cell; queries probe their
+    ``nprobe`` nearest cells and score only those cells' members.
 
     Scale shape: assignment is a broadcast argmax (no corpus shuffle); the
     probe join is an equi join on ``cell``. At 1e9+ vectors the assignment
@@ -219,7 +257,8 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    if centroids is None:
+        centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     cells = ivf_assign(
         c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1
     ).withColumn("cn", norm(F.col("cv")))
@@ -244,6 +283,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_stride: int = 100,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Persist the IVF index: corpus vectors written PARTITIONED BY cell.
 
@@ -251,12 +291,15 @@ def ivf_build(
     nprobe cells reads only those partition directories — Spark partition
     pruning turns the coarse quantizer into a disk-level skip list. Cell
     assignment is the broadcast argmax of `ivf_assign` (no corpus shuffle
-    beyond the partitioned write itself).
+    beyond the partitioned write itself). Pass ``centroids`` (e.g. a
+    :func:`kmeans_fit` result — persist it beside the index and reuse it
+    at query time) to build over trained cells.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    if centroids is None:
+        centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     cells = ivf_assign(c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
     (
         cells.repartition("cell")

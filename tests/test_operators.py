@@ -117,6 +117,67 @@ def test_ivf_topk_string_ids(spark, emb):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    # spherical k-means vs a NumPy Lloyd twin: same deterministic init
+    # (id % stride), cosine argmax assign (rounded to 6, ties -> smallest
+    # cid), per-dim mean update. Integer-valued vectors keep every double
+    # sum exact, so the comparison is equality, not allclose.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n = 8, 120
+    vecs = rng.integers(-4, 5, size=(n, dim)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stride, iters = 30, 2
+    got = {
+        r["cid"]: r["centroid"]
+        for r in similarity.kmeans_fit(
+            df, centroid_stride=stride, iters=iters
+        ).collect()
+    }
+
+    cents = {i: vecs[i].copy() for i in range(0, n, stride)}
+    for _ in range(iters):
+        members: dict[int, list[int]] = {c: [] for c in cents}
+        for i in range(n):
+            best = max(
+                sorted(cents),
+                key=lambda c: (
+                    round(
+                        float(vecs[i] @ cents[c])
+                        / (np.linalg.norm(vecs[i]) * np.linalg.norm(cents[c])),
+                        6,
+                    ),
+                    -c,
+                ),
+            )
+            members[best].append(i)
+        cents = {
+            c: vecs[m].mean(axis=0) for c, m in members.items() if m
+        }
+
+    assert set(got) == set(cents)
+    for c in cents:
+        assert got[c] == pytest.approx(list(cents[c]), abs=1e-12)
+
+
+def test_ivf_topk_trained_centroids(spark, emb):
+    # trained centroids plug into ivf_topk; scores must match the exact
+    # path for every returned pair (same cosine semantics)
+    cents = similarity.kmeans_fit(emb, centroid_stride=50, iters=1)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(queries, emb, k=3, nprobe=2, centroids=cents).collect()
+    assert len(out) == 3
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(queries, emb, k=500).collect()
+    }
+    for r in out:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
 def test_embedding_neardup_identical_vectors(spark):
     vec = [0.5] * 16
     df = spark.createDataFrame([(1, vec, 0), (2, vec, 0), (3, [-0.5] * 16, 1)],
