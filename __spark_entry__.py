@@ -1407,6 +1407,22 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    # incremental dedup: 20% of the corpus arrives as a NEW batch; the
+    # other 80% contributes only its persisted (id, band, key) index +
+    # shingle arrays. Emits exactly the full run's pairs that touch a new
+    # doc — old x old never re-pairs (cost tracks the batch, not the
+    # accumulated corpus). Oracle: full-corpus LSH pipeline restricted to
+    # new-touching pairs.
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old_bands, old_sh = dedup.minhash_index(old, n=3, num_hashes=16, bands=4)
+    return dedup.incremental_lsh_pairs(
+        new, old_bands, old_sh, n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
 def q_dedup_jaccard_hist(spark, sf):
     # similarity-distribution report over the near-dup pairs: decile bins
     # of exact Jaccard — the table a dedup-threshold owner reads before
@@ -1640,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 (beyond the 50-key window; harness-covered) ---
         "asof_hotkey_bucketed": q_asof_hotkey_bucketed,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -2814,6 +2831,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             WITH {_LSH_PAIRS_CTES}
             SELECT id_a, id_b, jaccard FROM lsh_pairs
+        """,
+        # incremental = the full pipeline's pairs that touch a new doc
+        # (doc_id % 5 = 0); bucket caps are evaluated on the combined
+        # bucket in both engines, so the restriction commutes
+        "dedup_incremental": f"""
+            WITH {_LSH_PAIRS_CTES}
+            SELECT id_a, id_b, jaccard FROM lsh_pairs
+            WHERE id_a % 5 = 0 OR id_b % 5 = 0
         """,
         "dedup_jaccard_hist": f"""
             WITH {_LSH_PAIRS_CTES}

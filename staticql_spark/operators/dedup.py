@@ -238,22 +238,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     dsh = doc_shingles(df, text_col, id_col, n).cache()
     sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
-
-    band_cols = []
-    for b in range(bands):
-        band_key = F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-                "|",
-            )
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _band_keys(sig, bands, rows_per_band, id_col)
 
     buckets = (
         banded.groupBy("band", "key")
@@ -283,6 +268,105 @@ def _pairs_within(ids_col: str) -> Column:
             ),
         )
     )
+
+
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int, id_col: str) -> DataFrame:
+    """(id, band, key) rows from a (id, sig) signature frame — map-side."""
+    band_cols = []
+    for b in range(bands):
+        band_key = F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            )
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable MinHash-LSH index of a corpus: (bands_df, shingles_df).
+
+    ``bands_df`` = (id, band, key); ``shingles_df`` = (id, sh: array<long>).
+    Write both as parquet once per corpus snapshot; an incremental run
+    (:func:`incremental_lsh_pairs`) then reads them back instead of
+    re-shingling the whole corpus — the shape that keeps daily dedup cost
+    proportional to the NEW batch, not to the accumulated 100 TB.
+    """
+    dsh = doc_shingles(df, text_col, id_col, n)
+    sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
+    return _band_keys(sig, bands, num_hashes // bands, id_col), dsh
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    old_bands: DataFrame,
+    old_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch vs an indexed corpus (+ within batch).
+
+    Emits exactly the pairs :func:`minhash_lsh_pairs` over old ∪ new would
+    emit that touch at least one new doc — old×old pairs were reported by
+    previous runs and are never re-generated or re-verified. Bucket-cap
+    semantics are evaluated on the COMBINED bucket (old + new members), so
+    results are bit-identical to the full run restricted to new-touching
+    pairs; the oracle twin is the full-corpus SQL with that restriction.
+
+    Cost at scale: the old corpus contributes only its (id, band, key)
+    index rows to the candidate shuffle and only the docs that actually
+    collide with a new doc to the verify join — never its text.
+    """
+    new_bands, new_dsh = minhash_index(new_df, text_col, id_col, n, num_hashes, bands)
+    tagged = old_bands.select(
+        id_col, "band", "key", F.lit(False).alias("is_new")
+    ).unionByName(new_bands.withColumn("is_new", F.lit(True)))
+
+    buckets = (
+        tagged.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col("is_new")))
+            ).alias("ids")
+        )
+        .filter(
+            (F.size("ids") >= 2)
+            & (F.size("ids") <= max_bucket)
+            & F.exists("ids", lambda x: x["is_new"])
+        )
+    )
+    cands = (
+        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        .filter(F.col("p.id_a.is_new") | F.col("p.id_b.is_new"))
+        # a re-crawled doc appears under both tags; never pair it with itself
+        .filter(F.col(f"p.id_a.{id_col}") != F.col(f"p.id_b.{id_col}"))
+        .select(
+            F.col(f"p.id_a.{id_col}").alias("id_a"),
+            F.col(f"p.id_b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    dsh_all = old_shingles.unionByName(new_dsh).dropDuplicates([id_col])
+    verified = verify_jaccard(cands, dsh_all, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -415,6 +415,38 @@ def test_connected_components_and_keep(spark):
     assert kept == {1, 4, 5}
 
 
+def test_incremental_lsh_equals_full_run_restriction(spark):
+    # split a corpus 80/20 old/new: incremental pairs == full-run pairs
+    # that touch at least one new doc, and old x old never appears
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ob, osh = dedup.minhash_index(old)
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.incremental_lsh_pairs(new, ob, osh, threshold=0.2).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    want = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == want
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b, _ in inc)
+
+
+def test_incremental_lsh_recrawl_no_self_pair(spark):
+    # a doc present in BOTH the index and the new batch (re-crawl) must
+    # not pair with itself
+    rows = [(i, f"common shingle text block number {i % 2} repeated tokens here")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ob, osh = dedup.minhash_index(df)  # index includes ALL docs
+    out = dedup.incremental_lsh_pairs(df.filter(F.col("doc_id") < 2), ob, osh,
+                                      threshold=0.1).collect()
+    assert all(r["id_a"] != r["id_b"] for r in out)
+
+
 def test_lsh_bucket_cap_drops_pathological_cluster(spark):
     # 120 byte-identical docs (the boilerplate-page scenario): every copy
     # lands in ONE (band, key) bucket per band -> O(m^2) candidates unless
