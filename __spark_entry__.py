@@ -1258,6 +1258,17 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_doc_rebalance(spark, sf):
+    # mixture rebalancing: downsample strata toward a declared target
+    # mixture (en 60 / ja 20 / de 20); the binding stratum survives whole,
+    # the rest are md5-bucket-thinned to keep the ratios. One map-side
+    # filter pass over the corpus; only |strata| rows aggregate.
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return text.rebalance_sample(
+        docs, {"en": 0.6, "ja": 0.2, "de": 0.2}, strata_col="lang"
+    )
+
+
 def q_doc_winnow(spark, sf):
     # winnowing fingerprints over a slice (rolling-hash family; bounded rows)
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
@@ -1657,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_hotkey_bucketed": q_asof_hotkey_bucketed,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dedup_incremental": q_dedup_incremental,
+        "doc_rebalance": q_doc_rebalance,
     }
 
 
@@ -2569,6 +2581,25 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) AS fp_md5,
                    md5(substr({_NORM}, 1, 64)) AS fp_head
             FROM documents
+        """,
+        # same double arithmetic as rebalance_sample: T = min(count/share),
+        # keep_s = share*T/count, md5-bucket draw < keep*1e6
+        "doc_rebalance": """
+            WITH shares(lang, share) AS (
+              VALUES ('de', 0.2::DOUBLE), ('en', 0.6::DOUBLE), ('ja', 0.2::DOUBLE)
+            ),
+            counts AS (
+              SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY lang
+            ),
+            t AS (SELECT min(c / share) AS total FROM counts JOIN shares USING (lang)),
+            f AS (
+              SELECT lang, share * (SELECT total FROM t) / c AS keep
+              FROM counts JOIN shares USING (lang)
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN f USING (lang)
+            WHERE (('0x' || substr(md5('rebal1|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000) < keep * 1000000
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source FROM documents

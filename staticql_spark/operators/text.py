@@ -246,6 +246,61 @@ def hash_sample(
     return df.filter(bucket < frac)
 
 
+def rebalance_sample(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "rebal1",
+) -> DataFrame:
+    """Downsample strata to a TARGET MIXTURE, deterministically.
+
+    Where :func:`hash_sample` takes per-stratum fractions as given,
+    this derives them from the corpus itself: the largest total the data
+    can support at the target mixture is ``T = min_s(count_s / share_s)``
+    (the binding stratum survives whole); every stratum then keeps
+    ``f_s = share_s * T / count_s`` of its rows. The keep rule is the
+    same md5-bucket draw as hash_sample — reproducible across engines,
+    stable under repartitioning, append-stable. Strata absent from
+    ``target_shares`` are dropped.
+
+    Fully distributed: the only aggregation is the per-stratum count
+    (|strata| rows), broadcast back onto the corpus — the 100 TB side is
+    touched by exactly one map-side filter pass.
+    """
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        sorted(target_shares.items()), f"{strata_col} string, __share double"
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("double").alias("__c"))
+    joined = counts.join(shares, strata_col, "inner")
+    total = joined.agg(F.min(F.col("__c") / F.col("__share")).alias("__t"))
+    keep = (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            (F.col("__share") * F.col("__t") / F.col("__c")).alias("__keep"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(keep), strata_col)
+        .filter(bucket < F.col("__keep") * 1_000_000)
+        .select(*df.columns)
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -415,6 +415,29 @@ def test_connected_components_and_keep(spark):
     assert kept == {1, 4, 5}
 
 
+def test_rebalance_sample_hits_target_mixture(spark):
+    # skewed corpus: en 600, ja 150, de 50. Target 60/20/20 -> de binds
+    # (50/0.2 = 250 total): de kept whole, en thinned to ~150, ja to ~50.
+    rows = (
+        [(i, "en") for i in range(600)]
+        + [(1000 + i, "ja") for i in range(150)]
+        + [(2000 + i, "de") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = text.rebalance_sample(df, {"en": 0.6, "ja": 0.2, "de": 0.2})
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert got["de"] == 50  # binding stratum survives whole
+    # md5 draw is uniform-ish, not exact: allow +-20% per thinned stratum
+    assert abs(got["en"] - 150) <= 30
+    assert abs(got["ja"] - 50) <= 10
+    # deterministic: the same call returns the same rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in text.rebalance_sample(
+        df, {"en": 0.6, "ja": 0.2, "de": 0.2}).collect())
+    assert a == b
+
+
 def test_incremental_lsh_equals_full_run_restriction(spark):
     # split a corpus 80/20 old/new: incremental pairs == full-run pairs
     # that touch at least one new doc, and old x old never appears
