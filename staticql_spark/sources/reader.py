@@ -116,29 +116,46 @@ def typed_from_parsed(parsed: DataFrame, cfg: SourceConfig, validate: bool) -> D
         # 'age', got string"): from_json PERMISSIVE-nulls a wrong-typed field,
         # so "typed is null but the raw payload carries a value" ≡ type error.
         # JSON null / absent keys stay null in both views and fall through to
-        # the required check below.  Divergence from the reference, documented:
-        # the message shows the offending raw value instead of its JS typeof
-        # (get_json_object unquotes strings, so typeof isn't recoverable).
-        for f_ in field_struct.fields:
-            name = f_.name
-            declared = (props.get(name) or {}).get("type")
-            if not declared:
+        # the required check below.  The walk recurses into object-typed
+        # properties (dotted paths, like the reference's 'value.a.b' path
+        # strings); a wrong-typed array/object as a WHOLE is caught at its
+        # own path because from_json nulls the full subtree while the raw
+        # payload still carries it.  Divergences, documented: the message
+        # shows the offending raw value instead of its JS typeof
+        # (get_json_object unquotes strings, so typeof isn't recoverable),
+        # and a wrong-typed leaf inside an array ELEMENT nulls silently
+        # (per-element probing has no JsonPath without exploding).
+        def _check_paths(properties: dict, prefix: str) -> list[tuple[str, str]]:
+            out = []
+            for name, js in (properties or {}).items():
+                t = (js or {}).get("type")
+                if not t:
+                    continue
+                path = f"{prefix}{name}"
+                out.append((path, " or ".join(t) if isinstance(t, list) else t))
+                is_obj = t == "object" or (isinstance(t, list) and "object" in t)
+                if is_obj:
+                    out.extend(_check_paths(js.get("properties"), path + "."))
+            return out
+
+        for path, types in _check_paths(props, ""):
+            root = path.split(".", 1)[0]
+            if root not in field_struct.fieldNames():
                 continue
-            types = " or ".join(declared) if isinstance(declared, list) else declared
-            raw_val = F.get_json_object(F.col("__staticql_payload"), f"$.{name}")
+            raw_val = F.get_json_object(F.col("__staticql_payload"), f"$.{path}")
             typed = typed.withColumn(
-                name,
+                root,
                 F.when(
-                    F.col(name).isNull() & raw_val.isNotNull(),
+                    F.col(path).isNull() & raw_val.isNotNull(),
                     F.raise_error(
                         F.format_string(
-                            f"[{cfg.name}] expected {types} at '{name}', "
+                            f"[{cfg.name}] expected {types} at '{path}', "
                             "got %s, for slug=%s",
                             raw_val,
                             F.col("slug"),
                         )
-                    ).cast(f_.dataType),
-                ).otherwise(F.col(name)),
+                    ).cast(typed.schema[root].dataType),
+                ).otherwise(F.col(root)),
             )
         # Wrap each required column so a null raises with source+slug context
         # (parity with simpleValidate's load-time errors). The when/otherwise

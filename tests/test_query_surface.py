@@ -265,6 +265,20 @@ def test_type_mismatch_is_descriptive_load_error(spark, tmp_path):
     rows = define(cfg)(base_dir=str(tmp_path), spark=spark).df("items").collect()
     assert rows[0]["rating"] is None
 
+    # nested object leaf: the walk recurses with a dotted path, like the
+    # reference's 'value.meta.weight' path strings
+    (d / "ok.md").unlink()
+    (d / "nested.md").write_text(
+        "---\nname: x\nmeta:\n  weight: heavy\n---\n", encoding="utf-8"
+    )
+    cfg["sources"]["items"]["schema"]["properties"]["meta"] = {
+        "type": "object",
+        "properties": {"weight": {"type": "number"}},
+    }
+    sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
+    with pytest.raises(Exception, match="expected number at 'meta.weight'"):
+        sql.df("items").collect()
+
 
 def test_q5c_cursor_dot_path_order_key(herbal):
     # ordering by an indexed relation dot-path ('herbs.slug' on recipes):
