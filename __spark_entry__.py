@@ -1258,6 +1258,14 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_doc_pack(spark, sf):
+    # tokenize-and-pack: map every doc's token span onto fixed 512-token
+    # training sequences. The global token offset is a two-phase prefix
+    # sum (per-md5-bucket windows + a |buckets|-row base-offset window) —
+    # never one global single-partition window.
+    return text.pack_sequences(_t(spark, sf, "documents"), seq_len=512)
+
+
 def q_doc_rebalance(spark, sf):
     # mixture rebalancing: downsample strata toward a declared target
     # mixture (en 60 / ja 20 / de 20); the binding stratum survives whole,
@@ -1669,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "dedup_incremental": q_dedup_incremental,
         "doc_rebalance": q_doc_rebalance,
+        "doc_pack": q_doc_pack,
     }
 
 
@@ -2581,6 +2590,27 @@ def oracle_sql() -> dict[str, str]:
                    md5({_NORM}) AS fp_md5,
                    md5(substr({_NORM}, 1, 64)) AS fp_head
             FROM documents
+        """,
+        # single-node twin of the two-phase prefix sum: one global cumsum
+        # over the same deterministic (md5-bucket, id) order
+        "doc_pack": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOKS_RAW}) AS n_tokens,
+                     ('0x' || substr(md5('pack1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 1024 AS bkt
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY bkt, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_tok
+              FROM t
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens, start_tok::BIGINT AS start_tok,
+                   (start_tok // 512)::BIGINT AS chunk_first,
+                   ((start_tok + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS chunk_last
+            FROM c
         """,
         # same double arithmetic as rebalance_sample: T = min(count/share),
         # keep_s = share*T/count, md5-bucket draw < keep*1e6

@@ -246,6 +246,77 @@ def hash_sample(
     return df.filter(bucket < frac)
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "pack1",
+) -> DataFrame:
+    """Assign documents to fixed-length training sequences (chunks).
+
+    Global document order is the deterministic (md5-bucket, id) sort; each
+    doc's whitespace-token span [start_tok, start_tok + n_tokens) maps to
+    chunks ``chunk_first = start div L`` .. ``chunk_last`` — the packing
+    table a tokenize-and-pack job shards its writers by.
+
+    Scale shape — the global running token offset is a TWO-PHASE prefix
+    sum, not one global window (which would serialize the corpus into a
+    single partition): phase 1 cumsums within each of ``buckets`` md5
+    buckets (parallel windows); phase 2 running-sums the per-bucket totals
+    — a |buckets|-row window, bounded by construction — and broadcasts
+    each bucket's base offset back. Returns (id, n_tokens, start_tok,
+    chunk_first, chunk_last).
+    """
+    from pyspark.sql import Window
+
+    d = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("__bkt"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__run", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot"))
+    w_b = (
+        Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = totals.withColumn("__base", F.sum("__tot").over(w_b) - F.col("__tot"))
+    start = F.col("__base") + F.col("__run") - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(base.select("__bkt", "__base")), "__bkt")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_tok"),
+            F.expr(f"(__base + __run - n_tokens) div {int(seq_len)}").alias(
+                "chunk_first"
+            ),
+            F.expr(
+                f"(__base + __run - n_tokens + greatest(n_tokens, 1) - 1) "
+                f"div {int(seq_len)}"
+            ).alias("chunk_last"),
+        )
+    )
+
+
 def rebalance_sample(
     df: DataFrame,
     target_shares: dict[str, float],

@@ -415,6 +415,29 @@ def test_connected_components_and_keep(spark):
     assert kept == {1, 4, 5}
 
 
+def test_pack_sequences_is_exact_prefix_sum(spark):
+    # the two-phase (bucketed) prefix sum must equal the single-pass
+    # brute-force packing over the same (md5 bucket, id) order
+    import hashlib
+
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(200)]  # 0..6 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_tok"], r["chunk_first"], r["chunk_last"])
+           for r in text.pack_sequences(df, seq_len=10, buckets=16).collect()}
+
+    def bkt(i):
+        return int(hashlib.md5(f"pack1|{i}".encode()).hexdigest()[:15], 16) % 16
+
+    start, want = 0, {}
+    for i in sorted(range(200), key=lambda i: (bkt(i), i)):
+        n = i % 7
+        want[i] = (n, start, start // 10, (start + max(n, 1) - 1) // 10)
+        start += n
+    assert got == want
+    # spans tile the token stream: total length equals the final offset
+    assert sum(n for n, *_ in got.values()) == start
+
+
 def test_rebalance_sample_hits_target_mixture(spark):
     # skewed corpus: en 600, ja 150, de 50. Target 60/20/20 -> de binds
     # (50/0.2 = 250 total): de kept whole, en thinned to ~150, ja to ~50.
