@@ -1258,6 +1258,25 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_pipeline_clean_corpus(spark, sf):
+    # the full cleaning pipeline as ONE declarative DataFrame program:
+    # near-dup keep-set (MinHash-LSH + connected components) -> benchmark
+    # decontamination against the eval split -> quality cut. No stage
+    # materializes; Catalyst plans the whole graph at once. Scoring is a
+    # pass-through projection (keep_cols), not a join-back, so the dedup
+    # subtree is computed once.
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    kept = dedup.dedup_keep(docs, pairs)
+    corpus = kept.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    clean = text.decontaminate_keep(corpus, bench, n=5, min_shared=1)
+    scored = text.quality_score(clean, keep_cols=("lang", "source"))
+    return scored.filter(F.col("quality") >= 0.5).select(
+        "doc_id", "lang", "source", "quality"
+    )
+
+
 def q_doc_pack(spark, sf):
     # tokenize-and-pack: map every doc's token span onto fixed 512-token
     # training sequences. The global token offset is a two-phase prefix
@@ -1678,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_rebalance": q_doc_rebalance,
         "doc_pack": q_doc_pack,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
     }
 
 
@@ -2953,6 +2973,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT node FROM dropped)
+        """,
+        # the composed pipeline: dedup keep-set (recursive components over
+        # LSH pairs) -> decontamination vs the eval split -> quality cut.
+        # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /
+        # doc_quality so every stage twin stays in lockstep with its
+        # standalone oracle.
+        "pipeline_clean_corpus": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            dropped AS (
+              SELECT node FROM reach GROUP BY node HAVING min(other) <> node
+            ),
+            kept AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (SELECT node FROM dropped)
+            ),
+            corpusg AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks
+                WHERE doc_id % 10 <> 0 AND len(t) >= 5
+                  AND doc_id IN (SELECT doc_id FROM kept)
+              )
+            ),
+            benchg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 5
+              )
+            ),
+            contaminated AS (
+              SELECT DISTINCT c.doc_id FROM corpusg c JOIN benchg USING (gram)
+            ),
+            {_QUALITY_CTES}
+            SELECT d.doc_id, d.lang, d.source, r.quality
+            FROM documents d JOIN r USING (doc_id)
+            WHERE d.doc_id IN (SELECT doc_id FROM kept)
+              AND d.doc_id % 10 <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND r.quality >= 0.5
         """,
         "dedup_ngram_jaccard": f"""
             WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),

@@ -47,11 +47,16 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Cheap quality heuristics (C4/Gopher-style), all ratios in [0,1].
 
     score = mean of: token-length sanity, stopword presence, alpha ratio.
     Deterministic closed-form — the SQL oracle reproduces it exactly.
+    ``keep_cols`` pass extra input columns through, so a pipeline can
+    score-and-keep in ONE projection instead of joining the scores back
+    (a derived-column self-join recomputes the input subtree per side).
     """
     df = ensure_parallelism(df)
     c = F.col(text_col)
@@ -80,6 +85,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     ) / F.lit(3.0)
     return df.select(
         "doc_id",
+        *keep_cols,
         F.size(toks).alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_tok_len"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
