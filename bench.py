@@ -51,6 +51,13 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf",
     "stream_first_seen",
+    # new in r4 (pipeline_clean_corpus is deliberately NOT here: it is the
+    # composition of stages benched individually above, and its ~7 s would
+    # read as a headline regression rather than new coverage)
+    "asof_hotkey_bucketed",
+    "dedup_incremental",
+    "doc_rebalance",
+    "doc_pack",
 ]
 
 
