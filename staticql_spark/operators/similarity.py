@@ -319,15 +319,19 @@ def ivf_query(
     id_col: str = "vec_id",
     centroid_stride: int = 100,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k against a persisted IVF index, reading only probed cells.
 
     The probe cells are computed driver-side from the (tiny) centroid set,
     then pushed as a partition filter — `.explain` shows the scan's
     PartitionFilters pruning to nprobe directories
-    (tests/test_plans.py::test_ivf_query_partition_pruning).
+    (tests/test_plans.py::test_ivf_query_partition_pruning). Pass the same
+    ``centroids`` the index was built with (`ivf_build(centroids=...)`),
+    or cell assignment and probing will disagree.
     """
-    centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    if centroids is None:
+        centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
