@@ -1258,6 +1258,20 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_doc_split_leakfree(spark, sf):
+    # cluster-aware split: the md5 draw runs on each doc's near-dup
+    # component representative, so a near-dup pair can never straddle
+    # train/eval (the leakage a per-doc hash split allows)
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    return dedup.leakfree_split(docs, pairs).select("doc_id", "rep", "split")
+
+
+def q_bpe_pair_counts(spark, sf):
+    # one BPE merge round's counting step: top adjacent-token pairs
+    return text.bpe_pair_counts(_t(spark, sf, "documents"), top_k=100)
+
+
 def q_pipeline_clean_corpus(spark, sf):
     # the full cleaning pipeline as ONE declarative DataFrame program:
     # near-dup keep-set (MinHash-LSH + connected components) -> benchmark
@@ -1698,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rebalance": q_doc_rebalance,
         "doc_pack": q_doc_pack,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "doc_split_leakfree": q_doc_split_leakfree,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -2973,6 +2989,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT node FROM dropped)
+        """,
+        # rep = min reachable node over the near-dup graph (the recursive
+        # CTE of dedup_keep); singletons represent themselves; the split
+        # draw hashes the REP, not the doc
+        "doc_split_leakfree": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            comp AS (SELECT node, min(other) AS rep FROM reach GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            )
+            SELECT doc_id, rep,
+                   CASE
+                     WHEN (('0x' || substr(md5('split1|' || rep::VARCHAR), 1, 15))::BIGINT % 100) < 80 THEN 'train'
+                     WHEN (('0x' || substr(md5('split1|' || rep::VARCHAR), 1, 15))::BIGINT % 100) < 90 THEN 'val'
+                     ELSE 'test' END AS split
+            FROM assigned
+        """,
+        "bpe_pair_counts": f"""
+            WITH toks AS (SELECT {_TOKS_NORM} AS t FROM documents),
+            p AS (
+              SELECT unnest(list_transform(range(1, len(t)),
+                            i -> struct_pack(a := t[i], b := t[i+1]))) AS pr
+              FROM toks WHERE len(t) >= 2
+            )
+            SELECT pr.a AS a, pr.b AS b, count(*)::BIGINT AS n_pairs
+            FROM p GROUP BY pr.a, pr.b
+            ORDER BY n_pairs DESC, a, b
+            LIMIT 100
         """,
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.

@@ -623,6 +623,53 @@ def connected_components(
     )
 
 
+def leakfree_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup CLUSTERS stay whole.
+
+    A plain per-doc hash split leaks training data into eval whenever two
+    near-duplicates straddle the boundary. Here the md5 draw runs on each
+    doc's component REPRESENTATIVE (min member id of its near-dup cluster;
+    singletons represent themselves), so an entire cluster always lands in
+    one split. Deterministic and append-stable like doc_split; the extra
+    cost over it is exactly the component computation on the (tiny) pair
+    graph plus one broadcast-size join back.
+    Returns df columns + (rep, split).
+    """
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    rep = df.join(
+        comp.select(F.col("member_id").alias(id_col), "component_id"),
+        id_col,
+        "left",
+    ).withColumn("rep", F.coalesce("component_id", F.col(id_col)))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("rep").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return rep.select(
+        *df.columns,
+        "rep",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def dedup_keep(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -252,6 +252,42 @@ def hash_sample(
     return df.filter(bucket < frac)
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-scale adjacent-token-pair frequencies — the counting step of
+    one BPE merge round (the most frequent pair is the next merge).
+
+    Normalized whitespace tokens; pair positions are generated in-row
+    (guarded ``sequence`` — never descending on short docs), exploded, and
+    counted by ONE map-side-combined groupBy, so the shuffle carries
+    |distinct pairs| partial counts, not one row per corpus position.
+    Top-k is TakeOrdered with a full deterministic tiebreak (count desc,
+    then pair lexicographically) so engines agree on the boundary.
+    """
+    df = ensure_parallelism(df)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    t = F.split(norm, r"\s+")
+    prs = F.when(
+        (F.trim(F.col(text_col)) != "") & (F.size(t) >= 2),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        df.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "a", "b")
+        .limit(top_k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

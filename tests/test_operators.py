@@ -415,6 +415,21 @@ def test_connected_components_and_keep(spark):
     assert kept == {1, 4, 5}
 
 
+def test_leakfree_split_keeps_clusters_whole(spark):
+    # the defining invariant: no near-dup pair may straddle two splits
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    out = dedup.leakfree_split(docs, pairs)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    prs = pairs.select("id_a", "id_b").collect()
+    assert prs, "fixture must contain near-dup pairs for this test to bite"
+    for r in prs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
+    # every doc assigned exactly once; all three splits non-degenerate
+    assert len(split_of) == docs.count()
+    assert set(split_of.values()) == {"train", "val", "test"}
+
+
 def test_pack_sequences_is_exact_prefix_sum(spark):
     # the two-phase (bucketed) prefix sum must equal the single-pass
     # brute-force packing over the same (md5 bucket, id) order
