@@ -1272,6 +1272,12 @@ def q_bpe_pair_counts(spark, sf):
     return text.bpe_pair_counts(_t(spark, sf, "documents"), top_k=100)
 
 
+def q_doc_unigram_nll(spark, sf):
+    # perplexity proxy: mean unigram -log2 p under the corpus's own
+    # unigram LM (broadcast vocab; OOV floored at 1/total)
+    return text.unigram_logprob(_t(spark, sf, "documents"))
+
+
 def q_pipeline_clean_corpus(spark, sf):
     # the full cleaning pipeline as ONE declarative DataFrame program:
     # near-dup keep-set (MinHash-LSH + connected components) -> benchmark
@@ -1714,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "doc_split_leakfree": q_doc_split_leakfree,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "doc_unigram_nll": q_doc_unigram_nll,
     }
 
 
@@ -3018,6 +3025,17 @@ def oracle_sql() -> dict[str, str]:
                      WHEN (('0x' || substr(md5('split1|' || rep::VARCHAR), 1, 15))::BIGINT % 100) < 90 THEN 'val'
                      ELSE 'test' END AS split
             FROM assigned
+        """,
+        "doc_unigram_nll": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_NORM} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) >= 1),
+            freq AS (SELECT term, count(*)::DOUBLE AS cnt FROM tok GROUP BY term),
+            tot AS (SELECT sum(cnt) AS total FROM freq),
+            vocab AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT 50000)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(-log2(coalesce(v.cnt, 1.0) / (SELECT total FROM tot))), 4) AS nll
+            FROM tok t LEFT JOIN vocab v USING (term)
+            GROUP BY t.doc_id
         """,
         "bpe_pair_counts": f"""
             WITH toks AS (SELECT {_TOKS_NORM} AS t FROM documents),

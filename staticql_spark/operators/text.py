@@ -288,6 +288,46 @@ def bpe_pair_counts(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 50_000,
+) -> DataFrame:
+    """Per-doc mean unigram negative log2-probability — the cheap
+    perplexity proxy a CCNet-style LM quality filter thresholds on
+    (gibberish and boilerplate score high, fluent text low).
+
+    The corpus LM is its own unigram distribution: term frequencies from
+    one map-side-combined groupBy (|vocab| rows shuffle, not positions),
+    capped to the ``vocab_k`` most frequent terms (deterministic
+    tiebreak), broadcast to the scoring join; out-of-vocab tokens get the
+    floor probability 1/total. Per-doc scoring is explode → broadcast
+    join → one groupBy(doc) with partial aggregation. Returns
+    (id, n_tokens, nll); docs with zero tokens drop (no distribution to
+    score against).
+    """
+    df = ensure_parallelism(df)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    t = F.when(
+        F.trim(F.col(text_col)) != "", F.split(norm, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+    tok = df.select(F.col(id_col), F.explode(t).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    vocab = freq.orderBy(F.col("__cnt").desc(), "term").limit(vocab_k)
+    lp = -F.log2(F.coalesce(F.col("__cnt"), F.lit(1.0)) / F.col("__total"))
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 4).alias("nll"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int,

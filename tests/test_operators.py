@@ -415,6 +415,21 @@ def test_connected_components_and_keep(spark):
     assert kept == {1, 4, 5}
 
 
+def test_unigram_logprob_matches_closed_form(spark):
+    # 10 'a', 5 'b', 1 'z' (total 16). vocab_k=2 keeps {a, b}; z is OOV
+    # and gets the floor 1/16. Scores are exact closed forms.
+    import math
+    rows = [(1, "a a a a a a a a a a"), (2, "b b b b b"), (3, "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["nll"])
+           for r in text.unigram_logprob(df, vocab_k=2).collect()}
+    assert got[1] == (10, round(-math.log2(10 / 16), 4))
+    assert got[2] == (5, round(-math.log2(5 / 16), 4))
+    assert got[3] == (1, round(-math.log2(1 / 16), 4))  # OOV floor
+    # gibberish (OOV) scores strictly higher than the common token
+    assert got[3][1] > got[1][1]
+
+
 def test_leakfree_split_keeps_clusters_whole(spark):
     # the defining invariant: no near-dup pair may straddle two splits
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
