@@ -270,8 +270,16 @@ def _pairs_within(ids_col: str) -> Column:
     )
 
 
-def _band_keys(sig: DataFrame, bands: int, rows_per_band: int, id_col: str) -> DataFrame:
-    """(id, band, key) rows from a (id, sig) signature frame — map-side."""
+def _band_keys(
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry, band, key) rows from a (id, sig) signature frame —
+    map-side. ``carry`` columns ride along (e.g. the shingle array, for
+    streaming pipelines that must verify in the same pass)."""
     band_cols = []
     for b in range(bands):
         band_key = F.md5(
@@ -285,8 +293,10 @@ def _band_keys(sig: DataFrame, bands: int, rows_per_band: int, id_col: str) -> D
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col), *carry, F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col, *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
 
 def minhash_index(

@@ -217,6 +217,71 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop("_rkey").withColumnRenamed("_lkey", on)
 
 
+def stream_lsh_dedup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Continuous near-dup detection: a STREAM of new documents probed
+    against a static persisted MinHash index (``dedup.minhash_index``
+    output read back as batch DataFrames) — the streaming face of
+    ``dedup.incremental_lsh_pairs``'s new-vs-corpus half.
+
+    Stream side is entirely map-side (shingle set, signature, and band
+    keys computed in-row; the shingle array rides along for the verify),
+    so the plan is append-mode friendly: candidates come from a
+    stream-static equi join on (band, key), the exact Jaccard is one
+    per-row ``array_intersect`` after a second static join for the old
+    doc's shingles, and ``dropDuplicates`` collapses multi-band hits —
+    each (new, old) pair emits once for the lifetime of the checkpoint
+    (state = one row per emitted pair; bound it by restarting checkpoints
+    per corpus snapshot, the natural cadence since the index itself is
+    per-snapshot). New×new pairs inside the stream are out of scope here:
+    run the batch ``incremental_lsh_pairs`` at snapshot boundaries for
+    those. Identical semantics on batch inputs (the equivalence test
+    pins stream-vs-batch).
+    """
+    from ..operators.dedup import _band_keys, doc_shingles, sig_from_array
+
+    dsh = doc_shingles(new_docs, text_col, id_col, n)
+    sig = dsh.select(F.col(id_col), F.col("sh"), sig_from_array(num_hashes))
+    banded = _band_keys(sig, bands, num_hashes // bands, id_col, carry=("sh",))
+    cands = (
+        banded.join(
+            index_bands.select(
+                F.col(id_col).alias("__old_id"), "band", "key"
+            ),
+            ["band", "key"],
+            "inner",
+        )
+        .filter(F.col(id_col) != F.col("__old_id"))
+        .select(
+            F.col(id_col).alias("id_new"),
+            F.col("__old_id").alias("id_old"),
+            "sh",
+        )
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    old_sh = index_shingles.select(
+        F.col(id_col).alias("id_old"), F.col("sh").alias("sh_old")
+    )
+    j = cands.join(old_sh, "id_old")
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_old")))
+    jac = F.round(
+        inter.cast("double") / (F.size("sh") + F.size("sh_old") - inter), 6
+    )
+    return (
+        j.select("id_new", "id_old", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 STREAM_ASOF_SCHEMA = (
     "key string, left_id long, ts timestamp, matched_value double, matched_ts timestamp"
 )

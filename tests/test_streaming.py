@@ -349,3 +349,55 @@ def test_stream_trending_topk_matches_batch(spark, tmp_path_factory):
     assert len(got) > 0
     for key, v in got.items():
         assert expected[key] == v, key
+
+
+def test_stream_lsh_dedup_matches_batch(spark, tmp_path):
+    """Continuous dedup: a 2-micro-batch document stream probed against a
+    static MinHash index must emit exactly the batch operator's pairs,
+    each exactly once (dropDuplicates state collapses multi-band hits)."""
+    from staticql_spark.operators import dedup
+    from staticql_spark.streaming import stream_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 == 0")
+    ob, osh = dedup.minhash_index(old)
+
+    # batch twin of the same operator
+    want = {
+        (r["id_new"], r["id_old"], r["jaccard"])
+        for r in stream_lsh_dedup(new, ob, osh, threshold=0.2).collect()
+    }
+    # cross-check vs incremental_lsh_pairs: its mixed (one-new) pairs are
+    # exactly the stream's new-vs-corpus scope
+    mixed = {
+        (r["id_a"], r["id_b"], r["jaccard"]) if r["id_a"] % 5 == 0
+        else (r["id_b"], r["id_a"], r["jaccard"])
+        for r in dedup.incremental_lsh_pairs(new, ob, osh, threshold=0.2).collect()
+        if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)
+    }
+    assert want == mixed
+    assert want, "fixture must produce at least one cross-set pair"
+
+    drops = str(tmp_path / "drops")
+    new.filter("doc_id % 10 = 0").coalesce(1).write.mode("append").parquet(drops)
+    new.filter("doc_id % 10 <> 0").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_lsh_dedup(stream, ob, osh, threshold=0.2)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    got = {(r["id_new"], r["id_old"], r["jaccard"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # exactly-once per pair
