@@ -178,6 +178,25 @@ def test_ivf_topk_trained_centroids(spark, emb):
         assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
+def test_ivf_persisted_trained_centroids_roundtrip(spark, emb, tmp_path):
+    # ivf_build + ivf_query with the SAME kmeans_fit centroids must equal
+    # the in-memory trained ivf_topk (mismatched centroids would silently
+    # disagree between assignment and probing — the docstring warning)
+    from staticql_spark.operators.similarity import ivf_build, ivf_query, ivf_topk
+
+    cents = similarity.kmeans_fit(emb, centroid_stride=50, iters=1)
+    cents = cents.localCheckpoint(eager=True)  # pin one evaluation of the fit
+    idx = str(tmp_path / "ivf_trained")
+    ivf_build(emb, idx, centroids=cents)
+    queries = emb.filter(F.col("vec_id").isin(0, 100))
+    a = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+         for r in ivf_query(spark, idx, queries, emb, k=3, nprobe=2,
+                            centroids=cents).collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+         for r in ivf_topk(queries, emb, k=3, nprobe=2, centroids=cents).collect()}
+    assert a == b and a
+
+
 def test_embedding_neardup_identical_vectors(spark):
     vec = [0.5] * 16
     df = spark.createDataFrame([(1, vec, 0), (2, vec, 0), (3, [-0.5] * 16, 1)],
