@@ -653,8 +653,11 @@ def leakfree_split(
     Returns df columns + (rep, split).
     """
     comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    # comp has one row per PAIRED doc — tiny relative to the corpus — but
+    # it comes out of localCheckpoint (no stats), so Spark would pick a
+    # sort-merge join that shuffles the whole corpus; broadcast explicitly.
     rep = df.join(
-        comp.select(F.col("member_id").alias(id_col), "component_id"),
+        F.broadcast(comp.select(F.col("member_id").alias(id_col), "component_id")),
         id_col,
         "left",
     ).withColumn("rep", F.coalesce("component_id", F.col(id_col)))
