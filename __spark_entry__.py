@@ -1278,6 +1278,67 @@ def q_doc_unigram_nll(spark, sf):
     return text.unigram_logprob(_t(spark, sf, "documents"))
 
 
+def q_doc_curriculum(spark, sf):
+    # curriculum ordering: difficulty decile of each doc within the
+    # corpus quality distribution. Exact interpolated decile thresholds
+    # (percentile() matches DuckDB quantile_cont) are ONE broadcast row;
+    # the decile is the count of thresholds at or below the doc's score —
+    # no global rank/ntile window over the corpus.
+    docs = _t(spark, sf, "documents")
+    scored = text.quality_score(docs, keep_cols=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
+    thr = scored.agg(
+        F.expr(
+            "percentile(quality, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("__thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.size(F.filter(F.col("__thr"), lambda t: F.col("quality") >= t))
+        .cast("long")
+        .alias("decile"),
+    )
+
+
+def q_events_funnel(spark, sf):
+    # ordered funnel: first click -> first view strictly after it ->
+    # first purchase strictly after that, per user; one summary row of
+    # stage survivors. Each stage is a keyed min-aggregate + equi join on
+    # user_id — no window over the whole event stream.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        clicks.join(views, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("t1").alias("n_clicked"),
+            F.count("t2").alias("n_viewed_after"),
+            F.count("t3").alias("n_purchased_after"),
+        )
+    )
+
+
 def q_pipeline_clean_corpus(spark, sf):
     # the full cleaning pipeline as ONE declarative DataFrame program:
     # near-dup keep-set (MinHash-LSH + connected components) -> benchmark
@@ -1721,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakfree": q_doc_split_leakfree,
         "bpe_pair_counts": q_bpe_pair_counts,
         "doc_unigram_nll": q_doc_unigram_nll,
+        "doc_curriculum": q_doc_curriculum,
+        "events_funnel": q_events_funnel,
     }
 
 
@@ -3025,6 +3088,42 @@ def oracle_sql() -> dict[str, str]:
                      WHEN (('0x' || substr(md5('split1|' || rep::VARCHAR), 1, 15))::BIGINT % 100) < 90 THEN 'val'
                      ELSE 'test' END AS split
             FROM assigned
+        """,
+        "doc_curriculum": f"""
+            WITH {_QUALITY_CTES},
+            thr AS (
+              SELECT quantile_cont(quality,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+              FROM r
+            )
+            SELECT d.doc_id, d.lang, r.quality,
+                   len(list_filter((SELECT t FROM thr),
+                                   x -> r.quality >= x))::BIGINT AS decile
+            FROM documents d JOIN r USING (doc_id)
+        """,
+        "events_funnel": """
+            WITH clicks AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'click' GROUP BY user_id
+            ),
+            views AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN clicks c ON e.user_id = c.user_id
+              WHERE e.event_type = 'view' AND e.ts > c.t1
+              GROUP BY e.user_id
+            ),
+            purchases AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN views v ON e.user_id = v.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > v.t2
+              GROUP BY e.user_id
+            )
+            SELECT count(c.t1)::BIGINT AS n_clicked,
+                   count(v.t2)::BIGINT AS n_viewed_after,
+                   count(p.t3)::BIGINT AS n_purchased_after
+            FROM clicks c
+            LEFT JOIN views v ON v.user_id = c.user_id
+            LEFT JOIN purchases p ON p.user_id = c.user_id
         """,
         "doc_unigram_nll": f"""
             WITH toks AS (SELECT doc_id, {_TOKS_NORM} AS t FROM documents),
