@@ -13,6 +13,7 @@ Portability rules used throughout the oracles:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1288,9 +1289,16 @@ def q_doc_curriculum(spark, sf):
     scored = text.quality_score(docs, keep_cols=("lang",)).select(
         "doc_id", "lang", "quality"
     )
+    # Thresholds rounded to 6 decimals: quality is 4-decimal and the decile
+    # fractions are multiples of 0.1, so every exact interpolated threshold
+    # is a multiple of 1e-5 — round(·, 6) recovers it exactly and removes
+    # the engine-specific fp interpolation noise (e.g. DuckDB's
+    # 0.9390000000000001 vs Spark's 0.939) that otherwise flips >= at ties.
     thr = scored.agg(
         F.expr(
-            "percentile(quality, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+            "transform(percentile(quality,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " x -> round(x, 6))"
         ).alias("__thr")
     )
     return scored.crossJoin(F.broadcast(thr)).select(
@@ -1644,19 +1652,21 @@ def q_stream_first_seen(spark, sf):
     return streaming_first_seen(ev, F.col("event_type"))
 
 
+_MEDIA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "media_real.parquet"
+)
+
+
 def q_multimodal_features(spark, sf):
-    # Real bytes -> features: payloads are actual PPM/WAV containers parsed
-    # by the pure-Python codecs (multimodal.real_decode), distributed via
-    # the same Arrow-batched mapInPandas path as any injected decoder.
-    media = multimodal.synthetic_media_real(spark, n=128)
-    feats = multimodal.extract_features(media, decode_fn=multimodal.real_decode)
-    return feats.select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        F.round(F.col("feature").getItem(0), 6).alias("f0"),
-        F.round(F.col("feature").getItem(1), 6).alias("f1"),
-    )
+    # Real bytes -> header facts: payloads are actual PPM/WAV containers
+    # (committed fixture, identical to multimodal.synthetic_media_real)
+    # parsed by the pure-Python codecs via the Arrow-batched mapInPandas
+    # boundary.  Emits only oracle-reproducible columns (length, hex-md5,
+    # netpbm / RIFF header fields) so DuckDB can re-derive every value from
+    # the same parquet blobs; the float feature vectors stay pytest-twinned
+    # (tests/test_multimodal.py).
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return multimodal.parse_headers(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3090,8 +3100,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_curriculum": f"""
             WITH {_QUALITY_CTES},
             thr AS (
-              SELECT quantile_cont(quality,
-                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+              -- round(·, 6) twin of the Spark side: exact thresholds are
+              -- multiples of 1e-5, rounding removes fp interpolation noise
+              SELECT list_transform(quantile_cont(quality,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       x -> round(x, 6)) AS t
               FROM r
             )
             SELECT d.doc_id, d.lang, r.quality,
@@ -3397,6 +3410,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) - 1 AS n_dups
             FROM events GROUP BY event_type
         """,
-        # multimodal_features: no SQL oracle (synthetic binary payloads,
-        # Python decode kernel) — rows-only check by design.
+        # multimodal_features: DuckDB independently re-parses the SAME
+        # committed parquet blobs (netpbm header via hex-regex, RIFF/WAV
+        # fields at fixed little-endian offsets); payload_md5 is
+        # md5(hex(payload)) on both sides because DuckDB's md5 is
+        # VARCHAR-only.  The float feature vectors (not SQL-reproducible)
+        # live in the pytest twin instead (tests/test_multimodal.py).
+        "multimodal_features": f"""
+            WITH m AS (
+              SELECT media_id, kind, hex(payload) AS hx,
+                     octet_length(payload)::BIGINT AS n_bytes
+              FROM read_parquet('{_MEDIA_FIXTURE}')
+            )
+            SELECT media_id, kind, n_bytes, md5(hx) AS payload_md5,
+              CASE WHEN kind='image' THEN decode(unhex(regexp_extract(hx,
+                '^50(?:35|36)0A((?:..)*?)20', 1)))::INT END AS width,
+              CASE WHEN kind='image' THEN decode(unhex(regexp_extract(hx,
+                '^50(?:35|36)0A(?:..)*?20((?:..)*?)0A', 1)))::INT END AS height,
+              CASE WHEN kind='image' THEN decode(unhex(regexp_extract(hx,
+                '^50(?:35|36)0A(?:..)*?0A((?:..)*?)0A', 1)))::INT END AS maxval,
+              CASE WHEN kind='audio' THEN ('0x' || substr(hx,55,2) || substr(hx,53,2)
+                || substr(hx,51,2) || substr(hx,49,2))::BIGINT::INT END AS sample_rate,
+              CASE WHEN kind='audio' THEN ('0x' || substr(hx,87,2) || substr(hx,85,2)
+                || substr(hx,83,2) || substr(hx,81,2))::BIGINT // 2 END AS n_samples
+            FROM m
+        """,
     }

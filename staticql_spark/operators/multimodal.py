@@ -225,6 +225,61 @@ def real_resize(payload: bytes, width: int, height: int) -> bytes:
     return encode_image(arr[rows][:, cols].astype(np.uint8))
 
 
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("payload_md5", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("maxval", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def parse_headers(media: DataFrame) -> DataFrame:
+    """Container-header parse through the REAL pure-Python codecs, distributed
+    via the same Arrow-batched ``mapInPandas`` boundary as feature extraction.
+
+    Emits only oracle-reproducible facts — byte length, ``md5(hex(payload))``
+    (hex-string md5 so a SQL engine without blob-md5 can recompute it), and
+    the netpbm / RIFF header fields — which is what makes the multimodal
+    plumbing externally checkable; the float feature vectors stay in
+    ``extract_features`` (pytest-twinned, not SQL-reproducible).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in HEADER_SCHEMA.fields}
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(p) if p is not None else None)
+                out["payload_md5"].append(
+                    hashlib.md5(p.hex().upper().encode()).hexdigest()
+                    if p is not None
+                    else None
+                )
+                w = h = mx = rate = nsamp = None
+                if p is not None and kind == "image":
+                    (w, h, mx), _ = _pnm_tokens(p, 3)
+                elif p is not None and kind == "audio":
+                    samples, rate = decode_audio(p)
+                    nsamp = len(samples)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["maxval"].append(mx)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(nsamp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=HEADER_SCHEMA)
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[bytes, str], list[float]] | None = None,

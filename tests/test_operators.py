@@ -249,6 +249,43 @@ def test_fingerprint_whitespace_invariant(spark):
     assert out[1] == out[2] != out[3]
 
 
+def test_multimodal_parse_headers_fixture(spark):
+    # The committed fixture is byte-identical to synthetic_media_real(n=128)
+    # (tests/fixtures/gen_media_fixture.py); parse_headers must recover the
+    # container-header facts through the real codecs.
+    import pathlib
+
+    fixture = str(pathlib.Path(__file__).parent / "fixtures" / "media_real.parquet")
+    fixture_rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in spark.read.parquet(fixture).collect()
+    }
+    synth_rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in multimodal.synthetic_media_real(spark, n=128).collect()
+    }
+    assert fixture_rows == synth_rows
+
+    parsed = {
+        r["media_id"]: r
+        for r in multimodal.parse_headers(spark.read.parquet(fixture)).collect()
+    }
+    assert len(parsed) == 128
+    for mid, r in parsed.items():
+        if mid % 2 == 0:
+            assert (r["width"], r["height"], r["maxval"]) == (8, 6, 255)
+            assert r["sample_rate"] is None and r["n_samples"] is None
+            assert r["n_bytes"] == 155
+        else:
+            assert (r["sample_rate"], r["n_samples"]) == (8000, 120)
+            assert r["width"] is None
+        import hashlib
+
+        assert r["payload_md5"] == hashlib.md5(
+            fixture_rows[mid].hex().upper().encode()
+        ).hexdigest()
+
+
 def test_multimodal_feature_shapes(spark):
     media = multimodal.synthetic_media(spark, n=32)
     feats = multimodal.extract_features(media).collect()
