@@ -1051,8 +1051,9 @@ def q_asof_hotkey_bucketed(spark, sf):
 def q_ann_ivf_trained(spark, sf):
     # IVF over kmeans_fit-trained centroids (2 Lloyd iterations, assign =
     # broadcast cosine argmax, update = one map-side-combined aggregation
-    # per iteration). Iterative -> no SQL oracle; rows-only + the NumPy
-    # Lloyd twin test (test_kmeans_fit_matches_numpy_lloyd).
+    # per iteration). The fixed iteration count makes the whole fit
+    # SQL-expressible: the oracle (_ivf_trained_sql) unrolls both Lloyd
+    # steps in DuckDB; the NumPy Lloyd twin test stays as a second check.
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
@@ -1971,6 +1972,60 @@ def _lsh_planes_sql(dim: int = 64, num_planes: int = 6) -> str:
             "THEN '1' ELSE '0' END)"
         )
     return " || ".join(parts)
+
+
+def _ivf_assign_sql(src: str, cent: str, vcol: str, idcol: str, nprobe: int) -> str:
+    """Assignment-step SQL twin of similarity.ivf_assign: cosine (rounded 6)
+    argmax over broadcast centroids, ties on cid asc."""
+    return f"""(
+              SELECT {idcol}, {vcol}, cell FROM (
+                SELECT s.{idcol}, s.{vcol}, c.cid AS cell,
+                       row_number() OVER (PARTITION BY s.{idcol} ORDER BY
+                         round(list_dot_product(s.{vcol}, c.centroid)
+                               / (sqrt(list_dot_product(s.{vcol}, s.{vcol}))
+                                  * sqrt(list_dot_product(c.centroid, c.centroid))),
+                               6) DESC, c.cid ASC) AS rn
+                FROM {src} s CROSS JOIN {cent} c
+              ) WHERE rn <= {nprobe}
+            )"""
+
+
+def _ivf_trained_sql(dim: int = 64) -> str:
+    """SQL twin of q_ann_ivf_trained: kmeans_fit's two Lloyd iterations
+    unrolled (deterministic stride-100 init, cosine-argmax assign, per-
+    element avg centroid update — similarity.py:193-226), then the same
+    IVF probe/top-5 as the ann_ivf oracle.  All arithmetic is RNG-free and
+    every engine-crossing comparison happens on 6-decimal-rounded cosines,
+    so the fp summation-order noise in avg/dot stays far below the rounding
+    granularity."""
+    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    return f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent0 AS (SELECT vec_id AS cid, v AS centroid FROM emb WHERE vec_id % 100 = 0),
+            a1 AS {_ivf_assign_sql("emb", "cent0", "v", "vec_id", 1)},
+            cent1 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a1 GROUP BY cell),
+            a2 AS {_ivf_assign_sql("emb", "cent1", "v", "vec_id", 1)},
+            cent2 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a2 GROUP BY cell),
+            c AS (SELECT vec_id AS neighbor_id, v AS cv FROM emb),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            cells AS {_ivf_assign_sql("c", "cent2", "cv", "neighbor_id", 1)},
+            probes AS {_ivf_assign_sql("q", "cent2", "qv", "query_id", 3)},
+            scored AS (
+              SELECT p.query_id, s.neighbor_id,
+                     round(list_dot_product(p.qv, s.cv)
+                           / (sqrt(list_dot_product(p.qv, p.qv))
+                              * sqrt(list_dot_product(s.cv, s.cv))),
+                           6) AS cosine
+              FROM probes p JOIN cells s USING (cell)
+              WHERE p.query_id <> s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3364,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "ann_ivf_trained": _ivf_trained_sql(),
         "ann_ivf": """
             WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

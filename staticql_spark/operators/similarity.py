@@ -209,8 +209,10 @@ def kmeans_fit(
     plug into :func:`ivf_topk` / :func:`ivf_build` via ``centroids=`` for
     tighter cells than the raw sample — better recall at the same nprobe.
 
-    Iterative and therefore not SQL-expressible — verified against a
-    NumPy Lloyd twin in tests, not a DuckDB oracle.
+    The fixed, small iteration count keeps the fit SQL-expressible by
+    unrolling (see __spark_entry__._ivf_trained_sql, the DuckDB oracle for
+    ann_ivf_trained); a NumPy Lloyd twin test independently checks the
+    algorithm.
     """
     vecs = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
