@@ -640,6 +640,7 @@ def leakfree_split(
     salt: str = "split1",
     train_pct: int = 80,
     val_pct: int = 10,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup CLUSTERS stay whole.
 
@@ -648,19 +649,25 @@ def leakfree_split(
     doc's component REPRESENTATIVE (min member id of its near-dup cluster;
     singletons represent themselves), so an entire cluster always lands in
     one split. Deterministic and append-stable like doc_split; the extra
-    cost over it is exactly the component computation on the (tiny) pair
-    graph plus one broadcast-size join back.
+    cost over it is exactly the component computation on the pair graph
+    plus one join back.
     Returns df columns + (rep, split).
     """
     comp = connected_components(pairs, id_a="id_a", id_b="id_b")
-    # comp has one row per PAIRED doc — tiny relative to the corpus — but
-    # it comes out of localCheckpoint (no stats), so Spark would pick a
-    # sort-merge join that shuffles the whole corpus; broadcast explicitly.
-    rep = df.join(
-        F.broadcast(comp.select(F.col("member_id").alias(id_col), "component_id")),
-        id_col,
-        "left",
-    ).withColumn("rep", F.coalesce("component_id", F.col(id_col)))
+    # comp has one row per PAIRED doc — usually tiny relative to the corpus,
+    # but it comes out of localCheckpoint (no stats), so Spark would pick a
+    # sort-merge join that shuffles the whole corpus.  Broadcast explicitly
+    # ONLY when the map is provably small: at a 20-30% dup rate on a 100 TB
+    # corpus the paired-doc map is billions of rows and an unconditional
+    # broadcast OOMs the driver.  comp is already checkpointed, so the
+    # count() gate is a cheap local scan; past the threshold we fall back
+    # to a plain shuffle join on the id (SCALE.md "leakfree_split gate").
+    comp = comp.select(F.col("member_id").alias(id_col), "component_id")
+    if comp.count() <= broadcast_max_rows:
+        comp = F.broadcast(comp)
+    rep = df.join(comp, id_col, "left").withColumn(
+        "rep", F.coalesce("component_id", F.col(id_col))
+    )
     bucket = (
         F.conv(
             F.substring(

@@ -501,6 +501,20 @@ def test_leakfree_split_keeps_clusters_whole(spark):
     assert set(split_of.values()) == {"train", "val", "test"}
 
 
+def test_leakfree_split_shuffle_fallback_identical(spark):
+    # a dense pair graph over the broadcast gate must take the plain
+    # shuffle-join path and produce byte-identical assignments
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    broadcasted = dedup.leakfree_split(docs, pairs)
+    fallback = dedup.leakfree_split(docs, pairs, broadcast_max_rows=0)
+    assert "BroadcastHashJoin" not in fallback._jdf.queryExecution().executedPlan().toString()
+    rows = lambda df: sorted(
+        (r["doc_id"], r["rep"], r["split"]) for r in df.collect()
+    )
+    assert rows(broadcasted) == rows(fallback)
+
+
 def test_pack_sequences_is_exact_prefix_sum(spark):
     # the two-phase (bucketed) prefix sum must equal the single-pass
     # brute-force packing over the same (md5 bucket, id) order
