@@ -54,6 +54,7 @@ class QueryBuilder:
         self._joins: list[str] = []
         self._order_key = "slug"
         self._order_dir = "asc"
+        self._order_collation: str | None = None
         self._page_size = DEFAULT_PAGE_SIZE
         self._cursor: str | None = None
         self._cursor_dir = "after"
@@ -70,11 +71,21 @@ class QueryBuilder:
             self._joins.append(relation_name)
         return self
 
-    def order_by(self, key: str, direction: str = "asc") -> "QueryBuilder":
+    def order_by(
+        self, key: str, direction: str = "asc", collation: str | None = None
+    ) -> "QueryBuilder":
+        """Sort key for pagination.  ``collation`` selects the string
+        compare: None (default) keeps binary code-point order — the
+        oracle-reproducible choice, documented divergence from the
+        reference — while any Spark 4 collation name (e.g. ``"UNICODE"``,
+        the ICU root order that matches the reference client's
+        ``localeCompare``, src/QueryBuilder.ts:639-641) applies ICU
+        collation to the sort and the keyset cursor predicates."""
         if direction not in ("asc", "desc"):
             raise ValueError(f"orderBy direction must be asc|desc, got {direction!r}")
         self._order_key = key
         self._order_dir = direction
+        self._order_collation = collation
         return self
 
     orderBy = order_by  # reference-style alias
@@ -143,13 +154,23 @@ class QueryBuilder:
         self._check_indexed([self._order_key])
         return self.plan()
 
+    def _order_column(self, df: DataFrame):
+        order_col, is_array = field_column(df, self._order_key)
+        if is_array:
+            order_col = order_col.getItem(0)
+        if self._order_collation:
+            # Collation rides on the string type, so the paginate sort AND
+            # its keyset cursor predicates all compare in ICU order; the
+            # cursor payload itself stays a plain string (cast strips the
+            # collation, values are unchanged).
+            order_col = F.collate(order_col.cast("string"), self._order_collation)
+        return order_col
+
     # ------------------------------------------------------------ actions
     def exec(self) -> Page:
         self._check_indexed([self._order_key])
         df = self.plan()
-        order_col, is_array = field_column(df, self._order_key)
-        if is_array:
-            order_col = order_col.getItem(0)
+        order_col = self._order_column(df)
         return paginate(
             df,
             self._order_key,
@@ -169,9 +190,7 @@ class QueryBuilder:
         df = self.plan(with_joins=False)
         keep = [c for c in df.columns if c in set(self._cfg.index_fields) | {"slug"}]
         df = df.select(*keep)
-        order_col, is_array = field_column(df, self._order_key)
-        if is_array:
-            order_col = order_col.getItem(0)
+        order_col = self._order_column(df)
         return paginate(
             df,
             self._order_key,

@@ -299,3 +299,40 @@ def test_q5c_cursor_dot_path_order_key(herbal):
 
     p2 = q().page_size(1).cursor(p1.page_info.end_cursor, "after").exec()
     assert [r["slug"] for r in p1.data] + [r["slug"] for r in p2.data] == full
+
+
+def test_orderby_icu_collation_matches_localecompare(spark):
+    # reference client sorts via localeCompare (src/QueryBuilder.ts:639-641);
+    # the default here is binary code-point order (oracle-reproducible,
+    # documented divergence), with ICU order available per-query via the
+    # Spark 4 collation: 'é' sorts between 'a' and 'z' under ICU but after
+    # both under code-point order.
+    from staticql_spark.config import SourceConfig
+    from staticql_spark.query import QueryBuilder
+
+    cfg = SourceConfig(name="docs", index_fields=["name"])
+    df = spark.createDataFrame(
+        [("s1", "é-doc"), ("s2", "z-doc"), ("s3", "a-doc")], ["slug", "name"]
+    )
+    qb = lambda: QueryBuilder(df, cfg, {"docs": df}, {"docs": cfg})
+
+    binary = [r["name"] for r in qb().order_by("name", "asc").exec().data]
+    assert binary == ["a-doc", "z-doc", "é-doc"]
+
+    icu = [
+        r["name"]
+        for r in qb().order_by("name", "asc", collation="UNICODE").exec().data
+    ]
+    assert icu == ["a-doc", "é-doc", "z-doc"]  # localeCompare order
+
+    # keyset cursor must honor the collation too: after page 1 ('a-doc'),
+    # ICU page 2 is 'é-doc' (binary would give 'z-doc')
+    p1 = qb().order_by("name", "asc", collation="UNICODE").page_size(1).exec()
+    p2 = (
+        qb()
+        .order_by("name", "asc", collation="UNICODE")
+        .page_size(1)
+        .cursor(p1.page_info.end_cursor, "after")
+        .exec()
+    )
+    assert [r["name"] for r in p2.data] == ["é-doc"]
