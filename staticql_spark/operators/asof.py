@@ -40,6 +40,31 @@ from pyspark.sql import types as T
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _floordiv_long(t: Column, width: int) -> Column:
+    """Floor division of an epoch-µs column by a positive width, entirely
+    in LONG arithmetic (`div`): ``(t - pmod(t, w)) / w`` through `/` would
+    be double division, exact only while the numerator is <= 2^53 — beyond
+    that the rounded quotient lands boundary rows in the wrong bucket.
+    pmod keeps the result sign-correct for negative timestamps."""
+    return F.call_function("div", t - F.pmod(t, F.lit(width)), F.lit(width))
+
+
+def _null_safe_on(a: str, b: str, cols: Sequence[str]) -> Column:
+    """AND-chain of null-safe equalities between two aliased frames.
+
+    The coarse-bucket fix-up joins must group NULL join keys together —
+    exactly as the plain path's window partitioning does — so a plain
+    null-rejecting equi join would silently lose cross-bucket matches for
+    NULL-keyed rows. ``<=>`` is still an equi-join key for Spark's
+    planner (hash/sort-merge eligible), so the join strategy is unchanged.
+    """
+    cond = None
+    for c in cols:
+        e = F.col(f"{a}.`{c}`").eqNullSafe(F.col(f"{b}.`{c}`"))
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def epoch_us(df: DataFrame, ts_col: str) -> Column:
     """Epoch-microseconds of a timestamp column, timezone-free.
 
@@ -139,13 +164,8 @@ def asof_join(
         width = int(coarse_bucket_us)
         if width <= 0:
             raise ValueError("asof_join: coarse_bucket_us must be > 0")
-        # Exact floor division in long arithmetic (same hazard note as
-        # range_join.bucket: double division flips boundary buckets).
         t = F.col("__asof_ts")
-        bucketed = unioned.withColumn(
-            "__asof_bkt",
-            ((t - F.pmod(t, F.lit(width))) / F.lit(width)).cast("long"),
-        )
+        bucketed = unioned.withColumn("__asof_bkt", _floordiv_long(t, width))
         # Phase 1: carry within each (key, bucket) — the hot key's window
         # is now split across its buckets instead of one serial partition.
         w1 = (
@@ -175,14 +195,22 @@ def asof_join(
             .orderBy("__asof_bkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        jcols = [*keys, "__asof_bkt"]
         carry = (
-            all_bkts.join(summ, [*keys, "__asof_bkt"], "left")
+            all_bkts.alias("__ab")
+            .join(summ.alias("__sm"), _null_safe_on("__ab", "__sm", jcols), "left")
+            .select(
+                *[F.col(f"__ab.`{c}`").alias(c) for c in jcols],
+                F.col("__sm.__asof_fin").alias("__asof_fin"),
+            )
             .withColumn("__asof_in", F.last("__asof_fin", ignorenulls=True).over(w2))
             .select(*keys, "__asof_bkt", "__asof_in")
         )
         out = (
             local.filter(F.col("__asof_side") == 1)
-            .join(carry, [*keys, "__asof_bkt"], "left")
+            .alias("__lo")
+            .join(carry.alias("__ca"), _null_safe_on("__lo", "__ca", jcols), "left")
+            .select("__lo.*", F.col("__ca.__asof_in").alias("__asof_in"))
             .withColumn("__asof_m", F.coalesce("__asof_loc", "__asof_in"))
         )
 
@@ -241,10 +269,7 @@ def range_join(
     l_us, r_us = epoch_us(left, left_ts), epoch_us(right, right_ts)
 
     def bucket(t: Column) -> Column:
-        # Exact floor division in long arithmetic: double division can
-        # round t/width onto an integer boundary and flip the bucket,
-        # silently dropping boundary matches. pmod keeps it sign-correct.
-        return ((t - F.pmod(t, F.lit(width))) / F.lit(width)).cast("long")
+        return _floordiv_long(t, width)
 
     lhs = left.withColumn("__rj_l_us", l_us)
     rhs = right.select(

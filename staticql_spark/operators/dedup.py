@@ -374,7 +374,12 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
-    dsh_all = old_shingles.unionByName(new_dsh).dropDuplicates([id_col])
+    # A re-crawled doc (same id, possibly changed text) exists in BOTH
+    # shingle sets; the new batch takes deterministic precedence — an
+    # unordered dropDuplicates would keep an arbitrary side, making the
+    # verified Jaccard for that doc's pairs flap across runs.
+    old_only = old_shingles.join(new_dsh.select(id_col), id_col, "left_anti")
+    dsh_all = old_only.unionByName(new_dsh)
     verified = verify_jaccard(cands, dsh_all, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 

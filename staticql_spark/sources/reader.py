@@ -120,43 +120,98 @@ def typed_from_parsed(parsed: DataFrame, cfg: SourceConfig, validate: bool) -> D
         # properties (dotted paths, like the reference's 'value.a.b' path
         # strings); a wrong-typed array/object as a WHOLE is caught at its
         # own path because from_json nulls the full subtree while the raw
-        # payload still carries it.  Divergences, documented: the message
-        # shows the offending raw value instead of its JS typeof
-        # (get_json_object unquotes strings, so typeof isn't recoverable),
-        # and a wrong-typed leaf inside an array ELEMENT nulls silently
-        # (per-element probing has no JsonPath without exploding).
-        def _check_paths(properties: dict, prefix: str) -> list[tuple[str, str]]:
+        # payload still carries it.
+        #
+        # Two cases need the RAW token type, which from_json can't see —
+        # the VARIANT probe (schema_of_variant over try_parse_json) supplies
+        # it, mirroring JS typeof exactly:
+        # - string-typed fields: from_json coerces any scalar to its string
+        #   form, so the null-probe never fires; the reference raises
+        #   "Expected string, got number" (simpleValidate.ts:82-84).
+        # - integer-typed fields: from_json nulls integral floats like 3.0,
+        #   which Number.isInteger ACCEPTS (simpleValidate.ts:88-90) — an
+        #   integral DECIMAL(p,0) token is valid, filled from the variant
+        #   (top level; an integral float at a NESTED path stays null —
+        #   struct surgery isn't worth the rarity — but raises no error).
+        # Remaining documented divergence: a wrong-typed leaf inside an
+        # array ELEMENT nulls silently (per-element probing has no JsonPath
+        # without exploding), and non-string/integer mismatch messages show
+        # the raw value rather than its JS typeof.
+        def _check_paths(properties: dict, prefix: str) -> list[tuple[str, list]]:
             out = []
             for name, js in (properties or {}).items():
                 t = (js or {}).get("type")
                 if not t:
                     continue
                 path = f"{prefix}{name}"
-                out.append((path, " or ".join(t) if isinstance(t, list) else t))
+                out.append((path, t if isinstance(t, list) else [t]))
                 is_obj = t == "object" or (isinstance(t, list) and "object" in t)
                 if is_obj:
                     out.extend(_check_paths(js.get("properties"), path + "."))
             return out
 
-        for path, types in _check_paths(props, ""):
+        typed = typed.withColumn(
+            "__staticql_var", F.expr("try_parse_json(__staticql_payload)")
+        )
+
+        def _leaf_schema(path: str):
+            return F.expr(
+                f"schema_of_variant(try_variant_get(__staticql_var, '$.{path}'))"
+            )
+
+        def _js_typeof(leaf):
+            numeric = leaf.startswith("DECIMAL") | leaf.isin(
+                "BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT"
+            )
+            return (
+                F.when(numeric, F.lit("number"))
+                .when(leaf == "BOOLEAN", F.lit("boolean"))
+                .when(leaf == "STRING", F.lit("string"))
+                .otherwise(F.lit("object"))  # OBJECT<...> / ARRAY<...>, as JS
+            )
+
+        for path, tlist in _check_paths(props, ""):
             root = path.split(".", 1)[0]
             if root not in field_struct.fieldNames():
                 continue
+            types = " or ".join(tlist)
             raw_val = F.get_json_object(F.col("__staticql_payload"), f"$.{path}")
-            typed = typed.withColumn(
-                root,
-                F.when(
-                    F.col(path).isNull() & raw_val.isNotNull(),
-                    F.raise_error(
-                        F.format_string(
-                            f"[{cfg.name}] expected {types} at '{path}', "
-                            "got %s, for slug=%s",
-                            raw_val,
-                            F.col("slug"),
-                        )
-                    ).cast(typed.schema[root].dataType),
-                ).otherwise(F.col(root)),
-            )
+            leaf = _leaf_schema(path)
+
+            def _err(got):
+                return F.raise_error(
+                    F.format_string(
+                        f"[{cfg.name}] expected {types} at '{path}', "
+                        "got %s, for slug=%s",
+                        got,
+                        F.col("slug"),
+                    )
+                ).cast(typed.schema[root].dataType)
+
+            if tlist == ["string"]:
+                bad = leaf.isNotNull() & ~leaf.isin("STRING", "VOID")
+                new_col = F.when(bad, _err(_js_typeof(leaf))).otherwise(F.col(root))
+            elif tlist == ["integer"]:
+                integral = leaf.isin("BIGINT", "INT", "SMALLINT", "TINYINT") | (
+                    leaf.startswith("DECIMAL") & leaf.endswith(",0)")
+                )
+                missing = F.col(path).isNull() & raw_val.isNotNull()
+                bad = missing & ~integral
+                new_col = F.when(bad, _err(_js_typeof(leaf))).otherwise(F.col(root))
+                if "." not in path:
+                    fill = F.expr(
+                        f"try_variant_get(__staticql_var, '$.{path}', 'long')"
+                    ).cast(typed.schema[root].dataType)
+                    new_col = (
+                        F.when(bad, _err(_js_typeof(leaf)))
+                        .when(missing & integral, fill)
+                        .otherwise(F.col(root))
+                    )
+            else:
+                bad = F.col(path).isNull() & raw_val.isNotNull()
+                new_col = F.when(bad, _err(raw_val)).otherwise(F.col(root))
+            typed = typed.withColumn(root, new_col)
+        typed = typed.drop("__staticql_var")
         # Wrap each required column so a null raises with source+slug context
         # (parity with simpleValidate's load-time errors). The when/otherwise
         # keeps the column value itself, so Catalyst cannot prune the check.

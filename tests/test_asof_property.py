@@ -89,6 +89,29 @@ def test_asof_hot_key_bucketed_identical(spark):
     assert len(plain) == len(lrows)
 
 
+def test_asof_bucketed_identical_with_null_keys(spark):
+    # NULL join keys form their own group in the plain path's window
+    # partitioning; the bucketed path's cross-bucket fix-up joins must be
+    # null-safe to reproduce that (a null-rejecting equi join loses the
+    # cross-bucket match for NULL-keyed rows)
+    lrows = [(None, 100_000, 0), (None, 260_000, 1), ("k", 90_000, 2),
+             (None, 40_000, 3), ("k", 260_000, 4)]
+    rrows = [(None, 30_000, 10, 1.0), ("k", 80_000, 11, 2.0),
+             (None, 120_000, 12, 3.0)]
+    ldf = spark.createDataFrame(lrows, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(rrows, "key string, rts long, rid long, v double")
+    kw = dict(on="key", left_ts="lts", right_ts="rts",
+              value_cols=["v", "rid"], tiebreak="rid")
+    plain = {r["lid"]: (r["v"], r["rid"])
+             for r in asof_join(ldf, rdf, **kw).collect()}
+    bucketed = {r["lid"]: (r["v"], r["rid"])
+                for r in asof_join(ldf, rdf, coarse_bucket_us=50_000, **kw).collect()}
+    assert bucketed == plain
+    # lid=1 (NULL key, ts 260k) matches rid=12 from an EARLIER bucket —
+    # the cross-bucket carry must deliver it despite the NULL key
+    assert plain[1] == (3.0, 12)
+
+
 def test_asof_attaches_matching_rows_null_value(spark):
     # a null in the matched right row's value column must be attached AS
     # null — not replaced by an older non-null value (struct carry, not

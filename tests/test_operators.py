@@ -593,6 +593,24 @@ def test_incremental_lsh_recrawl_no_self_pair(spark):
     assert all(r["id_a"] != r["id_b"] for r in out)
 
 
+def test_incremental_lsh_recrawl_new_text_wins(spark):
+    # a re-crawled doc whose text CHANGED between index and batch must be
+    # verified against its NEW shingles, deterministically — not whichever
+    # side an unordered dedup happened to keep
+    old_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    ob, osh = dedup.minhash_index(spark.createDataFrame(old_rows, ["doc_id", "text"]))
+    # doc 1 re-crawled with completely different text -> its old near-dup
+    # relation to doc 2 must disappear (new text shares nothing with doc 2)
+    new_batch = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")], ["doc_id", "text"]
+    )
+    out = dedup.incremental_lsh_pairs(new_batch, ob, osh, threshold=0.1).collect()
+    assert out == []
+
+
 def test_lsh_bucket_cap_drops_pathological_cluster(spark):
     # 120 byte-identical docs (the boilerplate-page scenario): every copy
     # lands in ONE (band, key) bucket per band -> O(m^2) candidates unless

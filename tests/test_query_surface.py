@@ -280,6 +280,57 @@ def test_type_mismatch_is_descriptive_load_error(spark, tmp_path):
         sql.df("items").collect()
 
 
+def test_type_mismatch_string_and_integer_token_shapes(spark, tmp_path):
+    # the two cases where from_json alone cannot see the raw token type
+    # (simpleValidate.ts:82-90 parity via the VARIANT probe):
+    # 1. a number under a string-typed field errors ("got number") instead
+    #    of silently coercing to its string form
+    # 2. an integral float (3.0) under an integer-typed field is ACCEPTED
+    #    (Number.isInteger semantics) and loads as 3
+    from staticql_spark import define
+
+    d = tmp_path / "content" / "items"
+    d.mkdir(parents=True)
+    cfg = {
+        "sources": {
+            "items": {
+                "pattern": "content/items/*.md",
+                "type": "markdown",
+                "schema": {
+                    "type": "object",
+                    "properties": {
+                        "name": {"type": "string"},
+                        "count": {"type": "integer"},
+                    },
+                    "required": [],
+                },
+            }
+        }
+    }
+
+    (d / "a.md").write_text("---\nname: 123\ncount: 1\n---\n", encoding="utf-8")
+    sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
+    with pytest.raises(Exception, match="expected string at 'name', got number"):
+        sql.df("items").collect()
+
+    (d / "a.md").unlink()
+    (d / "b.md").write_text("---\nname: x\ncount: 3.0\n---\n", encoding="utf-8")
+    rows = define(cfg)(base_dir=str(tmp_path), spark=spark).df("items").collect()
+    assert rows[0]["count"] == 3
+
+    (d / "b.md").unlink()
+    (d / "c.md").write_text("---\nname: x\ncount: 3.5\n---\n", encoding="utf-8")
+    sql = define(cfg)(base_dir=str(tmp_path), spark=spark)
+    with pytest.raises(Exception, match="expected integer at 'count', got number"):
+        sql.df("items").collect()
+
+    # genuine strings that LOOK numeric still load fine
+    (d / "c.md").unlink()
+    (d / "dd.md").write_text('---\nname: "123"\ncount: 7\n---\n', encoding="utf-8")
+    rows = define(cfg)(base_dir=str(tmp_path), spark=spark).df("items").collect()
+    assert rows[0]["name"] == "123" and rows[0]["count"] == 7
+
+
 def test_q5c_cursor_dot_path_order_key(herbal):
     # ordering by an indexed relation dot-path ('herbs.slug' on recipes):
     # the emitted cursor must carry the RESOLVED order value, not the row
