@@ -51,13 +51,22 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf",
     "stream_first_seen",
-    # new in r4 (pipeline_clean_corpus is deliberately NOT here: it is the
-    # composition of stages benched individually above, and its ~7 s would
-    # read as a headline regression rather than new coverage)
+    # new in r4
     "asof_hotkey_bucketed",
     "dedup_incremental",
     "doc_rebalance",
     "doc_pack",
+    # added to the headline set in r5 (per the r4 verdict): the remaining
+    # composed/new queries.  NOTE for cross-round comparison: the headline
+    # set grew 35 -> 41 here, so compare per-query times (or the r4 subset
+    # sum), not raw totals.  pipeline_clean_corpus is the end-to-end
+    # composition of stages also benched individually above.
+    "pipeline_clean_corpus",
+    "doc_split_leakfree",
+    "events_funnel",
+    "bpe_pair_counts",
+    "doc_unigram_nll",
+    "doc_curriculum",
 ]
 
 

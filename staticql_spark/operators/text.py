@@ -260,23 +260,31 @@ def bpe_pair_counts(
     """Corpus-scale adjacent-token-pair frequencies — the counting step of
     one BPE merge round (the most frequent pair is the next merge).
 
-    Normalized whitespace tokens; pair positions are generated in-row
-    (guarded ``sequence`` — never descending on short docs), exploded, and
-    counted by ONE map-side-combined groupBy, so the shuffle carries
-    |distinct pairs| partial counts, not one row per corpus position.
-    Top-k is TakeOrdered with a full deterministic tiebreak (count desc,
-    then pair lexicographically) so engines agree on the boundary.
+    Normalized whitespace tokens; adjacent pairs are built in-row by
+    zipping the array against its own 1-shift (``zip_with`` over two
+    ``slice``s), exploded, and counted by ONE map-side-combined groupBy,
+    so the shuffle carries |distinct pairs| partial counts, not one row
+    per corpus position.  Top-k is TakeOrdered with a full deterministic
+    tiebreak (count desc, then pair lexicographically) so engines agree
+    on the boundary.
+
+    NOT the index-generation form (``transform(sequence(1, n-1),
+    i -> element_at(t, i))``): every ``element_at`` reference inlines the
+    underlying ``split`` expression, so that shape re-splits the document
+    once per token position — O(tokens²) per doc, measured 21.5 s vs
+    0.35 s at sf0.1.  The two ``slice`` operands evaluate the split a
+    constant number of times per row.
     """
     df = ensure_parallelism(df)
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     t = F.split(norm, r"\s+")
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
     prs = F.when(
         (F.trim(F.col(text_col)) != "") & (F.size(t) >= 2),
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("a"), F.element_at(t, i + 1).alias("b")
-            ),
+        F.zip_with(
+            F.slice(t, F.lit(1), n1),
+            F.slice(t, F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
