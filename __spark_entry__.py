@@ -1312,6 +1312,85 @@ def q_doc_curriculum(spark, sf):
     )
 
 
+def q_events_pagerank(spark, sf):
+    # graph propagation (new r5): PageRank over the bidirected user <-> item
+    # click graph (item = props.k), 2 fixed power iterations so the DuckDB
+    # oracle can unroll them (same strategy as ann_ivf_trained). Each
+    # iteration: edges-join-ranks + one map-side-combined sum per node.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    base = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(
+                F.lit("k:"), F.get_json_object("props", "$.k")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from staticql_spark.operators.graph import pagerank
+
+    return pagerank(edges, iters=2)
+
+
+def q_doc_weighted_sample(spark, sf):
+    # Efraimidis-Spirakis weighted sample without replacement: md5-uniform
+    # draw, key = u^(1/n_chars), rounded top-100 with id tiebreak
+    docs = _t(spark, sf, "documents")
+    return text.weighted_sample(docs, "n_chars", k=100).select(
+        "doc_id", "n_chars", "ws_key"
+    )
+
+
+def q_doc_token_entropy(spark, sf):
+    # information-density quality signal: Shannon entropy of each doc's
+    # token distribution (repetitive docs -> low bits)
+    return text.token_entropy(_t(spark, sf, "documents"))
+
+
+def q_kmv_union(spark, sf):
+    # KMV sketch ALGEBRA: ndv(A ∪ B) from two independently-built bottom-k
+    # sketches (halves of lineitem split by order parity) — the merge path
+    # that lets per-partition/per-day sketches compose without re-scanning
+    li = _t(spark, sf, "lineitem")
+    return sketch.kmv_union_distinct(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_partkey",
+        k=256,
+    )
+
+
+def q_events_sequences(spark, sf):
+    # behavioral-LM training corpus: per-user time-ordered token sequence
+    # ("type:item"), one groupBy with an in-row sort of the collected
+    # struct array — (ts, event_id) order is total, so the string is
+    # deterministic on both engines
+    ev = load_events(spark, f"{sf}/events.parquet")
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("_")),
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", tok.alias("tok"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("seq"),
+        )
+    )
+
+
 def q_events_funnel(spark, sf):
     # ordered funnel: first click -> first view strictly after it ->
     # first purchase strictly after that, per user; one summary row of
@@ -1680,6 +1759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "events_pagerank": q_events_pagerank,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_token_entropy": q_doc_token_entropy,
+        "kmv_union": q_kmv_union,
+        "events_sequences": q_events_sequences,
         "asof_hotkey_bucketed": q_asof_hotkey_bucketed,
         "ann_ivf_trained": q_ann_ivf_trained,
         "dedup_incremental": q_dedup_incremental,
@@ -3418,6 +3502,94 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # events_pagerank: 2 power iterations unrolled as CTEs (the
+        # kmeans-style fixed-iteration oracle strategy); the bidirected
+        # graph has no dangling nodes, so the redistribution term is 0 and
+        # the SQL omits it.  Final ranks rounded to 6 on both engines.
+        "events_pagerank": """
+            WITH base AS (
+              SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
+                     'k:' || json_extract_string(props, '$.k') AS dst
+              FROM events WHERE event_type = 'click'
+            ),
+            edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            s1 AS (
+              SELECT e.dst AS node, sum(r.rank / deg.d) AS recv
+              FROM edges e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(s1.recv, 0) AS rank
+              FROM nodes LEFT JOIN s1 USING (node)
+            ),
+            s2 AS (
+              SELECT e.dst AS node, sum(r.rank / deg.d) AS recv
+              FROM edges e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(s2.recv, 0) AS rank
+              FROM nodes LEFT JOIN s2 USING (node)
+            )
+            SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "doc_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   round(pow(
+                     (('0x' || substr(md5('wsample1|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                       / 1152921504606846977.0,
+                     1.0 / n_chars), 12) AS ws_key
+            FROM documents WHERE n_chars > 0
+            ORDER BY ws_key DESC, doc_id ASC LIMIT 100
+        """,
+        "doc_token_entropy": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS_NORM} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE len(t) >= 1),
+            cnt AS (SELECT doc_id, term, count(*)::DOUBLE AS n
+                    FROM tok GROUP BY doc_id, term)
+            SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                   round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
+            FROM cnt GROUP BY doc_id
+        """,
+        "kmv_union": """
+            WITH ha AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5('kmv1|' || l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM lineitem WHERE l_orderkey % 2 = 0 AND l_partkey IS NOT NULL
+              ) ORDER BY h LIMIT 256
+            ),
+            hb AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5('kmv1|' || l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM lineitem WHERE l_orderkey % 2 = 1 AND l_partkey IS NOT NULL
+              ) ORDER BY h LIMIT 256
+            ),
+            sk AS (
+              SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+              ORDER BY h LIMIT 256
+            ),
+            a AS (SELECT count(*)::BIGINT AS sketch_k, max(h) AS kth_hash FROM sk)
+            SELECT sketch_k, kth_hash,
+                   round(CASE WHEN sketch_k < 256 THEN sketch_k::DOUBLE
+                         ELSE 255.0 / (kth_hash::DOUBLE / 1152921504606846976.0) END, 2) AS est_ndv,
+                   (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT AS exact_ndv
+            FROM a
+        """,
+        "events_sequences": """
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   string_agg(
+                     event_type || ':' || coalesce(json_extract_string(props, '$.k'), '_'),
+                     ' ' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
         """,
         "ann_ivf_trained": _ivf_trained_sql(),
         "ann_ivf": """

@@ -67,6 +67,12 @@ HEADLINE = [
     "bpe_pair_counts",
     "doc_unigram_nll",
     "doc_curriculum",
+    # new operators in r5 (set is now 46; compare per-query across rounds)
+    "events_pagerank",
+    "doc_weighted_sample",
+    "doc_token_entropy",
+    "kmv_union",
+    "events_sequences",
 ]
 
 
@@ -86,6 +92,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    construct: dict[str, float] = {}
     for name in HEADLINE:
         # best of 3: run 1 includes one-time whole-stage-codegen class
         # compilation (measured 3-4x the steady-state on expression-heavy
@@ -95,14 +102,25 @@ def main() -> None:
         # host contention is visible in the numbers themselves: a healthy
         # run has rep spread within ~±15%; a contaminated run (like the
         # r3 driver artifact) shows uniform 2-4x spread on every query.
-        runs = []
+        # Two timed phases per rep, both recorded:
+        # - construct: building the DataFrame.  Mostly driver-side Catalyst
+        #   analysis (fixed cost, amortized at scale), but for iterative
+        #   operators (pagerank, connected-components paths) it includes
+        #   their eager localCheckpoint rounds — REAL distributed work that
+        #   timing only the write would silently exclude.
+        # - exec (the headline "queries" map, metric-compatible with prior
+        #   rounds): the noop write, i.e. engine throughput.
+        runs, cruns = [], []
         for _ in range(3):
-            df = queries[name](spark, sf_dir)
             t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
+            cruns.append(round(t1 - t0, 3))
+            runs.append(round(time.perf_counter() - t1, 3))
         timings[name] = min(runs)
         reps[name] = runs
+        construct[name] = min(cruns)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -113,6 +131,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
+                "construct_sec": construct,
+                "construct_total": round(sum(construct.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

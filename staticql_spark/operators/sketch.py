@@ -60,6 +60,58 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256, salt: str = "kmv1") -> D
     return agg.withColumn("est_ndv", F.round(est, 2)).crossJoin(exact)
 
 
+def kmv_bottom_k(df: DataFrame, col: str, k: int = 256, salt: str = "kmv1") -> DataFrame:
+    """The KMV sketch itself: the k smallest distinct hashes of ``col`` as
+    a one-column frame (h).  This is the persistable / mergeable artifact;
+    :func:`kmv_estimate_from` turns any such sketch into an ndv estimate."""
+    return (
+        df.select(kmv_hash(F.col(col), salt).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_union_distinct(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 256,
+    salt: str = "kmv1",
+) -> DataFrame:
+    """Sketch ALGEBRA: ndv(A ∪ B) from the two per-table sketches alone.
+
+    The merged sketch is the k smallest of the union of the two bottom-k
+    sets — the defining property that makes KMV a sketch rather than a
+    sample: each side is summarized independently (e.g. per partition, per
+    day, per table), and union-merge composes without touching the raw
+    data again.  The merge input here is at most 2k hash rows.
+
+    Returns one row: (sketch_k, kth_hash, est_ndv, exact_ndv) with the
+    same estimator and exact-count twin columns as :func:`kmv_distinct`.
+    """
+    merged = (
+        kmv_bottom_k(df_a, col, k, salt)
+        .union(kmv_bottom_k(df_b, col, k, salt))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = merged.agg(F.count("h").alias("sketch_k"), F.max("h").alias("kth_hash"))
+    est = F.when(
+        F.col("sketch_k") < F.lit(k), F.col("sketch_k").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+    )
+    exact = (
+        df_a.select(F.col(col).alias("_v"))
+        .union(df_b.select(col))
+        .agg(F.countDistinct("_v").alias("exact_ndv"))
+    )
+    return agg.withColumn("est_ndv", F.round(est, 2)).crossJoin(exact)
+
+
 def _cm_bucket(col, d, width: int, salt: str):
     """Row-d count-min bucket of a value: md5-derived 60-bit hash mod width,
     identical in Spark and DuckDB."""

@@ -252,6 +252,88 @@ def hash_sample(
     return df.filter(bucket < frac)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample1",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (top-k of
+    Efraimidis-Spirakis A-Res keys): each row draws u = md5-uniform in
+    (0, 1] and survives by key = u^(1/w) — the k largest keys are a
+    weighted sample where inclusion probability tracks the weight (e.g.
+    quality-weighted corpus selection).
+
+    Same md5-draw discipline as :func:`hash_sample`: reproducible across
+    engines/runs, stable under repartitioning, and append-stable — a new
+    row displaces at most the boundary row instead of redrawing the
+    sample.  Keys are rounded (12 dp) BEFORE ordering with an id tiebreak
+    so the k-boundary cannot flip between engines (the repo-wide
+    rounded-top-k rule).  Rows with weight <= 0 are excluded.
+
+    Scale: map-only key computation + TakeOrderedAndProject — per-
+    partition heaps, no global sort, no shuffle of the corpus.
+    Returns df columns + ws_key.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    # long add BEFORE the double cast, matching the oracle's evaluation
+    # order exactly (h is near 2^60 where double rounding is coarse)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(16**15 + 1))
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("ws_key", key)
+        .orderBy(F.col("ws_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits) of each doc's whitespace-token distribution —
+    the information-density quality signal: keyword-stuffed/repetitive docs
+    score near 0, fluent text scores high.  Complements repetition_score
+    (which captures only the mode token and the distinct ratio).
+
+    Token-level rather than char-level on purpose: whitespace
+    tokenization is bit-identical across engines on any UTF-8 text (the
+    proven _TOKS_NORM twin), while per-character splitting disagrees
+    between UTF-16 code units (JVM) and codepoints (DuckDB) on non-ASCII.
+
+    Two map-side-combined aggregations keyed by (doc, token) then (doc):
+    shuffle volume is |distinct (doc, token)| then |docs|.  Empty docs
+    drop (no distribution).  Returns (id, n_tokens, entropy).
+    """
+    df = ensure_parallelism(df)
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    t = F.when(
+        F.trim(F.col(text_col)) != "", F.split(norm, r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
+    tok = df.select(F.col(id_col), F.explode(t).alias("term"))
+    cnt = tok.groupBy(id_col, "term").agg(F.count("*").cast("double").alias("__n"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.round(
+                F.log2(F.sum("__n"))
+                - F.sum(F.col("__n") * F.log2("__n")) / F.sum("__n"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -751,3 +751,73 @@ def test_quantized_topk_recall_vs_exact(spark):
     q = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
     # int8 codes preserve cosine to ~1% — top-5 recall should be near-total
     assert len(e & q) / len(e) >= 0.8
+
+
+def test_pagerank_star_graph_and_mass(spark):
+    from staticql_spark.operators.graph import pagerank
+
+    # undirected star: center <-> 4 leaves; symmetric leaves must tie and
+    # the center must dominate; total mass stays 1 (no dangling here)
+    e = [("c", f"l{i}") for i in range(4)] + [(f"l{i}", "c") for i in range(4)]
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(spark.createDataFrame(e, ["src", "dst"]), iters=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    leaves = {v for k, v in ranks.items() if k != "c"}
+    assert len(leaves) == 1  # symmetry
+    assert ranks["c"] > max(leaves) * 2
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    from staticql_spark.operators.graph import pagerank
+
+    # directed chain a->b->c: c is dangling; mass must still sum to 1
+    e = [("a", "b"), ("b", "c")]
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(spark.createDataFrame(e, ["src", "dst"]), iters=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    assert ranks["c"] > ranks["b"] > ranks["a"]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    # two strata: weight 1000 vs weight 1; the heavy half must dominate a
+    # k=50 sample from 200 rows (md5 draw is fixed, so this is exact)
+    rows = [(i, 1000 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = text.weighted_sample(df, "w", k=50).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 45  # P[heavy] per slot ~ 1000/1001
+    # deterministic across invocations
+    again = [r["doc_id"] for r in text.weighted_sample(df, "w", k=50).collect()]
+    assert [r["doc_id"] for r in got] == again
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a a b b c c d d"), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+           for r in text.token_entropy(df).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (2, 1.0)
+    assert got[3] == (8, 2.0)
+    assert 4 not in got  # blank doc has no distribution
+
+
+def test_kmv_union_merge_equals_direct_sketch(spark):
+    from staticql_spark.operators import sketch as sk
+
+    # defining sketch property: bottom-k(bottom-k(A) ∪ bottom-k(B)) equals
+    # bottom-k(A ∪ B) — merge never needs the raw data again
+    a = spark.range(0, 5000).selectExpr("id * 3 as v")
+    b = spark.range(0, 5000).selectExpr("id * 7 as v")
+    merged = sk.kmv_union_distinct(a, b, "v", k=128).collect()[0]
+    direct = sk.kmv_distinct(a.union(b), "v", k=128).collect()[0]
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["est_ndv"] == direct["est_ndv"]
+    assert merged["exact_ndv"] == direct["exact_ndv"]
+    # estimator sanity: within 20% of truth at k=128
+    assert abs(merged["est_ndv"] - merged["exact_ndv"]) / merged["exact_ndv"] < 0.2
