@@ -1391,6 +1391,31 @@ def q_events_sequences(spark, sf):
     )
 
 
+def q_fuzzy_match(spark, sf):
+    # entity resolution (new r5): probe names are part names with the 3rd
+    # character deterministically dropped (so both engines build identical
+    # probes); fuzzy_join blocks candidates on shared character 3-grams
+    # and verifies with exact Levenshtein <= 1 — never a cross join
+    from staticql_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf, "part")
+    probes = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("probe_name"),
+    )
+    return fuzzy_join(
+        probes,
+        part.select("p_partkey", "p_name"),
+        left_key="probe_name",
+        right_key="p_name",
+        left_id="probe_id",
+        right_id="p_partkey",
+        max_distance=1,
+    ).select("probe_id", "p_partkey", "probe_name", "p_name", "distance")
+
+
 def q_events_funnel(spark, sf):
     # ordered funnel: first click -> first view strictly after it ->
     # first purchase strictly after that, per user; one summary row of
@@ -1759,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "fuzzy_match": q_fuzzy_match,
         "events_pagerank": q_events_pagerank,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_token_entropy": q_doc_token_entropy,
@@ -3502,6 +3528,50 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # fuzzy_match: the oracle mirrors the q-gram blocking exactly —
+        # per-side distinct grams, combined-count bucket cap, then the
+        # same standard Levenshtein verify (DuckDB levenshtein == Spark's)
+        "fuzzy_match": """
+            WITH probes AS (
+              SELECT p_partkey AS probe_id,
+                     substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+              FROM part WHERE p_partkey % 20 = 0
+            ),
+            lg AS (
+              SELECT probe_id, probe_name, unnest(g) AS g FROM (
+                SELECT probe_id, probe_name,
+                       list_distinct(CASE WHEN length(probe_name) >= 3
+                         THEN list_transform(range(1, length(probe_name) - 1),
+                                             i -> substr(probe_name, i::INT, 3))
+                         ELSE [probe_name] END) AS g
+                FROM probes
+              )
+            ),
+            rg AS (
+              SELECT p_partkey, p_name, unnest(g) AS g FROM (
+                SELECT p_partkey, p_name,
+                       list_distinct(CASE WHEN length(p_name) >= 3
+                         THEN list_transform(range(1, length(p_name) - 1),
+                                             i -> substr(p_name, i::INT, 3))
+                         ELSE [p_name] END) AS g
+                FROM part
+              )
+            ),
+            keep AS (
+              SELECT g FROM (
+                SELECT g, count(*) AS n FROM (
+                  SELECT g FROM lg UNION ALL SELECT g FROM rg
+                ) GROUP BY g
+              ) WHERE n <= 1000
+            ),
+            cands AS (
+              SELECT DISTINCT l.probe_id, l.probe_name, r.p_partkey, r.p_name
+              FROM lg l JOIN keep USING (g) JOIN rg r USING (g)
+            )
+            SELECT probe_id, p_partkey, probe_name, p_name,
+                   levenshtein(probe_name, p_name)::INT AS distance
+            FROM cands WHERE levenshtein(probe_name, p_name) <= 1
         """,
         # events_pagerank: 2 power iterations unrolled as CTEs (the
         # kmeans-style fixed-iteration oracle strategy); the bidirected

@@ -73,6 +73,7 @@ HEADLINE = [
     "doc_token_entropy",
     "kmv_union",
     "events_sequences",
+    "fuzzy_match",
 ]
 
 

@@ -821,3 +821,39 @@ def test_kmv_union_merge_equals_direct_sketch(spark):
     assert merged["exact_ndv"] == direct["exact_ndv"]
     # estimator sanity: within 20% of truth at k=128
     assert abs(merged["est_ndv"] - merged["exact_ndv"]) / merged["exact_ndv"] < 0.2
+
+
+def test_fuzzy_join_blocked_recall_and_caps(spark):
+    from staticql_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "spark engine"), (2, "sparc engine"), (3, "zzzz")],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "spark engine"), (11, "shark engine"), (12, "unrelated text")],
+        ["rid", "rname"],
+    )
+    out = {(r["lid"], r["rid"]): r["distance"]
+           for r in fuzzy_join(left, right, "name", "rname", "lid", "rid",
+                               max_distance=2).collect()}
+    assert out[(1, 10)] == 0
+    assert out[(2, 10)] == 1   # sparc ~ spark
+    assert out[(1, 11)] == 1   # spark ~ shark (one substitution)
+    assert (3, 12) not in out  # no shared grams, far apart
+    # short keys (< q) block on the whole key: exact short matches survive
+    s_left = spark.createDataFrame([(1, "ab")], ["lid", "name"])
+    s_right = spark.createDataFrame([(2, "ab"), (3, "xy")], ["rid", "rname"])
+    s = {(r["lid"], r["rid"]) for r in fuzzy_join(
+        s_left, s_right, "name", "rname", "lid", "rid", max_distance=0).collect()}
+    assert s == {(1, 2)}
+    # a stop-gram shared by everyone is capped away deterministically
+    many = spark.createDataFrame([(i, f"commonprefix{i}") for i in range(30)],
+                                 ["lid", "name"])
+    capped = fuzzy_join(many, many.selectExpr("lid as rid", "name as rname"),
+                        "name", "rname", "lid", "rid",
+                        max_distance=2, max_bucket=10).count()
+    full = fuzzy_join(many, many.selectExpr("lid as rid", "name as rname"),
+                      "name", "rname", "lid", "rid",
+                      max_distance=2, max_bucket=100000).count()
+    assert capped < full  # shared-prefix buckets dropped under the cap
