@@ -1391,6 +1391,44 @@ def q_events_sequences(spark, sf):
     )
 
 
+def q_zorder_layout(spark, sf):
+    # Z-order layout keys (new r5): bucket (l_partkey, l_suppkey) over
+    # their min-max ranges (1-row agg broadcast back), interleave bits —
+    # the write-side clustering key that gives BOTH columns min/max
+    # pruning power in the produced files
+    from staticql_spark.operators.layout import range_bucket, zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    rng = li.agg(
+        F.min("l_partkey").alias("__plo"),
+        F.max("l_partkey").alias("__phi"),
+        F.min("l_suppkey").alias("__slo"),
+        F.max("l_suppkey").alias("__shi"),
+    )
+    b = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").crossJoin(
+        F.broadcast(rng)
+    )
+    z = zorder_key(
+        [
+            range_bucket(F.col("l_partkey"), F.col("__plo"), F.col("__phi"), 256),
+            range_bucket(F.col("l_suppkey"), F.col("__slo"), F.col("__shi"), 256),
+        ],
+        bits=8,
+    )
+    return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
+
+
+def q_table_profile(spark, sf):
+    # single-pass data-quality audit (new r5): nulls / exact ndv / native
+    # min-max per column, unpivoted to one row per column
+    from staticql_spark.operators.profile import table_profile
+
+    return table_profile(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+
+
 def q_fuzzy_match(spark, sf):
     # entity resolution (new r5): probe names are part names with the 3rd
     # character deterministically dropped (so both engines build identical
@@ -1784,6 +1822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "zorder_layout": q_zorder_layout,
+        "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
         "events_pagerank": q_events_pagerank,
         "doc_weighted_sample": q_doc_weighted_sample,
@@ -3528,6 +3568,53 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "zorder_layout": """
+            WITH rng AS (
+              SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+                     min(l_suppkey) AS slo, max(l_suppkey) AS shi
+              FROM lineitem
+            ),
+            b AS (
+              SELECT l_orderkey, l_linenumber,
+                least(greatest((l_partkey - plo) * 256 // (phi - plo + 1), 0), 255) AS pb,
+                least(greatest((l_suppkey - slo) * 256 // (shi - slo + 1), 0), 255) AS sb
+              FROM lineitem, rng
+            )
+            SELECT l_orderkey, l_linenumber,
+                   (((pb >> 0) & 1) * 1 + ((sb >> 0) & 1) * 2 + ((pb >> 1) & 1) * 4 + ((sb >> 1) & 1) * 8 + ((pb >> 2) & 1) * 16 + ((sb >> 2) & 1) * 32 + ((pb >> 3) & 1) * 64 + ((sb >> 3) & 1) * 128 + ((pb >> 4) & 1) * 256 + ((sb >> 4) & 1) * 512 + ((pb >> 5) & 1) * 1024 + ((sb >> 5) & 1) * 2048 + ((pb >> 6) & 1) * 4096 + ((sb >> 6) & 1) * 8192 + ((pb >> 7) & 1) * 16384 + ((sb >> 7) & 1) * 32768)::BIGINT AS zkey
+            FROM b
+        """,
+        "table_profile": """
+            SELECT 'o_orderkey' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (o_orderkey IS NULL)::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   min(o_orderkey)::VARCHAR AS min_str, max(o_orderkey)::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (o_custkey IS NULL)::BIGINT AS n_nulls,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+                   min(o_custkey)::VARCHAR AS min_str, max(o_custkey)::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (o_orderstatus IS NULL)::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderstatus)::BIGINT AS n_distinct,
+                   min(o_orderstatus)::VARCHAR AS min_str, max(o_orderstatus)::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (o_totalprice IS NULL)::BIGINT AS n_nulls,
+                   count(DISTINCT o_totalprice)::BIGINT AS n_distinct,
+                   min(o_totalprice)::VARCHAR AS min_str, max(o_totalprice)::VARCHAR AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(*) FILTER (o_orderdate IS NULL)::BIGINT AS n_nulls,
+                   count(DISTINCT o_orderdate)::BIGINT AS n_distinct,
+                   min(o_orderdate)::VARCHAR AS min_str, max(o_orderdate)::VARCHAR AS max_str
+            FROM orders
         """,
         # fuzzy_match: the oracle mirrors the q-gram blocking exactly —
         # per-side distinct grams, combined-count bucket cap, then the

@@ -74,6 +74,8 @@ HEADLINE = [
     "kmv_union",
     "events_sequences",
     "fuzzy_match",
+    "table_profile",
+    "zorder_layout",
 ]
 
 

@@ -857,3 +857,64 @@ def test_fuzzy_join_blocked_recall_and_caps(spark):
                       "name", "rname", "lid", "rid",
                       max_distance=2, max_bucket=100000).count()
     assert capped < full  # shared-prefix buckets dropped under the cap
+
+
+def test_table_profile_counts(spark):
+    from staticql_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        ["k", "s", "v"],
+    )
+    got = {r["col_name"]: r for r in table_profile(df, ["k", "s", "v"]).collect()}
+    assert all(r["n_rows"] == 3 for r in got.values())
+    assert (got["k"]["n_nulls"], got["k"]["n_distinct"]) == (0, 2)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (1, 2)
+    # native-type min/max, stringified after (not lexicographic "10"<"9")
+    assert (got["v"]["min_str"], got["v"]["max_str"]) == ("5.0", "7.5")
+    # approx variant still produces a sane profile (no oracle contract)
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in table_profile(df, ["k"], approx=True).collect()}
+    assert approx["k"] >= 1
+
+
+def test_zorder_key_interleave_exact(spark):
+    from staticql_spark.operators.layout import range_bucket, zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    z = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+    ).collect()[0]["z"]
+    # x bits land at even positions, y at odd: x=101, y=011
+    # -> z = x0*1 + y0*2 + x1*4 + y1*8 + x2*16 + y2*32 = 1+2+0+8+16+0 = 27
+    assert z == 27
+    # range_bucket is exact integer floor division with clamping
+    b = spark.range(1).select(
+        range_bucket(F.lit(10), F.lit(0), F.lit(99), 10).alias("b1"),
+        range_bucket(F.lit(-5), F.lit(0), F.lit(99), 10).alias("b2"),
+        range_bucket(F.lit(250), F.lit(0), F.lit(99), 10).alias("b3"),
+    ).collect()[0]
+    assert (b["b1"], b["b2"], b["b3"]) == (1, 0, 9)
+
+
+def test_zorder_locality_beats_single_sort(spark):
+    # the layout claim itself: within equal-size file chunks, z-ordered
+    # data has tighter per-chunk ranges on BOTH dimensions than data
+    # sorted by x alone (which gives y no pruning power)
+    from staticql_spark.operators.layout import zorder_key
+
+    import itertools
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    z = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=5).alias("z"))
+
+    def chunk_spans(ordered, dim):
+        chunks = [ordered[i:i + 64] for i in range(0, len(ordered), 64)]
+        return sum(max(c[dim] for c in ch) - min(c[dim] for c in ch) for ch in chunks)
+
+    by_z = [r.asDict() for r in z.orderBy("z").collect()]
+    by_x = [r.asDict() for r in z.orderBy("x", "y").collect()]
+    # x-sort: x-spans ~0 but y-spans are maximal; z-order balances both
+    assert chunk_spans(by_z, "y") < chunk_spans(by_x, "y") / 2
+    assert chunk_spans(by_z, "x") + chunk_spans(by_z, "y") < chunk_spans(by_x, "x") + chunk_spans(by_x, "y")
