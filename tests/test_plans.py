@@ -308,3 +308,39 @@ def test_quantized_ann_is_broadcast_corpus_scan(spark):
     p = plan(entrymod.q_ann_quantized(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_fuzzy_match_no_cartesian(spark):
+    # q-gram blocking must keep the fuzzy join an equi join on the gram —
+    # never a cartesian/nested-loop over the two key sets
+    p = plan(entrymod.q_fuzzy_match(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # A-Res top-k must compile to per-partition heaps, not a global sort
+    p = plan(entrymod.q_doc_weighted_sample(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+    assert "PushedFilters" in p  # the weight>0 filter reaches the scan
+
+
+def test_token_entropy_partial_aggs(spark):
+    # both aggregations map-side combine before their exchange
+    p = plan(entrymod.q_doc_token_entropy(spark, SF_SMOKE))
+    assert p.count("partial_") >= 1, p
+
+
+def test_table_profile_single_scan(spark):
+    # the whole profile is ONE aggregation over one scan (plus the Expand
+    # that exact multi-column count-distinct requires) — not a scan per column
+    p = plan(entrymod.q_table_profile(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p, p
+
+
+def test_zorder_range_broadcast_and_single_scan_shape(spark):
+    # the min/max range row broadcasts back; the z-key computation itself
+    # adds no exchange over the fact table
+    p = plan(entrymod.q_zorder_layout(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
