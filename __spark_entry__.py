@@ -1418,6 +1418,14 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_price_histogram(spark, sf):
+    # exact equi-width histogram (new r5): one bounded groupBy, boundary
+    # bins bit-identical across engines via a fixed operation order
+    from staticql_spark.operators.profile import histogram
+
+    return histogram(_t(spark, sf, "lineitem"), "l_extendedprice", 0.0, 100000.0, 20)
+
+
 def q_table_profile(spark, sf):
     # single-pass data-quality audit (new r5): nulls / exact ndv / native
     # min-max per column, unpivoted to one row per column
@@ -1822,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "price_histogram": q_price_histogram,
         "zorder_layout": q_zorder_layout,
         "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
@@ -3568,6 +3577,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "price_histogram": """
+            WITH b AS (
+              SELECT least(floor((l_extendedprice::DOUBLE - 0.0) / 100000.0 * 20.0)::BIGINT, 19) AS bin
+              FROM lineitem
+              WHERE l_extendedprice::DOUBLE >= 0.0 AND l_extendedprice::DOUBLE <= 100000.0
+            )
+            SELECT bin, round(0.0 + bin * 5000.0, 6) AS bin_lo,
+                   round(0.0 + (bin + 1) * 5000.0, 6) AS bin_hi,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bin
         """,
         "zorder_layout": """
             WITH rng AS (

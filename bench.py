@@ -76,6 +76,7 @@ HEADLINE = [
     "fuzzy_match",
     "table_profile",
     "zorder_layout",
+    "price_histogram",
 ]
 
 

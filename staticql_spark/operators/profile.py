@@ -22,6 +22,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column over [lo, hi].
+
+    bin = floor(((x - lo) / (hi - lo)) * nbins), with x == hi folded into
+    the top bin and out-of-range rows dropped.  The bin expression is
+    written in ONE fixed operation order so any IEEE-double engine
+    reproduces the boundary bins bit-for-bit (no rounding fudge needed).
+    One map-side-combined groupBy over at most ``nbins`` groups.
+    Returns (bin, bin_lo, bin_hi, n) for non-empty bins.
+    """
+    x = F.col(col).cast("double")
+    span = float(hi - lo)
+    b = F.least(
+        F.floor((x - F.lit(float(lo))) / F.lit(span) * F.lit(float(nbins))).cast(
+            "long"
+        ),
+        F.lit(nbins - 1),
+    )
+    w = span / nbins
+    return (
+        df.filter((x >= lo) & (x <= hi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(float(lo)) + F.col("bin") * F.lit(w), 6).alias("bin_lo"),
+            F.round(F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(w), 6).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )
+
+
 def table_profile(
     df: DataFrame, cols: Sequence[str], approx: bool = False
 ) -> DataFrame:

@@ -918,3 +918,17 @@ def test_zorder_locality_beats_single_sort(spark):
     # x-sort: x-spans ~0 but y-spans are maximal; z-order balances both
     assert chunk_spans(by_z, "y") < chunk_spans(by_x, "y") / 2
     assert chunk_spans(by_z, "x") + chunk_spans(by_z, "y") < chunk_spans(by_x, "x") + chunk_spans(by_x, "y")
+
+
+def test_histogram_exact_bins(spark):
+    from staticql_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 9.999, 10, 55, 99.9, 100, -5, 101]], ["v"])
+    got = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert got[0] == (0.0, 10.0, 3)     # 0, 1, 9.999
+    assert got[1][2] == 1               # 10 lands in [10, 20)
+    assert got[5][2] == 1               # 55
+    assert got[9] == (90.0, 100.0, 2)   # 99.9, and x == hi folds into top
+    assert sum(n for _, _, n in got.values()) == 7  # -5 and 101 dropped
