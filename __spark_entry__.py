@@ -1418,6 +1418,15 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_skew_report(spark, sf):
+    # shuffle-key skew diagnostic (new r5): heaviest event users with row
+    # share and multiple-of-mean -- the pre-flight check for salting
+    ev = load_events(spark, f"{sf}/events.parquet")
+    from staticql_spark.operators.skew import skew_report
+
+    return skew_report(ev, "user_id", top=10)
+
+
 def q_price_histogram(spark, sf):
     # exact equi-width histogram (new r5): one bounded groupBy, boundary
     # bins bit-identical across engines via a fixed operation order
@@ -1830,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "skew_report": q_skew_report,
         "price_histogram": q_price_histogram,
         "zorder_layout": q_zorder_layout,
         "table_profile": q_table_profile,
@@ -3577,6 +3587,17 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "skew_report": """
+            WITH counts AS (
+              SELECT user_id::VARCHAR AS key_value, count(*)::BIGINT AS n
+              FROM events GROUP BY user_id
+            ),
+            stats AS (SELECT sum(n)::DOUBLE AS rows_, avg(n) AS mean_ FROM counts)
+            SELECT key_value, n,
+                   round(n * 100.0 / (SELECT rows_ FROM stats), 4) AS pct_of_rows,
+                   round(n / (SELECT mean_ FROM stats), 4) AS x_mean
+            FROM counts ORDER BY n DESC, key_value ASC LIMIT 10
         """,
         "price_histogram": """
             WITH b AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     "table_profile",
     "zorder_layout",
     "price_histogram",
+    "skew_report",
 ]
 
 

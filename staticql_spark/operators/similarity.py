@@ -311,6 +311,37 @@ def ivf_build(
     )
 
 
+def ivf_append(
+    batch: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a NEW vector batch to a persisted IVF index — the daily-
+    embedding-batch cadence (the ANN twin of dedup's incremental LSH):
+    assign ONLY the batch against the SAME centroids the index was built
+    with and append into the matching cell partitions.  Cost tracks the
+    batch, never the accumulated corpus; existing cell files are untouched
+    (parquet append adds files inside each partition directory).
+
+    Centroids are deliberately REQUIRED, not defaulted: re-deriving them
+    from the batch would assign against different cells than the existing
+    index, silently corrupting recall — persist the centroid table beside
+    the index at build time and pass it here and to :func:`ivf_query`.
+    """
+    b = batch.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cells = ivf_assign(b, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1)
+    (
+        cells.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ivf_query(
     spark,
     path: str,

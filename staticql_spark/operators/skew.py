@@ -80,3 +80,37 @@ def two_phase_agg(
         F.sum("_c").alias("n_rows"),
         (F.sum("_s") / F.sum("_c")).alias(f"avg_{value}"),
     )
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic — run it BEFORE picking a strategy for
+    a big shuffle: the heaviest ``top`` keys with their share of all rows
+    and their multiple of the mean key size. A `x_mean` in the hundreds on
+    the head key is the signal to reach for `salted_join`/`two_phase_agg`
+    or an as-of `coarse_bucket_us` (a shuffle partition is only as fast as
+    its biggest key).
+
+    One map-side-combined groupBy over the key, then TakeOrdered on the
+    |keys|-row count table; the two global stats ride along as a broadcast
+    1-row cross join. Returns (key_value, n, pct_of_rows, x_mean) with the
+    key stringified so any key type profiles the same way.
+    """
+    counts = (
+        df.select(F.col(key).cast("string").alias("key_value"))
+        .groupBy("key_value")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("__rows"), F.avg("n").alias("__mean")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key_value",
+            "n",
+            F.round(F.col("n") * 100.0 / F.col("__rows"), 4).alias("pct_of_rows"),
+            F.round(F.col("n") / F.col("__mean"), 4).alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key_value").asc())
+        .limit(top)
+    )

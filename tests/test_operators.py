@@ -932,3 +932,46 @@ def test_histogram_exact_bins(spark):
     assert got[5][2] == 1               # 55
     assert got[9] == (90.0, 100.0, 2)   # 99.9, and x == hi folds into top
     assert sum(n for _, _, n in got.values()) == 7  # -5 and 101 dropped
+
+
+def test_ivf_append_equals_full_rebuild(spark, emb, tmp_path):
+    # build on half the corpus, append the other half with the SAME
+    # centroids: queries must return exactly what a full-corpus build does
+    from staticql_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_query,
+    )
+    from staticql_spark.operators.similarity import centroid_sample
+
+    cents = centroid_sample(emb, "embedding", "vec_id", 100).localCheckpoint(
+        eager=True
+    )
+    old = emb.filter(F.col("vec_id") < 1000)
+    new = emb.filter(F.col("vec_id") >= 1000)
+    queries = emb.filter(F.col("vec_id") % 400 == 0)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    ivf_build(old, inc_path, centroids=cents)
+    ivf_append(new, inc_path, centroids=cents)
+    full_path = str(tmp_path / "ivf_full")
+    ivf_build(emb, full_path, centroids=cents)
+
+    key = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in df.collect()
+    )
+    inc = key(ivf_query(spark, inc_path, queries, emb, k=5, centroids=cents))
+    full = key(ivf_query(spark, full_path, queries, emb, k=5, centroids=cents))
+    assert inc == full and len(inc) > 0
+
+
+def test_skew_report_flags_hot_key(spark):
+    from staticql_spark.operators.skew import skew_report
+
+    rows = [(1, "hot")] * 90 + [(i, f"u{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["x", "k"])
+    top = skew_report(df, "k", top=3).collect()
+    assert top[0]["key_value"] == "hot"
+    assert top[0]["pct_of_rows"] == 90.0
+    assert top[0]["x_mean"] > 8  # 90 rows vs mean ~9.09
