@@ -402,6 +402,7 @@ def streaming_first_seen(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     emit_updates: bool = True,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stateful streaming dedup: first occurrence wins per fingerprint.
 
@@ -417,6 +418,14 @@ def streaming_first_seen(
     batch is tiny (one fingerprint's new rows), so state memory is
     O(distinct fingerprints per executor), the same budget any streaming
     dedup pays.
+
+    ``state_ttl_ms`` bounds that budget for UNBOUNDED-cardinality
+    fingerprints (the forever-running ingest): a processing-time timeout
+    evicts any fingerprint idle longer than the TTL, so state tracks the
+    active working set, not everything ever seen. The documented trade is
+    the standard one: a duplicate arriving after its fingerprint's
+    eviction re-registers as first-seen. Without a TTL (default), state
+    is exact forever.
 
     Works on a batch DataFrame too (applyInPandas fallback) so tests and
     the oracle can check the same semantics without a stream.
@@ -439,6 +448,10 @@ def streaming_first_seen(
 
     def update(key, pdf_iter, state):
         (fp,) = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict; the next occurrence re-registers
+            state.remove()
+            return
         n = 0
         first_ts = None
         if state.exists:
@@ -451,12 +464,19 @@ def streaming_first_seen(
             if first_ts is None or batch_min < first_ts:
                 first_ts = batch_min
         state.update((first_ts, n))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {"fp": [fp], "first_ts": [first_ts], "n_dups": [n - 1]}
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         keyed.withWatermark("ts", watermark)
         .groupBy("fp")
@@ -465,7 +485,7 @@ def streaming_first_seen(
             outputStructType=FIRST_SEEN_SCHEMA,
             stateStructType=_FIRST_SEEN_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

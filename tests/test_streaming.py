@@ -401,3 +401,32 @@ def test_stream_lsh_dedup_matches_batch(spark, tmp_path):
     got = {(r["id_new"], r["id_old"], r["jaccard"]) for r in got_rows}
     assert got == want
     assert len(got_rows) == len(got)  # exactly-once per pair
+
+
+def test_streaming_first_seen_ttl_still_matches_batch(spark, tmp_path_factory):
+    # a TTL far longer than the run must not change results (eviction only
+    # fires on idle state); this locks the TTL plumbing end-to-end
+    from staticql_spark.streaming import streaming_first_seen
+
+    d = _events_dir(spark, tmp_path_factory)
+    expected = {
+        r["fp"]: (r["first_ts"], r["n_dups"])
+        for r in streaming_first_seen(spark.read.parquet(d), F.col("event_type")).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=1)
+    q = (
+        streaming_first_seen(stream, F.col("event_type"), state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("first_seen_ttl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        """select fp, first_ts, n_dups from (
+             select *, row_number() over (partition by fp order by n_dups desc) rn
+             from first_seen_ttl_test) where rn = 1"""
+    ).collect()
+    got = {r["fp"]: (r["first_ts"], r["n_dups"]) for r in rows}
+    assert got == expected
