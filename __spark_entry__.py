@@ -1418,6 +1418,44 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_doc_training_manifest(spark, sf):
+    # the flagship composition (new r5): everything a training run needs
+    # about every document in ONE declarative program — leak-free
+    # train/val/test split over near-dup clusters, curriculum decile from
+    # the corpus quality distribution, and the packed 512-token chunk
+    # span.  Three doc_id-keyed joins; each subtree keeps its own scale
+    # shape (bucketed LSH, broadcast thresholds, two-phase prefix sum).
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    split = dedup.leakfree_split(docs, pairs).select("doc_id", "split")
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    thr = scored.agg(
+        F.expr(
+            "transform(percentile(quality,"
+            " array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)),"
+            " x -> round(x, 6))"
+        ).alias("__thr")
+    )
+    decile = scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality",
+        F.size(F.filter(F.col("__thr"), lambda t: F.col("quality") >= t))
+        .cast("long")
+        .alias("decile"),
+    )
+    pack = text.pack_sequences(docs, seq_len=512).select(
+        "doc_id", "n_tokens", "chunk_first", "chunk_last"
+    )
+    return (
+        pack.join(split, "doc_id")
+        .join(decile, "doc_id")
+        .select(
+            "doc_id", "split", "quality", "decile",
+            "n_tokens", "chunk_first", "chunk_last",
+        )
+    )
+
+
 def q_skew_report(spark, sf):
     # shuffle-key skew diagnostic (new r5): heaviest event users with row
     # share and multiple-of-mean -- the pre-flight check for salting
@@ -1839,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "doc_training_manifest": q_doc_training_manifest,
         "skew_report": q_skew_report,
         "price_histogram": q_price_histogram,
         "zorder_layout": q_zorder_layout,
@@ -3587,6 +3626,62 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # doc_training_manifest: the composed flagship — stitches the
+        # leakfree-split recursive-CTE oracle, the curriculum threshold
+        # oracle and the two-phase-pack oracle on doc_id
+        "doc_training_manifest": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            comp AS (SELECT node, min(other) AS rep FROM reach GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id,
+                     CASE
+                       WHEN (('0x' || substr(md5('split1|' || coalesce(c.rep, d.doc_id)::VARCHAR), 1, 15))::BIGINT % 100) < 80 THEN 'train'
+                       WHEN (('0x' || substr(md5('split1|' || coalesce(c.rep, d.doc_id)::VARCHAR), 1, 15))::BIGINT % 100) < 90 THEN 'val'
+                       ELSE 'test' END AS split
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ),
+            {_QUALITY_CTES},
+            thr AS (
+              SELECT list_transform(quantile_cont(quality,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       x -> round(x, 6)) AS t
+              FROM r
+            ),
+            pk AS (
+              SELECT doc_id, len({_TOKS_RAW}) AS n_tokens,
+                     ('0x' || substr(md5('pack1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 1024 AS bkt
+              FROM documents
+            ),
+            pc AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY bkt, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS start_tok
+              FROM pk
+            )
+            SELECT a.doc_id, a.split, r.quality,
+                   len(list_filter((SELECT t FROM thr),
+                                   x -> r.quality >= x))::BIGINT AS decile,
+                   pc.n_tokens::BIGINT AS n_tokens,
+                   (pc.start_tok // 512)::BIGINT AS chunk_first,
+                   ((pc.start_tok + greatest(pc.n_tokens, 1) - 1) // 512)::BIGINT AS chunk_last
+            FROM assigned a
+            JOIN r ON r.doc_id = a.doc_id
+            JOIN pc ON pc.doc_id = a.doc_id
         """,
         "skew_report": """
             WITH counts AS (

@@ -78,6 +78,7 @@ HEADLINE = [
     "zorder_layout",
     "price_histogram",
     "skew_report",
+    "doc_training_manifest",
 ]
 
 
