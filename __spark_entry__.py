@@ -1418,6 +1418,31 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_ann_recall(spark, sf):
+    # ANN self-evaluation (new r5): recall@5 of the IVF path against the
+    # exact brute-force top-5 over the same query set — the metric that
+    # justifies (or vetoes) an approximate index in a retrieval pipeline.
+    # One semi join between the two result sets, 1-row summary.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(queries, emb, k=5, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias("recall_at_5"),
+        )
+    )
+
+
 def q_doc_training_manifest(spark, sf):
     # the flagship composition (new r5): everything a training run needs
     # about every document in ONE declarative program — leak-free
@@ -1877,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "ann_recall": q_ann_recall,
         "doc_training_manifest": q_doc_training_manifest,
         "skew_report": q_skew_report,
         "price_histogram": q_price_histogram,
@@ -3630,6 +3656,64 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "ann_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            brute AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         round(list_dot_product(qv, cv)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                               6) DESC, neighbor_id ASC) AS rank
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+              ) WHERE rank <= 5
+            ),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT neighbor_id, cv, cell FROM (
+                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(qv, centroid)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 3
+            ),
+            ivfk AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY p.query_id ORDER BY
+                         round(list_dot_product(p.qv, s.cv)
+                               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
+                               6) DESC, s.neighbor_id ASC) AS rank
+                FROM probes p JOIN cells s USING (cell)
+                WHERE p.query_id <> s.neighbor_id
+              ) WHERE rank <= 5
+            ),
+            stats AS (
+              SELECT (SELECT count(*) FROM brute)::BIGINT AS n_exact_pairs,
+                     (SELECT count(*) FROM ivfk i JOIN brute b
+                        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)::BIGINT AS n_hits
+            )
+            SELECT n_exact_pairs, n_hits,
+                   round(n_hits / n_exact_pairs, 4) AS recall_at_5
+            FROM stats
+        """,
         "doc_training_manifest": f"""
             WITH RECURSIVE {_LSH_PAIRS_CTES},
             edges AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "price_histogram",
     "skew_report",
     "doc_training_manifest",
+    "ann_recall",
 ]
 
 
