@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("--config", required=True, help="staticql config JSON path")
     comp.add_argument("--base-dir", required=True, help="content root directory")
     comp.add_argument("--output", required=True, help="parquet output directory")
+    prof = sub.add_parser(
+        "profile",
+        help="single-pass data-quality audit of every source "
+        "(nulls / distinct / min-max per column, JSON to stdout)",
+    )
+    prof.add_argument("--config", required=True, help="staticql config JSON path")
+    prof.add_argument("--base-dir", required=True, help="content root directory")
+    prof.add_argument("--approx", action="store_true",
+                      help="HLL distinct counts (single pass at any scale)")
     tg = sub.add_parser(
         "generate-types",
         help="emit staticql_types.py TypedDicts from the config schemas "
@@ -72,6 +81,23 @@ def main(argv: list[str] | None = None) -> int:
 
         out_path = write_types(load_config(args.config), args.output)
         print(f"types generated to {out_path}", file=sys.stderr)
+        return 0
+
+    if args.command == "profile":
+        from . import define
+        from .operators.profile import table_profile
+
+        with open(args.config, encoding="utf-8") as f:
+            config = json.load(f)
+        sql = define(config)(base_dir=args.base_dir)
+        report = {}
+        for name in sorted(sql.configs):
+            df = sql.df(name)
+            cols = [c for c in df.columns if c != "raw"]
+            report[name] = [
+                r.asDict() for r in table_profile(df, cols, approx=args.approx).collect()
+            ]
+        print(json.dumps(report, indent=2, ensure_ascii=False, default=str))
         return 0
 
     if args.command == "compact":

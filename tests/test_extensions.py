@@ -158,3 +158,20 @@ def test_generate_types_missing_args_exits_nonzero(capsys):
     with _pytest.raises(SystemExit) as exc:
         main(["generate-types", "--config", "only-config.json"])
     assert exc.value.code != 0
+
+
+def test_cli_profile_reports_all_sources(spark, content_dir, tmp_path, capsys):
+    from staticql_spark.cli import main
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(CONFIG))
+    rc = main(
+        ["profile", "--config", str(cfg_path), "--base-dir", str(content_dir)]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert set(report) == set(CONFIG["sources"])
+    herbs = {row["col_name"]: row for row in report["herbs"]}
+    assert herbs["slug"]["n_nulls"] == 0
+    assert herbs["slug"]["n_distinct"] == 3
+    assert all(row["n_rows"] == 3 for row in herbs.values())
