@@ -1418,6 +1418,28 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_events_next_prediction(spark, sf):
+    # next-event-prediction training pairs (new r5): per user-event, the
+    # ordered context of up to 8 preceding event tokens + the event as
+    # label — the sliding-window example generator for a behavioral LM.
+    # One window spec (ts, event_id total order), no self-joins.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.coalesce(F.get_json_object("props", "$.k"), F.lit("_")),
+    )
+    wn = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wn.rowsBetween(-8, -1)
+    return (
+        ev.select("user_id", "ts", "event_id", tok.alias("tok"))
+        .withColumn("pos", F.row_number().over(wn))
+        .withColumn("context", F.array_join(F.collect_list("tok").over(wc), " "))
+        .filter(F.col("pos") >= 2)
+        .select("user_id", "pos", "context", F.col("tok").alias("label"))
+    )
+
+
 def q_ann_recall(spark, sf):
     # ANN self-evaluation (new r5): recall@5 of the IVF path against the
     # exact brute-force top-5 over the same query set — the metric that
@@ -1902,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "events_next_prediction": q_events_next_prediction,
         "ann_recall": q_ann_recall,
         "doc_training_manifest": q_doc_training_manifest,
         "skew_report": q_skew_report,
@@ -3656,6 +3679,22 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "events_next_prediction": """
+            WITH t AS (
+              SELECT user_id, ts, event_id,
+                     event_type || ':' || coalesce(json_extract_string(props, '$.k'), '_') AS tok
+              FROM events
+            ),
+            w AS (
+              SELECT user_id, tok,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+                     array_to_string(list(tok) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), ' ') AS context
+              FROM t
+            )
+            SELECT user_id, pos::INT AS pos, context, tok AS label
+            FROM w WHERE pos >= 2
+        """,
         "ann_recall": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
