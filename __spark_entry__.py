@@ -1418,6 +1418,17 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_ann_hybrid_rrf(spark, sf):
+    # hybrid retrieval (new r5): reciprocal-rank fusion of the IVF and
+    # LSH candidate lists -- two cheap approximate passes whose fused
+    # ranking beats either alone, merged on the tiny result sets only
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = similarity.ivf_topk(queries, emb, k=5, nprobe=3)
+    lsh = similarity.lsh_topk(queries, emb, k=5)
+    return similarity.rrf_fuse([ivf, lsh], rrf_k=60, top=5)
+
+
 def q_events_next_prediction(spark, sf):
     # next-event-prediction training pairs (new r5): per user-event, the
     # ordered context of up to 8 preceding event tokens + the event as
@@ -1924,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "ann_hybrid_rrf": q_ann_hybrid_rrf,
         "events_next_prediction": q_events_next_prediction,
         "ann_recall": q_ann_recall,
         "doc_training_manifest": q_doc_training_manifest,
@@ -2275,6 +2287,71 @@ def _ivf_trained_sql(dim: int = 64) -> str:
                            6) AS cosine
               FROM probes p JOIN cells s USING (cell)
               WHERE p.query_id <> s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """
+
+
+_ANN_IVF_SQL = """
+            WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id % 50 = 0),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT neighbor_id, cv, cell FROM (
+                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(qv, centroid)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 3
+            ),
+            scored AS (
+              SELECT p.query_id, s.neighbor_id,
+                     round(list_dot_product(p.qv, s.cv)
+                           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
+                           6) AS cosine
+              FROM probes p JOIN cells s USING (cell)
+              WHERE p.query_id <> s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """
+
+_ANN_LSH_SQL = f"""
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS dv, {_lsh_planes_sql()} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, dv AS qv, bucket FROM v WHERE vec_id % 50 = 0),
+            c AS (SELECT vec_id AS neighbor_id, dv AS cv, bucket FROM v),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
             )
             SELECT query_id, neighbor_id, cosine, rank FROM (
               SELECT query_id, neighbor_id, cosine,
@@ -3655,30 +3732,26 @@ def oracle_sql() -> dict[str, str]:
                         / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))),
                         6) >= 0.35
         """,
-        "ann_lsh": f"""
-            WITH v AS (
-              SELECT vec_id, embedding::DOUBLE[] AS dv, {_lsh_planes_sql()} AS bucket
-              FROM embeddings
-            ),
-            q AS (SELECT vec_id AS query_id, dv AS qv, bucket FROM v WHERE vec_id % 50 = 0),
-            c AS (SELECT vec_id AS neighbor_id, dv AS cv, bucket FROM v),
-            scored AS (
-              SELECT query_id, neighbor_id,
-                     round(list_dot_product(qv, cv)
-                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                           6) AS cosine
-              FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
-            )
-            SELECT query_id, neighbor_id, cosine, rank FROM (
-              SELECT query_id, neighbor_id, cosine,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 5
-        """,
+        "ann_lsh": _ANN_LSH_SQL,
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "ann_hybrid_rrf": f"""
+            WITH ivf AS (SELECT query_id, neighbor_id, rank FROM ({_ANN_IVF_SQL})),
+            lshr AS (SELECT query_id, neighbor_id, rank FROM ({_ANN_LSH_SQL})),
+            u AS (SELECT * FROM ivf UNION ALL SELECT * FROM lshr),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round(sum(1.0 / (60.0 + rank)), 6) AS rrf
+              FROM u GROUP BY query_id, neighbor_id
+            )
+            SELECT query_id, neighbor_id, rrf, rank FROM (
+              SELECT query_id, neighbor_id, rrf,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         "events_next_prediction": """
             WITH t AS (
               SELECT user_id, ts, event_id,
@@ -4008,47 +4081,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "ann_ivf_trained": _ivf_trained_sql(),
-        "ann_ivf": """
-            WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                  FROM embeddings WHERE vec_id % 50 = 0),
-            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
-                     FROM embeddings WHERE vec_id % 100 = 0),
-            cells AS (
-              SELECT neighbor_id, cv, cell FROM (
-                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
-                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-                         round(list_dot_product(cv, centroid)
-                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
-                               6) DESC, cent.cid ASC) AS rn
-                FROM c CROSS JOIN cent
-              ) WHERE rn = 1
-            ),
-            probes AS (
-              SELECT query_id, qv, cell FROM (
-                SELECT q.query_id, q.qv, cent.cid AS cell,
-                       row_number() OVER (PARTITION BY q.query_id ORDER BY
-                         round(list_dot_product(qv, centroid)
-                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
-                               6) DESC, cent.cid ASC) AS rn
-                FROM q CROSS JOIN cent
-              ) WHERE rn <= 3
-            ),
-            scored AS (
-              SELECT p.query_id, s.neighbor_id,
-                     round(list_dot_product(p.qv, s.cv)
-                           / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
-                           6) AS cosine
-              FROM probes p JOIN cells s USING (cell)
-              WHERE p.query_id <> s.neighbor_id
-            )
-            SELECT query_id, neighbor_id, cosine, rank FROM (
-              SELECT query_id, neighbor_id, cosine,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 5
-        """,
+        "ann_ivf": _ANN_IVF_SQL,
         "stream_first_seen": """
             SELECT event_type AS fp, min(ts) AS first_ts,
                    count(*) - 1 AS n_dups

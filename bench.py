@@ -80,6 +80,8 @@ HEADLINE = [
     "skew_report",
     "doc_training_manifest",
     "ann_recall",
+    "ann_hybrid_rrf",
+    "events_next_prediction",
 ]
 
 

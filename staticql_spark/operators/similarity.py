@@ -519,3 +519,31 @@ def quantized_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("qcosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(results: list[DataFrame], rrf_k: int = 60, top: int = 5) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — hybrid search's
+    standard merge (Cormack et al.): score(q, d) = Σ_lists 1/(rrf_k + rank).
+
+    Each input needs (query_id, neighbor_id, rank).  Union + one map-side-
+    combined sum per (query, doc) + per-query row_number: no list ever
+    re-scores vectors, so fusing an IVF pass with an LSH (or lexical BM25)
+    pass costs only the tiny result-set shuffle.  Scores are rounded (6)
+    before ranking with a neighbor-id tiebreak — the repo-wide
+    engine-stable top-k rule.
+    """
+    u = results[0].select("query_id", "neighbor_id", "rank")
+    for r in results[1:]:
+        u = u.unionByName(r.select("query_id", "neighbor_id", "rank"))
+    scored = (
+        u.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank"))), 6
+            ).alias("rrf")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top
+    )
