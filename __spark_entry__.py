@@ -1418,6 +1418,75 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_scd2_history(spark, sf):
+    # SCD type-2 snapshot history (new r5): bootstrap at ts=100, merge the
+    # same simulated second snapshot as corpus_diff at ts=200 -- the
+    # version-history table a 100 TB corpus keeps for time travel
+    from staticql_spark.operators.scd import scd2_merge, scd2_open
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    hist = scd2_open(docs, "doc_id", ["text"], ts=100)
+    snap2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = scd2_merge(hist, snap2, "doc_id", ["text"], ts=200)
+    return out.select(
+        "doc_id", "valid_from", "valid_to", F.md5("text").alias("fp")
+    )
+
+
+def q_events_decayed(spark, sf):
+    # time-decayed engagement (new r5): exponentially weighted event value
+    # per user, half-life 1 day against the corpus max ts (deterministic
+    # reference point, broadcast back). Map-only weighting + one combine.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    us = asof.epoch_us(ev, "ts")
+    ref = ev.agg(F.max(us).alias("__ref"))
+    half_us = 86_400_000_000.0
+    w = F.pow(F.lit(0.5), (F.col("__ref") - us).cast("double") / F.lit(half_us))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_corpus_diff(spark, sf):
+    # snapshot diff (new r5): status per doc between two corpus snapshots
+    # (added / deleted / modified / unchanged by content fingerprint) --
+    # one full outer join on the id, md5 fingerprints computed map-side.
+    # The simulated "new" snapshot drops ids % 17 == 0, modifies % 5 == 0.
+    docs = _t(spark, sf, "documents")
+    old = docs.select("doc_id", F.md5("text").alias("fp_old"))
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text2",
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        .select("doc_id", F.md5("text2").alias("fp_new"))
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "deleted")
+        .when(F.col("fp_old") != F.col("fp_new"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
 def q_ann_hybrid_rrf(spark, sf):
     # hybrid retrieval (new r5): reciprocal-rank fusion of the IVF and
     # LSH candidate lists -- two cheap approximate passes whose fused
@@ -1935,6 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "scd2_history": q_scd2_history,
+        "events_decayed": q_events_decayed,
+        "corpus_diff": q_corpus_diff,
         "ann_hybrid_rrf": q_ann_hybrid_rrf,
         "events_next_prediction": q_events_next_prediction,
         "ann_recall": q_ann_recall,
@@ -3736,6 +3808,46 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "scd2_history": """
+            WITH old AS (SELECT doc_id, text, md5(text) AS fp FROM documents),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+            ),
+            newfp AS (SELECT doc_id, text, md5(text) AS fp FROM new)
+            SELECT o.doc_id, 100::BIGINT AS valid_from,
+                   CASE WHEN n.fp IS NULL OR n.fp <> o.fp THEN 200::BIGINT END AS valid_to,
+                   o.fp
+            FROM old o LEFT JOIN newfp n USING (doc_id)
+            UNION ALL
+            SELECT n.doc_id, 200::BIGINT, NULL::BIGINT, n.fp
+            FROM newfp n LEFT JOIN old o USING (doc_id)
+            WHERE o.fp IS NULL OR o.fp <> n.fp
+        """,
+        "events_decayed": """
+            WITH ref AS (SELECT max(epoch_us(ts)) AS r FROM events)
+            SELECT user_id,
+                   round(sum(value * pow(0.5,
+                     (((SELECT r FROM ref) - epoch_us(ts))::DOUBLE / 86400000000.0))), 6)
+                     AS decayed_value,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "corpus_diff": """
+            WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+              FROM documents WHERE doc_id % 17 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.fp_old IS NULL THEN 'added'
+                        WHEN n.fp_new IS NULL THEN 'deleted'
+                        WHEN o.fp_old <> n.fp_new THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
         "ann_hybrid_rrf": f"""
             WITH ivf AS (SELECT query_id, neighbor_id, rank FROM ({_ANN_IVF_SQL})),
             lshr AS (SELECT query_id, neighbor_id, rank FROM ({_ANN_LSH_SQL})),

@@ -82,6 +82,8 @@ HEADLINE = [
     "ann_recall",
     "ann_hybrid_rrf",
     "events_next_prediction",
+    "scd2_history",
+    "corpus_diff",
 ]
 
 

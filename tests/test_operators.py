@@ -975,3 +975,36 @@ def test_skew_report_flags_hot_key(spark):
     assert top[0]["key_value"] == "hot"
     assert top[0]["pct_of_rows"] == 90.0
     assert top[0]["x_mean"] > 8  # 90 rows vs mean ~9.09
+
+
+def test_scd2_merge_versions_and_time_travel(spark):
+    from staticql_spark.operators.scd import scd2_as_of, scd2_merge, scd2_open
+
+    snap1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    hist = scd2_open(snap1, "doc_id", ["text"], ts=100)
+    # t=200: doc 2 modified, doc 3 deleted, doc 4 added
+    snap2 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta v2"), (4, "delta")], ["doc_id", "text"]
+    )
+    hist2 = scd2_merge(hist, snap2, "doc_id", ["text"], ts=200)
+
+    rows = {(r["doc_id"], r["valid_from"]): (r["text"], r["valid_to"])
+            for r in hist2.collect()}
+    assert rows[(1, 100)] == ("alpha", None)        # unchanged, still open
+    assert rows[(2, 100)] == ("beta", 200)          # closed
+    assert rows[(2, 200)] == ("beta v2", None)      # reopened
+    assert rows[(3, 100)] == ("gamma", 200)         # deleted -> closed
+    assert rows[(4, 200)] == ("delta", None)        # added
+    assert len(rows) == 5
+
+    # time travel reproduces each snapshot exactly
+    at150 = {(r["doc_id"], r["text"]) for r in scd2_as_of(hist2, 150).collect()}
+    assert at150 == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+    at250 = {(r["doc_id"], r["text"]) for r in scd2_as_of(hist2, 250).collect()}
+    assert at250 == {(1, "alpha"), (2, "beta v2"), (4, "delta")}
+
+    # idempotence: merging the same snapshot again changes nothing
+    hist3 = scd2_merge(hist2, snap2, "doc_id", ["text"], ts=300)
+    assert hist3.count() == hist2.count()
