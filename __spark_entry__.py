@@ -1418,6 +1418,35 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_langid_confusion(spark, sf):
+    # language-ID self-evaluation (new r5): confusion matrix of the n-gram
+    # heuristic against the corpus's labeled lang column -- the quality
+    # gate for the classifier itself, one count per (label, prediction)
+    docs = _t(spark, sf, "documents")
+    pred = text.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_quality_quantile_norm(spark, sf):
+    # cross-source score normalization (new r5): percent-rank of quality
+    # WITHIN each source, so heterogeneous sources compare on a common
+    # [0,1] scale (source-fair curriculum / mixing); one window per source
+    docs = _t(spark, sf, "documents")
+    scored = text.quality_score(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    w = W.partitionBy("source").orderBy("quality")
+    return scored.select(
+        "doc_id", "source", "quality",
+        F.round(F.percent_rank().over(w), 6).alias("q_norm"),
+    )
+
+
 def q_scd2_history(spark, sf):
     # SCD type-2 snapshot history (new r5): bootstrap at ts=100, merge the
     # same simulated second snapshot as corpus_diff at ts=200 -- the
@@ -2004,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "langid_confusion": q_langid_confusion,
+        "quality_quantile_norm": q_quality_quantile_norm,
         "scd2_history": q_scd2_history,
         "events_decayed": q_events_decayed,
         "corpus_diff": q_corpus_diff,
@@ -2368,6 +2399,42 @@ def _ivf_trained_sql(dim: int = 64) -> str:
             ) WHERE rank <= 5
         """
 
+
+_DOC_LANG_SQL = f"""
+            WITH base AS (
+              SELECT doc_id, text, length(text)::DOUBLE AS n,
+                     {_TOKS_RAW} AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n, toks,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{3040}}-\\x{{30ff}}]', '', 'g'))) / n ELSE 0.0 END AS kana,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{ac00}}-\\x{{d7af}}]', '', 'g'))) / n ELSE 0.0 END AS hangul,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))) / n ELSE 0.0 END AS cjk,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0400}}-\\x{{04ff}}]', '', 'g'))) / n ELSE 0.0 END AS cyr,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0600}}-\\x{{06ff}}]', '', 'g'))) / n ELSE 0.0 END AS arabic,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[äöüßÄÖÜ]', '', 'g'))) / n ELSE 0.0 END AS de_chars,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[àâçéèêëîïôûùüÿœ]', '', 'g'))) / n ELSE 0.0 END AS fr_chars,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g'))) / n ELSE 0.0 END AS es_chars,
+                CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> lower(t) IN {_STOPS}))::DOUBLE / len(toks)
+                     ELSE 0.0 END AS stop_ratio
+              FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN kana > 0.05 THEN 'ja'
+                        WHEN hangul > 0.05 THEN 'ko'
+                        WHEN cjk > 0.05 THEN 'zh'
+                        WHEN cyr > 0.05 THEN 'ru'
+                        WHEN arabic > 0.05 THEN 'ar'
+                        WHEN de_chars > 0.002 THEN 'de'
+                        WHEN es_chars > 0.002 THEN 'es'
+                        WHEN fr_chars > 0.002 THEN 'fr'
+                        WHEN stop_ratio >= 0.03 THEN 'en'
+                        ELSE 'und' END AS lang_pred,
+                   round(stop_ratio, 4) AS en_stop_ratio
+            FROM r
+        """
 
 _ANN_IVF_SQL = """
             WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -3125,41 +3192,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN med m USING (lang)
             WHERE j.quality >= m.med
         """,
-        "doc_lang": f"""
-            WITH base AS (
-              SELECT doc_id, text, length(text)::DOUBLE AS n,
-                     {_TOKS_RAW} AS toks
-              FROM documents
-            ),
-            r AS (
-              SELECT doc_id, n, toks,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{3040}}-\\x{{30ff}}]', '', 'g'))) / n ELSE 0.0 END AS kana,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{ac00}}-\\x{{d7af}}]', '', 'g'))) / n ELSE 0.0 END AS hangul,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))) / n ELSE 0.0 END AS cjk,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0400}}-\\x{{04ff}}]', '', 'g'))) / n ELSE 0.0 END AS cyr,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{0600}}-\\x{{06ff}}]', '', 'g'))) / n ELSE 0.0 END AS arabic,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[äöüßÄÖÜ]', '', 'g'))) / n ELSE 0.0 END AS de_chars,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[àâçéèêëîïôûùüÿœ]', '', 'g'))) / n ELSE 0.0 END AS fr_chars,
-                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g'))) / n ELSE 0.0 END AS es_chars,
-                CASE WHEN len(toks) > 0
-                     THEN len(list_filter(toks, t -> lower(t) IN {_STOPS}))::DOUBLE / len(toks)
-                     ELSE 0.0 END AS stop_ratio
-              FROM base
-            )
-            SELECT doc_id,
-                   CASE WHEN kana > 0.05 THEN 'ja'
-                        WHEN hangul > 0.05 THEN 'ko'
-                        WHEN cjk > 0.05 THEN 'zh'
-                        WHEN cyr > 0.05 THEN 'ru'
-                        WHEN arabic > 0.05 THEN 'ar'
-                        WHEN de_chars > 0.002 THEN 'de'
-                        WHEN es_chars > 0.002 THEN 'es'
-                        WHEN fr_chars > 0.002 THEN 'fr'
-                        WHEN stop_ratio >= 0.03 THEN 'en'
-                        ELSE 'und' END AS lang_pred,
-                   round(stop_ratio, 4) AS en_stop_ratio
-            FROM r
-        """,
+        "doc_lang": _DOC_LANG_SQL,
         "doc_fingerprint": f"""
             SELECT doc_id,
                    md5({_NORM}) AS fp_md5,
@@ -3808,6 +3841,19 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "langid_confusion": f"""
+            WITH pred AS (SELECT doc_id, lang_pred FROM ({_DOC_LANG_SQL}))
+            SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.lang_pred
+        """,
+        "quality_quantile_norm": f"""
+            WITH {_QUALITY_CTES}
+            SELECT d.doc_id, d.source, r.quality,
+                   round(percent_rank() OVER (PARTITION BY d.source
+                                              ORDER BY r.quality), 6) AS q_norm
+            FROM documents d JOIN r USING (doc_id)
+        """,
         "scd2_history": """
             WITH old AS (SELECT doc_id, text, md5(text) AS fp FROM documents),
             new AS (
