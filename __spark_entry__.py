@@ -1418,6 +1418,17 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_corr_matrix(spark, sf):
+    # single-pass Pearson correlation matrix (new r5): every moment from
+    # ONE map-side-combined aggregation, pairs assembled arithmetically
+    from staticql_spark.operators.profile import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_langid_confusion(spark, sf):
     # language-ID self-evaluation (new r5): confusion matrix of the n-gram
     # heuristic against the corpus's labeled lang column -- the quality
@@ -2033,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "corr_matrix": q_corr_matrix,
         "langid_confusion": q_langid_confusion,
         "quality_quantile_norm": q_quality_quantile_norm,
         "scd2_history": q_scd2_history,
@@ -3841,6 +3853,43 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "corr_matrix": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   round((sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_extendedprice::DOUBLE) / count(*))
+                         / sqrt((sum(l_quantity::DOUBLE * l_quantity::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_quantity::DOUBLE) / count(*))
+                                * (sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) - sum(l_extendedprice::DOUBLE) * sum(l_extendedprice::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                   round((sum(l_quantity::DOUBLE * l_discount::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_discount::DOUBLE) / count(*))
+                         / sqrt((sum(l_quantity::DOUBLE * l_quantity::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_quantity::DOUBLE) / count(*))
+                                * (sum(l_discount::DOUBLE * l_discount::DOUBLE) - sum(l_discount::DOUBLE) * sum(l_discount::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                   round((sum(l_quantity::DOUBLE * l_tax::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_tax::DOUBLE) / count(*))
+                         / sqrt((sum(l_quantity::DOUBLE * l_quantity::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_quantity::DOUBLE) / count(*))
+                                * (sum(l_tax::DOUBLE * l_tax::DOUBLE) - sum(l_tax::DOUBLE) * sum(l_tax::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                   round((sum(l_extendedprice::DOUBLE * l_discount::DOUBLE) - sum(l_extendedprice::DOUBLE) * sum(l_discount::DOUBLE) / count(*))
+                         / sqrt((sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) - sum(l_extendedprice::DOUBLE) * sum(l_extendedprice::DOUBLE) / count(*))
+                                * (sum(l_discount::DOUBLE * l_discount::DOUBLE) - sum(l_discount::DOUBLE) * sum(l_discount::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                   round((sum(l_extendedprice::DOUBLE * l_tax::DOUBLE) - sum(l_extendedprice::DOUBLE) * sum(l_tax::DOUBLE) / count(*))
+                         / sqrt((sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) - sum(l_extendedprice::DOUBLE) * sum(l_extendedprice::DOUBLE) / count(*))
+                                * (sum(l_tax::DOUBLE * l_tax::DOUBLE) - sum(l_tax::DOUBLE) * sum(l_tax::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                   round((sum(l_discount::DOUBLE * l_tax::DOUBLE) - sum(l_discount::DOUBLE) * sum(l_tax::DOUBLE) / count(*))
+                         / sqrt((sum(l_discount::DOUBLE * l_discount::DOUBLE) - sum(l_discount::DOUBLE) * sum(l_discount::DOUBLE) / count(*))
+                                * (sum(l_tax::DOUBLE * l_tax::DOUBLE) - sum(l_tax::DOUBLE) * sum(l_tax::DOUBLE) / count(*))), 6) AS corr
+            FROM lineitem
+        """,
         "langid_confusion": f"""
             WITH pred AS (SELECT doc_id, lang_pred FROM ({_DOC_LANG_SQL}))
             SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n

@@ -84,6 +84,7 @@ HEADLINE = [
     "events_next_prediction",
     "scd2_history",
     "corpus_diff",
+    "corr_matrix",
 ]
 
 

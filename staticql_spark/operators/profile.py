@@ -82,3 +82,41 @@ def table_profile(
         ),
         F.col("__rows").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns from ONE pass.
+
+    All k·(k+1)/2 moments (sums, squares, cross-products) come out of a
+    single map-side-combined aggregation — never a pass per pair — and the
+    correlations are assembled arithmetically from the 1-row moment frame.
+    Values rounded to 6 (cross-engine float-sum stability).
+    Returns (col_a, col_b, corr) for a < b.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs += [F.sum(x).alias(f"__s_{c}"), F.sum(x * x).alias(f"__ss_{c}")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(
+                    f"__sp_{a}_{b}"
+                )
+            )
+    wide = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            n, sa, sb = F.col("__n"), F.col(f"__s_{a}"), F.col(f"__s_{b}")
+            cov = F.col(f"__sp_{a}_{b}") - sa * sb / n
+            va = F.col(f"__ss_{a}") - sa * sa / n
+            vb = F.col(f"__ss_{b}") - sb * sb / n
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(cov / F.sqrt(va * vb), 6).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -1008,3 +1008,15 @@ def test_scd2_merge_versions_and_time_travel(spark):
     # idempotence: merging the same snapshot again changes nothing
     hist3 = scd2_merge(hist2, snap2, "doc_id", ["text"], ts=300)
     assert hist3.count() == hist2.count()
+
+
+def test_corr_matrix_known_values(spark):
+    from staticql_spark.operators.profile import corr_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, float(-i), float(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == 1.0    # perfectly linear
+    assert got[("a", "c")] == -1.0   # perfectly anti-linear
+    assert got[("b", "c")] == -1.0
