@@ -1418,6 +1418,15 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_embedding_top_pc(spark, sf):
+    # corpus anisotropy diagnostic (new r5): dominant principal direction
+    # by 2 unrolled power iterations (RNG-free init; oracle unrolls both).
+    # Unpivoted to (dim_idx, component) scalar rows -- the value-hash
+    # compare handles scalars, not arrays.
+    pc = similarity.power_iteration_pc(_t(spark, sf, "embeddings"), iters=2)
+    return pc.select(F.posexplode("pc").alias("dim_idx", "component"))
+
+
 def q_corr_matrix(spark, sf):
     # single-pass Pearson correlation matrix (new r5): every moment from
     # ONE map-side-combined aggregation, pairs assembled arithmetically
@@ -2044,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "embedding_top_pc": q_embedding_top_pc,
         "corr_matrix": q_corr_matrix,
         "langid_confusion": q_langid_confusion,
         "quality_quantile_norm": q_quality_quantile_norm,
@@ -3853,6 +3863,18 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "embedding_top_pc": """
+            WITH emb AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
+            p1 AS (SELECT x, list_dot_product(x, [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125]::DOUBLE[]) AS d FROM emb),
+            s1 AS (SELECT [sum(x[1] * d), sum(x[2] * d), sum(x[3] * d), sum(x[4] * d), sum(x[5] * d), sum(x[6] * d), sum(x[7] * d), sum(x[8] * d), sum(x[9] * d), sum(x[10] * d), sum(x[11] * d), sum(x[12] * d), sum(x[13] * d), sum(x[14] * d), sum(x[15] * d), sum(x[16] * d), sum(x[17] * d), sum(x[18] * d), sum(x[19] * d), sum(x[20] * d), sum(x[21] * d), sum(x[22] * d), sum(x[23] * d), sum(x[24] * d), sum(x[25] * d), sum(x[26] * d), sum(x[27] * d), sum(x[28] * d), sum(x[29] * d), sum(x[30] * d), sum(x[31] * d), sum(x[32] * d), sum(x[33] * d), sum(x[34] * d), sum(x[35] * d), sum(x[36] * d), sum(x[37] * d), sum(x[38] * d), sum(x[39] * d), sum(x[40] * d), sum(x[41] * d), sum(x[42] * d), sum(x[43] * d), sum(x[44] * d), sum(x[45] * d), sum(x[46] * d), sum(x[47] * d), sum(x[48] * d), sum(x[49] * d), sum(x[50] * d), sum(x[51] * d), sum(x[52] * d), sum(x[53] * d), sum(x[54] * d), sum(x[55] * d), sum(x[56] * d), sum(x[57] * d), sum(x[58] * d), sum(x[59] * d), sum(x[60] * d), sum(x[61] * d), sum(x[62] * d), sum(x[63] * d), sum(x[64] * d)] AS s FROM p1),
+            v1 AS (SELECT list_transform(s, e -> e / sqrt(list_dot_product(s, s))) AS v FROM s1),
+            p2 AS (SELECT e.x, list_dot_product(e.x, v1.v) AS d FROM emb e, v1),
+            s2 AS (SELECT [sum(x[1] * d), sum(x[2] * d), sum(x[3] * d), sum(x[4] * d), sum(x[5] * d), sum(x[6] * d), sum(x[7] * d), sum(x[8] * d), sum(x[9] * d), sum(x[10] * d), sum(x[11] * d), sum(x[12] * d), sum(x[13] * d), sum(x[14] * d), sum(x[15] * d), sum(x[16] * d), sum(x[17] * d), sum(x[18] * d), sum(x[19] * d), sum(x[20] * d), sum(x[21] * d), sum(x[22] * d), sum(x[23] * d), sum(x[24] * d), sum(x[25] * d), sum(x[26] * d), sum(x[27] * d), sum(x[28] * d), sum(x[29] * d), sum(x[30] * d), sum(x[31] * d), sum(x[32] * d), sum(x[33] * d), sum(x[34] * d), sum(x[35] * d), sum(x[36] * d), sum(x[37] * d), sum(x[38] * d), sum(x[39] * d), sum(x[40] * d), sum(x[41] * d), sum(x[42] * d), sum(x[43] * d), sum(x[44] * d), sum(x[45] * d), sum(x[46] * d), sum(x[47] * d), sum(x[48] * d), sum(x[49] * d), sum(x[50] * d), sum(x[51] * d), sum(x[52] * d), sum(x[53] * d), sum(x[54] * d), sum(x[55] * d), sum(x[56] * d), sum(x[57] * d), sum(x[58] * d), sum(x[59] * d), sum(x[60] * d), sum(x[61] * d), sum(x[62] * d), sum(x[63] * d), sum(x[64] * d)] AS s FROM p2),
+            v2 AS (SELECT list_transform(s, e -> e / sqrt(list_dot_product(s, s))) AS v FROM s2)
+            SELECT unnest(range(0, 64))::INT AS dim_idx,
+                   round(v[unnest(range(0, 64)) + 1], 6) AS component
+            FROM v2
+        """,
         "corr_matrix": """
             SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                    round((sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) - sum(l_quantity::DOUBLE) * sum(l_extendedprice::DOUBLE) / count(*))

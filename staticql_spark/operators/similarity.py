@@ -547,3 +547,49 @@ def rrf_fuse(results: list[DataFrame], rrf_k: int = 60, top: int = 5) -> DataFra
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= top
     )
+
+
+def power_iteration_pc(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus via power iteration
+    (uncentered Gram matrix): v ← normalize(Σ_x (x·v)·x), deterministic
+    uniform init — the RNG-free dominant-eigenvector sweep used for
+    anisotropy diagnostics and all-but-the-top embedding post-processing.
+
+    Each iteration is ONE corpus pass: the projection x·v binds once per
+    row, then ``dim`` map-side-combined sums shuffle a single row; the
+    normalization runs on that 1-row frame and broadcasts back.  Like
+    kmeans_fit/pagerank, a FIXED small ``iters`` keeps the whole sweep
+    SQL-expressible by unrolling, so the driver query is fully
+    oracle-checked.  Returns one row: (pc array rounded 6, iterations).
+    """
+    vecs = ensure_parallelism(corpus).select(as_double(F.col(vec_col)).alias("x"))
+    if dim is None:
+        dim = len(vecs.select("x").first()["x"])
+    init = 1.0 / float(dim) ** 0.5
+    v = vecs.sparkSession.range(1).select(
+        F.array(*[F.lit(init) for _ in range(dim)]).alias("v")
+    )
+    for _ in range(iters):
+        proj = vecs.crossJoin(F.broadcast(v)).select(
+            "x", dot(F.col("x"), F.col("v")).alias("d")
+        )
+        s = proj.agg(
+            F.array(*[F.sum(F.col("x")[j] * F.col("d")) for j in range(dim)]).alias(
+                "s"
+            )
+        )
+        v = s.select(
+            F.transform(
+                F.col("s"), lambda e: e / F.sqrt(dot(F.col("s"), F.col("s")))
+            ).alias("v")
+        )
+    return v.select(
+        F.transform(F.col("v"), lambda e: F.round(e, 6)).alias("pc"),
+        F.lit(iters).alias("iterations"),
+    )

@@ -1020,3 +1020,17 @@ def test_corr_matrix_known_values(spark):
     assert got[("a", "b")] == 1.0    # perfectly linear
     assert got[("a", "c")] == -1.0   # perfectly anti-linear
     assert got[("b", "c")] == -1.0
+
+
+def test_power_iteration_pc_matches_numpy(spark, emb):
+    import numpy as np
+
+    got = similarity.power_iteration_pc(emb, iters=2).collect()[0]["pc"]
+    X = np.array([r["embedding"] for r in emb.collect()], dtype=float)
+    v = np.full(X.shape[1], 1.0 / np.sqrt(X.shape[1]))
+    for _ in range(2):
+        s = X.T @ (X @ v)
+        v = s / np.linalg.norm(s)
+    assert got == pytest.approx(list(np.round(v, 6)), abs=2e-6)
+    # unit norm (within rounding)
+    assert abs(sum(c * c for c in got) - 1.0) < 1e-4
