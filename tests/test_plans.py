@@ -344,3 +344,15 @@ def test_zorder_range_broadcast_and_single_scan_shape(spark):
     # adds no exchange over the fact table
     p = plan(entrymod.q_zorder_layout(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_corr_matrix_single_scan_single_agg(spark):
+    # every moment comes out of ONE aggregation over ONE scan
+    p = plan(entrymod.q_corr_matrix(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_rrf_fuse_partial_agg(spark):
+    # fusion aggregates map-side combine before the exchange
+    p = plan(entrymod.q_ann_hybrid_rrf(spark, SF_SMOKE))
+    assert "partial_" in p, p
