@@ -1418,6 +1418,35 @@ def q_zorder_layout(spark, sf):
     return b.select("l_orderkey", "l_linenumber", z.alias("zkey"))
 
 
+def q_events_retention(spark, sf):
+    # cohort retention (new r5): users grouped by first-activity day
+    # (cohort), counted by day offset of each later active day -- the
+    # classic engagement matrix, two keyed aggregations and one join
+    ev = load_events(spark, f"{sf}/events.parquet")
+    day = F.to_date("ts")
+    active = ev.select("user_id", day.alias("d")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_dedup_cluster_stats(spark, sf):
+    # duplicate-cluster size distribution (new r5): how much of the corpus
+    # sits in near-dup clusters of each size -- the dedup health report
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+    )
+
+
 def q_embedding_top_pc(spark, sf):
     # corpus anisotropy diagnostic (new r5): dominant principal direction
     # by 2 unrolled power iterations (RNG-free init; oracle unrolls both).
@@ -2053,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        "events_retention": q_events_retention,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "embedding_top_pc": q_embedding_top_pc,
         "corr_matrix": q_corr_matrix,
         "langid_confusion": q_langid_confusion,
@@ -3863,6 +3894,38 @@ def oracle_sql() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "events_retention": """
+            WITH active AS (
+              SELECT DISTINCT user_id, ts::DATE AS d FROM events
+            ),
+            cohort AS (
+              SELECT user_id, min(d) AS cohort_day FROM active GROUP BY user_id
+            )
+            SELECT c.cohort_day, (a.d - c.cohort_day)::BIGINT AS day_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM active a JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_day, day_offset
+        """,
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            comp AS (SELECT node, min(other) AS rep FROM reach GROUP BY node),
+            csizes AS (SELECT rep, count(*)::BIGINT AS cluster_size FROM comp GROUP BY rep)
+            SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                   cluster_size * count(*) AS n_docs
+            FROM csizes GROUP BY cluster_size
+        """,
         "embedding_top_pc": """
             WITH emb AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
             p1 AS (SELECT x, list_dot_product(x, [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125]::DOUBLE[]) AS d FROM emb),
