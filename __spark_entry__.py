@@ -1274,6 +1274,15 @@ def q_bpe_pair_counts(spark, sf):
     return text.bpe_pair_counts(_t(spark, sf, "documents"), top_k=100)
 
 
+def q_bpe_train(spark, sf):
+    # full BPE merge LEARNING, 4 rounds: vocab-collapse once, then per
+    # round one map-side-combined pair agg + 1-row argmax broadcast back
+    # for a map-only greedy merge (wrapped-symbol string replace ==
+    # single-scan greedy). Deterministic throughout; the fixed round
+    # count unrolls into the exact DuckDB twin (_bpe_train_sql).
+    return text.bpe_train(_t(spark, sf, "documents"), merges=4)
+
+
 def q_doc_unigram_nll(spark, sf):
     # perplexity proxy: mean unigram -log2 p under the corpus's own
     # unigram LM (broadcast vocab; OOV floored at 1/total)
@@ -2113,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "doc_split_leakfree": q_doc_split_leakfree,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train": q_bpe_train,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2451,6 +2461,68 @@ def _ivf_trained_sql(dim: int = 64) -> str:
               FROM scored
             ) WHERE rank <= 5
         """
+
+
+def _bpe_train_sql(merges: int = 4) -> str:
+    """SQL twin of q_bpe_train: text.bpe_train's merge rounds unrolled.
+    Same wrapped-symbol encoding (\\x02 sym \\x03), so DuckDB's literal
+    replace() applies the identical greedy single-scan merge; the argmax
+    tiebreak (count desc, pair asc) is total, so both engines pick the
+    same pair every round."""
+    sow, eow = "\x02", "\x03"
+    ctes = [
+        f"""words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents
+            )""",
+        f"""v0 AS (
+              SELECT regexp_replace(word, '(.)', '{sow}\\1{eow}', 'g')
+                       || '{sow}#{eow}' AS repr,
+                     count(*)::BIGINT AS cnt
+              FROM words GROUP BY word
+            )""",
+    ]
+    for r in range(1, merges + 1):
+        prev = f"v{r - 1}"
+        ctes.append(
+            f"""s{r} AS (
+              SELECT string_split(substr(repr, 2, length(repr) - 2),
+                                  '{eow}{sow}') AS s, cnt
+              FROM {prev}
+            )""",
+        )
+        ctes.append(
+            f"""b{r} AS (
+              SELECT pr.a AS a, pr.b AS b, sum(cnt)::BIGINT AS n_pairs
+              FROM (
+                SELECT unnest(list_transform(range(1, len(s)),
+                              i -> struct_pack(a := s[i], b := s[i + 1]))) AS pr,
+                       cnt
+                FROM s{r} WHERE len(s) >= 2
+              )
+              GROUP BY 1, 2
+              ORDER BY n_pairs DESC, a, b
+              LIMIT 1
+            )""",
+        )
+        if r < merges:
+            ctes.append(
+                f"""v{r} AS (
+              SELECT replace(repr, '{sow}' || a || '{eow}{sow}' || b || '{eow}',
+                             '{sow}' || a || b || '{eow}') AS repr, cnt
+              FROM {prev}, b{r}
+            )""",
+            )
+    unions = "\n              UNION ALL ".join(
+        f"SELECT {r}::INT AS merge_round, a AS sym_a, b AS sym_b, "
+        f"a || b AS merged, n_pairs FROM b{r}"
+        for r in range(1, merges + 1)
+    )
+    return (
+        "\n            WITH "
+        + ",\n            ".join(ctes)
+        + f"\n            SELECT * FROM (\n              {unions}\n            ) ORDER BY merge_round\n        "
+    )
 
 
 _DOC_LANG_SQL = f"""
@@ -3706,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_pairs DESC, a, b
             LIMIT 100
         """,
+        "bpe_train": _bpe_train_sql(4),
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.
         # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /

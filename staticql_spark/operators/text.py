@@ -378,6 +378,112 @@ def bpe_pair_counts(
     )
 
 
+#: Symbol wrappers for :func:`bpe_train` word representations.  Each BPE
+#: symbol is stored as ``\x02<sym>\x03``, so a merge of the adjacent pair
+#: (a, b) is ONE literal string replace of ``\x02a\x03\x02b\x03`` with
+#: ``\x02ab\x03`` — adjacent matches share no characters, which makes
+#: engine replace-all (left-to-right, non-overlapping) EXACTLY the greedy
+#: single-scan merge that reference BPE trainers apply.  (A delimiter-
+#: joined encoding would make adjacent merges overlap on the shared
+#: delimiter and diverge from greedy on odd runs of a self-pair.)
+_BPE_SOW = "\x02"
+_BPE_EOW = "\x03"
+_BPE_END = "#"  # end-of-word marker; word chars are [a-z], so unambiguous
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 3,
+) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich-style merge learning):
+    ``merges`` rounds of (count adjacent symbol pairs over the word vocab,
+    weighted by word frequency) -> (argmax pair, deterministic tiebreak)
+    -> (apply the merge to every word) -> repeat.
+
+    Returns the learned merge table: one row per round with
+    (merge_round, sym_a, sym_b, merged, n_pairs).
+
+    Scale shape — the classic trick that makes corpus-scale BPE cheap:
+    after ONE initial shuffle that collapses the corpus to its distinct
+    word vocabulary with counts, every round touches only |vocab| rows.
+    Per round: a map-side-combined pair aggregation (shuffle carries
+    |distinct pairs| partials, not corpus positions), a TakeOrdered(1)
+    argmax, and a broadcast of that single row back over the vocab
+    (crossJoin of a 1-row side) for a map-only string replace.  Rounds are
+    inherently sequential; each intermediate is lazily localCheckpointed so
+    round k's vocab materializes once instead of re-deriving rounds 1..k-1
+    per downstream use.
+
+    Everything is deterministic (no RNG; total argmax tiebreak on
+    count desc, then pair lexicographically) and every operation is a
+    portable string op, so a fixed ``merges`` unrolls into an exact DuckDB
+    oracle (__spark_entry__._bpe_train_sql).  Words are lowercase ``[a-z]+``
+    runs; initial symbols are single characters plus a ``#`` end-of-word
+    marker.
+    """
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).select(
+        F.concat(
+            F.regexp_replace("word", "(.)", _BPE_SOW + "$1" + _BPE_EOW),
+            F.lit(_BPE_SOW + _BPE_END + _BPE_EOW),
+        ).alias("repr"),
+        "cnt",
+    )
+    out = []
+    for rnd in range(1, merges + 1):
+        syms = F.split(
+            F.expr("substring(repr, 2, length(repr) - 2)"), _BPE_EOW + _BPE_SOW
+        )
+        n1 = F.greatest(F.size(syms) - 1, F.lit(0))
+        prs = F.zip_with(
+            F.slice(syms, F.lit(1), n1),
+            F.slice(syms, F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        best = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(F.explode(prs).alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            best.select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.concat("a", "b").alias("merged"),
+                "n_pairs",
+            )
+        )
+        if rnd < merges:
+            vocab = (
+                vocab.crossJoin(F.broadcast(best.select("a", "b")))
+                .select(
+                    F.replace(
+                        F.col("repr"),
+                        F.concat(
+                            F.lit(_BPE_SOW), "a", F.lit(_BPE_EOW),
+                            F.lit(_BPE_SOW), "b", F.lit(_BPE_EOW),
+                        ),
+                        F.concat(F.lit(_BPE_SOW), "a", "b", F.lit(_BPE_EOW)),
+                    ).alias("repr"),
+                    "cnt",
+                )
+                .localCheckpoint(eager=False)
+            )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("merge_round")
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

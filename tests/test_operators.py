@@ -1034,3 +1034,59 @@ def test_power_iteration_pc_matches_numpy(spark, emb):
     assert got == pytest.approx(list(np.round(v, 6)), abs=2e-6)
     # unit norm (within rounding)
     assert abs(sum(c * c for c in got) - 1.0) < 1e-4
+
+
+def _greedy_bpe_reference(texts: list[str], merges: int):
+    """Single-process reference Sennrich BPE: greedy left-to-right merge
+    application per word, argmax pair with (count desc, pair asc) tiebreak."""
+    import re
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in re.findall(r"[a-z]+", t.lower()))
+    vocab = {tuple(list(w) + ["#"]): c for w, c in words.items()}
+    out = []
+    for rnd in range(1, merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((rnd, a, b, a + b, n))
+        new = {}
+        for syms, c in vocab.items():
+            s, merged, i = list(syms), [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            key = tuple(merged)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return out
+
+
+def test_bpe_train_matches_greedy_reference(spark):
+    # includes an odd run of a self-pair ("aaaaa") — the case where a
+    # delimiter-shared string encoding would diverge from greedy merging
+    texts = [
+        "low lower lowest",
+        "new newer newest wider wide",
+        "low low new wide",
+        "aaaaa aaa banana bananas",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        (r["merge_round"], r["sym_a"], r["sym_b"], r["merged"], r["n_pairs"])
+        for r in text.bpe_train(df, merges=5).collect()
+    ]
+    assert got == _greedy_bpe_reference(texts, 5)
+
+
+def test_bpe_train_empty_corpus_empty_merges(spark):
+    df = spark.createDataFrame([("",), ("123 456",)], ["text"])
+    assert text.bpe_train(df, merges=2).count() == 0
