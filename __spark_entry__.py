@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from staticql_spark.operators import asof, dedup, multimodal, similarity, sketch, text
+from staticql_spark.operators import asof, classify, dedup, multimodal, similarity, sketch, text
 from staticql_spark.plans.pagination import keyset_page_df
 from staticql_spark.streaming import load_events, sessionize, trending_topk, windowed_agg
 
@@ -1283,6 +1283,19 @@ def q_bpe_train(spark, sf):
     return text.bpe_train(_t(spark, sf, "documents"), merges=4)
 
 
+def q_doc_logreg(spark, sf):
+    # learned quality/language classifier: full-batch GD logistic
+    # regression (algebraic sigmoid — rational ops only, engine-exact)
+    # predicting lang=='en' from surface stats. Per iteration: one
+    # map-side-combined k-double gradient agg + a broadcast 1-row weight
+    # crossJoin back over the corpus; fixed 2 iterations unroll into the
+    # DuckDB twin (_logreg_sql). NumPy GD twin in tests/test_operators.py.
+    feats = classify.english_surface_features(_t(spark, sf, "documents"))
+    return classify.logreg_fit(
+        feats, ["x_stop", "x_dia", "x_cjk", "x_bias"], iters=2, lr=4.0
+    )
+
+
 def q_doc_unigram_nll(spark, sf):
     # perplexity proxy: mean unigram -log2 p under the corpus's own
     # unigram LM (broadcast vocab; OOV floored at 1/total)
@@ -2123,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakfree": q_doc_split_leakfree,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
+        "doc_logreg": q_doc_logreg,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2523,6 +2537,54 @@ def _bpe_train_sql(merges: int = 4) -> str:
         + ",\n            ".join(ctes)
         + f"\n            SELECT * FROM (\n              {unions}\n            ) ORDER BY merge_round\n        "
     )
+
+
+def _logreg_sql(lr: float = 4.0) -> str:
+    """SQL twin of q_doc_logreg: classify.logreg_fit's two GD iterations
+    unrolled. Same feature expressions, same algebraic sigmoid (rational
+    ops -> IEEE-identical), same left-associative margin term order, and
+    the same round(·, 9) gradient barrier per iteration, so both engines
+    walk the identical weight trajectory."""
+    xs = ["x0", "x1", "x2", "x3"]
+    names = ["x_bias", "x_cjk", "x_dia", "x_stop"]  # alphabetical for ORDER BY
+    idx = {"x_stop": 0, "x_dia": 1, "x_cjk": 2, "x_bias": 3}
+    g1 = ", ".join(f"round(avg((0.5 - y) * {x}), 9) AS g{i}" for i, x in enumerate(xs))
+    w1 = ", ".join(f"0.0 - {lr} * g{i} AS wc{i}" for i in range(len(xs)))
+    margin = " + ".join(f"wc{i} * {x}" for i, x in enumerate(xs))
+    g2 = ", ".join(f"round(avg((p - y) * {x}), 9) AS g{i}" for i, x in enumerate(xs))
+    w2 = ", ".join(f"wc{i} - {lr} * g{i} AS wc{i}" for i in range(len(xs)))
+    unions = "\n              UNION ALL ".join(
+        f"SELECT '{n}' AS feature, round(wc{idx[n]}, 6) AS weight FROM w2"
+        for n in names
+    )
+    return f"""
+            WITH base AS (
+              SELECT text, lang, length(text)::DOUBLE AS n, {_TOKS_RAW} AS toks
+              FROM documents
+            ),
+            f AS (
+              SELECT
+                CASE WHEN len(toks) > 0
+                     THEN len(list_filter(toks, t -> lower(t) IN {_STOPS}))::DOUBLE / len(toks)
+                     ELSE 0.0 END AS x0,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[äöüßÄÖÜàâçéèêëîïôûùüÿœáéíóúñ¿¡]', '', 'g'))) / n ELSE 0.0 END AS x1,
+                CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))) / n ELSE 0.0 END AS x2,
+                1.0 AS x3,
+                CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM base
+            ),
+            g1 AS (SELECT {g1} FROM f),
+            w1 AS (SELECT {w1} FROM g1),
+            p2 AS (
+              SELECT f.*, 0.5 + 0.5 * (m / (1.0 + abs(m))) AS p
+              FROM (SELECT f.*, {margin} AS m FROM f, w1) f
+            ),
+            g2 AS (SELECT {g2} FROM p2),
+            w2 AS (SELECT {w2} FROM w1, g2)
+            SELECT * FROM (
+              {unions}
+            ) ORDER BY feature
+        """
 
 
 _DOC_LANG_SQL = f"""
@@ -3779,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "bpe_train": _bpe_train_sql(4),
+        "doc_logreg": _logreg_sql(4.0),
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.
         # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /

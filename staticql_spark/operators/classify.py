@@ -1,0 +1,164 @@
+"""Distributed linear-classifier training for data-quality filtering.
+
+A 100 TB training-data pipeline filters documents with cheap learned
+models (fastText-style quality classifiers, contamination detectors).
+This module trains a logistic-regression-family classifier with
+full-batch gradient descent expressed as pure DataFrame operations:
+
+- per-row feature/score math is JVM codegen (no Python anywhere);
+- each iteration's gradient is ONE map-side-combined aggregation whose
+  shuffle carries k doubles (k = feature count), nothing else;
+- the k-weight vector rides back over the corpus as a broadcast 1-row
+  crossJoin — the same shape as spherical-kmeans centroid updates
+  (similarity.kmeans_fit), so cost per iteration is one corpus scan.
+
+Engine portability (the oracle contract): the link function is the
+algebraic sigmoid ``p = 0.5 + 0.5 * m / (1 + |m|)`` — division/abs only,
+so identical IEEE arithmetic on any engine, with none of the
+transcendental-libm variance ``exp`` would import; and each iteration's
+aggregated gradient is rounded to ``grad_round`` decimals as a
+determinism barrier against float summation-order noise (the same
+strategy as the kmeans / corr_matrix oracles). A fixed ``iters`` unrolls
+into an exact DuckDB twin (__spark_entry__._logreg_sql).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import ensure_parallelism
+from .text import STOPWORDS_EN, tokens
+
+#: Latin diacritics the lang_id heuristic treats as de/fr/es evidence —
+#: a single negative-evidence class for English here.
+DIACRITIC_CLASS = "[äöüßÄÖÜàâçéèêëîïôûùüÿœáéíóúñ¿¡]"
+CJK_CLASS = r"[\x{4e00}-\x{9fff}]"
+
+
+def sigmoid_alg(m: Column) -> Column:
+    """Algebraic sigmoid 0.5 + 0.5*m/(1+|m|): rational ops only, so the
+    value is bit-identical across engines for identical inputs."""
+    return F.lit(0.5) + F.lit(0.5) * (m / (F.lit(1.0) + F.abs(m)))
+
+
+def english_surface_features(
+    df: DataFrame, text_col: str = "text", label_lang: str = "en"
+) -> DataFrame:
+    """Surface features + binary label for "is this document English":
+    stopword rate (positive evidence), diacritic and CJK character rates
+    (negative evidence), and a bias term. Pure regex/length arithmetic,
+    identical in the DuckDB twin."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+
+    def chr_ratio(pattern: str) -> Column:
+        kept = F.length(F.regexp_replace(c, pattern, ""))
+        return F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
+
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    stop_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))).cast("double")
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        stop_ratio.alias("x_stop"),
+        chr_ratio(DIACRITIC_CLASS).alias("x_dia"),
+        chr_ratio(CJK_CLASS).alias("x_cjk"),
+        F.lit(1.0).alias("x_bias"),
+        F.when(F.col("lang") == label_lang, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    iters: int = 2,
+    lr: float = 4.0,
+    grad_round: int = 9,
+    out_round: int = 6,
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression -> (feature, weight).
+
+    Deterministic throughout: zero init (so iteration 1's p is exactly
+    0.5), total feature ordering, and per-iteration gradient rounding.
+    Scale shape: per iteration, one corpus scan with a map-side-combined
+    k-column avg (shuffle = k doubles) and one broadcast 1-row crossJoin
+    carrying the weights back — no collect, no driver-side loop over data.
+    """
+    k = len(feature_cols)
+    feats = ensure_parallelism(df).select(
+        *[F.col(c).cast("double").alias(f"x{i}") for i in range(k) for c in [feature_cols[i]]],
+        F.col(label_col).cast("double").alias("y"),
+    )
+    w: DataFrame | None = None
+    for _ in range(iters):
+        if w is None:
+            joined = feats
+            p = F.lit(0.5)  # zero init -> margin 0 -> exactly 0.5
+        else:
+            joined = feats.crossJoin(F.broadcast(w))
+            m = reduce(
+                lambda acc, i: acc + F.col(f"w{i}") * F.col(f"x{i}"),
+                range(1, k),
+                F.col("w0") * F.col("x0"),
+            )
+            p = sigmoid_alg(m)
+        g = joined.agg(
+            *[
+                F.round(F.avg((p - F.col("y")) * F.col(f"x{i}")), grad_round).alias(f"g{i}")
+                for i in range(k)
+            ]
+        )
+        if w is None:
+            w = g.select(
+                *[(F.lit(0.0) - F.lit(lr) * F.col(f"g{i}")).alias(f"w{i}") for i in range(k)]
+            )
+        else:
+            w = w.crossJoin(g).select(
+                *[(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}")).alias(f"w{i}") for i in range(k)]
+            )
+        w = w.localCheckpoint(eager=False)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(feature_cols[i]).alias("feature"),
+                F.round(F.col(f"w{i}"), out_round).alias("weight"),
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        w.select(F.explode(pairs).alias("fw"))
+        .select("fw.feature", "fw.weight")
+        .orderBy("feature")
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    weights: DataFrame,
+    feature_cols: list[str],
+    out_col: str = "p",
+) -> DataFrame:
+    """Score rows with a trained weight table: broadcast-pivot the
+    (feature, weight) rows to one row, crossJoin, and evaluate the
+    algebraic sigmoid — map-only over the corpus."""
+    wrow = (
+        weights.groupBy()
+        .pivot("feature", feature_cols)
+        .agg(F.first("weight"))
+        .select(*[F.col(f"`{c}`").alias(f"_w_{i}") for i, c in enumerate(feature_cols)])
+    )
+    joined = df.crossJoin(F.broadcast(wrow))
+    m = reduce(
+        lambda acc, i: acc + F.col(feature_cols[i]) * F.col(f"_w_{i}"),
+        range(1, len(feature_cols)),
+        F.col(feature_cols[0]) * F.col("_w_0"),
+    )
+    return joined.select(*df.columns, sigmoid_alg(m).alias(out_col))

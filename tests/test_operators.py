@@ -1090,3 +1090,41 @@ def test_bpe_train_matches_greedy_reference(spark):
 def test_bpe_train_empty_corpus_empty_merges(spark):
     df = spark.createDataFrame([("",), ("123 456",)], ["text"])
     assert text.bpe_train(df, merges=2).count() == 0
+
+
+def test_logreg_fit_matches_numpy_gd(spark, docs):
+    import numpy as np
+
+    from staticql_spark.operators import classify
+
+    feats = classify.english_surface_features(docs)
+    cols = ["x_stop", "x_dia", "x_cjk", "x_bias"]
+    got = {
+        r["feature"]: r["weight"]
+        for r in classify.logreg_fit(feats, cols, iters=2, lr=4.0).collect()
+    }
+    pdf = feats.toPandas()
+    X = pdf[cols].to_numpy(dtype=float)
+    y = pdf["y"].to_numpy(dtype=float)
+    w = np.zeros(len(cols))
+    for _ in range(2):
+        m = X @ w
+        p = 0.5 + 0.5 * (m / (1.0 + np.abs(m)))
+        g = np.round(((p - y)[:, None] * X).mean(axis=0), 9)
+        w = w - 4.0 * g
+    want = dict(zip(cols, np.round(w, 6)))
+    for c in cols:
+        assert got[c] == pytest.approx(want[c], abs=2e-6), c
+
+
+def test_logreg_score_separates_en(spark, docs):
+    from staticql_spark.operators import classify
+
+    feats = classify.english_surface_features(docs)
+    cols = ["x_stop", "x_dia", "x_cjk", "x_bias"]
+    weights = classify.logreg_fit(feats, cols, iters=2, lr=4.0)
+    scored = classify.logreg_score(feats, weights, cols).groupBy("y").agg(
+        F.avg("p").alias("mean_p")
+    )
+    by_label = {r["y"]: r["mean_p"] for r in scored.collect()}
+    assert by_label[1.0] > by_label[0.0]
