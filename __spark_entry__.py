@@ -1848,6 +1848,17 @@ def q_doc_decontaminate(spark, sf):
     return text.decontaminate(corpus, bench, n=5, min_shared=1)
 
 
+def q_doc_decontaminate_bloom(spark, sf):
+    # the same contamination answer via the fixed-size-broadcast Bloom
+    # prefilter (16 KiB bitmap regardless of bench-set size) + exact
+    # verify — the scale path when the bench gram set outgrows broadcast.
+    # Oracle twin == doc_decontaminate's (the bloom is transparent).
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return text.decontaminate_bloom(corpus, bench, n=5, min_shared=1)
+
+
 def q_doc_quality_filter(spark, sf):
     # distribution-based filtering: keep docs at or above their language's
     # exact median quality — the per-stratum percentile cut a corpus
@@ -2028,6 +2039,29 @@ def q_dedup_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
+def q_dedup_lsh_recall(spark, sf):
+    # self-evaluation of the LSH candidate generator: recall of the
+    # banded MinHash pipeline against exact shingle-blocked Jaccard
+    # ground truth at the same threshold, on the doc_id<500 sub-corpus
+    # (same bench-cost guard as dedup_ngram_jaccard). Both pipelines
+    # share doc_shingles, so the gap measured is banding recall alone.
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.2
+    ).select("id_a", "id_b")
+    hits = truth.join(lsh, ["id_a", "id_b"], "leftsemi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_true"), 4).alias("recall"),
+        )
+    )
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
@@ -2137,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "doc_logreg": q_doc_logreg,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2688,7 +2724,7 @@ _ANN_LSH_SQL = f"""
         """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "where_eq": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -3932,6 +3968,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
         """,
+        # LSH recall eval: the full LSH CTE chain re-pointed at the
+        # doc_id<500 sub-corpus (same shingles feed both pipelines), truth
+        # = the exact shingle-blocked Jaccard chain of dedup_ngram_jaccard
+        "dedup_lsh_recall": f"""
+            WITH docs500 AS (SELECT * FROM documents WHERE doc_id < 500),
+            {_LSH_PAIRS_CTES.replace("FROM documents", "FROM docs500")},
+            t_bucket_ok AS (
+              SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 1000
+            ),
+            t_sh_ok AS (SELECT s.* FROM shingles s JOIN t_bucket_ok USING (shingle)),
+            t_cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM t_sh_ok a JOIN t_sh_ok b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            t_inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM t_cands c
+              JOIN shingles a ON a.doc_id = c.id_a
+              JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY c.id_a, c.id_b
+            ),
+            truth AS (
+              SELECT i.id_a, i.id_b
+              FROM t_inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= 0.2
+            ),
+            hits AS (
+              SELECT * FROM truth t
+              WHERE EXISTS (SELECT 1 FROM lsh_pairs l
+                            WHERE l.id_a = t.id_a AND l.id_b = t.id_b)
+            )
+            SELECT t.n AS n_true, h.n AS n_hit,
+                   round(h.n::DOUBLE / t.n, 4) AS recall
+            FROM (SELECT count(*)::BIGINT AS n FROM truth) t,
+                 (SELECT count(*)::BIGINT AS n FROM hits) h
+        """,
         "dedup_simhash": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc_id, simhash FROM fp
@@ -4541,3 +4616,11 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literal()
+    # the bloom prefilter is semantics-transparent (exact verify removes
+    # false positives), so its oracle IS the exact decontaminate twin
+    d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
+    return d

@@ -774,6 +774,76 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 8,
+    min_shared: int = 1,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 2,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — output identical to
+    :func:`decontaminate` (same oracle twin).
+
+    :func:`decontaminate` broadcasts the raw benchmark gram set, which is
+    right while eval suites are small. When the bench side is too big to
+    broadcast (corpus-vs-corpus decontamination, multi-GB suites), this
+    variant broadcasts a FIXED-SIZE Bloom bitmap instead: ``m_bits`` bits
+    packed as ``m_bits/64`` longs (2^20 bits = 16 KiB of payload) no
+    matter how many grams feed it. Corpus grams probe the broadcast
+    word-table with ``num_hashes`` independent xxhash64 probes — map-side,
+    no corpus shuffle — and only bloom survivors (true hits + the fp
+    sliver) reach the exact gram join that removes false positives, so
+    the big shuffle join's probe side shrinks from |corpus grams| to
+    |survivors|. The bloom hashes never cross engines (the prefilter is
+    semantics-transparent), so they can be fast native xxhash64 rather
+    than the portable md5 idiom.
+    """
+    corpus = ngram_fingerprints(docs, text_col, id_col, n)
+    bench = ngram_fingerprints(
+        benchmark, bench_text_col or text_col, bench_id_col or id_col, n
+    ).select("gram").distinct()
+
+    def pos(i: int) -> Column:
+        return F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits))
+
+    words = (
+        bench.select(
+            F.explode(F.array(*[pos(i) for i in range(num_hashes)])).alias("_pos")
+        )
+        .select(
+            F.shiftright("_pos", 6).alias("_widx"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_mask"),
+        )
+        .groupBy("_widx")
+        .agg(F.bit_or("_mask").alias("_word"))
+    )
+    cand = corpus
+    for i in range(num_hashes):
+        probe = words.select(
+            F.col("_widx").alias(f"_w{i}"), F.col("_word").alias(f"_bits{i}")
+        )
+        cand = (
+            cand.withColumn("_pos", pos(i))
+            .withColumn(f"_w{i}", F.shiftright("_pos", 6))
+            .join(F.broadcast(probe), f"_w{i}")
+            .filter(
+                F.expr(f"_bits{i} & shiftleft(1L, cast(_pos % 64 as int))") != 0
+            )
+            .drop("_pos", f"_w{i}", f"_bits{i}")
+        )
+    return (
+        cand.join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def decontaminate_keep(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1128,3 +1128,35 @@ def test_logreg_score_separates_en(spark, docs):
     )
     by_label = {r["y"]: r["mean_p"] for r in scored.collect()}
     assert by_label[1.0] > by_label[0.0]
+
+
+def test_decontaminate_bloom_identical_to_exact(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in text.decontaminate(corpus, bench, n=5).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in text.decontaminate_bloom(corpus, bench, n=5).collect()
+    }
+    assert bloom == exact and exact  # non-trivial on this fixture
+
+
+def test_decontaminate_bloom_fp_stress_still_exact(spark, docs):
+    # 64-bit bloom with 1 probe -> massive false-positive rate; the exact
+    # verify join must still strip every fp
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in text.decontaminate(corpus, bench, n=5).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in text.decontaminate_bloom(
+            corpus, bench, n=5, m_bits=64, num_hashes=1
+        ).collect()
+    }
+    assert bloom == exact

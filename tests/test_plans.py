@@ -356,3 +356,11 @@ def test_rrf_fuse_partial_agg(spark):
     # fusion aggregates map-side combine before the exchange
     p = plan(entrymod.q_ann_hybrid_rrf(spark, SF_SMOKE))
     assert "partial_" in p, p
+
+
+def test_decontaminate_bloom_probes_are_broadcast(spark):
+    # the fixed-size bloom word-table rides as broadcast joins (one per
+    # hash probe); corpus-side shuffle happens only for survivors' verify
+    p = plan(entrymod.q_doc_decontaminate_bloom(spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
