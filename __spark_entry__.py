@@ -2046,6 +2046,11 @@ def q_dedup_lsh_recall(spark, sf):
     # (same bench-cost guard as dedup_ngram_jaccard). Both pipelines
     # share doc_shingles, so the gap measured is banding recall alone.
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    # truth feeds BOTH the denominator count and the semi join; the
+    # shingle cache inside ngram_jaccard_pairs already pins the expensive
+    # stage, so no checkpoint here (A/B-measured: a lazy localCheckpoint
+    # only shifts ~2 s from exec into construct, total unchanged — the
+    # query is stage-overhead-bound at bench SF, not recompute-bound)
     truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
     lsh = dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=16, bands=4, threshold=0.2

@@ -85,6 +85,11 @@ HEADLINE = [
     "scd2_history",
     "corpus_diff",
     "corr_matrix",
+    # added mid-r5 with their operators (set is now 50)
+    "bpe_train",
+    "doc_logreg",
+    "dedup_lsh_recall",
+    "doc_decontaminate_bloom",
 ]
 
 
