@@ -1283,6 +1283,13 @@ def q_bpe_train(spark, sf):
     return text.bpe_train(_t(spark, sf, "documents"), merges=4)
 
 
+def q_bpe_encode(spark, sf):
+    # tokenize-under-trained-vocab stats: the encode runs over the
+    # distinct-word vocab only (merges are a function of the word), so
+    # the corpus totals come from word counts — no second corpus pass.
+    return text.bpe_encode_stats(_t(spark, sf, "documents"), merges=4)
+
+
 def q_doc_logreg(spark, sf):
     # learned quality/language classifier: full-batch GD logistic
     # regression (algebraic sigmoid — rational ops only, engine-exact)
@@ -2067,6 +2074,16 @@ def q_dedup_lsh_recall(spark, sf):
     )
 
 
+def q_dedup_semantic(spark, sf):
+    # SemDeDup: k-means cells (trained, 2 Lloyd iterations) as the
+    # blocking key, within-cell cosine pairs — never a corpus cross join.
+    # Same 0.35 threshold rationale as embedding_neardup (synthetic
+    # embeddings top out near 0.43).
+    return dedup.semantic_dedup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, centroid_stride=100, iters=2
+    )
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
@@ -2175,9 +2192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_leakfree": q_doc_split_leakfree,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "doc_logreg": q_doc_logreg,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "dedup_semantic": q_dedup_semantic,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2480,6 +2499,45 @@ def _ivf_assign_sql(src: str, cent: str, vcol: str, idcol: str, nprobe: int) -> 
             )"""
 
 
+def _kmeans_ctes(dim: int = 64) -> str:
+    """CTE prefix shared by the ann_ivf_trained and dedup_semantic
+    oracles: kmeans_fit's two Lloyd iterations unrolled (deterministic
+    stride-100 init, cosine-argmax assign, per-element avg update —
+    similarity.py kmeans_fit); yields `emb` (vec_id, v) and the trained
+    `cent2` (cid, centroid)."""
+    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent0 AS (SELECT vec_id AS cid, v AS centroid FROM emb WHERE vec_id % 100 = 0),
+            a1 AS {_ivf_assign_sql("emb", "cent0", "v", "vec_id", 1)},
+            cent1 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a1 GROUP BY cell),
+            a2 AS {_ivf_assign_sql("emb", "cent1", "v", "vec_id", 1)},
+            cent2 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a2 GROUP BY cell)"""
+
+
+def _semantic_dedup_sql(dim: int = 64, threshold: float = 0.35) -> str:
+    """SQL twin of q_dedup_semantic: trained cells (same unrolled-Lloyd
+    CTEs as ann_ivf_trained), cell cap, within-cell pairs at
+    cosine >= threshold rounded to 6 (the engine-crossing comparison)."""
+    return f"""
+            WITH {_kmeans_ctes(dim)},
+            assigned AS (
+              SELECT vec_id, v, cell FROM {_ivf_assign_sql("emb", "cent2", "v", "vec_id", 1)}
+              QUALIFY count(*) OVER (PARTITION BY cell) <= 5000
+            ),
+            pairs AS (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.cell AS cell,
+                     round(list_dot_product(l.v, r.v)
+                           / (sqrt(list_dot_product(l.v, l.v))
+                              * sqrt(list_dot_product(r.v, r.v))),
+                           6) AS cosine
+              FROM assigned l JOIN assigned r
+                ON l.cell = r.cell AND l.vec_id < r.vec_id
+            )
+            SELECT id_a, id_b, cell, cosine FROM pairs
+            WHERE cosine >= {threshold}
+        """
+
+
 def _ivf_trained_sql(dim: int = 64) -> str:
     """SQL twin of q_ann_ivf_trained: kmeans_fit's two Lloyd iterations
     unrolled (deterministic stride-100 init, cosine-argmax assign, per-
@@ -2488,14 +2546,8 @@ def _ivf_trained_sql(dim: int = 64) -> str:
     every engine-crossing comparison happens on 6-decimal-rounded cosines,
     so the fp summation-order noise in avg/dot stays far below the rounding
     granularity."""
-    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
     return f"""
-            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent0 AS (SELECT vec_id AS cid, v AS centroid FROM emb WHERE vec_id % 100 = 0),
-            a1 AS {_ivf_assign_sql("emb", "cent0", "v", "vec_id", 1)},
-            cent1 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a1 GROUP BY cell),
-            a2 AS {_ivf_assign_sql("emb", "cent1", "v", "vec_id", 1)},
-            cent2 AS (SELECT cell AS cid, {avg_list} AS centroid FROM a2 GROUP BY cell),
+            WITH {_kmeans_ctes(dim)},
             c AS (SELECT vec_id AS neighbor_id, v AS cv FROM emb),
             q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
             cells AS {_ivf_assign_sql("c", "cent2", "cv", "neighbor_id", 1)},
@@ -2518,12 +2570,13 @@ def _ivf_trained_sql(dim: int = 64) -> str:
         """
 
 
-def _bpe_train_sql(merges: int = 4) -> str:
-    """SQL twin of q_bpe_train: text.bpe_train's merge rounds unrolled.
-    Same wrapped-symbol encoding (\\x02 sym \\x03), so DuckDB's literal
-    replace() applies the identical greedy single-scan merge; the argmax
-    tiebreak (count desc, pair asc) is total, so both engines pick the
-    same pair every round."""
+def _bpe_ctes(merges: int = 4) -> list[str]:
+    """CTE chain shared by the bpe_train and bpe_encode oracles: word
+    vocab v0, then per round the pair argmax b{r} and merged vocab v{r}.
+    Same wrapped-symbol encoding (\\x02 sym \\x03) as text._bpe_rounds, so
+    DuckDB's literal replace() applies the identical greedy single-scan
+    merge; the argmax tiebreak (count desc, pair asc) is total, so both
+    engines pick the same pair every round."""
     sow, eow = "\x02", "\x03"
     ctes = [
         f"""words AS (
@@ -2560,14 +2613,19 @@ def _bpe_train_sql(merges: int = 4) -> str:
               LIMIT 1
             )""",
         )
-        if r < merges:
-            ctes.append(
-                f"""v{r} AS (
+        ctes.append(
+            f"""v{r} AS (
               SELECT replace(repr, '{sow}' || a || '{eow}{sow}' || b || '{eow}',
                              '{sow}' || a || b || '{eow}') AS repr, cnt
               FROM {prev}, b{r}
             )""",
-            )
+        )
+    return ctes
+
+
+def _bpe_train_sql(merges: int = 4) -> str:
+    """SQL twin of q_bpe_train: the shared CTE chain, selecting the
+    per-round argmax rows."""
     unions = "\n              UNION ALL ".join(
         f"SELECT {r}::INT AS merge_round, a AS sym_a, b AS sym_b, "
         f"a || b AS merged, n_pairs FROM b{r}"
@@ -2575,8 +2633,27 @@ def _bpe_train_sql(merges: int = 4) -> str:
     )
     return (
         "\n            WITH "
-        + ",\n            ".join(ctes)
+        + ",\n            ".join(_bpe_ctes(merges))
         + f"\n            SELECT * FROM (\n              {unions}\n            ) ORDER BY merge_round\n        "
+    )
+
+
+def _bpe_encode_sql(merges: int = 4) -> str:
+    """SQL twin of q_bpe_encode: corpus tokenization stats off the shared
+    chain — base symbols from v0, post-merge tokens from v{merges}."""
+    nsyms = (
+        "len(string_split(substr(repr, 2, length(repr) - 2), '\x03\x02'))"
+    )
+    return (
+        "\n            WITH "
+        + ",\n            ".join(_bpe_ctes(merges))
+        + f"""
+            SELECT base.n_words, base.n_base_symbols, enc.n_tokens,
+                   round(base.n_base_symbols::DOUBLE / enc.n_tokens, 6) AS compression
+            FROM (SELECT sum(cnt)::BIGINT AS n_words,
+                         sum(cnt * {nsyms})::BIGINT AS n_base_symbols FROM v0) base,
+                 (SELECT sum(cnt * {nsyms})::BIGINT AS n_tokens FROM v{merges}) enc
+        """
     )
 
 
@@ -3882,7 +3959,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             LIMIT 100
         """,
         "bpe_train": _bpe_train_sql(4),
+        "bpe_encode": _bpe_encode_sql(4),
         "doc_logreg": _logreg_sql(4.0),
+        "dedup_semantic": _semantic_dedup_sql(),
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.
         # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /

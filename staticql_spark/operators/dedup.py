@@ -589,6 +589,65 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    centroid_stride: int = 100,
+    iters: int = 2,
+    max_cell: int = 5000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means-cluster the
+    embedding space, then compare pairs only WITHIN each cluster
+    (cosine >= ``threshold``). Returns (id_a, id_b, cell, cosine).
+
+    This is the published SemDeDup recipe (Abbas et al. 2023: cluster,
+    then intra-cluster pairwise cosine) re-expressed as DataFrame ops:
+    :func:`~staticql_spark.operators.similarity.kmeans_fit` trains the
+    clustering (deterministic init, broadcast-argmax assign), the
+    within-cell candidate step is an equi self-join on ``cell`` — never a
+    corpus cross join; the clustering IS the blocking. ``max_cell`` drops
+    runaway cells before the self-join (same backstop as
+    :func:`minhash_lsh_pairs`'s ``max_bucket``); at scale the primary
+    lever is more centroids (cells shrink ~linearly).
+
+    Downstream composes like every other pair source here:
+    ``connected_components`` + keep-set for the prune, or join the pairs
+    back for cluster-aware splits. Fixed ``iters`` keeps the whole
+    pipeline SQL-expressible (oracle: __spark_entry__._semantic_dedup_sql,
+    reusing the unrolled-Lloyd CTEs of ann_ivf_trained).
+    """
+    from .similarity import as_double, cosine_with_norms, ivf_assign, kmeans_fit, norm
+
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, vec_col, id_col, centroid_stride=centroid_stride, iters=iters
+        )
+    assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+    assigned = (
+        assigned.withColumn("_cc", F.count("*").over(W.partitionBy("cell")))
+        .filter(F.col("_cc") <= max_cell)
+        .drop("_cc")
+        .withColumn("n", norm(F.col("v")))
+    )
+    l = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "cell"
+    )
+    r = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "cell"
+    )
+    pairs = l.join(r, "cell").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", "cell", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

@@ -433,8 +433,29 @@ def bpe_train(
         ).alias("repr"),
         "cnt",
     )
-    out = []
-    for rnd in range(1, merges + 1):
+    bests, _ = _bpe_rounds(vocab, merges)
+    out = [
+        best.select(
+            F.lit(rnd).alias("merge_round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            "n_pairs",
+        )
+        for rnd, best in enumerate(bests, 1)
+    ]
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("merge_round")
+
+
+def _bpe_rounds(vocab: DataFrame, merges: int) -> tuple[list[DataFrame], DataFrame]:
+    """The shared merge loop: returns ([argmax row per round], final
+    vocab with ALL merges applied). Each round's argmax and vocab are
+    lazily localCheckpointed so round k materializes rounds 1..k-1 once."""
+    bests: list[DataFrame] = []
+    for _ in range(merges):
         syms = F.split(
             F.expr("substring(repr, 2, length(repr) - 2)"), _BPE_EOW + _BPE_SOW
         )
@@ -453,35 +474,69 @@ def bpe_train(
             .limit(1)
             .localCheckpoint(eager=False)
         )
-        out.append(
-            best.select(
-                F.lit(rnd).alias("merge_round"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.concat("a", "b").alias("merged"),
-                "n_pairs",
+        bests.append(best)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("repr"),
+                    F.concat(
+                        F.lit(_BPE_SOW), "a", F.lit(_BPE_EOW),
+                        F.lit(_BPE_SOW), "b", F.lit(_BPE_EOW),
+                    ),
+                    F.concat(F.lit(_BPE_SOW), "a", "b", F.lit(_BPE_EOW)),
+                ).alias("repr"),
+                "cnt",
             )
+            .localCheckpoint(eager=False)
         )
-        if rnd < merges:
-            vocab = (
-                vocab.crossJoin(F.broadcast(best.select("a", "b")))
-                .select(
-                    F.replace(
-                        F.col("repr"),
-                        F.concat(
-                            F.lit(_BPE_SOW), "a", F.lit(_BPE_EOW),
-                            F.lit(_BPE_SOW), "b", F.lit(_BPE_EOW),
-                        ),
-                        F.concat(F.lit(_BPE_SOW), "a", "b", F.lit(_BPE_EOW)),
-                    ).alias("repr"),
-                    "cnt",
-                )
-                .localCheckpoint(eager=False)
-            )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionAll(o)
-    return res.orderBy("merge_round")
+    return bests, vocab
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 4,
+) -> DataFrame:
+    """Corpus tokenization stats under a freshly trained ``merges``-round
+    BPE vocab: one row (n_words, n_base_symbols, n_tokens, compression).
+
+    The encode step never touches the corpus again: applying learned
+    merges word-by-word is a function of the WORD alone, so it runs over
+    the |vocab| distinct-word table and the corpus totals come out of the
+    word counts (sum(cnt * symbols_per_word)) — the same vocab-collapse
+    trick that makes the training loop cheap. ``compression`` =
+    base symbols (chars + end-of-word) per post-merge token, the usual
+    fertility-style measure of how much the merges bought.
+    """
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).select(
+        F.concat(
+            F.regexp_replace("word", "(.)", _BPE_SOW + "$1" + _BPE_EOW),
+            F.lit(_BPE_SOW + _BPE_END + _BPE_EOW),
+        ).alias("repr"),
+        "cnt",
+    )
+    _, final_vocab = _bpe_rounds(vocab, merges)
+    n_syms = lambda c: F.size(  # noqa: E731
+        F.split(F.expr(f"substring({c}, 2, length({c}) - 2)"), _BPE_EOW + _BPE_SOW)
+    )
+    base = vocab.agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(F.col("cnt") * n_syms("repr")).cast("bigint").alias("n_base_symbols"),
+    )
+    enc = final_vocab.agg(
+        F.sum(F.col("cnt") * n_syms("repr")).cast("bigint").alias("n_tokens")
+    )
+    return base.crossJoin(enc).select(
+        "n_words",
+        "n_base_symbols",
+        "n_tokens",
+        F.round(F.col("n_base_symbols") / F.col("n_tokens"), 6).alias("compression"),
+    )
 
 
 def unigram_logprob(

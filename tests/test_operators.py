@@ -1160,3 +1160,40 @@ def test_decontaminate_bloom_fp_stress_still_exact(spark, docs):
         ).collect()
     }
     assert bloom == exact
+
+
+def test_semantic_dedup_identical_vectors_pair(spark, emb):
+    # identical vectors share an argmax cell by construction, so the
+    # within-cell join must always surface them at cosine 1.0
+    clone = emb.filter(F.col("vec_id") == 7).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    pairs = dedup.semantic_dedup_pairs(
+        emb.unionAll(clone), threshold=0.99, centroid_stride=100, iters=1
+    ).collect()
+    assert any(
+        (r["id_a"], r["id_b"], r["cosine"]) == (7, 100007, 1.0) for r in pairs
+    )
+
+
+def test_semantic_dedup_max_cell_cap_drops_runaway_cell(spark, emb):
+    # with a 1-member cap no cell survives -> no pairs (the backstop path)
+    assert (
+        dedup.semantic_dedup_pairs(emb, threshold=-1.0, max_cell=1).count() == 0
+    )
+
+
+def test_bpe_encode_stats_invariants(spark):
+    texts = ["low lower lowest", "new newer newest wider wide", "low low new"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    r0 = text.bpe_encode_stats(df, merges=0).collect()[0]
+    r4 = text.bpe_encode_stats(df, merges=4).collect()[0]
+    # zero merges: tokens == base symbols, compression exactly 1
+    assert r0["n_tokens"] == r0["n_base_symbols"] and r0["compression"] == 1.0
+    # every merge strictly reduces token count while words/base stay fixed
+    assert r4["n_words"] == r0["n_words"]
+    assert r4["n_base_symbols"] == r0["n_base_symbols"]
+    # (== base - sum(n_pairs) only when no argmax pair self-overlaps, so
+    # assert the direction plus the exact compression formula instead)
+    assert r4["n_tokens"] < r0["n_tokens"]
+    assert r4["compression"] == round(r4["n_base_symbols"] / r4["n_tokens"], 6)
