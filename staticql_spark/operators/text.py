@@ -452,9 +452,13 @@ def bpe_train(
 
 def _bpe_rounds(vocab: DataFrame, merges: int) -> tuple[list[DataFrame], DataFrame]:
     """The shared merge loop: returns ([argmax row per round], final
-    vocab with ALL merges applied). Each round's argmax and vocab are
-    lazily localCheckpointed so round k materializes rounds 1..k-1 once."""
+    vocab with ALL merges applied). The input vocab and each round's
+    argmax and merged vocab are lazily localCheckpointed so round k
+    materializes rounds 1..k-1 (and the corpus word-collapse) exactly
+    once — without the input checkpoint the corpus explode re-runs for
+    every consumer of round-0 vocab (measured 2x at the sf1 soak)."""
     bests: list[DataFrame] = []
+    vocab = vocab.localCheckpoint(eager=False)
     for _ in range(merges):
         syms = F.split(
             F.expr("substring(repr, 2, length(repr) - 2)"), _BPE_EOW + _BPE_SOW
