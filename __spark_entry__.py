@@ -2084,6 +2084,16 @@ def q_dedup_semantic(spark, sf):
     )
 
 
+def q_dedup_semantic_keep(spark, sf):
+    # full SemDeDup: cluster-blocked cosine pairs -> connected components
+    # -> keep cluster representatives + untouched vectors
+    emb = _t(spark, sf, "embeddings")
+    pairs = dedup.semantic_dedup_pairs(
+        emb, threshold=0.35, centroid_stride=100, iters=2
+    )
+    return dedup.dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
@@ -2197,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_keep": q_dedup_semantic_keep,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2535,6 +2546,38 @@ def _semantic_dedup_sql(dim: int = 64, threshold: float = 0.35) -> str:
             )
             SELECT id_a, id_b, cell, cosine FROM pairs
             WHERE cosine >= {threshold}
+        """
+
+
+def _semantic_keep_sql(dim: int = 64, threshold: float = 0.35) -> str:
+    """SQL twin of q_dedup_semantic_keep: the semantic-pair CTEs, then the
+    same recursive min-reachable-component prune as the dedup_keep
+    oracle."""
+    pairs_sql = _semantic_dedup_sql(dim, threshold)
+    # strip the leading WITH and the trailing final SELECT: keep the CTEs
+    body = pairs_sql.split("WITH ", 1)[1].rsplit("SELECT id_a", 1)[0].rstrip().rstrip(",")
+    return f"""
+            WITH RECURSIVE {body},
+            sem_pairs AS (
+              SELECT id_a, id_b FROM pairs WHERE cosine >= {threshold}
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM sem_pairs
+              UNION
+              SELECT id_b, id_a FROM sem_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            dropped AS (
+              SELECT node FROM reach GROUP BY node HAVING min(other) <> node
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT node FROM dropped)
         """
 
 
@@ -3962,6 +4005,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "bpe_encode": _bpe_encode_sql(4),
         "doc_logreg": _logreg_sql(4.0),
         "dedup_semantic": _semantic_dedup_sql(),
+        "dedup_semantic_keep": _semantic_keep_sql(),
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.
         # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /
