@@ -67,6 +67,18 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--base-dir", required=True, help="content root directory")
     prof.add_argument("--approx", action="store_true",
                       help="HLL distinct counts (single pass at any scale)")
+    shx = sub.add_parser(
+        "export-shards",
+        help="export a source as ordered, size-capped training shards "
+        "(JSONL or parquet) + _manifest.json",
+    )
+    shx.add_argument("--config", required=True, help="staticql config JSON path")
+    shx.add_argument("--base-dir", required=True, help="content root directory")
+    shx.add_argument("--source", required=True, help="source name to export")
+    shx.add_argument("--output", required=True, help="shard output directory")
+    shx.add_argument("--order-col", default="slug", help="global order key")
+    shx.add_argument("--records-per-file", type=int, default=100_000)
+    shx.add_argument("--format", default="json", choices=["json", "parquet", "csv"])
     tg = sub.add_parser(
         "generate-types",
         help="emit staticql_types.py TypedDicts from the config schemas "
@@ -81,6 +93,31 @@ def main(argv: list[str] | None = None) -> int:
 
         out_path = write_types(load_config(args.config), args.output)
         print(f"types generated to {out_path}", file=sys.stderr)
+        return 0
+
+    if args.command == "export-shards":
+        from . import define
+        from .operators.shards import export_training_shards
+
+        with open(args.config, encoding="utf-8") as f:
+            config = json.load(f)
+        sql = define(config)(base_dir=args.base_dir)
+        df = sql.df(args.source)
+        if "raw" in df.columns:
+            df = df.drop("raw")
+        # CSV can't carry nested struct/array columns — drop them with a note
+        if args.format == "csv":
+            flat = [f.name for f in df.schema.fields if not f.dataType.typeName()
+                    in ("struct", "array", "map")]
+            df = df.select(*flat)
+        manifest = export_training_shards(
+            df,
+            args.output,
+            records_per_file=args.records_per_file,
+            order_col=args.order_col,
+            fmt=args.format,
+        )
+        print(json.dumps(manifest, indent=2, default=str))
         return 0
 
     if args.command == "profile":

@@ -1,0 +1,82 @@
+"""Training-shard export sink: size-governed, deterministically ordered
+output files plus a manifest — the delivery format of a training-data
+pipeline (JSONL or Parquet shards a dataloader can stream and resume).
+
+Scale shape: `repartitionByRange` on the order column gives one range
+per shard (Spark samples the column to build balanced range bounds — no
+driver-side data), `sortWithinPartitions` makes every shard internally
+ordered, and `maxRecordsPerFile` hard-caps file size so a skewed range
+can't produce a multi-GB shard. The manifest is one aggregation over
+`input_file_name()` — |files| rows to the driver, never data rows.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    records_per_file: int = 100_000,
+    order_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> dict:
+    """Write ``df`` as ordered shards under ``out_dir`` and a
+    ``_manifest.json`` describing them; returns the manifest dict.
+
+    Shards are globally range-ordered by ``order_col`` (shard k's ids all
+    precede shard k+1's), each internally sorted, each at most
+    ``records_per_file`` records. ``fmt`` is any Spark batch sink format
+    ("parquet", "json" for JSONL shards, "csv").
+
+    The manifest carries per-file record counts and [min, max] order-key
+    ranges plus totals — what a dataloader needs for deterministic
+    sharding/resume without listing or reading the files first.
+    """
+    out_dir = out_dir.rstrip("/")
+    n_rows = df.count()
+    num_ranges = max(1, math.ceil(n_rows / records_per_file))
+    (
+        df.repartitionByRange(num_ranges, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .format(fmt)
+        .save(out_dir)
+    )
+    back = df.sparkSession.read.format(fmt).schema(df.schema).load(out_dir)
+    files = (
+        back.groupBy(F.input_file_name().alias("path"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min(order_col).alias("min_key"),
+            F.max(order_col).alias("max_key"),
+        )
+        .orderBy("min_key")
+        .collect()  # bounded: one row per shard file
+    )
+    manifest = {
+        "format": fmt,
+        "order_col": order_col,
+        "records_per_file": records_per_file,
+        "n_records": n_rows,
+        "n_files": len(files),
+        "files": [
+            {
+                "path": os.path.basename(r["path"]),
+                "n_records": r["n_records"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+            }
+            for r in files
+        ],
+    }
+    with open(f"{out_dir}/_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return manifest

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from staticql_spark.indexing import index_entries
 from staticql_spark.ssg import export_query, static_query
-from tests.conftest import CONFIG
+from tests.conftest import CONFIG, SF_SMOKE
 
 
 def test_custom_indexer_derived_field(herbal):
@@ -175,3 +175,72 @@ def test_cli_profile_reports_all_sources(spark, content_dir, tmp_path, capsys):
     assert herbs["slug"]["n_nulls"] == 0
     assert herbs["slug"]["n_distinct"] == 3
     assert all(row["n_rows"] == 3 for row in herbs.values())
+
+
+def test_export_training_shards_parquet(spark, tmp_path):
+    from staticql_spark.operators.shards import export_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "shards")
+    m = export_training_shards(docs, out, records_per_file=120, order_col="doc_id")
+    assert m["n_records"] == docs.count()
+    assert m["n_files"] >= 4  # 500 docs / 120-cap
+    # every file within cap; ranges ordered and non-overlapping
+    assert all(f["n_records"] <= 120 for f in m["files"])
+    keys = [(f["min_key"], f["max_key"]) for f in m["files"]]
+    assert all(a[1] < b[0] for a, b in zip(keys, keys[1:]))
+    # roundtrip: nothing lost
+    assert spark.read.parquet(out).count() == m["n_records"]
+    import json as _json
+
+    with open(out + "/_manifest.json") as fh:
+        assert _json.load(fh)["n_files"] == m["n_files"]
+
+
+def test_export_training_shards_jsonl(spark, tmp_path):
+    from staticql_spark.operators.shards import export_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "jsonl")
+    m = export_training_shards(
+        docs, out, records_per_file=200, order_col="doc_id", fmt="json"
+    )
+    # JSONL shards: each line parses as a record with the expected keys
+    import glob as _glob
+    import json as _json
+
+    part = sorted(_glob.glob(out + "/part-*"))[0]
+    with open(part) as fh:
+        first = _json.loads(fh.readline())
+    assert set(first) <= {"doc_id", "text", "lang"}
+    assert m["n_records"] == docs.count()
+
+
+def test_cli_export_shards_jsonl(spark, content_dir, tmp_path, capsys):
+    from staticql_spark.cli import main
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(CONFIG))
+    out = tmp_path / "shards"
+    rc = main(
+        [
+            "export-shards", "--config", str(cfg_path),
+            "--base-dir", str(content_dir), "--source", "herbs",
+            "--output", str(out), "--order-col", "slug",
+            "--records-per-file", "2", "--format", "json",
+        ]
+    )
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["n_records"] == 3 and manifest["n_files"] == 2
+    assert (out / "_manifest.json").exists()
+    # each JSONL line is a full herb record without the raw column
+    import glob as _glob
+
+    lines = []
+    for p in sorted(_glob.glob(str(out / "part-*"))):
+        with open(p) as fh:
+            lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(lines) == 3 and all("slug" in r and "raw" not in r for r in lines)
