@@ -45,12 +45,17 @@ def sigmoid_alg(m: Column) -> Column:
 
 
 def english_surface_features(
-    df: DataFrame, text_col: str = "text", label_lang: str = "en"
+    df: DataFrame,
+    text_col: str = "text",
+    label_lang: str | None = "en",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Surface features + binary label for "is this document English":
     stopword rate (positive evidence), diacritic and CJK character rates
     (negative evidence), and a bias term. Pure regex/length arithmetic,
-    identical in the DuckDB twin."""
+    identical in the DuckDB twin. ``label_lang=None`` omits the label
+    (scoring mode — no ``lang`` column needed, stream-safe);
+    ``keep_cols`` pass ids/extra columns through."""
     c = F.col(text_col)
     n = F.length(c).cast("double")
 
@@ -65,13 +70,17 @@ def english_surface_features(
         F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN))).cast("double")
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    return df.select(
+    cols = [
         stop_ratio.alias("x_stop"),
         chr_ratio(DIACRITIC_CLASS).alias("x_dia"),
         chr_ratio(CJK_CLASS).alias("x_cjk"),
         F.lit(1.0).alias("x_bias"),
-        F.when(F.col("lang") == label_lang, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-    )
+    ]
+    if label_lang is not None:
+        cols.append(
+            F.when(F.col("lang") == label_lang, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y")
+        )
+    return df.select(*keep_cols, *cols)
 
 
 def logreg_fit(

@@ -217,6 +217,39 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop("_rkey").withColumnRenamed("_lkey", on)
 
 
+def stream_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a document stream with a trained quality/language classifier
+    (classify.logreg_fit weights) — the continuous-ingest shape of the
+    batch filter: every arriving doc gets its probability, optionally
+    filtered at ``threshold``.
+
+    Stream-safe by construction: features are map-only regex/length
+    arithmetic, and the static 1-row weight table attaches via a
+    stream-static broadcast join (logreg_score's crossJoin of a broadcast
+    single row — supported against a stream because the static side is
+    broadcast, never shuffled). No state, no watermark — O(1) per doc.
+    Works identically on a batch DataFrame (the twin test runs both).
+    """
+    from ..operators.classify import english_surface_features, logreg_score
+
+    cols = ["x_stop", "x_dia", "x_cjk", "x_bias"]
+    feats = english_surface_features(
+        docs, text_col, label_lang=None, keep_cols=(id_col,)
+    )
+    scored = logreg_score(feats, weights, cols).select(
+        id_col, F.round(F.col("p"), 6).alias("p")
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("p") >= threshold)
+    return scored
+
+
 def stream_lsh_dedup(
     new_docs: DataFrame,
     index_bands: DataFrame,

@@ -430,3 +430,51 @@ def test_streaming_first_seen_ttl_still_matches_batch(spark, tmp_path_factory):
     ).collect()
     got = {r["fp"]: (r["first_ts"], r["n_dups"]) for r in rows}
     assert got == expected
+
+
+def test_stream_quality_score_matches_batch(spark, tmp_path):
+    """Continuous classifier scoring: a 2-micro-batch doc stream scored
+    with static trained weights must emit exactly the batch scores."""
+    from staticql_spark.operators import classify
+    from staticql_spark.streaming import stream_quality_score
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = ["x_stop", "x_dia", "x_cjk", "x_bias"]
+    weights = classify.logreg_fit(
+        classify.english_surface_features(docs), cols, iters=2, lr=4.0
+    ).localCheckpoint(eager=True)  # pin the fit; both runs use identical weights
+
+    # threshold at the batch median so the filter is non-trivial on any
+    # fixture (2 GD iterations from zero keep all scores near 0.39)
+    all_p = sorted(
+        r["p"] for r in stream_quality_score(docs, weights).collect()
+    )
+    thr = all_p[len(all_p) // 2]
+    want = {
+        (r["doc_id"], r["p"])
+        for r in stream_quality_score(docs, weights, threshold=thr).collect()
+    }
+    assert want and len(want) < len(all_p), "threshold must split the fixture"
+
+    drops = str(tmp_path / "drops")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(drops)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_quality_score(stream, weights, threshold=thr)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["p"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == want
