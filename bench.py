@@ -85,11 +85,14 @@ HEADLINE = [
     "scd2_history",
     "corpus_diff",
     "corr_matrix",
-    # added mid-r5 with their operators (set is now 50)
+    # added mid-r5 with their operators (set is now 53)
     "bpe_train",
+    "bpe_encode",
     "doc_logreg",
     "dedup_lsh_recall",
     "doc_decontaminate_bloom",
+    "dedup_semantic",
+    "dedup_semantic_keep",
 ]
 
 
