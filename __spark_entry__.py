@@ -905,6 +905,76 @@ def q_events_windowed(spark, sf):
     return windowed_agg(ev, window="1 hour").drop("approx_users")
 
 
+def q_events_anomaly(spark, sf):
+    # volume-spike detection: hourly counts per event_type z-scored
+    # against that type's own mean/population-stddev; |z| >= 2 flags.
+    # The per-type stats table is |types| rows broadcast back against the
+    # hourly counts — no global window over the count stream.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.round(z, 4)) >= 2.0)
+    )
+
+
+def q_customer_rfm(spark, sf):
+    # RFM segmentation: per-customer recency/frequency/monetary, quartile
+    # scores from exact interpolated thresholds broadcast back (the
+    # doc_curriculum pattern — never a global ntile window). Quarter
+    # interpolation weights keep integer-column thresholds float-exact;
+    # monetary compares on 2-dp rounded sums vs 6-dp rounded thresholds.
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = per.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_date", "last_order").cast("int")
+    )
+    thr = base.agg(
+        *[
+            F.expr(
+                f"transform(percentile({c}, array(0.25D, 0.5D, 0.75D)), x -> round(x, 6))"
+            ).alias(t)
+            for c, t in [("recency_days", "rt"), ("frequency", "ft"), ("monetary", "mt")]
+        ]
+    )
+
+    def quart(col: str, tcol: str):
+        return (
+            F.lit(1) + F.size(F.filter(F.col(tcol), lambda t: t <= F.col(col)))
+        ).cast("int")
+
+    return base.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        quart("recency_days", "rt").alias("r_q"),
+        quart("frequency", "ft").alias("f_q"),
+        quart("monetary", "mt").alias("m_q"),
+    )
+
+
 def q_events_sessionize(spark, sf):
     # session windows per user (30-minute gap)
     ev = load_events(spark, f"{sf}/events.parquet")
@@ -2208,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semantic_keep": q_dedup_semantic_keep,
+        "events_anomaly": q_events_anomaly,
+        "customer_rfm": q_customer_rfm,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -3265,6 +3337,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_spend
             FROM orders WHERE o_custkey < 50
+        """,
+        "customer_rfm": """
+            WITH per AS (
+              SELECT o_custkey, count(*)::BIGINT AS frequency,
+                     round(sum(o_totalprice), 2) AS monetary,
+                     max(o_orderdate) AS last_order
+              FROM orders GROUP BY o_custkey
+            ),
+            ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+            base AS (
+              SELECT p.*, date_diff('day', last_order, ref_date)::INT AS recency_days
+              FROM per p, ref
+            ),
+            thr AS (
+              SELECT
+                list_transform(quantile_cont(recency_days, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS rt,
+                list_transform(quantile_cont(frequency, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS ft,
+                list_transform(quantile_cont(monetary, [0.25, 0.5, 0.75]), x -> round(x, 6)) AS mt
+              FROM base
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   (1 + len(list_filter(rt, t -> t <= recency_days)))::INT AS r_q,
+                   (1 + len(list_filter(ft, t -> t <= frequency)))::INT AS f_q,
+                   (1 + len(list_filter(mt, t -> t <= monetary)))::INT AS m_q
+            FROM base, thr
+        """,
+        "events_anomaly": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+              FROM hourly GROUP BY event_type
+            )
+            SELECT h.event_type, h.hour, h.n,
+                   round(CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma
+                              ELSE 0.0 END, 4) AS z
+            FROM hourly h JOIN stats s USING (event_type)
+            WHERE abs(round(CASE WHEN s.sigma > 0 THEN (h.n - s.mu) / s.sigma
+                                 ELSE 0.0 END, 4)) >= 2.0
         """,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start,
