@@ -250,6 +250,45 @@ def stream_quality_score(
     return scored
 
 
+def stream_volume_anomaly(
+    events: DataFrame,
+    stats: DataFrame,
+    window: str = "1 hour",
+    threshold: float = 2.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous volume-spike detection: windowed per-type event counts
+    z-scored against STATIC per-type baseline stats (event_type, mu,
+    sigma — e.g. yesterday's profile from the batch events_anomaly
+    pipeline) — flag windows with |z| >= threshold.
+
+    Streaming shape: one watermarked windowed count (state bounded by the
+    watermark horizon), then a broadcast join against the tiny baseline
+    table and a map-only z filter. The baseline is deliberately static —
+    recomputing mu/sigma over the stream itself would need a second
+    full-history aggregation; the production pattern is a periodically
+    refreshed profile. Works identically on a batch frame (twin test).
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    counts = events.groupBy(
+        F.window("ts", window).alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    z = F.when(
+        F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma")
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= threshold)
+    )
+
+
 def stream_lsh_dedup(
     new_docs: DataFrame,
     index_bands: DataFrame,

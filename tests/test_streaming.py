@@ -478,3 +478,46 @@ def test_stream_quality_score_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == want
+
+
+def test_stream_volume_anomaly_matches_batch(spark, tmp_path_factory):
+    """Windowed z-score spike detection against a static baseline: every
+    window the stream emits must carry exactly the batch z/flag."""
+    from staticql_spark.streaming import stream_volume_anomaly
+
+    d = _events_dir(spark, tmp_path_factory)
+    hist = spark.read.parquet(d)
+    # baseline profile from the full history (what a daily job would persist)
+    hourly = hist.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    ).localCheckpoint(eager=True)
+
+    # permissive threshold so the fixture yields flags
+    batch = stream_volume_anomaly(hist, stats, threshold=0.5)
+    expected = {
+        (r["event_type"], r["window_start"]): (r["n"], r["z"])
+        for r in batch.collect()
+    }
+    assert expected, "fixture must flag some windows"
+
+    q = (
+        stream_volume_anomaly(
+            read_event_stream(spark, d, max_files=2), stats, threshold=0.5
+        )
+        .writeStream.format("memory")
+        .queryName("vol_anom_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["window_start"]): (r["n"], r["z"])
+        for r in spark.sql("select * from vol_anom_test").collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v, k
