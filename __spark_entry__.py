@@ -2123,14 +2123,18 @@ def q_dedup_lsh_recall(spark, sf):
     # (same bench-cost guard as dedup_ngram_jaccard). Both pipelines
     # share doc_shingles, so the gap measured is banding recall alone.
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
-    # truth feeds BOTH the denominator count and the semi join; the
-    # shingle cache inside ngram_jaccard_pairs already pins the expensive
-    # stage, so no checkpoint here (A/B-measured: a lazy localCheckpoint
-    # only shifts ~2 s from exec into construct, total unchanged — the
-    # query is stage-overhead-bound at bench SF, not recompute-bound)
-    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    # ONE shingle computation feeds both pipelines (dsh=...) — shingling
+    # is the dominant map cost and the eval's point is comparing candidate
+    # GENERATION, which must see identical shingle sets anyway. truth
+    # feeds both the denominator count and the semi join; the shared
+    # cache pins it (a lazy localCheckpoint was A/B-measured to only
+    # shift ~2 s from exec into construct — stage-overhead-bound here).
+    dsh = dedup.doc_shingles(docs, n=3).cache()
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, dsh=dsh).select(
+        "id_a", "id_b"
+    )
     lsh = dedup.minhash_lsh_pairs(
-        docs, n=3, num_hashes=16, bands=4, threshold=0.2
+        docs, n=3, num_hashes=16, bands=4, threshold=0.2, dsh=dsh
     ).select("id_a", "id_b")
     hits = truth.join(lsh, ["id_a", "id_b"], "leftsemi")
     return (

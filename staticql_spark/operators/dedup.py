@@ -200,6 +200,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    dsh: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, Jaccard-verified.
 
@@ -236,7 +237,12 @@ def minhash_lsh_pairs(
     construction.
     """
     rows_per_band = num_hashes // bands
-    dsh = doc_shingles(df, text_col, id_col, n).cache()
+    # ``dsh`` lets a caller share ONE shingle computation across several
+    # dedup operators over the same corpus (e.g. the LSH-recall eval runs
+    # this and ngram_jaccard_pairs side by side) — shingling is the
+    # per-doc-dominant map cost, so sharing it halves that work.
+    if dsh is None:
+        dsh = doc_shingles(df, text_col, id_col, n).cache()
     sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
     banded = _band_keys(sig, bands, rows_per_band, id_col)
 
@@ -417,6 +423,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    dsh: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold, blocked by shared shingles.
 
@@ -424,7 +431,8 @@ def ngram_jaccard_pairs(
     buckets larger than ``max_bucket`` — they cannot discriminate and they
     quadratically blow up the join).
     """
-    dsh = doc_shingles(df, text_col, id_col, n).cache()
+    if dsh is None:
+        dsh = doc_shingles(df, text_col, id_col, n).cache()
     sh = dsh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bc")).filter(
         F.col("bc") <= max_bucket
