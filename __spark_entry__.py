@@ -975,6 +975,27 @@ def q_customer_rfm(spark, sf):
     )
 
 
+def q_events_markov(spark, sf):
+    # first-order behavior model: event-type transition matrix. One lag
+    # window per user (deterministic (ts, event_id) order), one
+    # map-side-combined count, per-prev totals broadcast back for the
+    # transition probabilities — |types|^2 output rows.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(tot), "prev").select(
+        "prev", "next", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
+    )
+
+
 def q_events_sessionize(spark, sf):
     # session windows per user (30-minute gap)
     ev = load_events(spark, f"{sf}/events.parquet")
@@ -2284,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keep": q_dedup_semantic_keep,
         "events_anomaly": q_events_anomaly,
         "customer_rfm": q_customer_rfm,
+        "events_markov": q_events_markov,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -3341,6 +3363,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                    AS running_spend
             FROM orders WHERE o_custkey < 50
+        """,
+        "events_markov": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            trans AS (
+              SELECT prev, event_type AS next, count(*)::BIGINT AS n
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT prev, sum(n)::BIGINT AS tot FROM trans GROUP BY prev)
+            SELECT t.prev, t.next, t.n, round(t.n::DOUBLE / tot.tot, 6) AS p
+            FROM trans t JOIN tot USING (prev)
         """,
         "customer_rfm": """
             WITH per AS (
