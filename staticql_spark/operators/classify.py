@@ -102,7 +102,7 @@ def logreg_fit(
     """
     k = len(feature_cols)
     feats = ensure_parallelism(df).select(
-        *[F.col(c).cast("double").alias(f"x{i}") for i in range(k) for c in [feature_cols[i]]],
+        *[F.col(c).cast("double").alias(f"x{i}") for i, c in enumerate(feature_cols)],
         F.col(label_col).cast("double").alias("y"),
     )
     w: DataFrame | None = None
