@@ -93,6 +93,9 @@ HEADLINE = [
     "doc_decontaminate_bloom",
     "dedup_semantic",
     "dedup_semantic_keep",
+    "events_anomaly",
+    "customer_rfm",
+    "events_markov",
 ]
 
 

@@ -642,6 +642,10 @@ def semantic_dedup_pairs(
         .filter(F.col("_cc") <= max_cell)
         .drop("_cc")
         .withColumn("n", norm(F.col("v")))
+        # no checkpoint pin for the self-join: AQE's exchange reuse
+        # already shares one evaluation of the kmeans+assign chain across
+        # both sides (A/B-measured at sf0.1 — a lazy localCheckpoint only
+        # moved ~2 s into construct and cost ~0.4 s net)
     )
     l = assigned.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "cell"
