@@ -2189,6 +2189,22 @@ def q_dedup_semantic_keep(spark, sf):
     return dedup.dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
 
 
+def q_dedup_semantic_incr(spark, sf):
+    # incremental SemDeDup: 20% of the embeddings arrive as a new batch;
+    # centroids frozen from the old corpus, old side reduced to touched
+    # cells, old x old never pairs. Oracle: the full old-trained pipeline
+    # restricted to new-touching pairs (the cap counts commute).
+    emb = _t(spark, sf, "embeddings")
+    # batch residue 3 (NOT 0): the deterministic stride-100 centroid init
+    # picks vec_id % 100 == 0 ids, all of which have residue 0 mod 5 — a
+    # residue-0 batch would strip every init vector from the old corpus
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    return dedup.incremental_semantic_pairs(
+        new, old, threshold=0.35, centroid_stride=100, iters=2
+    )
+
+
 def q_dedup_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
@@ -2306,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "customer_rfm": q_customer_rfm,
         "events_markov": q_events_markov,
+        "dedup_semantic_incr": q_dedup_semantic_incr,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -2676,6 +2693,36 @@ def _semantic_keep_sql(dim: int = 64, threshold: float = 0.35) -> str:
             )
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT node FROM dropped)
+        """
+
+
+def _semantic_incr_sql(dim: int = 64, threshold: float = 0.35) -> str:
+    """SQL twin of q_dedup_semantic_incr: centroids trained on the OLD
+    corpus only (the kmeans CTE chain re-pointed at old_emb), all vectors
+    assigned, full-cell cap, pairs restricted to new-touching — the
+    restriction commutes with the incremental operator's touched-cell
+    reduction because the cap counts agree on every touched cell."""
+    kc = _kmeans_ctes(dim).replace("FROM embeddings", "FROM old_emb")
+    return f"""
+            WITH old_emb AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 3),
+            {kc},
+            allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            assigned AS (
+              SELECT vec_id, v, cell FROM {_ivf_assign_sql("allv", "cent2", "v", "vec_id", 1)}
+              QUALIFY count(*) OVER (PARTITION BY cell) <= 5000
+            ),
+            pairs AS (
+              SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.cell AS cell,
+                     round(list_dot_product(l.v, r.v)
+                           / (sqrt(list_dot_product(l.v, l.v))
+                              * sqrt(list_dot_product(r.v, r.v))),
+                           6) AS cosine
+              FROM assigned l JOIN assigned r
+                ON l.cell = r.cell AND l.vec_id < r.vec_id
+            )
+            SELECT id_a, id_b, cell, cosine FROM pairs
+            WHERE cosine >= {threshold}
+              AND (id_a % 5 = 3 OR id_b % 5 = 3)
         """
 
 
@@ -4161,6 +4208,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "doc_logreg": _logreg_sql(4.0),
         "dedup_semantic": _semantic_dedup_sql(),
         "dedup_semantic_keep": _semantic_keep_sql(),
+        "dedup_semantic_incr": _semantic_incr_sql(),
         # the composed pipeline: dedup keep-set (recursive components over
         # LSH pairs) -> decontamination vs the eval split -> quality cut.
         # Reuses the exact CTE fragments of dedup_keep / doc_decontaminate /

@@ -660,6 +660,83 @@ def semantic_dedup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def incremental_semantic_pairs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    centroid_stride: int = 100,
+    iters: int = 2,
+    max_cell: int = 5000,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: a NEW embedding batch deduped against the
+    accumulated corpus without re-pairing old x old. Returns
+    (id_a, id_b, cell, cosine) for every within-cell pair that touches a
+    new vector.
+
+    The production daily-ingest shape: centroids are FROZEN from the old
+    corpus (train once, persist — pass ``centroids=`` from
+    :func:`~staticql_spark.operators.similarity.kmeans_fit`; retrain on a
+    cadence, not per batch), the batch is assigned by broadcast argmax,
+    and the old side is first reduced to the cells the batch touches (a
+    semi join — with the old assignment persisted as parquet PARTITIONED
+    BY cell this is disk-level partition pruning), so per-batch cost
+    tracks the batch's cell footprint, not the corpus. The at-least-one-
+    new predicate rides IN the join condition, so old x old candidate
+    pairs are never even formed. ``max_cell`` caps on the combined cell
+    (old + new members), mirroring :func:`incremental_lsh_pairs`'s
+    combined-bucket cap so the restriction commutes with a full run.
+    """
+    from .similarity import as_double, cosine_with_norms, ivf_assign, kmeans_fit, norm
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            old_df, vec_col, id_col, centroid_stride=centroid_stride, iters=iters
+        )
+    nv = ensure_parallelism(new_df).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    ov = ensure_parallelism(old_df).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    na = ivf_assign(nv, centroids, vec_alias="v", id_alias="vid", nprobe=1).withColumn(
+        "is_new", F.lit(True)
+    )
+    oa = ivf_assign(ov, centroids, vec_alias="v", id_alias="vid", nprobe=1).withColumn(
+        "is_new", F.lit(False)
+    )
+    touched = na.select("cell").distinct()
+    oa = oa.join(touched, "cell", "left_semi")
+    both = (
+        # unionByName: the semi join moved oa's "cell" to the front
+        na.unionByName(oa.select(*na.columns))
+        .withColumn("_cc", F.count("*").over(W.partitionBy("cell")))
+        .filter(F.col("_cc") <= max_cell)
+        .drop("_cc")
+        .withColumn("n", norm(F.col("v")))
+    )
+    l = both.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), F.col("is_new").alias("new_a"), "cell",
+    )
+    r = both.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), F.col("is_new").alias("new_b"), "cell",
+    )
+    pairs = l.join(
+        r,
+        (l["cell"] == r["cell"])
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("new_a") | F.col("new_b")),
+    )
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", l["cell"].alias("cell"), F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

@@ -1197,3 +1197,26 @@ def test_bpe_encode_stats_invariants(spark):
     # assert the direction plus the exact compression formula instead)
     assert r4["n_tokens"] < r0["n_tokens"]
     assert r4["compression"] == round(r4["n_base_symbols"] / r4["n_tokens"], 6)
+
+
+def test_incremental_semantic_equals_full_run_restriction(spark, emb):
+    # incremental pairs == full old-trained run restricted to new-touching
+    # pairs (the cap-commutes contract mirrored from incremental LSH)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    cents = similarity.kmeans_fit(old, centroid_stride=100, iters=2)
+    incr = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.incremental_semantic_pairs(
+            new, old, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.semantic_dedup_pairs(
+            emb, threshold=0.3, centroids=cents
+        ).collect()
+        if (r["id_a"] % 5 == 3) != (r["id_b"] % 5 == 3)
+        or (r["id_a"] % 5 == 3 and r["id_b"] % 5 == 3)
+    }
+    assert incr == full and incr
