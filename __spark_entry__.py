@@ -1957,6 +1957,11 @@ def q_doc_decontaminate_bloom(spark, sf):
     return text.decontaminate_bloom(corpus, bench, n=5, min_shared=1)
 
 
+def q_doc_gopher(spark, sf):
+    # the published Gopher quality rules, map-only, report form
+    return text.gopher_rules(_t(spark, sf, "documents"))
+
+
 def q_doc_quality_filter(spark, sf):
     # distribution-based filtering: keep docs at or above their language's
     # exact median quality — the per-stratum percentile cut a corpus
@@ -2323,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": q_customer_rfm,
         "events_markov": q_events_markov,
         "dedup_semantic_incr": q_dedup_semantic_incr,
+        "doc_gopher": q_doc_gopher,
         "doc_unigram_nll": q_doc_unigram_nll,
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
@@ -3727,6 +3733,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END, 4) AS stop_ratio,
                    quality
             FROM r
+        """,
+        "doc_gopher": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS_RAW} AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks)::INT AS n_words,
+                     round(CASE WHEN len(toks) > 0
+                       THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
+                       ELSE 0.0 END, 4) AS mean_word_len,
+                     round(CASE WHEN len(toks) > 0
+                       THEN len(regexp_extract_all(text, '[#\u2026]'))::DOUBLE / len(toks)
+                       ELSE 0.0 END, 4) AS symbol_ratio,
+                     round(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*\u2022]')))::DOUBLE
+                           / len(lines), 4) AS bullet_frac,
+                     round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|\u2026)\\s*$')))::DOUBLE
+                           / len(lines), 4) AS ellipsis_frac,
+                     round(CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks)
+                       ELSE 0.0 END, 4) AS alpha_frac,
+                     len(list_intersect(list_transform(toks, t -> lower(t)),
+                         ['the','a','of','and','to','in','is','on','for','with']))::INT AS stop_hits
+              FROM base
+            )
+            SELECT *,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM m
         """,
         "doc_quality_filter": f"""
             WITH {_QUALITY_CTES},

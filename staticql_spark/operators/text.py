@@ -543,6 +543,95 @@ def bpe_encode_stats(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher repetition-free quality rules (Rae et al. 2021, publicly
+    documented): word-count bounds, mean-word-length in [3, 10], symbol-
+    to-word ratio (#/…) <= 0.1, <= 90% bullet-point lines, <= 30%
+    ellipsis-ending lines, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct common-English stopwords. Returns every
+    doc with its rule metrics and the composite ``keep`` flag (report
+    form — the filter is one extra predicate).
+
+    Map-only: every rule is regex/length/array arithmetic on the row, no
+    shuffle anywhere; ratios are rounded to 4 before thresholding so both
+    engines cut identically.
+    """
+    df = ensure_parallelism(df)
+    c = F.col(text_col)
+    df = df.withColumn("_toks", tokens(c)).withColumn(
+        "_lines", F.split(c, "\n")
+    )
+    toks, lines = F.col("_toks"), F.col("_lines")
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.when(
+            n_words > 0,
+            F.length(F.regexp_replace(c, r"\s", "")).cast("double") / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    symbol_ratio = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.regexp_extract_all(c, F.lit("[#…]"), F.lit(0))).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / F.size(lines),
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("double")
+        / F.size(lines),
+        4,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+            / n_words,
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower),
+            F.array(*[F.lit(s) for s in STOPWORDS_EN]),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_frac") <= 0.9)
+        & (F.col("ellipsis_frac") <= 0.3)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("keep", keep)
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -1220,3 +1220,18 @@ def test_incremental_semantic_equals_full_run_restriction(spark, emb):
         or (r["id_a"] % 5 == 3 and r["id_b"] % 5 == 3)
     }
     assert incr == full and incr
+
+
+def test_gopher_rules_edge_metrics(spark):
+    rows = [
+        (1, "plain text with the a of and to in is on for words"),
+        (2, "bullet doc\n- item one\n- item two"),
+        (3, "trailing ellipsis doc…"),
+        (4, "symbols ### doc …"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert out[2]["bullet_frac"] == round(2 / 3, 4)
+    assert out[3]["ellipsis_frac"] == 1.0 and out[3]["symbol_ratio"] == round(1 / 3, 4)
+    assert out[4]["symbol_ratio"] == 1.0  # '###' counts 3 symbols over 4 words + '…'
+    assert not out[3]["keep"]  # fails word-count and ellipsis rules
