@@ -27,7 +27,12 @@ import glob as _glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..functions import path_to_slug
 from .parsers import parse_by_type
@@ -54,6 +59,9 @@ class ContentDataSource(DataSource):
     def reader(self, schema) -> "ContentReader":
         return ContentReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ContentStreamReader":
+        return ContentStreamReader(self.options)
+
 
 class ContentReader(DataSourceReader):
     def __init__(self, options):
@@ -61,13 +69,7 @@ class ContentReader(DataSourceReader):
         self.parser_type = options.get("type", "markdown")
         self.parallelism = int(options.get("parallelism", _DEFAULT_PARALLELISM))
         # glob base = longest wildcard-free prefix, for slug derivation
-        parts = self.pattern.split("/")
-        base_parts = []
-        for p in parts[:-1]:
-            if any(ch in p for ch in "*?["):
-                break
-            base_parts.append(p)
-        self.base = "/".join(base_parts)
+        self.base = _glob_base(self.pattern)
 
     def partitions(self):
         files = sorted(_glob.glob(self.pattern, recursive=True))
@@ -80,23 +82,78 @@ class ContentReader(DataSourceReader):
         ]
 
     def read(self, partition: _FileBatch):
-        for path in partition.files:
-            with open(path, encoding="utf-8") as f:
-                raw = f.read()
-            rel = os.path.relpath(path, partition.base) if partition.base else path
-            slug_from_path = path_to_slug(rel)
-            parsed = parse_by_type(self.parser_type, raw)
-            if isinstance(parsed, list):
-                for rec in parsed:
-                    slug = rec.get("slug")
-                    if slug is None:
-                        raise ValueError(f"record in {rel} missing explicit slug")
-                    yield (str(slug), raw, json.dumps(rec, ensure_ascii=False, default=str))
-            else:
-                embedded = parsed.get("slug")
-                if embedded is not None and str(embedded) != slug_from_path:
-                    raise ValueError(
-                        f"slug mismatch in {rel}: file says {embedded!r}, "
-                        f"path says {slug_from_path!r}"
-                    )
-                yield (slug_from_path, raw, json.dumps(parsed, ensure_ascii=False, default=str))
+        yield from _parse_files(partition.files, partition.base, self.parser_type)
+
+
+def _parse_files(files, base, parser_type):
+    for path in files:
+        with open(path, encoding="utf-8") as f:
+            raw = f.read()
+        rel = os.path.relpath(path, base) if base else path
+        slug_from_path = path_to_slug(rel)
+        parsed = parse_by_type(parser_type, raw)
+        if isinstance(parsed, list):
+            for rec in parsed:
+                slug = rec.get("slug")
+                if slug is None:
+                    raise ValueError(f"record in {rel} missing explicit slug")
+                yield (str(slug), raw, json.dumps(rec, ensure_ascii=False, default=str))
+        else:
+            embedded = parsed.get("slug")
+            if embedded is not None and str(embedded) != slug_from_path:
+                raise ValueError(
+                    f"slug mismatch in {rel}: file says {embedded!r}, "
+                    f"path says {slug_from_path!r}"
+                )
+            yield (slug_from_path, raw, json.dumps(parsed, ensure_ascii=False, default=str))
+
+
+def _glob_base(pattern: str) -> str:
+    parts = pattern.split("/")
+    base_parts = []
+    for p in parts[:-1]:
+        if any(ch in p for ch in "*?["):
+            break
+        base_parts.append(p)
+    return "/".join(base_parts)
+
+
+class ContentStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of ``staticql_content``: continuous content
+    ingestion — every trigger picks up files newly matching the glob
+    (the CMS-drop / crawler-output shape), so the incremental-index and
+    near-dup streams can hang directly off a content directory:
+
+        spark.readStream.format("staticql_content").option(...).load()
+
+    Offsets carry the sorted list of already-ingested paths — exact,
+    replayable (``readBetweenOffsets`` re-parses exactly the files
+    between two offsets), and right-sized for content corpora, which are
+    bounded by construction (the reference's own operating envelope);
+    mtime watermarks would be smaller but lose exactly-once on equal
+    timestamps. The simple-reader API executes on the driver — this
+    source is the initial ingest hop, not the 100 TB path (compact to
+    parquet once and stream THAT for scale).
+    """
+
+    def __init__(self, options):
+        self.pattern = options["pattern"]
+        self.parser_type = options.get("type", "markdown")
+        self.base = _glob_base(self.pattern)
+
+    def initialOffset(self):
+        return {"seen": json.dumps([])}
+
+    def _seen(self, offset) -> set:
+        return set(json.loads(offset["seen"]))
+
+    def read(self, start):
+        seen = self._seen(start)
+        files = sorted(set(_glob.glob(self.pattern, recursive=True)))
+        new = [f for f in files if f not in seen]
+        end = {"seen": json.dumps(sorted(seen | set(new)))}
+        return iter(list(_parse_files(new, self.base, self.parser_type))), end
+
+    def readBetweenOffsets(self, start, end):
+        new = sorted(self._seen(end) - self._seen(start))
+        return iter(list(_parse_files(new, self.base, self.parser_type)))

@@ -155,3 +155,45 @@ def test_content_datasource_nested_glob(spark, content_dir):
     slugs = sorted(r["slug"] for r in df.collect())
     # nested dirs become '--'-joined slugs (reference slug semantics)
     assert all("--" in s for s in slugs) and len(slugs) == 2
+
+
+def test_content_datasource_streaming_incremental(spark, tmp_path):
+    """readStream over staticql_content: each availableNow run ingests
+    exactly the files that appeared since the last checkpointed offset."""
+    from staticql_spark.sources.datasource import ContentDataSource
+
+    spark.dataSource.register(ContentDataSource)
+    content = tmp_path / "drops"
+    content.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write_doc(slug, name):
+        (content / f"{slug}.md").write_text(f"---\nname: {name}\n---\nbody\n")
+
+    def run_once():
+        q = (
+            spark.readStream.format("staticql_content")
+            .option("pattern", f"{content}/*.md")
+            .option("type", "markdown")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_doc("alpha", "A")
+    write_doc("beta", "B")
+    run_once()
+    first = spark.read.parquet(out).collect()
+    assert {r["slug"] for r in first} == {"alpha", "beta"}
+
+    write_doc("gamma", "C")
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    # exactly-once: alpha/beta NOT re-ingested on the second run
+    assert sorted(r["slug"] for r in rows) == ["alpha", "beta", "gamma"]
+    payload = {r["slug"]: json.loads(r["payload"]) for r in rows}
+    assert payload["gamma"]["name"] == "C"
