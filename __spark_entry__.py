@@ -2059,6 +2059,15 @@ def q_dedup_exact(spark, sf):
     return dedup.exact_dedup(_t(spark, sf, "documents"))
 
 
+def q_doc_dup_spans(spark, sf):
+    """Exact duplicated-substring spans (cross-doc repeated >= 20 chars),
+    merged to maximal extents — the substring-level dedup pass of
+    Lee et al. 2022, k-gram formulation (dedup.duplicated_spans)."""
+    return dedup.duplicated_spans(
+        _t(spark, sf, "documents"), k=20, anchor_mod=1
+    )
+
+
 def q_dedup_minhash_sig(spark, sf):
     sh = dedup.shingles(_t(spark, sf, "documents"), n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=8)
@@ -2333,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curriculum": q_doc_curriculum,
         "events_funnel": q_events_funnel,
         "multimodal_features": q_multimodal_features,
+        "doc_dup_spans": q_doc_dup_spans,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -4075,6 +4085,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                    list_max(list_transform(c, x -> abs(x))) AS q_max,
                    round(scale, 6) AS scale_r
             FROM codes
+        """,
+        # doc_dup_spans: same k-gram -> cross-doc flag -> gaps-and-islands
+        # merge as dedup.duplicated_spans (k=20, anchor_mod=1). min/max
+        # over the hash partition is the distinct-docs>=2 test; md5 over
+        # UTF-8 matches Spark's md5(substring(...)) bit-for-bit.
+        "doc_dup_spans": """
+            WITH g AS (
+              SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, s, md5(substr(text, s::INT, 20)) AS h FROM g
+            ),
+            flag AS (
+              SELECT doc_id, s,
+                     min(doc_id) OVER (PARTITION BY h) AS mn,
+                     max(doc_id) OVER (PARTITION BY h) AS mx
+              FROM grams
+            ),
+            hits AS (SELECT doc_id, s FROM flag WHERE mn <> mx),
+            isl AS (
+              SELECT doc_id, s,
+                     CASE WHEN s > coalesce(max(s + 19) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1)
+                          THEN 1 ELSE 0 END AS st
+              FROM hits
+            ),
+            isl2 AS (
+              SELECT doc_id, s,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            )
+            SELECT doc_id,
+                   min(s)::BIGINT AS span_start,
+                   (max(s) + 19)::BIGINT AS span_end,
+                   (max(s) + 20 - min(s))::BIGINT AS span_len
+            FROM isl2 GROUP BY doc_id, island
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

@@ -96,6 +96,16 @@ HEADLINE = [
     "events_anomaly",
     "customer_rfm",
     "events_markov",
+    # added late-r5 with their operators (set is now 61)
+    "events_retention",
+    "dedup_cluster_stats",
+    "embedding_top_pc",
+    "langid_confusion",
+    "quality_quantile_norm",
+    "events_decayed",
+    "doc_gopher",
+    "dedup_semantic_incr",
+    "doc_dup_spans",
 ]
 
 

@@ -854,3 +854,89 @@ def dedup_keep(
         F.col("member_id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 30,
+    anchor_mod: int = 1,
+    merge_gap: int = 0,
+) -> DataFrame:
+    """Exact duplicated-substring spans across documents (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), as a
+    Spark-native k-gram formulation instead of the paper's suffix array.
+
+    A character position is *duplicated* when the k-gram starting there
+    also occurs in at least one OTHER document. Adjacent/overlapping
+    duplicated k-gram windows are merged into maximal spans, so the output
+    (doc_id, span_start, span_end, span_len; 1-based char offsets,
+    inclusive) is exactly the byte ranges a substring-dedup pass would
+    excise. Any cross-doc repeated substring of length >= k is covered by
+    at least one shared k-gram, so no span is missed at anchor_mod=1.
+
+    Plan shape (the 100 TB story):
+    - gram stream is (id, start, md5) — the text itself never shuffles;
+    - "shared with another doc" is min(id) != max(id) over a window
+      partitioned by the gram hash: ONE shuffle on the hash with O(1)
+      window state per gram — no collect_set, no self-join, and a
+      boilerplate gram shared by millions of docs costs the same as one
+      shared by two (same trick as selfdedup_grams, which measured 2x
+      over the groupBy+join formulation);
+    - span merge is a per-doc ordered window over surviving positions
+      only (classic gaps-and-islands), bounded by real duplicate mass.
+
+    The gram stream is ~1 row per character — a ~kx blowup is what the
+    suffix array avoids, so for petabyte corpora set ``anchor_mod=m`` to
+    keep only grams whose hash == 0 (mod m). Anchoring is content-defined
+    (the same substring selects the same grams in both copies regardless
+    of alignment), so duplicated regions longer than ~m+k chars are still
+    caught with spans snapped to anchor positions; raise ``merge_gap``
+    toward m so one region does not splinter into per-anchor islands.
+    """
+    df = ensure_parallelism(df)
+    n = F.greatest(F.length(F.col(text_col)) - F.lit(k) + 1, F.lit(0))
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("s", F.explode(starts))
+        .select(
+            id_col,
+            "s",
+            F.md5(F.substring(F.col(text_col), F.col("s"), k)).alias("h"),
+        )
+    )
+    if anchor_mod > 1:
+        anchor = F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+        grams = grams.filter(anchor % anchor_mod == 0)
+
+    wh = W.partitionBy("h")
+    hits = (
+        grams.withColumn("mn", F.min(id_col).over(wh))
+        .withColumn("mx", F.max(id_col).over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select(id_col, "s")
+    )
+
+    wd = W.partitionBy(id_col).orderBy("s")
+    prev_end = F.max(F.col("s") + F.lit(k - 1)).over(
+        wd.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "st",
+        (F.col("s") > F.coalesce(prev_end, F.lit(-1)) + F.lit(merge_gap)).cast(
+            "int"
+        ),
+    ).withColumn("island", F.sum("st").over(wd))
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + F.lit(k - 1)).cast("long").alias("span_end"),
+            (F.max("s") + F.lit(k) - F.min("s")).cast("long").alias("span_len"),
+        )
+        .drop("island")
+    )

@@ -1235,3 +1235,59 @@ def test_gopher_rules_edge_metrics(spark):
     assert out[3]["ellipsis_frac"] == 1.0 and out[3]["symbol_ratio"] == round(1 / 3, 4)
     assert out[4]["symbol_ratio"] == 1.0  # '###' counts 3 symbols over 4 words + '…'
     assert not out[3]["keep"]  # fails word-count and ellipsis rules
+
+
+def test_duplicated_spans_exact_extents(spark):
+    # Docs 1 and 2 share one 40-char region at different offsets; doc 3 is
+    # unique. Expect exactly one maximal span per sharing doc at the right
+    # 1-based inclusive extent, nothing for doc 3.
+    shared = "0123456789abcdefghijABCDEFGHIJklmnopqrst"  # 40 chars
+    assert len(shared) == 40
+    df = spark.createDataFrame(
+        [
+            (1, "XX" + shared + "YYYYYYYY"),
+            (2, "zzzzzzzzzz" + shared),
+            (3, "completely unrelated text with no repeats at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicated_spans(df, k=20).collect()
+    }
+    # doc 1: shared region occupies chars 3..42; doc 2: chars 11..50
+    assert out == {1: (3, 42, 40), 2: (11, 50, 40)}
+
+
+def test_duplicated_spans_merges_adjacent_windows(spark):
+    # Two copies of one long region -> the k-gram windows tile the whole
+    # region and must merge into ONE island, not len-k+1 rows.
+    region = "the quick brown fox jumps over the lazy dog repeatedly" * 2
+    df = spark.createDataFrame(
+        [(1, "A" * 7 + region), (2, region + "B" * 13)], ["doc_id", "text"]
+    )
+    rows = dedup.duplicated_spans(df, k=20).collect()
+    assert len(rows) == 2  # one maximal span per doc
+    assert all(r["span_len"] == len(region) for r in rows)
+
+
+def test_duplicated_spans_anchor_subset_and_gap_merge(spark):
+    # Content-defined anchoring: every anchored span must lie inside some
+    # exact (anchor_mod=1) span — anchoring may miss or shrink spans but
+    # can never invent duplicated text.
+    texts = [
+        (i, f"prefix{i} " + "shared boilerplate sentence number %d ok " % (i % 3) * 6)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    exact = dedup.duplicated_spans(df, k=20).collect()
+    anchored = dedup.duplicated_spans(df, k=20, anchor_mod=4, merge_gap=8).collect()
+    exact_by_doc = {}
+    for r in exact:
+        exact_by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for r in anchored:
+        spans = exact_by_doc.get(r["doc_id"], [])
+        assert any(s <= r["span_start"] and r["span_end"] <= e for s, e in spans), (
+            r,
+            spans,
+        )
