@@ -2068,6 +2068,14 @@ def q_doc_dup_spans(spark, sf):
     )
 
 
+def q_doc_dup_excise(spark, sf):
+    """Substring-dedup excision: cut the cross-doc duplicated spans out of
+    every document (dedup.excise_spans over dedup.duplicated_spans)."""
+    docs = _t(spark, sf, "documents")
+    spans = dedup.duplicated_spans(docs, k=20, anchor_mod=1)
+    return dedup.excise_spans(docs, spans)
+
+
 def q_dedup_minhash_sig(spark, sf):
     sh = dedup.shingles(_t(spark, sf, "documents"), n=3)
     sig = dedup.minhash_signatures(sh, num_hashes=8)
@@ -2343,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "multimodal_features": q_multimodal_features,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_dup_excise": q_doc_dup_excise,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -2484,6 +2493,48 @@ _SHINGLES_BODY = f"""
     FROM tokh WHERE len(th) >= 3
   )
 """
+
+# Shared CTE chain for the substring-dedup oracles (doc_dup_spans and
+# doc_dup_excise): k=20 char-gram per position -> cross-doc duplication
+# flag (min!=max over the hash partition) -> gaps-and-islands merge into
+# maximal spans. Mirrors dedup.duplicated_spans(k=20, anchor_mod=1);
+# ends with `spansq(doc_id, span_start, span_end)`.
+_DUP_SPANS_CTES = """g AS (
+              SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, s, md5(substr(text, s::INT, 20)) AS h FROM g
+            ),
+            flag AS (
+              SELECT doc_id, s,
+                     min(doc_id) OVER (PARTITION BY h) AS mn,
+                     max(doc_id) OVER (PARTITION BY h) AS mx
+              FROM grams
+            ),
+            hits AS (SELECT doc_id, s FROM flag WHERE mn <> mx),
+            isl AS (
+              SELECT doc_id, s,
+                     CASE WHEN s > coalesce(max(s + 19) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1)
+                          THEN 1 ELSE 0 END AS st
+              FROM hits
+            ),
+            isl2 AS (
+              SELECT doc_id, s,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            ),
+            spansq AS (
+              SELECT doc_id,
+                     min(s)::BIGINT AS span_start,
+                     (max(s) + 19)::BIGINT AS span_end
+              FROM isl2 GROUP BY doc_id, island
+            )"""
 
 _SHINGLES_CTE = f"""
 toks AS (
@@ -4090,42 +4141,50 @@ def _oracle_sql_literal() -> dict[str, str]:
         # merge as dedup.duplicated_spans (k=20, anchor_mod=1). min/max
         # over the hash partition is the distinct-docs>=2 test; md5 over
         # UTF-8 matches Spark's md5(substring(...)) bit-for-bit.
-        "doc_dup_spans": """
-            WITH g AS (
-              SELECT doc_id, text,
-                     unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
+        "doc_dup_spans": f"""
+            WITH {_DUP_SPANS_CTES}
+            SELECT doc_id, span_start, span_end,
+                   (span_end - span_start + 1)::BIGINT AS span_len
+            FROM spansq
+        """,
+        # doc_dup_excise: the oracle rebuilds cleaned text per-position
+        # (keep chars not covered by any span, string_agg in order) — the
+        # Spark side cuts with one higher-order aggregate over the sorted
+        # span array; results must agree byte-for-byte.
+        "doc_dup_excise": f"""
+            WITH {_DUP_SPANS_CTES},
+            stats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(span_end - span_start + 1)::BIGINT AS dup_chars
+              FROM spansq GROUP BY doc_id
+            ),
+            pos AS (
+              SELECT doc_id, unnest(range(1, length(text) + 1)) AS p
               FROM documents
             ),
-            grams AS (
-              SELECT doc_id, s, md5(substr(text, s::INT, 20)) AS h FROM g
+            kept AS (
+              SELECT po.doc_id, po.p FROM pos po
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spansq sp
+                WHERE sp.doc_id = po.doc_id
+                  AND po.p BETWEEN sp.span_start AND sp.span_end
+              )
             ),
-            flag AS (
-              SELECT doc_id, s,
-                     min(doc_id) OVER (PARTITION BY h) AS mn,
-                     max(doc_id) OVER (PARTITION BY h) AS mx
-              FROM grams
-            ),
-            hits AS (SELECT doc_id, s FROM flag WHERE mn <> mx),
-            isl AS (
-              SELECT doc_id, s,
-                     CASE WHEN s > coalesce(max(s + 19) OVER (
-                              PARTITION BY doc_id ORDER BY s
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                            -1)
-                          THEN 1 ELSE 0 END AS st
-              FROM hits
-            ),
-            isl2 AS (
-              SELECT doc_id, s,
-                     sum(st) OVER (PARTITION BY doc_id ORDER BY s
-                                   ROWS UNBOUNDED PRECEDING) AS island
-              FROM isl
+            cl AS (
+              SELECT k.doc_id,
+                     string_agg(substr(d.text, k.p::INT, 1), '' ORDER BY k.p)
+                       AS cleaned
+              FROM kept k JOIN documents d USING (doc_id)
+              GROUP BY k.doc_id
             )
-            SELECT doc_id,
-                   min(s)::BIGINT AS span_start,
-                   (max(s) + 19)::BIGINT AS span_end,
-                   (max(s) + 20 - min(s))::BIGINT AS span_len
-            FROM isl2 GROUP BY doc_id, island
+            SELECT d.doc_id,
+                   coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
+                   coalesce(cl.cleaned, '') AS cleaned,
+                   length(coalesce(cl.cleaned, ''))::BIGINT AS cleaned_len
+            FROM documents d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN cl USING (doc_id)
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS group_size

@@ -106,6 +106,7 @@ HEADLINE = [
     "doc_gopher",
     "dedup_semantic_incr",
     "doc_dup_spans",
+    "doc_dup_excise",
 ]
 
 

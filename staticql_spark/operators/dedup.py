@@ -940,3 +940,55 @@ def duplicated_spans(
         )
         .drop("island")
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated spans out of each document — the excision step of
+    substring dedup (Lee et al. 2022) applied to duplicated_spans output.
+
+    ``spans`` must be non-overlapping (doc_id, span_start, span_end) rows
+    (duplicated_spans emits merged maximal islands, so its output is valid
+    directly). Returns every input row with ``n_spans``, ``dup_chars``,
+    ``cleaned_len`` and the ``cleaned`` text (empty when the whole doc is
+    duplicated; the original text when it has no spans).
+
+    Plan shape: spans collapse to ONE sorted array per doc (groupBy,
+    map-side combined), one equi join back to the corpus on the id, and
+    the cut itself is a single higher-order ``aggregate`` over that array
+    — per-row JVM work, no per-character explosion, no extra shuffle
+    beyond the groupBy+join pair on the same key.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_chars"),
+    )
+    t = F.col(text_col)
+    cleaned = F.aggregate(
+        F.col("__sp"),
+        F.struct(F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")),
+        lambda acc, x: F.struct(
+            (x["span_end"] + 1).alias("pos"),
+            F.concat(
+                acc["acc"],
+                t.substr(acc["pos"], x["span_start"] - acc["pos"]),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"], t.substr(acc["pos"], F.length(t) - acc["pos"] + 1)
+        ),
+    )
+    out = df.join(sp, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        F.when(F.col("__sp").isNull(), t).otherwise(cleaned).alias("cleaned"),
+    ).withColumn("cleaned_len", F.length("cleaned").cast("long"))

@@ -1291,3 +1291,34 @@ def test_duplicated_spans_anchor_subset_and_gap_merge(spark):
             r,
             spans,
         )
+
+
+def test_excise_spans_cuts_exact_regions(spark):
+    shared = "0123456789abcdefghijABCDEFGHIJklmnopqrst"  # 40 chars
+    df = spark.createDataFrame(
+        [
+            (1, "XX" + shared + "YYYYYYYY"),
+            (2, "zzzzzzzzzz" + shared),
+            (3, "completely unrelated text with no repeats at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = dedup.duplicated_spans(df, k=20)
+    out = {r["doc_id"]: r for r in dedup.excise_spans(df, spans).collect()}
+    assert out[1]["cleaned"] == "XX" + "YYYYYYYY"
+    assert out[2]["cleaned"] == "zzzzzzzzzz"
+    assert out[3]["cleaned"].startswith("completely unrelated")
+    assert out[3]["n_spans"] == 0 and out[3]["dup_chars"] == 0
+    # conservation: cleaned_len + dup_chars == original length, every doc
+    for doc_id, r in out.items():
+        orig = df.filter(F.col("doc_id") == doc_id).collect()[0]["text"]
+        assert r["cleaned_len"] + r["dup_chars"] == len(orig)
+
+
+def test_excise_spans_whole_doc_duplicated(spark):
+    text = "an entirely shared document body with enough characters"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    spans = dedup.duplicated_spans(df, k=20)
+    out = {r["doc_id"]: r for r in dedup.excise_spans(df, spans).collect()}
+    assert out[1]["cleaned"] == "" and out[2]["cleaned"] == ""
+    assert out[1]["dup_chars"] == len(text)
