@@ -2068,6 +2068,15 @@ def q_doc_dup_spans(spark, sf):
     )
 
 
+def q_doc_dup_spans_anchored(spark, sf):
+    """The petabyte path of duplicated_spans: content-defined anchor
+    sampling (hash % 4 == 0) with merge_gap widened to bridge anchor
+    gaps — deterministic, so it gets a full oracle too."""
+    return dedup.duplicated_spans(
+        _t(spark, sf, "documents"), k=20, anchor_mod=4, merge_gap=8
+    )
+
+
 def q_doc_dup_excise(spark, sf):
     """Substring-dedup excision: cut the cross-doc duplicated spans out of
     every document (dedup.excise_spans over dedup.duplicated_spans)."""
@@ -2352,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_excise": q_doc_dup_excise,
+        "doc_dup_spans_anchored": q_doc_dup_spans_anchored,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -2494,18 +2504,26 @@ _SHINGLES_BODY = f"""
   )
 """
 
-# Shared CTE chain for the substring-dedup oracles (doc_dup_spans and
-# doc_dup_excise): k=20 char-gram per position -> cross-doc duplication
-# flag (min!=max over the hash partition) -> gaps-and-islands merge into
-# maximal spans. Mirrors dedup.duplicated_spans(k=20, anchor_mod=1);
-# ends with `spansq(doc_id, span_start, span_end)`.
-_DUP_SPANS_CTES = """g AS (
+# Shared CTE chain for the substring-dedup oracles (doc_dup_spans,
+# doc_dup_excise, doc_dup_spans_anchored): k=20 char-gram per position ->
+# optional content-defined anchor sampling -> cross-doc duplication flag
+# (min!=max over the hash partition) -> gaps-and-islands merge into
+# maximal spans. Mirrors dedup.duplicated_spans(k=20, ...); ends with
+# `spansq(doc_id, span_start, span_end)`.
+def _dup_spans_ctes(anchor_mod: int = 1, merge_gap: int = 0) -> str:
+    anchor = (
+        f"""WHERE ('0x' || substr(h, 1, 15))::BIGINT % {anchor_mod} = 0"""
+        if anchor_mod > 1
+        else ""
+    )
+    return f"""g AS (
               SELECT doc_id, text,
                      unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
               FROM documents
             ),
             grams AS (
               SELECT doc_id, s, md5(substr(text, s::INT, 20)) AS h FROM g
+              {anchor}
             ),
             flag AS (
               SELECT doc_id, s,
@@ -2519,7 +2537,7 @@ _DUP_SPANS_CTES = """g AS (
                      CASE WHEN s > coalesce(max(s + 19) OVER (
                               PARTITION BY doc_id ORDER BY s
                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                            -1)
+                            -1) + {merge_gap}
                           THEN 1 ELSE 0 END AS st
               FROM hits
             ),
@@ -2535,6 +2553,9 @@ _DUP_SPANS_CTES = """g AS (
                      (max(s) + 19)::BIGINT AS span_end
               FROM isl2 GROUP BY doc_id, island
             )"""
+
+
+_DUP_SPANS_CTES = _dup_spans_ctes()
 
 _SHINGLES_CTE = f"""
 toks AS (
@@ -4143,6 +4164,12 @@ def _oracle_sql_literal() -> dict[str, str]:
         # UTF-8 matches Spark's md5(substring(...)) bit-for-bit.
         "doc_dup_spans": f"""
             WITH {_DUP_SPANS_CTES}
+            SELECT doc_id, span_start, span_end,
+                   (span_end - span_start + 1)::BIGINT AS span_len
+            FROM spansq
+        """,
+        "doc_dup_spans_anchored": f"""
+            WITH {_dup_spans_ctes(anchor_mod=4, merge_gap=8)}
             SELECT doc_id, span_start, span_end,
                    (span_end - span_start + 1)::BIGINT AS span_len
             FROM spansq

@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_semantic_incr",
     "doc_dup_spans",
     "doc_dup_excise",
+    "doc_dup_spans_anchored",
 ]
 
 
