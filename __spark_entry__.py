@@ -2302,6 +2302,45 @@ def q_multimodal_features(spark, sf):
     return multimodal.parse_headers(media)
 
 
+def q_doc_source_cap(spark, sf):
+    # RefinedWeb-style per-domain cap: at most 15 docs per source, chosen
+    # by the deterministic md5 draw (unbiased within-stratum sample,
+    # reproducible across engines and stable under repartitioning)
+    return text.cap_per_stratum(
+        _t(spark, sf, "documents"), cap=15, strata_col="source"
+    ).select("doc_id", "source", "strat_rank")
+
+
+def q_doc_dsir(spark, sf):
+    # DSIR importance resampling: weight every doc by how 'en'-like its
+    # hashed-unigram distribution is (target LM = the lang='en' subset,
+    # raw LM = the whole corpus; add-1 smoothing over 4096 md5 buckets)
+    docs = _t(spark, sf, "documents")
+    return text.dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=4096)
+
+
+def q_ann_knn_classify(spark, sf):
+    # k-NN label propagation / embedding eval: held-out rows (vec_id % 20
+    # == 0) classified by majority vote of their 5 nearest neighbors in
+    # the remaining corpus; deterministic (votes DESC, label ASC) tiebreak
+    from staticql_spark.operators.classify import knn_classify
+
+    emb = _t(spark, sf, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") % 20 == 0),
+        emb.filter(F.col("vec_id") % 20 != 0),
+        k=5,
+    )
+
+
+def q_doc_mixture_epochs(spark, sf):
+    # data-constrained mixture plan: even token-budget split across
+    # sources, epochs per stratum capped at 4 (Muennighoff-style repeats)
+    return text.mixture_epochs(
+        _t(spark, sf, "documents"), budget_tokens=200_000, strata_col="source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER policy (neutral + auditable, see COVERAGE.md): keys are
     # ordered by driver-signal freshness ascending -- (A) never driver-checked
@@ -2362,6 +2401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_excise": q_doc_dup_excise,
         "doc_dup_spans_anchored": q_doc_dup_spans_anchored,
+        # newest never-checked keys go LAST within group A (FIFO by rounds
+        # waiting): the 50-key window reaches the oldest unchecked first
+        "doc_source_cap": q_doc_source_cap,
+        "doc_dsir": q_doc_dsir,
+        "ann_knn_classify": q_ann_knn_classify,
+        "doc_mixture_epochs": q_doc_mixture_epochs,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -5122,6 +5167,96 @@ def _oracle_sql_literal() -> dict[str, str]:
               CASE WHEN kind='audio' THEN ('0x' || substr(hx,87,2) || substr(hx,85,2)
                 || substr(hx,83,2) || substr(hx,81,2))::BIGINT // 2 END AS n_samples
             FROM m
+        """,
+        "doc_source_cap": """
+            SELECT doc_id, source, strat_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap1|' || doc_id::VARCHAR) ASC, doc_id ASC
+                     ) AS strat_rank
+              FROM documents
+            ) WHERE strat_rank <= 15
+        """,
+        "doc_dsir": f"""
+            WITH tb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('dsir1|' || term), 1, 15))::BIGINT % 4096 AS b
+              FROM (SELECT doc_id, unnest({_TOKS_NORM}) AS term FROM documents)
+            ),
+            rc AS (SELECT b, count(*)::DOUBLE AS c FROM tb GROUP BY b),
+            tc AS (
+              SELECT b, count(*)::DOUBLE AS c
+              FROM tb JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY b
+            ),
+            rt AS (SELECT sum(c) AS t FROM rc),
+            tt AS (SELECT sum(c) AS t FROM tc),
+            lm AS (
+              SELECT coalesce(rc.b, tc.b) AS b,
+                     ln((coalesce(tc.c, 0) + 1) / (tt.t + 4096.0))
+                       - ln((coalesce(rc.c, 0) + 1) / (rt.t + 4096.0)) AS lr
+              FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, rt, tt
+            )
+            SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS dsir_w
+            FROM tb JOIN lm USING (b)
+            GROUP BY doc_id
+        """,
+        "ann_knn_classify": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS true_label,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 20 = 0
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, label AS nl,
+                     embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id % 20 <> 0
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id, nl,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            ),
+            nbrs AS (
+              SELECT query_id, nl FROM (
+                SELECT query_id, nl,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 5
+            ),
+            votes AS (
+              SELECT query_id, nl, count(*) AS votes
+              FROM nbrs GROUP BY query_id, nl
+            ),
+            pred AS (
+              SELECT query_id, nl AS pred_label, votes FROM (
+                SELECT query_id, nl, votes,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, nl ASC) AS r
+                FROM votes
+              ) WHERE r = 1
+            )
+            SELECT p.query_id, p.pred_label, p.votes, q.true_label,
+                   p.pred_label = q.true_label AS correct
+            FROM pred p JOIN q USING (query_id)
+        """,
+        "doc_mixture_epochs": f"""
+            WITH c AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(len({_TOKS_RAW}))::DOUBLE AS nt
+              FROM documents GROUP BY source
+            ),
+            ns AS (SELECT count(*)::DOUBLE AS n FROM c)
+            SELECT source, n_docs, nt::BIGINT AS n_tokens,
+                   round(200000.0 / ns.n, 4) AS target_tokens,
+                   round(least(4.0, (200000.0 / ns.n) / nt), 4) AS epochs,
+                   round(round(least(4.0, (200000.0 / ns.n) / nt), 4) * nt, 4)
+                     AS effective_tokens
+            FROM c, ns
         """,
     }
 

@@ -171,3 +171,60 @@ def logreg_score(
         F.col(feature_cols[0]) * F.col("_w_0"),
     )
     return joined.select(*df.columns, sigmoid_alg(m).alias(out_col))
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding column — the
+    label-propagation step a pipeline uses to extend a small labeled seed
+    set across an unlabeled corpus (and, run on held-out rows, the
+    standard embedding-quality eval).
+
+    Neighbors come from :func:`similarity.cosine_topk` (exact, rounded-
+    cosine + id tiebreak, self-match excluded); the vote is majority with
+    a deterministic (votes DESC, label ASC) tiebreak. Returns one row per
+    query: (query_id, pred_label, votes, true_label, correct).
+
+    Scale: inherits cosine_topk's broadcast(queries) × corpus scan; the
+    vote aggregation runs on |queries| × k rows, which is broadcast-sized
+    by construction — labels attach via a broadcast join of that tiny
+    pair table against the corpus label projection, so the corpus is
+    never shuffled. Swap cosine_topk for ivf_query/lsh_topk candidates to
+    make the neighbor stage sublinear; the vote tail is unchanged.
+    """
+    from pyspark.sql import Window
+    from .similarity import cosine_topk
+
+    nbrs = cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        labels.join(F.broadcast(nbrs.select("query_id", "neighbor_id")), "neighbor_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl").asc()
+    )
+    pred = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("__nl").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

@@ -1149,3 +1149,157 @@ def bm25_rank(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    cap: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-stratum document cap (RefinedWeb-style per-domain cap): keep at
+    most ``cap`` docs per stratum, chosen by a deterministic md5 draw so
+    the survivors are an unbiased sample of the stratum and the choice is
+    reproducible across engines/runs and stable under repartitioning.
+
+    The kept rows carry ``strat_rank`` (1-based position in the stratum's
+    draw order) so downstream stages can tighten the cap without
+    re-ranking.
+
+    Scale: one hash shuffle on ``strata_col`` + per-stratum window. A
+    pathologically hot stratum (one domain = billions of pages) serializes
+    its own partition; for that regime pre-filter with the threshold
+    approximation ``hash_sample(fractions={s: cap/count_s})`` — the same
+    md5 draw, map-only — and apply this exact rank cap to the survivors,
+    so the window sees ~cap rows per stratum instead of the raw corpus.
+    """
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(draw.asc(), F.col(id_col).asc())
+    return (
+        ensure_parallelism(df)
+        .withColumn("strat_rank", F.row_number().over(w))
+        .filter(F.col("strat_rank") <= int(cap))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir1",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    doc by how target-like its hashed-unigram distribution is.
+
+    Both the target subset and the raw corpus get a hashed unigram LM over
+    ``buckets`` md5 buckets with add-1 smoothing; a doc's weight is the
+    sum over its tokens of ``ln p_target(b) - ln p_raw(b)``. Selecting
+    top-weight (or Gumbel-top-k) docs shifts the corpus mixture toward
+    the target domain without a trained classifier.
+
+    Scale shape: the two LMs are |buckets|-row aggregates (map-side
+    combined), joined into one broadcast table of per-bucket log-ratios;
+    the corpus is exploded to tokens, broadcast-joined, and summed per
+    doc — one shuffle on ``id_col`` proportional to token count, same as
+    :func:`unigram_logprob`. Per-token log-ratios are computed in doubles
+    and the per-doc sum is rounded to 4dp (repo-wide engine-portability
+    rule). Returns (id, n_tokens, dsir_w); zero-token docs drop.
+    """
+    from .dedup import normalize_text
+
+    B = int(buckets)
+
+    def tok_buckets(frame: DataFrame) -> DataFrame:
+        t = tokens(normalize_text(F.col(text_col)))
+        return ensure_parallelism(frame).select(
+            F.col(id_col),
+            F.explode(t).alias("__term"),
+        ).select(
+            F.col(id_col),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("__term"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % B
+            ).alias("__b"),
+        )
+
+    corpus_tok = tok_buckets(df)
+    target_tok = tok_buckets(target)
+    raw_cnt = corpus_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__rc"))
+    tgt_cnt = target_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__tc"))
+    raw_tot = raw_cnt.agg(F.sum("__rc").alias("__rt"))
+    tgt_tot = tgt_cnt.agg(F.sum("__tc").alias("__tt"))
+    lm = (
+        raw_cnt.join(tgt_cnt, "__b", "outer")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__b",
+            (
+                F.log((F.coalesce(F.col("__tc"), F.lit(0.0)) + 1.0) / (F.col("__tt") + F.lit(float(B))))
+                - F.log((F.coalesce(F.col("__rc"), F.lit(0.0)) + 1.0) / (F.col("__rt") + F.lit(float(B))))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        corpus_tok.join(F.broadcast(lm), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("__lr"), 4).alias("dsir_w"),
+        )
+    )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 4.0,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained mixture plan (Muennighoff et al. 2023 repeat
+    recipe): given a total training token budget split evenly across
+    strata, compute how many EPOCHS of each stratum to run, capped at
+    ``max_epochs`` (past ~4 repeats, marginal value of a repeat decays to
+    noise). Emits one row per stratum: doc/token counts, its even-split
+    target, the capped epoch multiplier (4dp), and the effective token
+    contribution — the plan a shard-writer repeats each stratum by.
+
+    Scale: one map-side-combined aggregate to |strata| rows; the budget
+    arithmetic runs on that tiny frame. The corpus is scanned once.
+    """
+    counts = ensure_parallelism(df).groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("n_tokens"),
+    )
+    n_strata = counts.agg(F.count("*").cast("double").alias("__ns"))
+    return (
+        counts.crossJoin(F.broadcast(n_strata))
+        .select(
+            strata_col,
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.lit(float(budget_tokens)) / F.col("__ns"), 4).alias("target_tokens"),
+            F.round(
+                F.least(
+                    F.lit(float(max_epochs)),
+                    (F.lit(float(budget_tokens)) / F.col("__ns")) / F.col("n_tokens"),
+                ),
+                4,
+            ).alias("epochs"),
+        )
+        .withColumn(
+            "effective_tokens",
+            F.round(F.col("epochs") * F.col("n_tokens"), 4),
+        )
+    )

@@ -1322,3 +1322,88 @@ def test_excise_spans_whole_doc_duplicated(spark):
     out = {r["doc_id"]: r for r in dedup.excise_spans(df, spans).collect()}
     assert out[1]["cleaned"] == "" and out[2]["cleaned"] == ""
     assert out[1]["dup_chars"] == len(text)
+
+
+def test_cap_per_stratum_caps_and_ranks(spark, docs):
+    out = text.cap_per_stratum(docs, cap=3, strata_col="source")
+    rows = out.select("source", "strat_rank").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["strat_rank"])
+    assert per, "no strata"
+    for src, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # deterministic: second run identical keep-set
+    again = {
+        (r["doc_id"], r["strat_rank"])
+        for r in text.cap_per_stratum(docs, cap=3, strata_col="source")
+        .select("doc_id", "strat_rank")
+        .collect()
+    }
+    first = {(r["doc_id"], r["strat_rank"]) for r in out.select("doc_id", "strat_rank").collect()}
+    assert first == again
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    # target distribution = 'alpha beta' docs; corpus has those plus
+    # 'gamma delta' docs — the target-like docs must score higher
+    rows = [(i, "alpha beta alpha beta alpha beta") for i in range(10)] + [
+        (i + 10, "gamma delta gamma delta gamma delta") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter(F.col("doc_id") < 10)
+    w = {r["doc_id"]: r["dsir_w"] for r in text.dsir_weights(df, target, buckets=64).collect()}
+    assert len(w) == 20
+    assert min(w[i] for i in range(10)) > max(w[i + 10] for i in range(10))
+    # zero-token docs drop
+    df2 = df.union(spark.createDataFrame([(99, "   ")], ["doc_id", "text"]))
+    w2 = text.dsir_weights(df2, target, buckets=64)
+    assert w2.filter(F.col("doc_id") == 99).count() == 0
+
+
+def test_knn_classify_separable_clusters(spark):
+    from staticql_spark.operators.classify import knn_classify
+
+    # two well-separated clusters in 4d; held-out points must classify
+    # to their own cluster with unanimous votes
+    corpus = [(i, [10.0 + (i % 3), 10.0, 0.1 * i, 1.0], 0) for i in range(1, 7)] + [
+        (i + 10, [-10.0 - (i % 3), -10.0, -0.1 * i, 1.0], 1) for i in range(1, 7)
+    ]
+    queries = [(100, [9.5, 10.5, 0.2, 1.0], 0), (101, [-9.5, -10.5, -0.2, 1.0], 1)]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>, label int")
+    q = spark.createDataFrame(queries, "vec_id long, embedding array<double>, label int")
+    out = {r["query_id"]: r for r in knn_classify(q, c, k=3).collect()}
+    assert out[100]["pred_label"] == 0 and out[100]["correct"]
+    assert out[101]["pred_label"] == 1 and out[101]["correct"]
+    assert out[100]["votes"] == 3 and out[101]["votes"] == 3
+
+
+def test_knn_classify_vote_tiebreak_label_asc(spark):
+    from staticql_spark.operators.classify import knn_classify
+
+    # k=2 with one neighbor of each label at identical distance -> 1-1
+    # tie -> deterministic label ASC wins
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0], 3)], "vec_id long, embedding array<double>, label int"
+    )
+    r = knn_classify(q, c, k=2).collect()[0]
+    assert r["pred_label"] == 3 and r["votes"] == 1 and r["correct"]
+
+
+def test_mixture_epochs_cap_and_budget(spark):
+    # stratum 'big' has ~100x the tokens of 'small': with an even split,
+    # small hits the 4-epoch cap, big gets < 1 epoch
+    rows = [(i, "w " * 200, "big") for i in range(50)] + [
+        (100 + i, "w w w w", "small") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in text.mixture_epochs(df, budget_tokens=10_000).collect()}
+    assert out["small"]["epochs"] == 4.0
+    assert out["big"]["epochs"] < 1.0
+    assert out["big"]["target_tokens"] == 5000.0
+    assert out["small"]["effective_tokens"] == 4.0 * out["small"]["n_tokens"]
