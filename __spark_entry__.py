@@ -2302,6 +2302,39 @@ def q_multimodal_features(spark, sf):
     return multimodal.parse_headers(media)
 
 
+def q_events_attribution(spark, sf):
+    # linear multi-touch attribution: each purchase's value is split
+    # equally across the same user's clicks in the preceding hour.
+    # Composes the bucketed range_join (never a cross join) with one
+    # per-purchase window (touch count) and one per-click aggregation —
+    # two narrow shuffles over the matched pairs only.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id")
+    )
+    matched = asof.range_join(
+        purchases,
+        clicks,
+        on="user_id", left_ts="ts", right_ts="ts",
+        lower_us=-3_600_000_000, upper_us=0,
+        include_lower=True, include_upper=False,
+        right_cols=["c_id"],
+    )
+    w = W.partitionBy("p_id")
+    shared = matched.withColumn("__n", F.count("*").over(w))
+    return (
+        shared.groupBy("c_id", "user_id")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(F.sum(F.col("value") / F.col("__n")), 4).alias("attr_value"),
+        )
+        .select(F.col("c_id").alias("event_id"), "user_id", "n_touches", "attr_value")
+    )
+
+
 def q_doc_source_cap(spark, sf):
     # RefinedWeb-style per-domain cap: at most 15 docs per source, chosen
     # by the deterministic md5 draw (unbiased within-stratum sample,
@@ -2407,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir": q_doc_dsir,
         "ann_knn_classify": q_ann_knn_classify,
         "doc_mixture_epochs": q_doc_mixture_epochs,
+        "events_attribution": q_events_attribution,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -5243,6 +5277,32 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT p.query_id, p.pred_label, p.votes, q.true_label,
                    p.pred_label = q.true_label AS correct
             FROM pred p JOIN q USING (query_id)
+        """,
+        "events_attribution": """
+            WITH p AS (
+              SELECT event_id AS p_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+              SELECT event_id AS c_id, user_id, ts
+              FROM events WHERE event_type = 'click'
+            ),
+            m AS (
+              SELECT p.p_id, p.value, p.user_id, c.c_id
+              FROM p JOIN c
+                ON c.user_id = p.user_id
+               AND c.ts >= p.ts - INTERVAL 1 HOUR
+               AND c.ts < p.ts
+            ),
+            w AS (
+              SELECT p_id, value, user_id, c_id,
+                     count(*) OVER (PARTITION BY p_id) AS n
+              FROM m
+            )
+            SELECT c_id AS event_id, user_id,
+                   count(*) AS n_touches,
+                   round(sum(value / n), 4) AS attr_value
+            FROM w GROUP BY c_id, user_id
         """,
         "doc_mixture_epochs": f"""
             WITH c AS (
