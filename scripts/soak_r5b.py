@@ -1,0 +1,100 @@
+"""Soak the late-r5b operators at the sf10-equivalent corpus (500k docs,
+20k vectors). Rebuilds the gitignored .scale_sf10/ corpus if missing
+(same recipe as SCALE.md §9: sf0.1 documents cross-joined with 100
+distinct one-token suffixes; embeddings replicated 4x with id offsets).
+
+Usage: python scripts/soak_r5b.py
+Prints per-operator best-of-2 (construct_s, exec_s) with a noop sink.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from staticql_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sf10")
+
+
+def build(spark):
+    docs_p = f"{OUT}/documents.parquet"
+    emb_p = f"{OUT}/embeddings.parquet"
+    if not os.path.exists(docs_p):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        reps = spark.range(100).select(
+            F.col("id").alias("rep"), F.concat(F.lit("tag"), F.col("id")).alias("suffix")
+        )
+        big = docs.crossJoin(reps).select(
+            (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+            F.concat_ws(" ", "text", "suffix").alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + F.length("suffix") + 1).alias("n_chars"),
+        )
+        big.repartition(32).write.mode("overwrite").parquet(docs_p)
+    if not os.path.exists(emb_p):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        reps = spark.range(4).select(F.col("id").alias("rep"))
+        big = emb.crossJoin(reps).select(
+            (F.col("vec_id") * 4 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.col("rep").cast("float") * F.lit(0.001)
+            ).alias("embedding"),
+            "label",
+        )
+        big.repartition(8).write.mode("overwrite").parquet(emb_p)
+
+
+def timed(name, thunk):
+    best = (1e9, 1e9)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = thunk()
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        best = min(best, (t1 - t0, t2 - t1), key=lambda p: p[0] + p[1])
+    print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s")
+
+
+def main():
+    spark = get_spark("soak_r5b")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    docs = spark.read.parquet(f"{OUT}/documents.parquet")
+    emb = spark.read.parquet(f"{OUT}/embeddings.parquet")
+    from staticql_spark.operators import text
+    from staticql_spark.operators.classify import knn_classify
+
+    print(f"corpus: {docs.count()} docs, {emb.count()} vectors")
+    timed(
+        "cap_per_stratum(cap=1000, 20 hot sources)",
+        lambda: text.cap_per_stratum(docs, cap=1000, strata_col="source"),
+    )
+    timed(
+        "dsir_weights(buckets=4096, target=en)",
+        lambda: text.dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=4096),
+    )
+    timed(
+        "mixture_epochs(budget=2e7)",
+        lambda: text.mixture_epochs(docs, budget_tokens=20_000_000),
+    )
+    timed(
+        "knn_classify(500 queries x 19.5k corpus, k=5)",
+        lambda: knn_classify(
+            emb.filter(F.col("vec_id") % 40 == 0),
+            emb.filter(F.col("vec_id") % 40 != 0),
+            k=5,
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()
