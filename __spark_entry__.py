@@ -2302,6 +2302,29 @@ def q_multimodal_features(spark, sf):
     return multimodal.parse_headers(media)
 
 
+def q_pipeline_curate_mixture(spark, sf):
+    # end-to-end curation pipeline as ONE declarative program: quality
+    # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
+    # target -> per-source mixture report. No stage materializes;
+    # Catalyst plans the whole chain (the dedup/cap subtrees are
+    # semi-join reductions, the DSIR LM is a broadcast table).
+    docs = _t(spark, sf, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    kept = docs.join(q.filter(F.col("quality") >= 0.5).select("doc_id"), "doc_id")
+    uniq = kept.join(dedup.exact_dedup(kept).select("doc_id"), "doc_id")
+    capped = text.cap_per_stratum(uniq, cap=20, strata_col="source")
+    w = text.dsir_weights(capped, capped.filter(F.col("lang") == "en"), buckets=4096)
+    return (
+        w.join(capped.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("dsir_w"), 4).alias("mean_dsir"),
+        )
+    )
+
+
 def q_events_attribution(spark, sf):
     # linear multi-touch attribution: each purchase's value is split
     # equally across the same user's clicks in the preceding hour.
@@ -2441,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_classify": q_ann_knn_classify,
         "doc_mixture_epochs": q_doc_mixture_epochs,
         "events_attribution": q_events_attribution,
+        "pipeline_curate_mixture": q_pipeline_curate_mixture,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
@@ -5277,6 +5301,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT p.query_id, p.pred_label, p.votes, q.true_label,
                    p.pred_label = q.true_label AS correct
             FROM pred p JOIN q USING (query_id)
+        """,
+        "pipeline_curate_mixture": f"""
+            WITH {_QUALITY_CTES},
+            kept AS (
+              SELECT d.* FROM documents d
+              JOIN r USING (doc_id) WHERE r.quality >= 0.5
+            ),
+            uniq_ids AS (
+              SELECT min(doc_id) AS doc_id FROM kept
+              GROUP BY md5({_NORM})
+            ),
+            uniq AS (SELECT k.* FROM kept k JOIN uniq_ids USING (doc_id)),
+            capped AS (
+              SELECT * FROM (
+                SELECT u.*, row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY md5('cap1|' || doc_id::VARCHAR) ASC, doc_id ASC
+                ) AS rn FROM uniq u
+              ) WHERE rn <= 20
+            ),
+            tb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('dsir1|' || term), 1, 15))::BIGINT % 4096 AS b
+              FROM (SELECT doc_id, unnest({_TOKS_NORM}) AS term FROM capped)
+            ),
+            rc AS (SELECT b, count(*)::DOUBLE AS c FROM tb GROUP BY b),
+            tc AS (
+              SELECT b, count(*)::DOUBLE AS c
+              FROM tb JOIN capped USING (doc_id)
+              WHERE lang = 'en' GROUP BY b
+            ),
+            rt AS (SELECT sum(c) AS t FROM rc),
+            tt AS (SELECT sum(c) AS t FROM tc),
+            lm AS (
+              SELECT coalesce(rc.b, tc.b) AS b,
+                     ln((coalesce(tc.c, 0) + 1) / (tt.t + 4096.0))
+                       - ln((coalesce(rc.c, 0) + 1) / (rt.t + 4096.0)) AS lr
+              FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, rt, tt
+            ),
+            w AS (
+              SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS dsir_w
+              FROM tb JOIN lm USING (b) GROUP BY doc_id
+            )
+            SELECT c.source, count(*) AS n_docs, sum(w.n_tokens)::BIGINT AS n_tokens,
+                   round(avg(w.dsir_w), 4) AS mean_dsir
+            FROM w JOIN capped c USING (doc_id)
+            GROUP BY c.source
         """,
         "events_attribution": """
             WITH p AS (

@@ -114,6 +114,7 @@ HEADLINE = [
     "ann_knn_classify",
     "doc_mixture_epochs",
     "events_attribution",
+    "pipeline_curate_mixture",
 ]
 
 

@@ -1407,3 +1407,10 @@ def test_mixture_epochs_cap_and_budget(spark):
     assert out["big"]["epochs"] < 1.0
     assert out["big"]["target_tokens"] == 5000.0
     assert out["small"]["effective_tokens"] == 4.0 * out["small"]["n_tokens"]
+
+
+def test_dsir_target_equals_corpus_zero_weights(spark, docs):
+    # identity invariant: when the target IS the corpus, every per-bucket
+    # log-ratio is ln(x) - ln(x) = exact 0.0, so all doc weights are 0
+    out = text.dsir_weights(docs, docs, buckets=256).collect()
+    assert out and all(r["dsir_w"] == 0.0 for r in out)
