@@ -364,3 +364,39 @@ def test_decontaminate_bloom_probes_are_broadcast(spark):
     p = plan(entrymod.q_doc_decontaminate_bloom(spark, SF_SMOKE))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_cap_per_stratum_is_window_group_limit(spark):
+    # the rank<=cap filter must push into WindowGroupLimit (per-partition
+    # top-cap heaps before AND after the stratum exchange) — a plain
+    # Window + Filter would sort every hot stratum's full row set
+    p = plan(entrymod.q_doc_source_cap(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p, p
+    assert re.search(r"hashpartitioning\(source", p), p
+
+
+def test_dsir_lm_join_is_broadcast(spark):
+    # the |buckets|-row log-ratio table must broadcast back onto the
+    # exploded corpus; a SortMergeJoin on the token stream is the 100 TB
+    # regression; the tiny rc<->tc bucket join may SMJ (4096 rows)
+    p = plan(entrymod.q_doc_dsir(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    # final per-doc agg is partial before the exchange
+    assert re.search(r"HashAggregate.*partial", p, re.S) or "partial_count" in p, p
+
+
+def test_knn_vote_join_keeps_corpus_unshuffled(spark):
+    # the |queries|*k pair table broadcasts against the corpus label
+    # projection: no exchange may carry the corpus for the vote join
+    p = plan(entrymod.q_ann_knn_classify(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    # top-k via rank filter must use per-partition group limits
+    assert "WindowGroupLimit" in p, p
+
+
+def test_events_attribution_no_cartesian(spark):
+    # range_join composition: bucketed equi join only — a cartesian or
+    # unbounded nested loop between purchases and clicks must never appear
+    p = plan(entrymod.q_events_attribution(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"hashpartitioning\(p_id", p), p
