@@ -1,0 +1,78 @@
+"""Soak the events-family operators at a 10M-row corpus (100x sf0.1:
+same 30-day window, 100x the concurrent users — how event traffic
+actually scales). Rebuilds the gitignored .scale_sf10/events.parquet if
+missing, then times the entry compositions directly against the soak dir
+(load_events passes through the written TIMESTAMP_NTZ column).
+
+Usage: python scripts/soak_events.py
+Prints per-query best-of-2 (construct_s, exec_s) with a noop sink.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from staticql_spark.session import get_spark
+from staticql_spark.streaming import load_events
+
+SF = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_sf10")
+
+PICKS = [
+    "asof_click_purchase",
+    "asof_hotkey_bucketed",
+    "range_followups",
+    "events_attribution",
+    "events_sessionize",
+    "events_funnel",
+    "events_markov",
+    "events_anomaly",
+    "stream_first_seen",
+    "latest_per_user",
+]
+
+
+def build(spark):
+    p = f"{OUT}/events.parquet"
+    if not os.path.exists(p):
+        ev = load_events(spark, f"{SF}/events.parquet")
+        reps = spark.range(100).select(F.col("id").alias("rep"))
+        big = ev.crossJoin(reps).select(
+            (F.col("event_id") * 100 + F.col("rep")).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 10_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        big.repartition(32).write.mode("overwrite").parquet(p)
+
+
+def main():
+    spark = get_spark("soak_events")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    n = spark.read.parquet(f"{OUT}/events.parquet").count()
+    print(f"corpus: {n} events")
+    qs = entry.queries()
+    for name in PICKS:
+        best = (1e9, 1e9)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, OUT)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            best = min(best, (t1 - t0, t2 - t1), key=lambda x: x[0] + x[1])
+        print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
