@@ -74,5 +74,41 @@ def main():
         print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s", flush=True)
 
 
+def hotkey_ab():
+    """A/B the as-of hot-key escape hatch in the regime it exists for:
+    50% of all rows collapsed onto ONE user. Plain path serializes that
+    key's 5M-row carry window into a single task; the bucketed path
+    spreads it over (key, hour-bucket) tasks."""
+    spark = get_spark("soak_hotkey")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+    from staticql_spark.operators import asof as asof_op
+
+    ev = spark.read.parquet(f"{OUT}/events.parquet")
+    hot = ev.withColumn(
+        "user_id", F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.col("user_id"))
+    )
+    clicks = hot.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        hot.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"), F.max("event_id").alias("purchase_event"))
+    )
+    for label, kw in [("plain", {}), ("bucketed_1h", {"coarse_bucket_us": 3_600_000_000})]:
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = asof_op.asof_join(
+                clicks, purch, on="user_id", left_ts="ts", right_ts="ts",
+                value_cols=["purchase_value", "purchase_event"], **kw,
+            )
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(f"hotkey asof {label}: {best:.2f}s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SOAK_HOTKEY"):
+        hotkey_ab()
+    else:
+        main()
