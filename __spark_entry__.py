@@ -5248,8 +5248,8 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM tb JOIN documents USING (doc_id)
               WHERE lang = 'en' GROUP BY b
             ),
-            rt AS (SELECT sum(c) AS t FROM rc),
-            tt AS (SELECT sum(c) AS t FROM tc),
+            rt AS (SELECT coalesce(sum(c), 0) AS t FROM rc),
+            tt AS (SELECT coalesce(sum(c), 0) AS t FROM tc),
             lm AS (
               SELECT coalesce(rc.b, tc.b) AS b,
                      ln((coalesce(tc.c, 0) + 1) / (tt.t + 4096.0))
@@ -5332,8 +5332,8 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM tb JOIN capped USING (doc_id)
               WHERE lang = 'en' GROUP BY b
             ),
-            rt AS (SELECT sum(c) AS t FROM rc),
-            tt AS (SELECT sum(c) AS t FROM tc),
+            rt AS (SELECT coalesce(sum(c), 0) AS t FROM rc),
+            tt AS (SELECT coalesce(sum(c), 0) AS t FROM tc),
             lm AS (
               SELECT coalesce(rc.b, tc.b) AS b,
                      ln((coalesce(tc.c, 0) + 1) / (tt.t + 4096.0))

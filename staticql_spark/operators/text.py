@@ -1236,8 +1236,10 @@ def dsir_weights(
     target_tok = tok_buckets(target)
     raw_cnt = corpus_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__rc"))
     tgt_cnt = target_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__tc"))
-    raw_tot = raw_cnt.agg(F.sum("__rc").alias("__rt"))
-    tgt_tot = tgt_cnt.agg(F.sum("__tc").alias("__tt"))
+    # coalesce(total, 0): an EMPTY target must degrade to the uniform
+    # add-1 prior (weight = ln(B/(R+B)) per token), not NULL weights
+    raw_tot = raw_cnt.agg(F.coalesce(F.sum("__rc"), F.lit(0.0)).alias("__rt"))
+    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("__tc"), F.lit(0.0)).alias("__tt"))
     lm = (
         raw_cnt.join(tgt_cnt, "__b", "outer")
         .crossJoin(F.broadcast(raw_tot))

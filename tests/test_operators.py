@@ -1414,3 +1414,12 @@ def test_dsir_target_equals_corpus_zero_weights(spark, docs):
     # log-ratio is ln(x) - ln(x) = exact 0.0, so all doc weights are 0
     out = text.dsir_weights(docs, docs, buckets=256).collect()
     assert out and all(r["dsir_w"] == 0.0 for r in out)
+
+
+def test_dsir_empty_target_uniform_prior(spark):
+    # an empty target degrades to the uniform add-1 prior: every token
+    # contributes ln(1/B) - ln((rc+1)/(R+B)) — finite, never NULL
+    df = spark.createDataFrame([(1, "x y z"), (2, "x x x")], ["doc_id", "text"])
+    out = text.dsir_weights(df, df.filter(F.col("doc_id") < 0), buckets=64).collect()
+    assert len(out) == 2
+    assert all(r["dsir_w"] is not None for r in out)
