@@ -2407,10 +2407,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is additionally oracle-checked every round by tests/oracle_harness.py.
     return {
         # --- group A: never driver-checked / oracle changed this round ---
+        # Within the group, NEWEST code first (risk-descending: the
+        # operators written latest have had the fewest local harness
+        # re-runs), so the 50-key driver window always exercises the
+        # least-verified code — per the r4 advisory.
+        "doc_source_cap": q_doc_source_cap,
+        "doc_dsir": q_doc_dsir,
+        "ann_knn_classify": q_ann_knn_classify,
+        "doc_mixture_epochs": q_doc_mixture_epochs,
+        "events_attribution": q_events_attribution,
+        "pipeline_curate_mixture": q_pipeline_curate_mixture,
         "events_retention": q_events_retention,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "embedding_top_pc": q_embedding_top_pc,
-        "corr_matrix": q_corr_matrix,
         "langid_confusion": q_langid_confusion,
         "quality_quantile_norm": q_quality_quantile_norm,
         "scd2_history": q_scd2_history,
@@ -2420,11 +2429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_next_prediction": q_events_next_prediction,
         "ann_recall": q_ann_recall,
         "doc_training_manifest": q_doc_training_manifest,
-        "skew_report": q_skew_report,
-        "price_histogram": q_price_histogram,
-        "zorder_layout": q_zorder_layout,
-        "table_profile": q_table_profile,
-        "fuzzy_match": q_fuzzy_match,
         "events_pagerank": q_events_pagerank,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_token_entropy": q_doc_token_entropy,
@@ -2457,14 +2461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_dup_excise": q_doc_dup_excise,
         "doc_dup_spans_anchored": q_doc_dup_spans_anchored,
-        # newest never-checked keys go LAST within group A (FIFO by rounds
-        # waiting): the 50-key window reaches the oldest unchecked first
-        "doc_source_cap": q_doc_source_cap,
-        "doc_dsir": q_doc_dsir,
-        "ann_knn_classify": q_ann_knn_classify,
-        "doc_mixture_epochs": q_doc_mixture_epochs,
-        "events_attribution": q_events_attribution,
-        "pipeline_curate_mixture": q_pipeline_curate_mixture,
+        # Tail of group A (waits for the r6 window): the six keys with
+        # the strongest independent verification (plan tests, NumPy/
+        # property twins) and no r4-verdict mandate — everything the
+        # r4 verdict named, plus all code written this round, sits
+        # inside the first 50 positions above.
+        "corr_matrix": q_corr_matrix,
+        "skew_report": q_skew_report,
+        "price_histogram": q_price_histogram,
+        "zorder_layout": q_zorder_layout,
+        "table_profile": q_table_profile,
+        "fuzzy_match": q_fuzzy_match,
         # --- group B: driver signal last received in round 3 ---
         "where_eq": q_where_eq,
         "where_startswith": q_where_startswith,
