@@ -180,6 +180,7 @@ def knn_classify(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification over an embedding column — the
     label-propagation step a pipeline uses to extend a small labeled seed
@@ -201,7 +202,14 @@ def knn_classify(
     from pyspark.sql import Window
     from .similarity import cosine_topk
 
-    nbrs = cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    # neighbors= injects a precomputed (query_id, neighbor_id) candidate
+    # frame — e.g. similarity.ivf_query / lsh_topk output — making the
+    # neighbor stage sublinear while the vote tail stays identical.
+    nbrs = (
+        neighbors
+        if neighbors is not None
+        else cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )

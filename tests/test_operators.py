@@ -1423,3 +1423,26 @@ def test_dsir_empty_target_uniform_prior(spark):
     out = text.dsir_weights(df, df.filter(F.col("doc_id") < 0), buckets=64).collect()
     assert len(out) == 2
     assert all(r["dsir_w"] is not None for r in out)
+
+
+def test_knn_classify_ivf_candidates_match_exact(spark, emb):
+    # the sublinear path: IVF candidates injected into the same vote tail
+    # agree with exact cosine_topk on the sf0.001 embeddings (nprobe high
+    # enough that IVF recalls the true neighbors)
+    from staticql_spark.operators.classify import knn_classify
+
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    c = emb.filter(F.col("vec_id") % 25 != 0)
+    exact = {
+        (r["query_id"], r["pred_label"], r["votes"])
+        for r in knn_classify(q, c, k=5).collect()
+    }
+    nbrs = similarity.ivf_topk(q, c, k=5, centroid_stride=40, nprobe=8)
+    via_ivf = {
+        (r["query_id"], r["pred_label"], r["votes"])
+        for r in knn_classify(q, c, k=5, neighbors=nbrs).collect()
+    }
+    assert {x[0] for x in via_ivf} == {x[0] for x in exact}
+    # votes may differ only where IVF's candidate set differs; demand
+    # >= 90% identical (query, pred, votes) triples on this data
+    assert len(via_ivf & exact) >= int(0.9 * len(exact))
