@@ -1167,20 +1167,25 @@ def cap_per_stratum(
     draw order) so downstream stages can tighten the cap without
     re-ranking.
 
-    Scale: one hash shuffle on ``strata_col`` + per-stratum window. A
-    pathologically hot stratum (one domain = billions of pages) serializes
-    its own partition; for that regime pre-filter with the threshold
-    approximation ``hash_sample(fractions={s: cap/count_s})`` — the same
-    md5 draw, map-only — and apply this exact rank cap to the survivors,
-    so the window sees ~cap rows per stratum instead of the raw corpus.
+    Scale: the rank<=cap filter compiles to WindowGroupLimit with a
+    PARTIAL pass before the stratum exchange (plan-locked,
+    test_cap_per_stratum_is_window_group_limit) — every map task keeps
+    only its cap-smallest draws per stratum, so the shuffle carries at
+    most cap x tasks rows per stratum and a billion-page hot domain
+    never lands raw on one partition. No ensure_parallelism round-robin:
+    the per-row work here is one md5 (not compute-dense), and the partial
+    heap shrinks a single-file input to <= cap x strata rows before the
+    exchange anyway, so the extra shuffle buys nothing (A/B at 500k docs /
+    32 files: equal within noise — ensure_parallelism passes through at
+    >= defaultParallelism files, and the order-reversed rerun showed the
+    first measurement's 1.8x gap was JIT warmup, not the exchange).
     """
     from pyspark.sql import Window
 
     draw = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(strata_col).orderBy(draw.asc(), F.col(id_col).asc())
     return (
-        ensure_parallelism(df)
-        .withColumn("strat_rank", F.row_number().over(w))
+        df.withColumn("strat_rank", F.row_number().over(w))
         .filter(F.col("strat_rank") <= int(cap))
     )
 
