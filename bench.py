@@ -108,7 +108,7 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_dup_excise",
     "doc_dup_spans_anchored",
-    # added in the second half of r5 (set is now 66)
+    # added in the second half of r5 (set is now 85)
     "doc_source_cap",
     "doc_dsir",
     "ann_knn_classify",
