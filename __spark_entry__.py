@@ -5392,8 +5392,12 @@ def _oracle_sql_literal() -> dict[str, str]:
             ns AS (SELECT count(*)::DOUBLE AS n FROM c)
             SELECT source, n_docs, nt::BIGINT AS n_tokens,
                    round(200000.0 / ns.n, 4) AS target_tokens,
-                   round(least(4.0, (200000.0 / ns.n) / nt), 4) AS epochs,
-                   round(round(least(4.0, (200000.0 / ns.n) / nt), 4) * nt, 4)
+                   CASE WHEN nt > 0
+                        THEN round(least(4.0, (200000.0 / ns.n) / nt), 4)
+                        ELSE 0.0 END AS epochs,
+                   round(CASE WHEN nt > 0
+                              THEN round(least(4.0, (200000.0 / ns.n) / nt), 4)
+                              ELSE 0.0 END * nt, 4)
                      AS effective_tokens
             FROM c, ns
         """,

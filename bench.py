@@ -5,6 +5,19 @@
 
 Execution is forced with the noop sink (full computation, no driver
 materialization) so timings measure the engine, not result transfer.
+
+Artifact format (r6): the external driver records only a 2000-char tail of
+stdout, which is why the r4/r5 BENCH artifacts parsed as null once the set
+grew past ~40 queries.  So:
+  - stdout gets ONE compact line (< ~1900 chars): full-set totals, the
+    stable CORE per-query map (cross-round comparable), and a per-run
+    spread health summary (max/median rep-spread ratio + the worst
+    offenders as [min, med, max] triples — the r3-contamination lesson:
+    a healthy run has per-query spread within ~±15%, a contaminated one
+    shows uniform 2-4x spread everywhere);
+  - the FULL per-query detail (exec min + all reps + construct) is
+    written to BENCH_FULL.json next to this script and committed with
+    the round, so every number in SCALE.md stays reproducible.
 """
 
 from __future__ import annotations
@@ -117,6 +130,23 @@ HEADLINE = [
     "pipeline_curate_mixture",
 ]
 
+# CORE: the stable subset whose per-query numbers ride in the compact
+# stdout line every round (cross-round comparable since r1-r3) plus the
+# perf-watch queries named by round verdicts.  The FULL set's numbers are
+# in BENCH_FULL.json.
+CORE = HEADLINE[:35] + [
+    "doc_training_manifest",
+    "dedup_semantic_keep",
+    "dedup_semantic",
+    "doc_split_leakfree",
+    "pipeline_clean_corpus",
+    "pipeline_curate_mixture",
+    "dedup_cluster_stats",
+    "events_pagerank",
+    "bpe_train",
+    "doc_logreg",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,20 +195,58 @@ def main() -> None:
         construct[name] = min(cruns)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "construct_sec": construct,
-                "construct_total": round(sum(construct.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
+    construct_total = round(sum(construct.values()), 3)
+
+    # full artifact: everything, for the repo (committed per round)
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "construct_sec": construct,
+        "construct_total": construct_total,
+        "sf": sf_num,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # spread health: per-query max/min rep ratio; worst offenders carry
+    # their [min, med, max] triple so a contaminated run self-diagnoses
+    # from the compact line alone
+    def ratio(rs):
+        lo = max(min(rs), 1e-3)
+        return round(max(rs) / lo, 2)
+
+    ratios = {q: ratio(rs) for q, rs in reps.items()}
+    srt = sorted(ratios, key=lambda q: -ratios[q])
+    worst = {
+        q: [min(reps[q]), sorted(reps[q])[1], max(reps[q])]
+        for q in srt[:3]
+    }
+    rvals = sorted(ratios.values())
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in CORE if q in timings},
+        "sf": sf_num,
+        "n_queries": len(timings),
+        "construct_total": construct_total,
+        "spread": {
+            "max_ratio": rvals[-1],
+            "median_ratio": rvals[len(rvals) // 2],
+            "worst": worst,
+        },
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # the driver keeps a 2000-char stdout tail
+        compact["queries"] = {q: timings[q] for q in CORE[:30] if q in timings}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -56,12 +56,15 @@ def build(spark):
 
 
 def main():
+    import json
+
     spark = get_spark("soak_events")
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     n = spark.read.parquet(f"{OUT}/events.parquet").count()
     print(f"corpus: {n} events")
     qs = entry.queries()
+    results = {}
     for name in PICKS:
         best = (1e9, 1e9)
         for _ in range(2):
@@ -71,7 +74,18 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
             best = min(best, (t1 - t0, t2 - t1), key=lambda x: x[0] + x[1])
+        results[name] = {"construct": round(best[0], 2), "exec": round(best[1], 2)}
         print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s", flush=True)
+    # BENCH-style artifact so SCALE.md numbers are reproducible: corpus is
+    # a deterministic transform of sf0.1 (no RNG), so re-running this
+    # script regenerates the identical corpus and a comparable artifact
+    art = os.path.join(os.path.dirname(OUT), "SOAK_events.json")
+    with open(art, "w") as f:
+        json.dump(
+            {"metric": "soak_events", "rows": n, "unit": "sec", "queries": results},
+            f, indent=1, sort_keys=True,
+        )
+    print(f"artifact: {art}")
 
 
 def hotkey_ab():

@@ -52,6 +52,9 @@ def build(spark):
         big.repartition(8).write.mode("overwrite").parquet(emb_p)
 
 
+RESULTS: dict[str, dict[str, float]] = {}
+
+
 def timed(name, thunk):
     best = (1e9, 1e9)
     for _ in range(2):
@@ -61,6 +64,7 @@ def timed(name, thunk):
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
         best = min(best, (t1 - t0, t2 - t1), key=lambda p: p[0] + p[1])
+    RESULTS[name] = {"construct": round(best[0], 2), "exec": round(best[1], 2)}
     print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s")
 
 
@@ -94,6 +98,17 @@ def main():
             k=5,
         ),
     )
+    # BENCH-style artifact (corpus generation is a deterministic, RNG-free
+    # transform of sf0.1, so the run is reproducible end to end)
+    import json
+
+    art = os.path.join(os.path.dirname(OUT), "SOAK_docs.json")
+    with open(art, "w") as f:
+        json.dump(
+            {"metric": "soak_docs", "unit": "sec", "queries": RESULTS},
+            f, indent=1, sort_keys=True,
+        )
+    print(f"artifact: {art}")
 
 
 if __name__ == "__main__":

@@ -205,16 +205,22 @@ def knn_classify(
     # neighbors= injects a precomputed (query_id, neighbor_id) candidate
     # frame — e.g. similarity.ivf_query / lsh_topk output — making the
     # neighbor stage sublinear while the vote tail stays identical.
-    nbrs = (
-        neighbors
-        if neighbors is not None
-        else cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
-    )
+    # Only the INTERNAL cosine_topk result is force-broadcast: it is
+    # |queries| x k rows by construction.  A caller-supplied frame has no
+    # such bound (many queries x large k would be force-broadcast into
+    # driver OOM), so that path is left to AQE's size-based join choice.
+    if neighbors is not None:
+        nbrs = neighbors.select("query_id", "neighbor_id")
+    else:
+        nbrs = F.broadcast(
+            cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
+            .select("query_id", "neighbor_id")
+        )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )
     votes = (
-        labels.join(F.broadcast(nbrs.select("query_id", "neighbor_id")), "neighbor_id")
+        labels.join(nbrs, "neighbor_id")
         .groupBy("query_id", "__nl")
         .agg(F.count("*").alias("votes"))
     )

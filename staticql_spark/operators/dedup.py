@@ -753,9 +753,27 @@ def connected_components(
     the plan doubles every iteration and the driver, not the data, becomes
     the bottleneck (the standard Spark iterative-algorithm trap).
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Symmetrize IN-ROW (explode of the two orientations), not as a
+    # self-union: both branches of a union reference the pairs subtree,
+    # and the distinct+checkpoint boundary defeats exchange reuse, so a
+    # lazy ``pairs`` (an LSH or semantic-blocking plan) was evaluated
+    # TWICE in one job.  Measured at sf0.1 cold: 21.1 s (union) vs 8.9 s
+    # (pairs checkpointed first) vs ~pairs-cost alone (this form) — the
+    # r5 "composition costs 2x its stages" anomaly was exactly this.
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )

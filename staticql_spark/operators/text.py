@@ -1297,13 +1297,17 @@ def mixture_epochs(
             "n_docs",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round(F.lit(float(budget_tokens)) / F.col("__ns"), 4).alias("target_tokens"),
-            F.round(
+            # zero-token strata (all-whitespace docs): target/0 is NULL and
+            # least() skips NULLs, which would silently report the CAP for
+            # a stratum that contributes nothing — emit 0.0 epochs instead
+            # (mirrored in the oracle SQL's CASE)
+            F.when(F.col("n_tokens") > 0, F.round(
                 F.least(
                     F.lit(float(max_epochs)),
                     (F.lit(float(budget_tokens)) / F.col("__ns")) / F.col("n_tokens"),
                 ),
                 4,
-            ).alias("epochs"),
+            )).otherwise(F.lit(0.0)).alias("epochs"),
         )
         .withColumn(
             "effective_tokens",

@@ -1409,6 +1409,19 @@ def test_mixture_epochs_cap_and_budget(spark):
     assert out["small"]["effective_tokens"] == 4.0 * out["small"]["n_tokens"]
 
 
+def test_mixture_epochs_zero_token_stratum_is_zero(spark):
+    # a stratum whose docs are all whitespace has n_tokens = 0: the naive
+    # target/0 is NULL, least() skips NULLs, and the stratum would claim
+    # the 4-epoch CAP while contributing nothing — the guard emits 0.0
+    rows = [(1, "w w w w", "real"), (2, "   ", "empty"), (3, " ", "empty")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in text.mixture_epochs(df, budget_tokens=100).collect()}
+    assert out["empty"]["n_tokens"] == 0
+    assert out["empty"]["epochs"] == 0.0
+    assert out["empty"]["effective_tokens"] == 0.0
+    assert out["real"]["epochs"] > 0.0
+
+
 def test_dsir_target_equals_corpus_zero_weights(spark, docs):
     # identity invariant: when the target IS the corpus, every per-bucket
     # log-ratio is ln(x) - ln(x) = exact 0.0, so all doc weights are 0
