@@ -2397,6 +2397,50 @@ def q_doc_mixture_epochs(spark, sf):
     )
 
 
+def q_ann_hard_negatives(spark, sf):
+    # contrastive pair mining (new r6): per query vector, the 2 nearest
+    # same-label neighbors (positives) and 3 nearest different-label
+    # neighbors (hard negatives) — the triplet-loss example miner.
+    # broadcast(queries) x corpus scan, per-(query,role) window rank.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.hard_negatives(
+        emb.filter(F.col("vec_id") % 50 == 0), emb, n_pos=2, n_neg=3
+    )
+
+
+def q_ann_cell_balance(spark, sf):
+    # IVF index health (new r6): per-cell member count / share / multiple-
+    # of-mean — the partition-balance check before persisting a
+    # cell-partitioned ANN index (a 20x-mean cell is tomorrow's straggler)
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_cell_balance(emb, centroid_stride=100)
+
+
+def q_embedding_class_sep(spark, sf):
+    # embedding-space eval (new r6): per-label cohesion vs nearest
+    # confusable class centroid + margin — silhouette-style check that an
+    # embedding separates the label space
+    emb = _t(spark, sf, "embeddings")
+    return similarity.class_separation(emb, dim=64)
+
+
+def q_doc_length_budget(spark, sf):
+    # sequence-length planning (new r6): token-length histogram with
+    # per-bin padding waste (unpacked batching at seq_len=64) and
+    # truncation loss — the report that picks seq_len and justifies
+    # packing. map-only + one bounded groupBy.
+    docs = _t(spark, sf, "documents")
+    return text.length_budget(docs, seq_len=64, bin_width=16)
+
+
+def q_doc_vocab_coverage(spark, sf):
+    # tokenizer vocab planning (new r6): corpus token-mass coverage of the
+    # top-N terms for candidate vocab sizes — term counts once, each
+    # top-N a distributed TakeOrdered (no global sort shuffle)
+    docs = _t(spark, sf, "documents")
+    return text.vocab_coverage(docs, vocab_sizes=[5, 10, 20])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER policy (neutral + auditable, see COVERAGE.md): keys are
     # ordered by driver-signal freshness ascending -- (A) never driver-checked,
@@ -2420,7 +2464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
         # --- group A2: new-in-r6 operators (never driver-checked) ---
-        # (populated as r6 adds operators; newest first)
+        "ann_hard_negatives": q_ann_hard_negatives,
+        "ann_cell_balance": q_ann_cell_balance,
+        "embedding_class_sep": q_embedding_class_sep,
+        "doc_length_budget": q_doc_length_budget,
+        "doc_vocab_coverage": q_doc_vocab_coverage,
         # --- group B: driver signal last received in round 5 ---
         # Backfill: the r5-green keys follow, freshest-verified last.
         "doc_source_cap": q_doc_source_cap,
@@ -5382,6 +5430,119 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_touches,
                    round(sum(value / n), 4) AS attr_value
             FROM w GROUP BY c_id, user_id
+        """,
+        "ann_hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                         label AS cl FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     CASE WHEN ql = cl THEN 'pos' ELSE 'neg' END AS role,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, role, rank, neighbor_id, cosine FROM (
+              SELECT query_id, role, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id, role
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE (role = 'pos' AND rank <= 2) OR (role = 'neg' AND rank <= 3)
+        """,
+        "ann_cell_balance": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT vec_id, cell FROM (
+                SELECT c.vec_id, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            per_cell AS (SELECT cell, count(*)::BIGINT AS n_vectors
+                         FROM cells GROUP BY cell),
+            tot AS (SELECT sum(n_vectors)::DOUBLE AS t, count(*)::DOUBLE AS k
+                    FROM per_cell)
+            SELECT cell, n_vectors,
+                   round(n_vectors / tot.t, 6) AS share,
+                   round(n_vectors / (tot.t / tot.k), 6) AS x_mean
+            FROM per_cell, tot
+        """,
+        "embedding_class_sep": """
+            WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            dims AS (
+              SELECT label, i, avg(v[i]) AS a
+              FROM v, range(1, 65) t(i) GROUP BY label, i
+            ),
+            cent AS (SELECT label, list(a ORDER BY i) AS c FROM dims GROUP BY label),
+            cnt AS (SELECT label, count(*)::BIGINT AS n FROM v GROUP BY label),
+            coh AS (
+              SELECT label, round(avg(cs), 6) AS cohesion FROM (
+                SELECT v.label,
+                       round(list_dot_product(v.v, cent.c)
+                             / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.c, cent.c))),
+                             6) AS cs
+                FROM v JOIN cent USING (label)
+              ) GROUP BY label
+            ),
+            conf AS (
+              SELECT a.label, b.label AS other,
+                     round(list_dot_product(a.c, b.c)
+                           / (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))),
+                           6) AS cc
+              FROM cent a CROSS JOIN cent b WHERE a.label <> b.label
+            ),
+            nearest AS (
+              SELECT label, cc AS nearest_other FROM (
+                SELECT label, cc,
+                       row_number() OVER (PARTITION BY label
+                                          ORDER BY cc DESC, other ASC) AS rn
+                FROM conf
+              ) WHERE rn = 1
+            )
+            SELECT cnt.label, n, cohesion, nearest_other,
+                   round(cohesion - nearest_other, 6) AS margin
+            FROM cnt JOIN coh USING (label) JOIN nearest USING (label)
+        """,
+        "doc_length_budget": f"""
+            WITH d AS (SELECT len({_TOKS_RAW}) AS nt FROM documents)
+            SELECT (least(nt // 16, 16) * 16)::BIGINT AS bin_lo,
+                   count(*) AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   sum(CASE WHEN nt = 0 THEN 64
+                            ELSE ((nt + 63) // 64) * 64 - nt END)::BIGINT AS pad_waste,
+                   sum(greatest(nt - 64, 0))::BIGINT AS trunc_loss
+            FROM d GROUP BY 1
+        """,
+        "doc_vocab_coverage": f"""
+            WITH t AS (SELECT unnest({_TOKS_RAW}) AS term FROM documents),
+            counts AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+            tot AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM counts),
+            cov AS (
+              SELECT 5 AS vocab_size, coalesce((
+                SELECT sum(cnt) FROM (SELECT cnt FROM counts
+                  ORDER BY cnt DESC, term ASC LIMIT 5)), 0)::BIGINT AS covered_tokens
+              UNION ALL
+              SELECT 10, coalesce((
+                SELECT sum(cnt) FROM (SELECT cnt FROM counts
+                  ORDER BY cnt DESC, term ASC LIMIT 10)), 0)::BIGINT
+              UNION ALL
+              SELECT 20, coalesce((
+                SELECT sum(cnt) FROM (SELECT cnt FROM counts
+                  ORDER BY cnt DESC, term ASC LIMIT 20)), 0)::BIGINT
+            )
+            SELECT vocab_size, covered_tokens, total_tokens,
+                   round(covered_tokens / total_tokens, 6) AS coverage
+            FROM cov, tot
         """,
         "doc_mixture_epochs": f"""
             WITH c AS (

@@ -128,6 +128,12 @@ HEADLINE = [
     "doc_mixture_epochs",
     "events_attribution",
     "pipeline_curate_mixture",
+    # new in r6 (set is now 90)
+    "ann_hard_negatives",
+    "ann_cell_balance",
+    "embedding_class_sep",
+    "doc_length_budget",
+    "doc_vocab_coverage",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

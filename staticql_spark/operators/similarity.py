@@ -593,3 +593,191 @@ def power_iteration_pc(
         F.transform(F.col("v"), lambda e: F.round(e, 6)).alias("pc"),
         F.lit(iters).alias("iterations"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_pos: int = 2,
+    n_neg: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: for each query vector, the
+    ``n_pos`` nearest SAME-label neighbors (positives) and the ``n_neg``
+    nearest DIFFERENT-label neighbors (hard negatives — the examples a
+    contrastive / triplet loss learns the most from, per Schroff et al.
+    2015 FaceNet semi-hard mining intuition).
+
+    Returns (query_id, role, rank, neighbor_id, cosine) with role in
+    {'pos', 'neg'}; cosine rounded to 6dp BEFORE ranking and ties broken
+    on neighbor id, so ordering is engine-stable.  Self-matches excluded.
+
+    Scale shape: identical to :func:`cosine_topk` — broadcast(queries) x
+    corpus scan, per-pair work is one dot product with norms bound per
+    side, top-k per (query, role) is a window rank with WindowGroupLimit
+    pushdown.  The corpus is never shuffled; swap the scored candidate
+    source for an IVF probe join to make it sublinear.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("__ql"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("__cl"),
+    ).withColumn("cn", norm(F.col("cv")))
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("__ql") == F.col("__cl"), F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("role"),
+        F.round(
+            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id", "role").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        ((F.col("role") == "pos") & (F.col("rank") <= n_pos))
+        | ((F.col("role") == "neg") & (F.col("rank") <= n_neg))
+    ).select("query_id", "role", "rank", "neighbor_id", "cosine")
+
+
+def ivf_cell_balance(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF index health report: per-cell member count, share of the
+    corpus, and multiple-of-mean — the partition-balance diagnostic for
+    a cell-partitioned ANN index (a cell at 20x the mean is the straggler
+    that serializes every probe touching it; the fix is more centroids or
+    retraining, and this report is how you see it before it hurts).
+
+    Returns one row per non-empty cell: (cell, n_vectors, share,
+    x_mean), share/x_mean rounded to 6dp, ordered nowhere (sort at the
+    call site).  Scale: one broadcast-argmax assign over the corpus (no
+    shuffle of the vectors) + one |cells|-row aggregate; the mean rides
+    in via a 1-row broadcast cross join.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+    per_cell = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    tot = per_cell.agg(
+        F.sum("n_vectors").cast("double").alias("__tot"),
+        F.count("*").cast("double").alias("__cells"),
+    )
+    return per_cell.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("__tot"), 6).alias("share"),
+        F.round(
+            F.col("n_vectors") / (F.col("__tot") / F.col("__cells")), 6
+        ).alias("x_mean"),
+    )
+
+
+def class_separation(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space class-separation report: per label, the cohesion
+    (mean cosine of members to their OWN class centroid) and the nearest
+    confusable class (max cosine between this centroid and any other
+    label's centroid), plus the margin between them — the
+    silhouette-style eval that says whether an embedding model separates
+    the label space before you build classifiers on it.
+
+    Returns one row per label: (label, n, cohesion, nearest_other,
+    margin), all cosines rounded 6dp; nearest-other ties are broken by
+    the other label id (deterministic).
+
+    Scale: centroids are ONE map-side-combined aggregate (dim avg
+    columns, |labels| x dim doubles shuffled); cohesion is a second
+    corpus pass joining each member to its broadcast centroid; the
+    centroid x centroid confusion pass runs on the tiny |labels|^2
+    frame.  The corpus is scanned twice and never shuffled.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(label_col).alias("label"), as_double(F.col(vec_col)).alias("v")
+    )
+    if dim is None:
+        dim = len(vecs.select("v").first()["v"])
+    cent = vecs.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c"),
+    )
+    cent_n = cent.withColumn("cn", norm(F.col("c")))
+    coh = (
+        vecs.withColumn("vn", norm(F.col("v")))
+        .join(F.broadcast(cent_n.select("label", "c", "cn")), "label")
+        .select(
+            "label",
+            # per-member cosine rounded BEFORE the avg so the aggregate is
+            # engine-stable (same contract as cosine_topk's pre-rank round)
+            F.round(
+                cosine_with_norms(
+                    F.col("v"), F.col("c"), F.col("vn"), F.col("cn")
+                ),
+                6,
+            ).alias("cs"),
+        )
+        .groupBy("label")
+        .agg(F.round(F.avg("cs"), 6).alias("cohesion"))
+    )
+    a = cent_n.select(
+        F.col("label"), F.col("c").alias("ca"), F.col("cn").alias("na")
+    )
+    b = cent_n.select(
+        F.col("label").alias("other"), F.col("c").alias("cb"), F.col("cn").alias("nb")
+    )
+    conf = (
+        a.join(F.broadcast(b), F.col("label") != F.col("other"))
+        .select(
+            "label",
+            "other",
+            F.round(
+                cosine_with_norms(
+                    F.col("ca"), F.col("cb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cc"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.col("cc").desc(), F.col("other").asc())
+    nearest = (
+        conf.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("label", F.col("cc").alias("nearest_other"))
+    )
+    return (
+        cent.select("label", "n")
+        .join(coh, "label")
+        .join(nearest, "label")
+        .select(
+            "label",
+            "n",
+            "cohesion",
+            "nearest_other",
+            F.round(F.col("cohesion") - F.col("nearest_other"), 6).alias("margin"),
+        )
+    )

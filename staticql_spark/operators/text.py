@@ -1314,3 +1314,90 @@ def mixture_epochs(
             F.round(F.col("epochs") * F.col("n_tokens"), 4),
         )
     )
+
+
+def length_budget(
+    df: DataFrame,
+    seq_len: int = 512,
+    bin_width: int = 64,
+    max_bin: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length budget report: docs bucketed by whitespace-token
+    length, with the padding waste (tokens of pad if each doc were its
+    own ``seq_len`` sequence, Lewis-style un-packed batching) and the
+    truncation loss (tokens beyond one ``seq_len`` window) per bucket —
+    the report that decides seq_len and whether packing is worth it for
+    a corpus.
+
+    Bins are [0, bin_width), [bin_width, 2*bin_width), ... capped at
+    ``max_bin`` (the last bin is open-ended).  Returns one row per
+    non-empty bin: (bin_lo, n_docs, n_tokens, pad_waste, trunc_loss).
+    Scale: map-only token count + one bounded groupBy (<= max_bin + 1
+    groups), map-side combined.
+    """
+    L = int(seq_len)
+    d = ensure_parallelism(df).select(
+        F.size(tokens(F.col(text_col))).alias("nt")
+    )
+    b = F.least(F.floor(F.col("nt") / bin_width), F.lit(int(max_bin)))
+    pad = (F.ceil(F.col("nt") / F.lit(L)) * L - F.col("nt"))
+    return (
+        d.select(
+            (b * bin_width).cast("long").alias("bin_lo"),
+            F.col("nt"),
+            # empty docs still occupy one padded sequence
+            F.when(F.col("nt") == 0, F.lit(L)).otherwise(pad).alias("pad"),
+            F.greatest(F.col("nt") - L, F.lit(0)).alias("trunc"),
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("pad").alias("pad_waste"),
+            F.sum("trunc").alias("trunc_loss"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: list[int] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-size planning curve: for each candidate vocab size N,
+    the fraction of the corpus token mass covered by the N most frequent
+    terms — the head/tail report that picks a tokenizer vocab size (the
+    knee of this curve is where marginal vocab entries stop paying for
+    themselves).
+
+    Terms rank by (count DESC, term ASC) so ties are engine-stable.
+    Returns one row per N: (vocab_size, covered_tokens, total_tokens,
+    coverage) with coverage rounded 6dp.
+
+    Scale: term counts are ONE explode + map-side-combined groupBy
+    (|vocab| rows, corpus-independent after that); each top-N is a
+    distributed TakeOrdered (per-partition heaps, no global sort
+    shuffle), bounded by max(vocab_sizes) rows driver-side per N —
+    deliberate and documented, same contract as bm25's top-k.
+    """
+    d = ensure_parallelism(df).select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = d.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    out = None
+    for n in vocab_sizes:
+        topn = (
+            counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+            .limit(int(n))
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens"))
+            .select(F.lit(int(n)).alias("vocab_size"), "covered_tokens")
+        )
+        out = topn if out is None else out.unionByName(topn)
+    return out.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
+    )

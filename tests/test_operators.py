@@ -1459,3 +1459,81 @@ def test_knn_classify_ivf_candidates_match_exact(spark, emb):
     # votes may differ only where IVF's candidate set differs; demand
     # >= 90% identical (query, pred, votes) triples on this data
     assert len(via_ivf & exact) >= int(0.9 * len(exact))
+
+
+# ---------------------------------------------------------------------------
+# r6 operators: contrastive mining, index balance, class separation,
+# length budget, vocab coverage
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_roles_ranks_and_hardness(spark):
+    # two tight clusters on orthogonal axes + one near-boundary point:
+    # positives must share the query's label, negatives must not, and the
+    # top negative must be the geometrically closest other-label vector
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.1], 0),
+        (3, [0.98, 0.2], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.1, 0.99], 1),
+        (6, [0.7, 0.7], 1),  # the hard negative for label-0 queries
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.hard_negatives(
+        df.filter(F.col("vec_id") == 1), df, n_pos=2, n_neg=2
+    ).collect()
+    pos = sorted(r["neighbor_id"] for r in out if r["role"] == "pos")
+    neg = [r for r in out if r["role"] == "neg"]
+    assert pos == [2, 3]
+    assert all(r["rank"] <= 2 for r in out)
+    assert min(neg, key=lambda r: r["rank"])["neighbor_id"] == 6
+
+
+def test_ivf_cell_balance_accounting(spark, emb):
+    out = similarity.ivf_cell_balance(emb, centroid_stride=20).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-4
+    mean_x = sum(r["x_mean"] for r in out) / len(out)
+    assert abs(mean_x - 1.0) < 1e-4
+
+
+def test_class_separation_separable_clusters(spark):
+    # two orthogonal clusters: cohesion ~1, nearest_other ~0, margin ~1
+    rows = [(i, [1.0, float(i % 3) * 0.01], 0) for i in range(6)] + [
+        (10 + i, [float(i % 3) * 0.01, 1.0], 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in similarity.class_separation(df, dim=2).collect()}
+    assert out[0]["n"] == 6 and out[1]["n"] == 6
+    for lbl in (0, 1):
+        assert out[lbl]["cohesion"] > 0.99
+        assert out[lbl]["nearest_other"] < 0.05
+        assert out[lbl]["margin"] > 0.9
+
+
+def test_length_budget_known_values(spark):
+    rows = [
+        (1, " ".join(["w"] * 10)),   # bin 0, pad 64-10=54
+        (2, " ".join(["w"] * 70)),   # bin 64, pad 128-70=58, trunc 6
+        (3, ""),                     # bin 0, nt=0, pad 64 (one empty padded seq)
+        (4, " ".join(["w"] * 64)),   # bin 64, pad 0, trunc 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bin_lo"]: r for r in text.length_budget(df, seq_len=64, bin_width=16).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 10
+    assert out[0]["pad_waste"] == 54 + 64 and out[0]["trunc_loss"] == 0
+    assert out[64]["n_docs"] == 2 and out[64]["n_tokens"] == 134
+    assert out[64]["pad_waste"] == 58 + 0 and out[64]["trunc_loss"] == 6
+
+
+def test_vocab_coverage_exact_and_monotone(spark):
+    # counts: a=4, b=2, c=1, d=1 (ties break term-asc: c before d)
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a a b d")], ["doc_id", "text"]
+    )
+    out = {r["vocab_size"]: r for r in text.vocab_coverage(df, vocab_sizes=[1, 2, 3]).collect()}
+    assert out[1]["covered_tokens"] == 4 and out[1]["total_tokens"] == 8
+    assert out[2]["covered_tokens"] == 6
+    assert out[3]["covered_tokens"] == 7  # c wins the tie at rank 3
+    assert out[1]["coverage"] == 0.5 and out[3]["coverage"] == 0.875
