@@ -167,6 +167,18 @@ def ivf_assign(
     centroid id. One pass over the vectors, no shuffle of the big side.
     Norms are bound per side before the cross join, so the per-(vector,
     centroid) work is a single dot product.
+
+    nprobe=1 (the assign path used by kmeans_fit / SemDeDup / cell
+    balance) is an argmax, computed as ``min(struct(-csim, cid))`` with a
+    ``first(vec)`` carry: the partial aggregate collapses the |centroids|
+    scored copies of each vector INSIDE the map task, so the shuffle
+    carries ~|vectors| rows with 1x vector payload.  The window
+    formulation shuffled |vectors| x |centroids| rows WITH the vector
+    arrays — a |centroids|-fold (50x here) shuffle-volume amplification
+    that would dominate at corpus scale.  Tiebreak identical (min over
+    (-csim, cid) = max csim then min cid) and type-agnostic in ``cid``
+    (only the double is negated — string centroid ids keep working).
+    nprobe>1 (the probe path) keeps the window rank.
     """
     vectors = vectors.withColumn("_vn", norm(F.col(vec_alias)))
     centroids = centroids.withColumn("_cn", norm(F.col("centroid")))
@@ -182,6 +194,17 @@ def ivf_assign(
             6,
         ).alias("csim"),
     )
+    if nprobe == 1:
+        return (
+            scored.groupBy(id_alias)
+            .agg(
+                F.min(
+                    F.struct((-F.col("csim")).alias("ncs"), F.col("cid"))
+                ).alias("_m"),
+                F.first(vec_alias).alias(vec_alias),
+            )
+            .select(id_alias, vec_alias, F.col("_m.cid").alias("cell"))
+        )
     w = W.partitionBy(id_alias).orderBy(F.col("csim").desc(), F.col("cid").asc())
     return (
         scored.withColumn("crank", F.row_number().over(w))
