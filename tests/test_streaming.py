@@ -422,12 +422,27 @@ def test_streaming_first_seen_ttl_still_matches_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    rows = spark.sql(
-        """select fp, first_ts, n_dups from (
+    # The 1h processing-time TTL timer keeps the availableNow query alive
+    # waiting for state timeouts, so awaitTermination burned its full
+    # timeout (measured: exactly 180s, 28% of the whole suite) — and
+    # processAllAvailable blocks on the same pending timer.  Poll the
+    # memory sink for the expected fingerprint set instead, then stop.
+    import time as _time
+
+    deadline = _time.monotonic() + 150
+    final_sql = """select fp, first_ts, n_dups from (
              select *, row_number() over (partition by fp order by n_dups desc) rn
              from first_seen_ttl_test) where rn = 1"""
-    ).collect()
+    while _time.monotonic() < deadline:
+        got_now = {
+            r["fp"]: (r["first_ts"], r["n_dups"])
+            for r in spark.sql(final_sql).collect()
+        }
+        if got_now == expected:
+            break
+        _time.sleep(1)
+    q.stop()
+    rows = spark.sql(final_sql).collect()
     got = {r["fp"]: (r["first_ts"], r["n_dups"]) for r in rows}
     assert got == expected
 
