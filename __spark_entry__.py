@@ -2441,6 +2441,69 @@ def q_doc_vocab_coverage(spark, sf):
     return text.vocab_coverage(docs, vocab_sizes=[5, 10, 20])
 
 
+def q_dedup_containment(spark, sf):
+    # asymmetric near-dup (new r6): shingle-set CONTAINMENT (Broder's
+    # resemblance-vs-containment) — catches a short doc quoted inside a
+    # long one, which Jaccard-targeting MinHash-LSH misses. KMV bottom-k
+    # probe against the stop-shingle-capped inverted index.
+    docs = _t(spark, sf, "documents")
+    return dedup.containment_pairs(docs, n=3, probe_k=8, threshold=0.5)
+
+
+def q_doc_term_pmi(spark, sf):
+    # collocation mining (new r6): document-level PMI of term pairs, the
+    # Church & Hanks association report; per-doc distinct-term cap bounds
+    # the pair fan-out
+    docs = _t(spark, sf, "documents")
+    return text.term_pmi(docs, min_pair_df=5, top=100)
+
+
+def q_doc_bigram_nll(spark, sf):
+    # bigram LM perplexity proxy (new r6): add-1-smoothed conditional
+    # NLL per doc — the word-order-sensitive LM quality signal one order
+    # above doc_unigram_nll
+    docs = _t(spark, sf, "documents")
+    return text.bigram_logprob(docs)
+
+
+def q_events_cooccurrence(spark, sf):
+    # behavioral co-occurrence lift (new r6): event-type pairs appearing
+    # in the same (user, day) far more often than chance — the
+    # market-basket report over the event stream; distinct-per-group
+    # bounds the pair fan-out at |types|^2
+    ev = load_events(spark, f"{sf}/events.parquet")
+    g = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    big_g = g.select("user_id", "d").distinct().agg(
+        F.count("*").cast("double").alias("__G")
+    )
+    uni = g.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    pairs = (
+        g.alias("x")
+        .join(g.alias("y"), ["user_id", "d"])
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ua = uni.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ua), "type_a")
+        .join(F.broadcast(ub), "type_b")
+        .crossJoin(F.broadcast(big_g))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("__G") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER policy (neutral + auditable, see COVERAGE.md): keys are
     # ordered by driver-signal freshness ascending -- (A) never driver-checked,
@@ -2464,6 +2527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
         # --- group A2: new-in-r6 operators (never driver-checked) ---
+        "dedup_containment": q_dedup_containment,
+        "doc_term_pmi": q_doc_term_pmi,
+        "doc_bigram_nll": q_doc_bigram_nll,
+        "events_cooccurrence": q_events_cooccurrence,
         "ann_hard_negatives": q_ann_hard_negatives,
         "ann_cell_balance": q_ann_cell_balance,
         "embedding_class_sep": q_embedding_class_sep,
@@ -5430,6 +5497,109 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_touches,
                    round(sum(value / n), 4) AS attr_value
             FROM w GROUP BY c_id, user_id
+        """,
+        "dedup_containment": f"""
+            WITH {_SHINGLES_CTE},
+            sets AS (
+              SELECT doc_id, list(shingle ORDER BY shingle) AS arr,
+                     count(*) AS n_sh
+              FROM shingles GROUP BY doc_id
+            ),
+            cool AS (
+              SELECT shingle FROM shingles GROUP BY shingle
+              HAVING count(*) <= 1000
+            ),
+            inv AS (
+              SELECT s.doc_id AS other, s.shingle
+              FROM shingles s JOIN cool USING (shingle)
+            ),
+            probes AS (
+              SELECT doc_id AS contained_id, unnest(arr[1:8]) AS shingle
+              FROM sets
+            ),
+            cands AS (
+              SELECT DISTINCT contained_id, other AS container_id
+              FROM probes JOIN inv USING (shingle)
+              WHERE contained_id <> other
+            )
+            SELECT contained_id, container_id,
+                   a.n_sh AS n_a, b.n_sh AS n_b,
+                   round(len(list_intersect(a.arr, b.arr)) / a.n_sh, 6)
+                     AS containment
+            FROM cands
+            JOIN sets a ON cands.contained_id = a.doc_id
+            JOIN sets b ON cands.container_id = b.doc_id
+            WHERE round(len(list_intersect(a.arr, b.arr)) / a.n_sh, 6) >= 0.5
+        """,
+        "doc_term_pmi": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_sort(list_distinct({_TOKS_RAW}))[1:50] AS ts
+              FROM documents
+            ),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM d),
+            e AS (SELECT doc_id, unnest(ts) AS t FROM d),
+            uni AS (SELECT t, count(*) AS n_t FROM e GROUP BY t),
+            p AS (
+              SELECT x.t AS term_a, y.t AS term_b, count(*) AS n_ab
+              FROM e x JOIN e y ON x.doc_id = y.doc_id AND x.t < y.t
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT term_a, term_b, n_ab,
+                   round(ln(n_ab * nd.n / (ua.n_t * ub.n_t)), 6) AS pmi
+            FROM p
+            JOIN uni ua ON p.term_a = ua.t
+            JOIN uni ub ON p.term_b = ub.t, nd
+            ORDER BY pmi DESC, term_a, term_b LIMIT 100
+        """,
+        "doc_bigram_nll": f"""
+            WITH dk AS (SELECT doc_id, {_TOKS_RAW} AS tk FROM documents),
+            pos AS (
+              SELECT doc_id, tk[i] AS w FROM (
+                SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM dk
+              )
+            ),
+            bi AS (
+              SELECT doc_id, tk[i - 1] AS w1, tk[i] AS w2 FROM (
+                SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i FROM dk
+              )
+            ),
+            counts AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+            uni AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+            v AS (SELECT count(DISTINCT w)::DOUBLE AS vv FROM pos),
+            per AS (
+              SELECT bi.doc_id, count(*) AS n_bigrams,
+                     round(-avg(ln((n12 + 1.0) / (n1 + v.vv))), 4) AS bigram_nll
+              FROM bi JOIN counts USING (w1, w2) JOIN uni USING (w1), v
+              GROUP BY bi.doc_id
+            )
+            SELECT dd.doc_id,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(bigram_nll, 0.0) AS bigram_nll
+            FROM (SELECT doc_id FROM documents) dd LEFT JOIN per USING (doc_id)
+        """,
+        "events_cooccurrence": """
+            WITH g AS (
+              SELECT DISTINCT user_id, ts::DATE AS d, event_type FROM events
+            ),
+            gg AS (
+              SELECT count(*)::DOUBLE AS n
+              FROM (SELECT DISTINCT user_id, d FROM g)
+            ),
+            uni AS (SELECT event_type, count(*) AS n_t FROM g GROUP BY 1),
+            p AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     count(*) AS n_ab
+              FROM g x JOIN g y
+                ON x.user_id = y.user_id AND x.d = y.d
+               AND x.event_type < y.event_type
+              GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_ab,
+                   round(n_ab * gg.n / (ua.n_t * ub.n_t), 6) AS lift
+            FROM p
+            JOIN uni ua ON p.type_a = ua.event_type
+            JOIN uni ub ON p.type_b = ub.event_type, gg
         """,
         "ann_hard_negatives": """
             WITH q AS (

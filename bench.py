@@ -128,7 +128,11 @@ HEADLINE = [
     "doc_mixture_epochs",
     "events_attribution",
     "pipeline_curate_mixture",
-    # new in r6 (set is now 90)
+    # new in r6 (set is now 94)
+    "dedup_containment",
+    "doc_term_pmi",
+    "doc_bigram_nll",
+    "events_cooccurrence",
     "ann_hard_negatives",
     "ann_cell_balance",
     "embedding_class_sep",

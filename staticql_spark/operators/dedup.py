@@ -1010,3 +1010,77 @@ def excise_spans(
         F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
         F.when(F.col("__sp").isNull(), t).otherwise(cleaned).alias("cleaned"),
     ).withColumn("cleaned_len", F.length("cleaned").cast("long"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    probe_k: int = 8,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+    dsh: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle-set CONTAINMENT (Broder
+    1997's resemblance-vs-containment distinction): a short document
+    quoted or boilerplate-wrapped inside a long one has high containment
+    but low Jaccard, so MinHash-LSH (which targets resemblance) misses
+    it.  Returns (contained_id, container_id, n_a, n_b, containment)
+    where containment = |A ∩ B| / |A| for A = the contained side's
+    shingle set, >= ``threshold``; both directions of a pair can appear
+    (the relation is asymmetric).
+
+    Candidate generation is a KMV-style probe: each doc's ``probe_k``
+    SMALLEST shingle hashes are joined against the full per-shingle
+    inverted index — if A is (mostly) inside B, every A shingle,
+    including its bottom-k, appears on B's postings, so the probe finds
+    the pair without comparing A to the whole corpus.  Shingles with
+    document frequency > ``max_df`` are dropped from the index first
+    (the stop-shingle cap of ngram_jaccard_pairs: a boilerplate shingle
+    shared by millions of docs would otherwise fan out O(df) candidates
+    per probe).  Verification intersects the two sorted hash arrays
+    in-row.  All joins are equi joins on 8-byte hash longs; the text
+    never shuffles (same contract as the rest of this module).
+    """
+    if dsh is None:
+        dsh = doc_shingles(df, text_col, id_col, n).cache()
+    sets = dsh.select(
+        F.col(id_col), F.array_sort(F.col("sh")).alias("arr"),
+        F.size(F.col("sh")).alias("n_sh"),
+    )
+    inv = sets.select(F.col(id_col).alias("other"), F.explode("arr").alias("shv"))
+    inv = (
+        inv.withColumn("_df", F.count("*").over(W.partitionBy("shv")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    probes = sets.select(
+        F.col(id_col).alias("contained_id"),
+        F.explode(F.slice("arr", 1, probe_k)).alias("shv"),
+    )
+    cands = (
+        probes.join(inv, "shv")
+        .filter(F.col("contained_id") != F.col("other"))
+        .select("contained_id", F.col("other").alias("container_id"))
+        .distinct()
+    )
+    a = sets.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("arr").alias("arr_a"), F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("container_id"),
+        F.col("arr").alias("arr_b"), F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cands.join(a, "contained_id")
+        .join(b, "container_id")
+        .select(
+            "contained_id", "container_id", "n_a", "n_b",
+            F.round(
+                F.size(F.array_intersect("arr_a", "arr_b")) / F.col("n_a"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1401,3 +1401,121 @@ def vocab_coverage(
         "total_tokens",
         F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
     )
+
+
+def term_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_df: int = 5,
+    top: int = 100,
+    max_terms: int = 50,
+) -> DataFrame:
+    """Document-level pointwise mutual information of term pairs — the
+    collocation / topic-structure report (Church & Hanks 1990): which
+    terms co-occur in the same documents far more often than chance.
+
+    Per doc the DISTINCT term list is sorted and capped at ``max_terms``
+    (deterministic: the lexicographically first ``max_terms`` terms), so
+    the per-doc pair fan-out is bounded by max_terms^2/2 regardless of
+    document size — the cap that keeps this linear at corpus scale.
+    pmi = ln(n_ab * N / (n_a * n_b)) over document frequencies, pairs
+    with n_ab < ``min_pair_df`` dropped, top ``top`` by
+    (pmi DESC, term_a, term_b) — rounded 6dp before ranking so ordering
+    is engine-stable.  Returns (term_a, term_b, n_ab, pmi).
+
+    Scale: one map pass builds the capped term lists; pair counts are an
+    equi self-join on doc_id with per-doc bounded fan-out + one
+    map-side-combined groupBy; term document frequencies broadcast back.
+    """
+    d = ensure_parallelism(df).select(
+        F.col(id_col).alias("__d"),
+        F.slice(
+            F.array_sort(F.array_distinct(tokens(F.col(text_col)))), 1, max_terms
+        ).alias("ts"),
+    )
+    n_docs = d.agg(F.count("*").cast("double").alias("__N"))
+    e = d.select("__d", F.explode("ts").alias("t"))
+    uni = e.groupBy("t").agg(F.count("*").alias("n_t"))
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "__d")
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("term_a"), F.col("y.t").alias("term_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_df)
+    )
+    ua = uni.select(F.col("t").alias("term_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("t").alias("term_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ua), "term_a")
+        .join(F.broadcast(ub), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.round(
+                F.log(F.col("n_ab") * F.col("__N") / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(top)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc add-1-smoothed bigram negative log-likelihood — the LM
+    quality signal one order above :func:`unigram_logprob` (CCNet-style
+    perplexity filtering; a bigram model penalizes scrambled word order
+    that a unigram model cannot see).
+
+    P(w2|w1) = (n12 + 1) / (n1 + V) with V = distinct unigram count;
+    per-doc nll = -mean ln P over its bigram positions (docs with < 2
+    tokens emit 0 bigrams and nll 0.0).  Returns (id, n_bigrams,
+    bigram_nll) rounded 4dp.
+
+    Scale: the position stream shuffles once on the doc id for the lag
+    window; bigram counts are a map-side-combined groupBy broadcast back
+    onto the stream (at open-vocabulary scale, hash the bigram to a
+    fixed bucket space first — the dsir_weights recipe — so the
+    broadcast stays bounded; corpus vocab here is small enough to ship
+    exact).
+    """
+    d = ensure_parallelism(df).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    wlag = Window.partitionBy(id_col).orderBy("pos")
+    bi = d.select(
+        F.col(id_col), F.lag("w").over(wlag).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    uni = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = d.agg(F.count_distinct("w").cast("double").alias("__V"))
+    scored = (
+        bi.join(F.broadcast(counts), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("__V"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 4).alias("bigram_nll"),
+    )
+    all_docs = df.select(F.col(id_col))
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("bigram_nll", F.lit(0.0)).alias("bigram_nll"),
+        )
+    )

@@ -1537,3 +1537,49 @@ def test_vocab_coverage_exact_and_monotone(spark):
     assert out[2]["covered_tokens"] == 6
     assert out[3]["covered_tokens"] == 7  # c wins the tie at rank 3
     assert out[1]["coverage"] == 0.5 and out[3]["coverage"] == 0.875
+
+
+def test_containment_pairs_quote_wrapping(spark):
+    # doc 2 wraps doc 1 verbatim: containment(1 in 2) = 1.0 even though
+    # Jaccard is low; the reverse direction is partial
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base),
+        (2, "intro words here " + base + " plus a long trailing tail of extra tokens"),
+        (3, "completely different content nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["contained_id"], r["container_id"]): r
+        for r in dedup.containment_pairs(df, threshold=0.2).collect()
+    }
+    assert out[(1, 2)]["containment"] == 1.0
+    # reverse direction is partial: |A ∩ B| / |A| = 4/15
+    assert (2, 1) in out and 0.2 < out[(2, 1)]["containment"] < 0.5
+    assert all(3 not in k for k in out)
+
+
+def test_term_pmi_associated_vs_independent(spark):
+    # 'x' and 'y' ALWAYS co-occur (pmi = ln(N * n_xy / (n_x n_y)) > 0);
+    # 'x' and 'z' co-occur at chance level in half the docs
+    rows = [(i, "x y" if i % 2 == 0 else "x z") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["term_a"], r["term_b"]): r["pmi"]
+        for r in text.term_pmi(df, min_pair_df=1, top=10).collect()
+    }
+    import math
+    # n_xy=10, n_x=20, n_y=10, N=20 -> pmi = ln(10*20/200) = 0
+    assert abs(out[("x", "y")] - 0.0) < 1e-6
+    # y,z never co-occur -> absent
+    assert ("y", "z") not in out
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+    df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    # V=2; bigram (a,b): n12=2, n1=2 -> P=(2+1)/(2+2)=0.75
+    want = round(-math.log(0.75), 4)
+    assert out[1]["n_bigrams"] == 1 and out[1]["bigram_nll"] == want
+    assert out[3]["n_bigrams"] == 0 and out[3]["bigram_nll"] == 0.0
