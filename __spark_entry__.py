@@ -2441,6 +2441,40 @@ def q_doc_vocab_coverage(spark, sf):
     return text.vocab_coverage(docs, vocab_sizes=[5, 10, 20])
 
 
+def q_kmv_grouped(spark, sf):
+    # per-group distinct sketch (new r6): KMV distinct-user estimate per
+    # event type next to its exact twin — the grouped sketch a daily
+    # rollup persists instead of raw ids. WindowGroupLimit bounds the
+    # per-group heap; sketches merge across days by KMV algebra.
+    from staticql_spark.operators.sketch import kmv_grouped
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return kmv_grouped(ev, "event_type", "user_id", k=64)
+
+
+def q_dedup_canonical_meta(spark, sf):
+    # near-dup cluster provenance (new r6): one row per duplicate family
+    # (singletons included) with the canonical doc, member count, and the
+    # consolidated lang/source sets + total bytes — the metadata a dedup
+    # pass must KEEP when it drops members (provenance, license,
+    # mixture accounting all live here)
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    comp = dedup.connected_components(pairs).select(
+        F.col("member_id").alias("doc_id"), "component_id"
+    )
+    rep = docs.join(comp, "doc_id", "left").withColumn(
+        "rep", F.coalesce("component_id", F.col("doc_id"))
+    )
+    return rep.groupBy("rep").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
 def q_dedup_containment(spark, sf):
     # asymmetric near-dup (new r6): shingle-set CONTAINMENT (Broder's
     # resemblance-vs-containment) — catches a short doc quoted inside a
@@ -2527,6 +2561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
         # --- group A2: new-in-r6 operators (never driver-checked) ---
+        "kmv_grouped": q_kmv_grouped,
+        "dedup_canonical_meta": q_dedup_canonical_meta,
         "dedup_containment": q_dedup_containment,
         "doc_term_pmi": q_doc_term_pmi,
         "doc_bigram_nll": q_doc_bigram_nll,
@@ -5497,6 +5533,61 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_touches,
                    round(sum(value / n), 4) AS attr_value
             FROM w GROUP BY c_id, user_id
+        """,
+        "kmv_grouped": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS grp,
+                     ('0x' || substr(md5('kmv1|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            rk AS (
+              SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+              FROM h
+            ),
+            sk AS (
+              SELECT grp, count(*)::BIGINT AS sketch_k, max(h) AS kth_hash
+              FROM rk WHERE rn <= 64 GROUP BY grp
+            ),
+            ex AS (
+              SELECT event_type AS grp,
+                     count(DISTINCT user_id)::BIGINT AS exact_ndv
+              FROM events GROUP BY 1
+            )
+            SELECT sk.grp, sketch_k, kth_hash,
+                   round(CASE WHEN sketch_k < 64 THEN sketch_k::DOUBLE
+                         ELSE 63.0 / (kth_hash::DOUBLE / 1152921504606846976.0)
+                         END, 2) AS est_ndv,
+                   exact_ndv
+            FROM sk JOIN ex ON sk.grp = ex.grp
+        """,
+        "dedup_canonical_meta": f"""
+            WITH RECURSIVE {_LSH_PAIRS_CTES},
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM lsh_pairs
+              UNION
+              SELECT id_b, id_a FROM lsh_pairs
+            ),
+            reach(node, other) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            ),
+            comp AS (SELECT node, min(other) AS component_id
+                     FROM reach GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id, d.lang, d.source, d.text,
+                     coalesce(c.component_id, d.doc_id) AS rep
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            )
+            SELECT rep, min(doc_id) AS canonical_id,
+                   count(*) AS n_docs,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM assigned GROUP BY rep
         """,
         "dedup_containment": f"""
             WITH {_SHINGLES_CTE},

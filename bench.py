@@ -128,7 +128,9 @@ HEADLINE = [
     "doc_mixture_epochs",
     "events_attribution",
     "pipeline_curate_mixture",
-    # new in r6 (set is now 94)
+    # new in r6 (set is now 96)
+    "kmv_grouped",
+    "dedup_canonical_meta",
     "dedup_containment",
     "doc_term_pmi",
     "doc_bigram_nll",

@@ -191,3 +191,47 @@ def cm_estimate(
     return est.join(exact, col, "left").select(
         col, "est_count", F.coalesce("exact_count", F.lit(0)).alias("exact_count")
     )
+
+
+def kmv_grouped(
+    df: DataFrame, group_col: str, col: str, k: int = 64, salt: str = "kmv1"
+) -> DataFrame:
+    """Per-group KMV distinct sketch + estimate: one row per group with
+    (grp, sketch_k, kth_hash, est_ndv, exact_ndv) — the grouped cousin of
+    :func:`kmv_distinct` (e.g. distinct users per event type, distinct
+    domains per language).  The per-group bottom-k replaces the global
+    TakeOrdered with a window rank: WindowGroupLimit keeps a k-size heap
+    per group inside each task before the single hash-key shuffle, so a
+    hot group never materializes its full distinct set in one partition.
+    The exact twin column is for verification; at production scale drop
+    it and ship the sketch columns only (they merge across partitions /
+    days by union + re-rank, the KMV algebra of kmv_union_distinct).
+    """
+    from pyspark.sql import Window as W
+
+    hashes = (
+        df.select(
+            F.col(group_col).alias("grp"), kmv_hash(F.col(col), salt).alias("h")
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    w = W.partitionBy("grp").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.count("h").alias("sketch_k"), F.max("h").alias("kth_hash"))
+    )
+    est = F.when(
+        F.col("sketch_k") < F.lit(k), F.col("sketch_k").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(col).alias("exact_ndv")
+    )
+    return (
+        sk.join(exact, "grp")
+        .select("grp", "sketch_k", "kth_hash", F.round(est, 2).alias("est_ndv"), "exact_ndv")
+    )

@@ -1583,3 +1583,19 @@ def test_bigram_logprob_known_values(spark):
     want = round(-math.log(0.75), 4)
     assert out[1]["n_bigrams"] == 1 and out[1]["bigram_nll"] == want
     assert out[3]["n_bigrams"] == 0 and out[3]["bigram_nll"] == 0.0
+
+
+def test_kmv_grouped_small_groups_exact(spark):
+    # groups under k are exact (sketch_k == ndv == estimate); a group
+    # above k estimates within the standard ~1/sqrt(k) error
+    from staticql_spark.operators.sketch import kmv_grouped
+
+    rows = [(f"u{i}", "small") for i in range(10)] + [
+        (f"v{i}", "big") for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["uid", "grp"])
+    out = {r["grp"]: r for r in kmv_grouped(df, "grp", "uid", k=64).collect()}
+    assert out["small"]["sketch_k"] == 10
+    assert out["small"]["est_ndv"] == 10.0 and out["small"]["exact_ndv"] == 10
+    assert out["big"]["sketch_k"] == 64
+    assert abs(out["big"]["est_ndv"] - 2000) / 2000 < 0.5
