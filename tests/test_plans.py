@@ -400,3 +400,48 @@ def test_events_attribution_no_cartesian(spark):
     p = plan(entrymod.q_events_attribution(spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert re.search(r"hashpartitioning\(p_id", p), p
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    # broadcast(queries) x corpus scan: the corpus must never shuffle for
+    # scoring; the only exchange is the per-(query, role) rank
+    p = plan(entrymod.q_ann_hard_negatives(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ivf_assign_argmax_is_partial_agg(spark):
+    # the nprobe=1 assign path must be a map-side-combined aggregate
+    # (partial HashAggregate before the exchange), NOT a window sort over
+    # |vectors| x |centroids| rows carrying the vector arrays
+    p = plan(entrymod.q_ann_cell_balance(spark, SF_SMOKE))
+    assert re.search(r"HashAggregate.*partial_min", p) or "partial_min" in p, p
+
+
+def test_containment_probe_is_equi_join_on_hash(spark):
+    # bottom-k probe vs inverted index: an equi join on the shingle hash,
+    # never a cross join; the verify intersect runs in-row
+    p = plan(entrymod.q_dedup_containment(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kmv_grouped_window_group_limit(spark):
+    # the per-group bottom-k must compile to WindowGroupLimit (bounded
+    # per-group heaps inside each task), not a full per-group sort
+    p = plan(entrymod.q_kmv_grouped(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_vocab_coverage_topn_is_take_ordered(spark):
+    # each top-N slice must be a distributed TakeOrdered, not a global sort
+    p = plan(entrymod.q_doc_vocab_coverage(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bigram_counts_broadcast_back(spark):
+    # bigram/unigram count tables join back onto the position stream as
+    # broadcasts — the corpus-sized side keeps its partitioning
+    p = plan(entrymod.q_doc_bigram_nll(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
