@@ -1376,30 +1376,46 @@ def vocab_coverage(
     coverage) with coverage rounded 6dp.
 
     Scale: term counts are ONE explode + map-side-combined groupBy
-    (|vocab| rows, corpus-independent after that); each top-N is a
-    distributed TakeOrdered (per-partition heaps, no global sort
-    shuffle), bounded by max(vocab_sizes) rows driver-side per N —
-    deliberate and documented, same contract as bm25's top-k.
+    (|vocab| rows, corpus-independent after that); then ONE distributed
+    TakeOrdered at max(vocab_sizes) (per-partition heaps, no global sort
+    shuffle) and every N's coverage is derived from that tiny
+    (<= max N rows) frame — the counts subtree is never re-evaluated per
+    N (the per-N union-of-limits formulation re-ran it |sizes| times).
     """
+    sizes = sorted(int(n) for n in vocab_sizes)
     d = ensure_parallelism(df).select(
         F.explode(tokens(F.col(text_col))).alias("term")
     )
     counts = d.groupBy("term").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("long").alias("total_tokens"))
-    out = None
-    for n in vocab_sizes:
-        topn = (
-            counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
-            .limit(int(n))
-            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens"))
-            .select(F.lit(int(n)).alias("vocab_size"), "covered_tokens")
+    topn = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(sizes[-1])
+    # rank within the <= max(N)-row top frame: the single-partition window
+    # is bounded by construction (same contract as rrf_fuse's tiny sets)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = topn.withColumn("__rn", F.row_number().over(w))
+    per_n = ranked.select(
+        F.explode(F.array(*[F.lit(n) for n in sizes])).alias("vocab_size"),
+        "__rn",
+        "cnt",
+    ).filter(F.col("__rn") <= F.col("vocab_size"))
+    cov = per_n.groupBy("vocab_size").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens")
+    )
+    # a vocab size larger than the whole vocabulary still gets a row
+    base = topn.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in sizes])).alias("vocab_size")
+    )
+    return (
+        base.join(cov, "vocab_size", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("total_tokens"), 6
+            ).alias("coverage"),
         )
-        out = topn if out is None else out.unionByName(topn)
-    return out.crossJoin(F.broadcast(total)).select(
-        "vocab_size",
-        "covered_tokens",
-        "total_tokens",
-        F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias("coverage"),
     )
 
 

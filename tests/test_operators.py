@@ -1537,6 +1537,12 @@ def test_vocab_coverage_exact_and_monotone(spark):
     assert out[2]["covered_tokens"] == 6
     assert out[3]["covered_tokens"] == 7  # c wins the tie at rank 3
     assert out[1]["coverage"] == 0.5 and out[3]["coverage"] == 0.875
+    # a vocab size beyond the whole vocabulary covers everything
+    big = {
+        r["vocab_size"]: r
+        for r in text.vocab_coverage(df, vocab_sizes=[1000]).collect()
+    }
+    assert big[1000]["covered_tokens"] == 8 and big[1000]["coverage"] == 1.0
 
 
 def test_containment_pairs_quote_wrapping(spark):
