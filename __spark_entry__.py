@@ -2441,6 +2441,17 @@ def q_doc_vocab_coverage(spark, sf):
     return text.vocab_coverage(docs, vocab_sizes=[5, 10, 20])
 
 
+def q_stream_kmv(spark, sf):
+    # streaming per-group KMV sketch, batch-fallback twin (new r6): the
+    # same columns the live applyInPandasWithState operator emits;
+    # stream-vs-batch equality is locked by
+    # test_stream_kmv_grouped_matches_batch
+    from staticql_spark.streaming import load_events, stream_kmv_grouped
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return stream_kmv_grouped(ev, k=64)
+
+
 def q_kmv_grouped(spark, sf):
     # per-group distinct sketch (new r6): KMV distinct-user estimate per
     # event type next to its exact twin — the grouped sketch a daily
@@ -2561,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "fuzzy_match": q_fuzzy_match,
         # --- group A2: new-in-r6 operators (never driver-checked) ---
+        "stream_kmv": q_stream_kmv,
         "kmv_grouped": q_kmv_grouped,
         "dedup_canonical_meta": q_dedup_canonical_meta,
         "dedup_containment": q_dedup_containment,
@@ -5533,6 +5545,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_touches,
                    round(sum(value / n), 4) AS attr_value
             FROM w GROUP BY c_id, user_id
+        """,
+        "stream_kmv": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS grp,
+                     ('0x' || substr(md5('kmv1|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            rk AS (
+              SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+              FROM h
+            )
+            SELECT grp, count(*)::BIGINT AS sketch_k, max(h) AS kth_hash,
+                   round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                         ELSE 63.0 / (max(h)::DOUBLE / 1152921504606846976.0)
+                         END, 2) AS est_ndv
+            FROM rk WHERE rn <= 64 GROUP BY grp
         """,
         "kmv_grouped": """
             WITH h AS (

@@ -128,7 +128,8 @@ HEADLINE = [
     "doc_mixture_epochs",
     "events_attribution",
     "pipeline_curate_mixture",
-    # new in r6 (set is now 96)
+    # new in r6 (set is now 97)
+    "stream_kmv",
     "kmv_grouped",
     "dedup_canonical_meta",
     "dedup_containment",

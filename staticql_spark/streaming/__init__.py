@@ -701,3 +701,104 @@ def refresh_index_partitions(
         if (field, prefix) not in nonempty:
             p = jvm.org.apache.hadoop.fs.Path(f"{target}/field={field}/prefix={prefix}")
             p.getFileSystem(hconf).delete(p, True)
+
+
+# ------------------------------------------------------------- KMV sketch
+
+KMV_GROUPED_SCHEMA = "grp string, sketch_k long, kth_hash long, est_ndv double"
+_KMV_STATE = "hs array<long>"
+
+
+def stream_kmv_grouped(
+    events: DataFrame,
+    group_col: str = "event_type",
+    col: str = "user_id",
+    k: int = 64,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    salt: str = "kmv1",
+) -> DataFrame:
+    """Streaming per-group KMV distinct sketch: state per group is the k
+    smallest distinct value hashes seen so far; each trigger emits the
+    group's refreshed (sketch_k, kth_hash, est_ndv).  The live twin of
+    :func:`~staticql_spark.operators.sketch.kmv_grouped` — a dashboard
+    reads "distinct users per event type" off the stream without ever
+    storing raw ids, and because KMV merges by union, the streaming
+    state can be seeded from (or reconciled against) the batch sketch.
+
+    State is O(k) longs per group — bounded regardless of cardinality
+    (the whole point of sketching the stream instead of counting it).
+    Batch fallback computes the same columns for twin tests / oracles.
+    """
+    import pandas as pd
+
+    from ..operators.sketch import _HASH_SPACE, kmv_hash
+
+    keyed = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        kmv_hash(F.col(col), salt).alias("h"),
+        F.col(ts_col).alias("ts"),
+    ).filter(F.col("h").isNotNull())
+
+    if not keyed.isStreaming:
+        from pyspark.sql import Window as W
+
+        hashes = keyed.select("grp", "h").distinct()
+        w = W.partitionBy("grp").orderBy("h")
+        sk = (
+            hashes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("grp")
+            .agg(F.count("h").alias("sketch_k"), F.max("h").alias("kth_hash"))
+        )
+        est = F.when(
+            F.col("sketch_k") < F.lit(k), F.col("sketch_k").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(_HASH_SPACE))
+        )
+        return sk.select(
+            "grp", "sketch_k", "kth_hash", F.round(est, 2).alias("est_ndv")
+        )
+
+    def update(key, pdf_iter, state):
+        (grp,) = key
+        hs: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(hs)
+        for pdf in pdf_iter:
+            for h in pdf["h"]:
+                h = int(h)
+                if h not in seen:
+                    seen.add(h)
+                    hs.append(h)
+        hs.sort()
+        hs = hs[:k]
+        state.update((hs,))
+        kth = hs[-1] if hs else None
+        est = (
+            float(len(hs))
+            if len(hs) < k
+            else (k - 1) / (kth / _HASH_SPACE)
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [grp],
+                "sketch_k": [len(hs)],
+                "kth_hash": [kth],
+                "est_ndv": [round(est, 2)],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("grp")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KMV_GROUPED_SCHEMA,
+            stateStructType=_KMV_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

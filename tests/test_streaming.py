@@ -536,3 +536,35 @@ def test_stream_volume_anomaly_matches_batch(spark, tmp_path_factory):
     assert len(got) > 0
     for k, v in got.items():
         assert expected[k] == v, k
+
+
+def test_stream_kmv_grouped_matches_batch(spark, tmp_path_factory):
+    # the final per-group emit of the streaming bottom-k sketch must equal
+    # the batch sketch of the same data: KMV state merges across
+    # micro-batches exactly (sketch_k monotone up, kth_hash monotone down)
+    from staticql_spark.streaming import read_event_stream, stream_kmv_grouped
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch = {
+        r["grp"]: (r["sketch_k"], r["kth_hash"], r["est_ndv"])
+        for r in stream_kmv_grouped(spark.read.parquet(d), k=32).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_kmv_grouped(stream, k=32)
+        .writeStream.format("memory")
+        .queryName("kmv_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # final state per group = largest sketch, then smallest kth hash
+    rows = spark.sql(
+        """select grp, sketch_k, kth_hash, est_ndv from (
+             select *, row_number() over (partition by grp
+                 order by sketch_k desc, kth_hash asc) rn
+             from kmv_stream_test) where rn = 1"""
+    ).collect()
+    got = {r["grp"]: (r["sketch_k"], r["kth_hash"], r["est_ndv"]) for r in rows}
+    assert got == batch
