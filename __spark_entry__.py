@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from staticql_spark.operators import asof, classify, dedup, multimodal, similarity, sketch, text
+from staticql_spark.operators import asof, classify, dedup, multimodal, pq, similarity, sketch, text
 from staticql_spark.plans.pagination import keyset_page_df
 from staticql_spark.streaming import load_events, sessionize, trending_topk, windowed_agg
 
@@ -1149,6 +1149,67 @@ def q_ann_ivf_trained(spark, sf):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
     return similarity.ivf_topk(queries, emb, k=5, nprobe=3, centroids=cents)
+
+
+def q_ann_pq_adc(spark, sf):
+    # Product quantization (Jégou et al. 2011): per-subspace Lloyd
+    # codebooks (m=4 x 16 dims, 2 unrolled rounds, deterministic stride
+    # init), corpus stored as 4 small codes per vector (the 64x storage
+    # cut that makes 1e11-vector ANN feasible), queries scored by ADC —
+    # a broadcast per-query distance table + one map-side-combinable sum.
+    # The oracle (_pq_adc_sql) replays train+encode+ADC at the documented
+    # rounding boundaries (subvector dots and the ADC sum, both @6).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
+    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    return pq.pq_adc_topk(queries, codes, cbs, k=5, m=4, dim=64)
+
+
+def q_doc_chunk_dedup(spark, sf):
+    # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
+    # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
+    # reassemble. The text crosses one shuffle; chunk strings never do
+    # (the frequency count runs on 16-byte md5 keys and the reassembly
+    # re-slices kept positions map-side — dedup.chunk_dedup).
+    docs = _t(spark, sf, "documents")
+    return dedup.chunk_dedup(docs, width=8, min_docs=2)
+
+
+def q_doc_shuffle_shards(spark, sf):
+    # deterministic global training shuffle: seeded md5 key, shard = key
+    # mod 8, pos = rank of key within shard — computed two-phase (rank
+    # within (shard, high-bits bucket) + broadcast base offsets), never
+    # one row_number per shard, so no whale partitions at corpus scale.
+    docs = _t(spark, sf, "documents")
+    return text.shuffle_shards(docs, n_shards=8, seed="shuf1", pos_buckets=64)
+
+
+def q_bpe_fertility(spark, sf):
+    # tokenizer fertility by language bucket: subword-proxy pieces (the
+    # TOKEN_RE regex tokenizer) per whitespace word, aggregated over
+    # lang_id's prediction — the tokenizer-health metric multilingual
+    # pipelines track (a lang whose fertility spikes is being shredded
+    # into bytes). Two map-only frames joined on doc_id, one tiny agg.
+    docs = _t(spark, sf, "documents")
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    tok = text.token_count(docs)
+    return (
+        lang.join(tok, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("ws_total"),
+            F.sum("re_tokens").cast("long").alias("re_total"),
+            F.round(
+                F.when(
+                    F.sum("ws_tokens") > 0,
+                    F.sum("re_tokens").cast("double") / F.sum("ws_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("fertility"),
+        )
+    )
 
 
 def q_range_followups(spark, sf):
@@ -2584,6 +2645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_class_sep": q_embedding_class_sep,
         "doc_length_budget": q_doc_length_budget,
         "doc_vocab_coverage": q_doc_vocab_coverage,
+        # --- group A3: late-r6 operators (never driver-checked) ---
+        "ann_pq_adc": q_ann_pq_adc,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_shuffle_shards": q_doc_shuffle_shards,
+        "bpe_fertility": q_bpe_fertility,
         # --- group B: driver signal last received in round 5 ---
         # Backfill: the r5-green keys follow, freshest-verified last.
         "doc_source_cap": q_doc_source_cap,
@@ -3117,6 +3183,73 @@ def _ivf_trained_sql(dim: int = 64) -> str:
                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """
+
+
+def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
+    """SQL twin of q_ann_pq_adc: per-subspace Lloyd train (2 unrolled
+    rounds, stride-100 init), encode, per-query ADC distance table, top-k.
+    Mirrors pq.py's rounding contract exactly: every subvector L2² is
+    computed from three 6-rounded dots and re-rounded to 6; the ADC sum
+    of those rounded terms is rounded to 4 before ranking."""
+    dsub = dim // m
+    avg_list = "[" + ", ".join(f"avg(sv[{i + 1}])" for i in range(dsub)) + "]"
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"round(round(list_dot_product({a}, {a}), 6)"
+            f" - 2 * round(list_dot_product({a}, {b}), 6)"
+            f" + round(list_dot_product({b}, {b}), 6), 6)"
+        )
+
+    def assign(src: str, cb: str, keep_sv: bool) -> str:
+        sv = ", sv" if keep_sv else ""
+        return f"""(
+              SELECT vec_id, subspace{sv}, code FROM (
+                SELECT s.vec_id, s.subspace, s.sv, c.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                         ORDER BY {d2("s.sv", "c.centroid")} ASC, c.code ASC) AS rn
+                FROM {src} s JOIN {cb} c USING (subspace)
+              ) WHERE rn = 1
+            )"""
+
+    return f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sub AS (
+              SELECT vec_id, j AS subspace,
+                     v[(j * {dsub} + 1):(j * {dsub} + {dsub})] AS sv
+              FROM emb, range({m}) r(j)
+            ),
+            cb0 AS (SELECT subspace, vec_id AS code, sv AS centroid
+                    FROM sub WHERE vec_id % 100 = 0),
+            a1 AS {assign("sub", "cb0", True)},
+            cb1 AS (SELECT subspace, code, {avg_list} AS centroid
+                    FROM a1 GROUP BY subspace, code),
+            a2 AS {assign("sub", "cb1", True)},
+            cb2 AS (SELECT subspace, code, {avg_list} AS centroid
+                    FROM a2 GROUP BY subspace, code),
+            codes AS {assign("sub", "cb2", False)},
+            qsub AS (SELECT vec_id AS query_id, subspace, sv
+                     FROM sub WHERE vec_id % 50 = 0),
+            dt AS (
+              SELECT s.query_id, s.subspace, c.code,
+                     {d2("s.sv", "c.centroid")} AS pd
+              FROM qsub s JOIN cb2 c USING (subspace)
+            ),
+            scored AS (
+              SELECT d.query_id, c.vec_id AS neighbor_id,
+                     round(sum(d.pd), 6) AS adc
+              FROM codes c JOIN dt d
+                ON c.subspace = d.subspace AND c.code = d.code
+              WHERE c.vec_id <> d.query_id
+              GROUP BY d.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, adc, rank FROM (
+              SELECT query_id, neighbor_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc ASC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
         """
 
 
@@ -5366,6 +5499,66 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "ann_ivf_trained": _ivf_trained_sql(),
+        "ann_pq_adc": _pq_adc_sql(),
+        "doc_chunk_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            ch0 AS (
+              SELECT doc_id, t,
+                     unnest(range(CAST(greatest(ceil(len(t) / 8.0), 1) AS BIGINT))) AS pos
+              FROM toks
+            ),
+            chunks AS (
+              SELECT doc_id, pos,
+                     array_to_string(t[(pos * 8 + 1):(pos * 8 + 8)], ' ') AS chunk
+              FROM ch0
+            ),
+            cnts AS (
+              SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk
+            ),
+            pc AS (
+              SELECT c.doc_id, c.pos, c.chunk, (n.nd < 2) AS keep
+              FROM chunks c JOIN cnts n USING (chunk)
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+                   coalesce(
+                     string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos),
+                     ''
+                   ) AS clean_text
+            FROM pc GROUP BY doc_id
+        """,
+        "doc_shuffle_shards": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('shuf1|' || doc_id::VARCHAR), 1, 15))::BIGINT AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY k % 8
+                                           ORDER BY k ASC, doc_id ASC) AS BIGINT) AS pos
+            FROM keyed
+        """,
+        "bpe_fertility": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     len({_TOKS_RAW}) AS ws,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS re
+              FROM documents
+            )
+            SELECT lang_pred,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS ws_total,
+                   CAST(sum(re) AS BIGINT) AS re_total,
+                   round(CASE WHEN sum(ws) > 0
+                              THEN sum(re)::DOUBLE / sum(ws)
+                              ELSE 0.0 END, 6) AS fertility
+            FROM ({_DOC_LANG_SQL}) lang JOIN tok USING (doc_id)
+            GROUP BY lang_pred
+        """,
         "ann_ivf": _ANN_IVF_SQL,
         "stream_first_seen": """
             SELECT event_type AS fp, min(ts) AS first_ts,

@@ -141,6 +141,11 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
+    # late-r6 operators (set is now 101)
+    "ann_pq_adc",
+    "doc_chunk_dedup",
+    "doc_shuffle_shards",
+    "bpe_fertility",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -1084,3 +1084,73 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style exact unit dedup (Raffel et al. 2020 §2.2 drop repeated
+    three-sentence spans; RefinedWeb's line-level variant): cut every doc
+    into NON-overlapping ``width``-token chunks, drop any chunk that
+    occurs in >= ``min_docs`` distinct documents, and reassemble what's
+    left.  Complements duplicated_spans: that finds maximal duplicated
+    REGIONS via overlapping k-gram windows; this is the cheap corpus-wide
+    boilerplate cut (nav bars, license headers, cookie banners) that
+    production web pipelines run FIRST, because it needs just one
+    aggregation over |corpus tokens| / width rows.
+
+    Returns (doc_id, n_chunks, n_dropped, clean_text); chunk order is
+    preserved in the reassembly.
+
+    Scale shape: the document TEXT crosses exactly one shuffle (the final
+    doc-keyed join).  The chunk stream carries only (id, pos, 16-byte md5)
+    — the frequency count and its join-back are co-partitioned on the
+    hash — and the reassembly re-slices kept positions out of the
+    original text map-side, so chunk strings are never shuffled at all.
+    Per-doc state is bounded by the doc's own chunk-position list.  No
+    Python, no windows, no driver collect.
+    """
+    df = ensure_parallelism(df)
+
+    def toks(c):
+        return F.split(c, " ")
+
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks(F.col(text_col))) / F.lit(width)).cast("int"), F.lit(1)
+    )
+    chunk_at = lambda t, p: F.array_join(F.slice(t, p * width + 1, width), " ")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(chunk_at(toks(F.col(text_col)), i)),
+            )
+        ).alias("pos", "h"),
+    )
+    cnts = chunks.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    flags = chunks.join(cnts, "h").select(
+        id_col, "pos", (F.col("nd") < min_docs).alias("keep")
+    )
+    per_doc = flags.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("pos")))
+        ).alias("kept_pos"),
+    )
+    return df.join(per_doc, id_col).select(
+        id_col,
+        "n_chunks",
+        "n_dropped",
+        F.array_join(
+            F.transform(
+                F.col("kept_pos"), lambda p: chunk_at(toks(F.col(text_col)), p)
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding search — the compression side
+of the canonical IVF-PQ index (Jégou, Douze, Schmid, "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011).
+
+The float-vector corpus is split into ``m`` contiguous subvectors; each
+subspace gets its own small codebook (Lloyd k-means over the subvectors,
+same deterministic stride init + unrolled-iteration discipline as
+similarity.kmeans_fit so the whole train is RNG-free and SQL-expressible
+for the DuckDB oracle). A vector is then stored as ``m`` small integer
+codes — at dim=64 float32 → 4 codes that's a 64x storage cut, which is
+what makes 1e11+-vector search feasible at all: the code table fits where
+the raw vectors never would.
+
+Query-time scoring is ADC (asymmetric distance computation): per query,
+one |m| x |K| lookup table of exact subvector→centroid distances, then a
+candidate's approximate L2² is the sum of ``m`` table lookups — no float
+vector is touched after encode.
+
+Scale shape (the part that must survive 1000 executors):
+- codebooks are ``m x K`` rows — broadcast everywhere, never shuffled;
+- train/encode assignment is a broadcast join + map-side-combined argmin
+  (``min(struct(dist, code))``), so each Lloyd pass shuffles |cells| x dsub
+  doubles only and encode shuffles nothing;
+- the codes frame is kept TALL (vid, subspace, code): ADC is then a
+  broadcast hash join of codes against the per-query distance table
+  followed by one map-side-combinable ``sum`` keyed (query_id, vid) —
+  |corpus| x m rows in, |corpus| partial sums out of the map stage;
+- queries are broadcast-sized by contract (same contract as cosine_topk);
+  for web-scale query batches you shard the query set and union.
+
+Composes with the IVF coarse quantizer (similarity.ivf_assign): restrict
+the ADC join to the probed cells' codes and the scan becomes sublinear —
+that composition is what FAISS calls IVFADC. Reproducibility: every
+engine-crossing float is rounded at a documented boundary (subvector dots
+to 6, the final ADC sum of rounded terms back to 6) — the ann_pq_adc oracle in
+__spark_entry__ replays train+encode+ADC bit-for-bit at those boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import ensure_parallelism
+from .similarity import as_double, dot
+
+
+def sqdist6(a: Column, b: Column) -> Column:
+    """L2² via three dot products, each rounded to 6 decimals BEFORE the
+    combine — the documented engine-crossing boundary (DuckDB's
+    list_dot_product and Spark's aggregate(zip_with) may sum in different
+    orders; rounding each dot first makes the combine exact)."""
+    return (
+        F.round(dot(a, a), 6) - 2 * F.round(dot(a, b), 6) + F.round(dot(b, b), 6)
+    )
+
+
+def subvectors(
+    df: DataFrame, m: int, dsub: int, vec_col: str = "v", id_col: str = "vid"
+) -> DataFrame:
+    """(id, subspace, sv) — the m contiguous dsub-wide slices of each
+    vector. posexplode of a literal slice array: map-only, codegen."""
+    slices = F.array(*[F.slice(F.col(vec_col), j * dsub + 1, dsub) for j in range(m)])
+    return df.select(
+        F.col(id_col), F.posexplode(slices).alias("subspace", "sv")
+    )
+
+
+def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str, carry_sv: bool) -> DataFrame:
+    """Argmin-L2 code per (id, subspace): broadcast join on subspace, then
+    min(struct(rounded dist, code)) — the map-side-combine shape from
+    similarity.ivf_assign nprobe=1 (the |K| scored copies of a subvector
+    collapse inside the map task; the shuffle carries |rows| x 1 subvector
+    payload, not |rows| x K)."""
+    scored = sub.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "sv",
+        "code",
+        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("d"),
+    )
+    aggs = [F.min(F.struct("d", "code")).alias("_m")]
+    if carry_sv:
+        aggs.append(F.first("sv").alias("sv"))
+    out = scored.groupBy(id_col, "subspace").agg(*aggs)
+    cols = [id_col, "subspace", F.col("_m.code").alias("code")]
+    if carry_sv:
+        cols.append("sv")
+    return out.select(*cols)
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+    stride: int = 100,
+    iters: int = 2,
+) -> DataFrame:
+    """Train per-subspace codebooks -> (subspace, code, centroid).
+
+    Init: every ``stride``-th corpus vector seeds one code per subspace
+    (code = its id — the deterministic centroid_sample idiom, so K grows
+    with the corpus and the fit has no RNG state). Then ``iters`` unrolled
+    Lloyd rounds: broadcast argmin assign, per-element avg update. Each
+    round's shuffle is |subspaces x codes| x dsub doubles — independent of
+    corpus size after the map-side combine. Codes that lose all members
+    drop out (standard Lloyd)."""
+    dsub = dim // m
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    sub = subvectors(vecs, m, dsub)
+    codebooks = sub.filter((F.col("vid") % stride) == 0).select(
+        "subspace", F.col("vid").alias("code"), F.col("sv").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _assign(sub, codebooks, "vid", carry_sv=True)
+        codebooks = (
+            assigned.groupBy("subspace", "code")
+            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(dsub)]).alias("centroid"))
+        )
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode -> tall (vid, subspace, code). One pass, no corpus shuffle
+    beyond the argmin combine; this is the frame you'd persist (PARTITIONED
+    BY a coarse cell for IVFADC) as the serving index."""
+    dsub = dim // m
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    return _assign(subvectors(vecs, m, dsub), codebooks, "vid", carry_sv=False)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k -> (query_id, neighbor_id, adc, rank), adc ascending.
+
+    The distance table (query subvector -> every codeword, |Q| x m x K
+    rows of rounded L2²) is built once and broadcast; scoring is a hash
+    join of the tall codes frame against it plus one sum keyed
+    (query_id, vid) — fully map-side-combinable, no window until the
+    final per-query top-k rank. Self-matches are excluded."""
+    dsub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qsub = subvectors(q, m, dsub, vec_col="qv", id_col="query_id")
+    dtable = qsub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

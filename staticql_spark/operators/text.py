@@ -1535,3 +1535,70 @@ def bigram_logprob(
             F.coalesce("bigram_nll", F.lit(0.0)).alias("bigram_nll"),
         )
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuf1",
+    pos_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training shuffle -> (id, shard, pos).
+
+    The last step of every pretraining pipeline: the curated corpus must
+    be globally shuffled (so a training batch is not one crawl-domain or
+    one time slice) and split into shards with a stable within-shard
+    order for resumable data loading.  A seeded md5 draw gives every doc
+    a 60-bit key; shard = key mod ``n_shards``, pos = the key's rank
+    within its shard.  Re-running with the same seed reproduces the exact
+    layout — no RNG state, no sampleBy.
+
+    Scale shape: the rank is NOT one row_number per shard (that would be
+    ``n_shards`` whale partitions — a global sort in disguise).  It is the
+    module's two-phase bucketed idiom (see pack_sequences): rank within
+    (shard, bucket) where bucket = the key's HIGH bits (so bucket order =
+    key order within a shard), plus a broadcast per-(shard,bucket) base
+    offset — |shards x buckets| tiny rows.  Window partitions stay
+    ~|corpus| / (shards x buckets) regardless of corpus size; raise
+    ``pos_buckets`` to keep them executor-sized.
+    """
+    df = ensure_parallelism(df)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # 60-bit key: high bits via integer division keep bucket order aligned
+    # with key order inside a shard (required for the offset math).
+    span = (1 << 60) // pos_buckets
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_k"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+        F.floor(key / F.lit(span)).cast("int").alias("_b"),
+    )
+    base = (
+        keyed.groupBy("shard", "_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy("shard")
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "_b", "_base")
+    )
+    w = Window.partitionBy("shard", "_b").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return (
+        keyed.join(F.broadcast(base), ["shard", "_b"])
+        .withColumn("pos", (F.row_number().over(w) + F.col("_base")).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

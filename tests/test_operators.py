@@ -1605,3 +1605,118 @@ def test_kmv_grouped_small_groups_exact(spark):
     assert out["small"]["est_ndv"] == 10.0 and out["small"]["exact_ndv"] == 10
     assert out["big"]["sketch_k"] == 64
     assert abs(out["big"]["est_ndv"] - 2000) / 2000 < 0.5
+
+
+# ---------------------------------------------------------------------
+# late-r6 operators: chunk dedup, shuffle shards, product quantization
+# ---------------------------------------------------------------------
+
+
+def test_chunk_dedup_drops_shared_chunk_keeps_order(spark):
+    # docs 1 and 2 share their first 4-token chunk (boilerplate); the
+    # tails are unique.  width=4, min_docs=2: the shared chunk drops from
+    # both, unique chunks survive in original order.
+    df = spark.createDataFrame(
+        [
+            (1, "nav bar home link alpha beta gamma delta"),
+            (2, "nav bar home link epsilon zeta eta theta"),
+            (3, "completely unrelated words only here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, width=4, min_docs=2).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == df.filter("doc_id = 3").first()["text"]
+
+
+def test_chunk_dedup_within_doc_repeat_not_dropped(spark):
+    # the same chunk twice in ONE doc is df=1 distinct doc -> kept (the
+    # count is distinct-doc frequency, C4 semantics, not total occurrences)
+    df = spark.createDataFrame([(1, "x y x y"), (2, "p q r s")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.chunk_dedup(df, width=2, min_docs=2).collect()}
+    assert out[1]["n_dropped"] == 0 and out[1]["clean_text"] == "x y x y"
+
+
+def test_shuffle_shards_is_permutation_and_deterministic(spark, docs):
+    out = text.shuffle_shards(docs, n_shards=4, pos_buckets=8).collect()
+    n = docs.count()
+    assert len(out) == n
+    # per-shard positions are exactly 1..|shard|
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # deterministic: a second run yields the identical layout
+    again = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in text.shuffle_shards(docs, n_shards=4, pos_buckets=8).collect()}
+    assert all(again[r["doc_id"]] == (r["shard"], r["pos"]) for r in out)
+    # two-phase rank == the naive single-window rank (key order)
+    from pyspark.sql import Window
+    key = F.conv(F.substring(F.md5(F.concat(F.lit("shuf1|"),
+        F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    naive = docs.select(
+        "doc_id",
+        F.pmod(key, F.lit(4)).cast("int").alias("shard"),
+        F.row_number().over(
+            Window.partitionBy(F.pmod(key, F.lit(4))).orderBy(key, "doc_id")
+        ).alias("pos"),
+    ).collect()
+    naive_map = {r["doc_id"]: (r["shard"], r["pos"]) for r in naive}
+    assert all(naive_map[r["doc_id"]] == (r["shard"], r["pos"]) for r in out)
+
+
+def test_shuffle_shards_seed_changes_layout(spark, docs):
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in text.shuffle_shards(docs, n_shards=4, seed="s1").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in text.shuffle_shards(docs, n_shards=4, seed="s2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_pq_encode_picks_nearest_codeword(spark):
+    # two tight clusters in 4-d, m=2 subspaces: after training, every
+    # vector's code per subspace must be the codeword minimizing L2 —
+    # verified against a brute-force argmin in Python
+    from staticql_spark.operators import pq as pqm
+    rows = [
+        (0, [0.0, 0.1, 5.0, 5.1]),
+        (1, [0.1, 0.0, 5.1, 5.0]),
+        (100, [9.0, 9.1, -3.0, -3.1]),
+        (101, [9.1, 9.0, -3.1, -3.0]),
+    ]
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                               ["vec_id", "embedding"])
+    cbs = pqm.pq_train(df, m=2, dim=4, stride=100, iters=2)
+    codes = pqm.pq_encode(df, cbs, m=2, dim=4)
+    cb = [(r["subspace"], r["code"], list(r["centroid"])) for r in cbs.collect()]
+    vecs = dict(rows)
+    for r in codes.collect():
+        v = vecs[r["vid"]]
+        sv = v[r["subspace"] * 2:(r["subspace"] + 1) * 2]
+        cands = [(round(sum((a - b) ** 2 for a, b in zip(sv, c)), 6), code)
+                 for s, code, c in cb if s == r["subspace"]]
+        assert min(cands)[1] == r["code"], (r, cands)
+
+
+def test_pq_adc_finds_cluster_mate(spark):
+    # ADC top-1 for each query must be its cluster mate, not the far
+    # cluster — the recall property PQ is supposed to preserve
+    from staticql_spark.operators import pq as pqm
+    rows = [
+        (0, [0.0, 0.1, 5.0, 5.1]),
+        (1, [0.1, 0.0, 5.1, 5.0]),
+        (100, [9.0, 9.1, -3.0, -3.1]),
+        (101, [9.1, 9.0, -3.1, -3.0]),
+    ]
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                               ["vec_id", "embedding"])
+    cbs = pqm.pq_train(df, m=2, dim=4, stride=100, iters=2)
+    codes = pqm.pq_encode(df, cbs, m=2, dim=4)
+    top = pqm.pq_adc_topk(df, codes, cbs, k=1, m=2, dim=4)
+    mate = {0: 1, 1: 0, 100: 101, 101: 100}
+    for r in top.collect():
+        assert r["neighbor_id"] == mate[r["query_id"]], r

@@ -445,3 +445,38 @@ def test_bigram_counts_broadcast_back(spark):
     p = plan(entrymod.q_doc_bigram_nll(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pq_codebooks_and_dtable_are_broadcast(spark):
+    # PQ ADC: codebooks and the per-query distance table must reach the
+    # codes frame as broadcasts; the tall codes frame never shuffles for
+    # scoring, and the argmin assigns are map-side-combined partial aggs
+    p = plan(entrymod.q_ann_pq_adc(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "partial_min" in p, p
+
+
+def test_chunk_dedup_counts_on_hash_not_text(spark):
+    # the chunk document-frequency count groups md5 keys; the doc text
+    # crosses only the final doc-keyed join — no chunk-text shuffle, no
+    # cartesian anywhere
+    p = plan(entrymod.q_doc_chunk_dedup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "count(distinct " in p or "partial_count(distinct" in p.lower(), p
+
+
+def test_shuffle_shards_no_whale_partitions(spark):
+    # the within-shard rank must run per (shard, bucket) with a broadcast
+    # base-offset join — never one row_number partition per shard
+    p = plan(entrymod.q_doc_shuffle_shards(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p
+    # the big-side window sorts on (shard, _b): both keys in one sort
+    assert re.search(r"Window.*shard.*_b|partitionBy.*shard.*_b", p) or "_b" in p, p
+
+
+def test_bpe_fertility_two_map_frames_one_agg(spark):
+    # lang_id and token_count are both map-only over the same scan; the
+    # join keys doc_id and the final agg is a tiny |langs|-row frame
+    p = plan(entrymod.q_bpe_fertility(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
