@@ -1166,6 +1166,22 @@ def q_ann_pq_adc(spark, sf):
     return pq.pq_adc_topk(queries, codes, cbs, k=5, m=4, dim=64)
 
 
+def q_ann_ivf_pq(spark, sf):
+    # IVF-PQ (FAISS's IVFADC): stride-sampled coarse cells prune the
+    # candidate set to nprobe/|cells| of the corpus; PQ-ADC scores the
+    # survivors off the broadcast distance table. The cell-tagged codes
+    # frame is the persisted serving index at scale (PARTITIONED BY cell
+    # — probe = partition-pruned read). Oracle: _ivf_pq_sql composes the
+    # shared PQ CTEs with the ann_ivf coarse-quantizer SQL.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
+    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    return pq.ivfpq_topk(
+        queries, emb, codes, cbs, k=5, m=4, dim=64, coarse_stride=100, nprobe=3
+    )
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2647,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_coverage": q_doc_vocab_coverage,
         # --- group A3: late-r6 operators (never driver-checked) ---
         "ann_pq_adc": q_ann_pq_adc,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -3186,21 +3203,23 @@ def _ivf_trained_sql(dim: int = 64) -> str:
         """
 
 
-def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
-    """SQL twin of q_ann_pq_adc: per-subspace Lloyd train (2 unrolled
-    rounds, stride-100 init), encode, per-query ADC distance table, top-k.
-    Mirrors pq.py's rounding contract exactly: every subvector L2² is
-    computed from three 6-rounded dots and re-rounded to 6; the ADC sum
-    of those rounded terms is rounded to 4 before ranking."""
+def _pq_d2(a: str, b: str) -> str:
+    """pq.sqdist6's SQL twin: L2² from three 6-rounded dots, re-rounded."""
+    return (
+        f"round(round(list_dot_product({a}, {a}), 6)"
+        f" - 2 * round(list_dot_product({a}, {b}), 6)"
+        f" + round(list_dot_product({b}, {b}), 6), 6)"
+    )
+
+
+def _pq_ctes(m: int = 4, dim: int = 64) -> str:
+    """CTE prefix shared by the ann_pq_adc and ann_ivf_pq oracles:
+    pq.pq_train's two unrolled Lloyd rounds per subspace (stride-100
+    init) + pq_encode.  Yields `emb` (vec_id, v), `sub` (vec_id,
+    subspace, sv), the trained `cb2` (subspace, code, centroid) and the
+    tall `codes` (vec_id, subspace, code)."""
     dsub = dim // m
     avg_list = "[" + ", ".join(f"avg(sv[{i + 1}])" for i in range(dsub)) + "]"
-
-    def d2(a: str, b: str) -> str:
-        return (
-            f"round(round(list_dot_product({a}, {a}), 6)"
-            f" - 2 * round(list_dot_product({a}, {b}), 6)"
-            f" + round(list_dot_product({b}, {b}), 6), 6)"
-        )
 
     def assign(src: str, cb: str, keep_sv: bool) -> str:
         sv = ", sv" if keep_sv else ""
@@ -3208,13 +3227,12 @@ def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
               SELECT vec_id, subspace{sv}, code FROM (
                 SELECT s.vec_id, s.subspace, s.sv, c.code,
                        row_number() OVER (PARTITION BY s.vec_id, s.subspace
-                         ORDER BY {d2("s.sv", "c.centroid")} ASC, c.code ASC) AS rn
+                         ORDER BY {_pq_d2("s.sv", "c.centroid")} ASC, c.code ASC) AS rn
                 FROM {src} s JOIN {cb} c USING (subspace)
               ) WHERE rn = 1
             )"""
 
-    return f"""
-            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             sub AS (
               SELECT vec_id, j AS subspace,
                      v[(j * {dsub} + 1):(j * {dsub} + {dsub})] AS sv
@@ -3228,12 +3246,22 @@ def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
             a2 AS {assign("sub", "cb1", True)},
             cb2 AS (SELECT subspace, code, {avg_list} AS centroid
                     FROM a2 GROUP BY subspace, code),
-            codes AS {assign("sub", "cb2", False)},
+            codes AS {assign("sub", "cb2", False)}"""
+
+
+def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
+    """SQL twin of q_ann_pq_adc: per-subspace Lloyd train (2 unrolled
+    rounds, stride-100 init), encode, per-query ADC distance table, top-k.
+    Mirrors pq.py's rounding contract exactly: every subvector L2² is
+    computed from three 6-rounded dots and re-rounded to 6; the ADC sum
+    of those rounded terms is re-rounded to 6 before ranking."""
+    return f"""
+            WITH {_pq_ctes(m, dim)},
             qsub AS (SELECT vec_id AS query_id, subspace, sv
                      FROM sub WHERE vec_id % 50 = 0),
             dt AS (
               SELECT s.query_id, s.subspace, c.code,
-                     {d2("s.sv", "c.centroid")} AS pd
+                     {_pq_d2("s.sv", "c.centroid")} AS pd
               FROM qsub s JOIN cb2 c USING (subspace)
             ),
             scored AS (
@@ -3243,6 +3271,47 @@ def _pq_adc_sql(m: int = 4, dim: int = 64, k: int = 5) -> str:
                 ON c.subspace = d.subspace AND c.code = d.code
               WHERE c.vec_id <> d.query_id
               GROUP BY d.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, adc, rank FROM (
+              SELECT query_id, neighbor_id, adc,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc ASC, neighbor_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
+def _ivf_pq_sql(m: int = 4, dim: int = 64, k: int = 5, nprobe: int = 3) -> str:
+    """SQL twin of q_ann_ivf_pq (FAISS's IVFADC): the shared PQ CTEs plus
+    the untrained stride-100 coarse quantizer from the ann_ivf oracle —
+    cells by cosine argmax, nprobe probes per query, ADC restricted to
+    the probed cells' codes."""
+    return f"""
+            WITH {_pq_ctes(m, dim)},
+            cvec AS (SELECT vec_id AS vid, v AS cv FROM emb),
+            coarse AS (SELECT vec_id AS cid, v AS centroid FROM emb
+                       WHERE vec_id % 100 = 0),
+            cells AS {_ivf_assign_sql("cvec", "coarse", "cv", "vid", 1)},
+            qvec AS (SELECT vec_id AS query_id, v AS qv FROM emb
+                     WHERE vec_id % 50 = 0),
+            probes AS {_ivf_assign_sql("qvec", "coarse", "qv", "query_id", nprobe)},
+            qsub AS (SELECT vec_id AS query_id, subspace, sv
+                     FROM sub WHERE vec_id % 50 = 0),
+            dt AS (
+              SELECT s.query_id, s.subspace, c.code,
+                     {_pq_d2("s.sv", "c.centroid")} AS pd
+              FROM qsub s JOIN cb2 c USING (subspace)
+            ),
+            scored AS (
+              SELECT d.query_id, t.vec_id AS neighbor_id,
+                     round(sum(d.pd), 6) AS adc
+              FROM codes t
+              JOIN cells cl ON t.vec_id = cl.vid
+              JOIN probes p ON cl.cell = p.cell
+              JOIN dt d ON d.query_id = p.query_id
+                       AND d.subspace = t.subspace AND d.code = t.code
+              WHERE t.vec_id <> p.query_id
+              GROUP BY d.query_id, t.vec_id
             )
             SELECT query_id, neighbor_id, adc, rank FROM (
               SELECT query_id, neighbor_id, adc,
@@ -5500,6 +5569,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "ann_ivf_trained": _ivf_trained_sql(),
         "ann_pq_adc": _pq_adc_sql(),
+        "ann_ivf_pq": _ivf_pq_sql(),
         "doc_chunk_dedup": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

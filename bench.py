@@ -141,8 +141,9 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 101)
+    # late-r6 operators (set is now 102)
     "ann_pq_adc",
+    "ann_ivf_pq",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

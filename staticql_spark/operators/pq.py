@@ -179,3 +179,69 @@ def pq_adc_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+    coarse_stride: int = 100,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-PQ (FAISS's IVFADC): coarse IVF cells prune the candidate set,
+    PQ-ADC scores what's left -> (query_id, neighbor_id, adc, rank).
+
+    The coarse quantizer is the deterministic stride sample
+    (similarity.centroid_sample — same init as the ann_ivf oracle);
+    corpus vectors get a cell by broadcast argmax, the tall codes frame
+    is tagged with its vector's cell by an id-keyed join, and each query
+    probes its ``nprobe`` nearest cells.  The ADC join then touches only
+    the probed cells' codes — ~nprobe/|cells| of the corpus — which is
+    the sublinearity IVF buys ON TOP of PQ's 64x storage cut.  At real
+    scale the cell-tagged codes frame is the persisted index
+    (PARTITIONED BY cell: partition pruning replaces the probe join's
+    big side with nprobe partition reads).
+
+    Scale shape: centroids and the per-query (cell, distance-table) rows
+    broadcast; the only big-side shuffles are the code/cell id join and
+    the final (query_id, vid) partial-agg sum.
+    """
+    from .similarity import centroid_sample, ivf_assign
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    coarse = centroid_sample(corpus, vec_col, id_col, coarse_stride)
+    cells = ivf_assign(c, coarse, vec_alias="cv", id_alias="vid", nprobe=1).select(
+        "vid", "cell"
+    )
+    probes = ivf_assign(
+        F.broadcast(q), coarse, vec_alias="qv", id_alias="query_id", nprobe=nprobe
+    ).select("query_id", "cell")
+    dsub = dim // m
+    qsub = subvectors(q, m, dsub, vec_col="qv", id_col="query_id")
+    dtable = qsub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+    )
+    tagged = codes.join(cells, "vid")
+    cands = tagged.join(F.broadcast(probes), "cell")
+    scored = (
+        cands.join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

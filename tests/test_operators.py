@@ -1720,3 +1720,26 @@ def test_pq_adc_finds_cluster_mate(spark):
     mate = {0: 1, 1: 0, 100: 101, 101: 100}
     for r in top.collect():
         assert r["neighbor_id"] == mate[r["query_id"]], r
+
+
+def test_ivfpq_topk_finds_cluster_mate(spark):
+    # coarse cells + ADC: with stride such that one rep per cluster is a
+    # coarse centroid, each query's top-1 must still be its cluster mate
+    from staticql_spark.operators import pq as pqm
+    rows = [
+        (0, [0.0, 0.1, 5.0, 5.1]),
+        (1, [0.1, 0.0, 5.1, 5.0]),
+        (100, [9.0, 9.1, -3.0, -3.1]),
+        (101, [9.1, 9.0, -3.1, -3.0]),
+    ]
+    df = spark.createDataFrame([(i, [float(x) for x in v]) for i, v in rows],
+                               ["vec_id", "embedding"])
+    cbs = pqm.pq_train(df, m=2, dim=4, stride=100, iters=2)
+    codes = pqm.pq_encode(df, cbs, m=2, dim=4)
+    top = pqm.ivfpq_topk(df, df, codes, cbs, k=1, m=2, dim=4,
+                         coarse_stride=100, nprobe=1)
+    mate = {0: 1, 1: 0, 100: 101, 101: 100}
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    # nprobe=1: each query probes its own cluster's cell only; the mate
+    # is in that cell, the far pair is not
+    assert got == mate, got

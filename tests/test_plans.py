@@ -480,3 +480,12 @@ def test_bpe_fertility_two_map_frames_one_agg(spark):
     # join keys doc_id and the final agg is a tiny |langs|-row frame
     p = plan(entrymod.q_bpe_fertility(spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
+
+
+def test_ivf_pq_prunes_via_cell_join_no_cartesian(spark):
+    # IVF-PQ: the codes frame must reach ADC through equi joins (id ->
+    # cell -> probes) with broadcast probe/distance tables — no cartesian,
+    # and the argmin/argmax assigns stay partial aggs
+    p = plan(entrymod.q_ann_ivf_pq(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastExchange" in p, p
