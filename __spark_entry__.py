@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 from staticql_spark.operators import asof, classify, dedup, multimodal, pq, similarity, sketch, text
 from staticql_spark.plans.pagination import keyset_page_df
+from staticql_spark import streaming as streaming_mod
 from staticql_spark.streaming import load_events, sessionize, trending_topk, windowed_agg
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1179,6 +1180,24 @@ def q_ann_ivf_pq(spark, sf):
     codes = pq.pq_encode(emb, cbs, m=4, dim=64)
     return pq.ivfpq_topk(
         queries, emb, codes, cbs, k=5, m=4, dim=64, coarse_stride=100, nprobe=3
+    )
+
+
+def q_stream_pq_neardup(spark, sf):
+    # streaming PQ-code near-dup, batch twin: codebooks trained on the
+    # OLD corpus only (frozen at index build — the streaming contract),
+    # old corpus encoded distributed + collapsed to code keys; the "new"
+    # batch (vec_id % 5 == 3, the residue class that avoids the stride-100
+    # init ids) is encoded IN-ROW from literal centroids and probed by
+    # exact code-tuple match, then cosine-verified against the old floats.
+    # Stream-vs-batch equality: test_stream_pq_neardup_stream_matches_batch.
+    emb = _t(spark, sf, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    cbs = pq.pq_train(old, m=4, dim=64, stride=100, iters=2)
+    keys = pq.code_keys(pq.pq_encode(old, cbs, m=4, dim=64))
+    return streaming_mod.stream_pq_neardup(
+        new, cbs, keys, old, m=4, dim=64, threshold=0.35
     )
 
 
@@ -2664,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- group A3: late-r6 operators (never driver-checked) ---
         "ann_pq_adc": q_ann_pq_adc,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "stream_pq_neardup": q_stream_pq_neardup,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -3319,6 +3339,58 @@ def _ivf_pq_sql(m: int = 4, dim: int = 64, k: int = 5, nprobe: int = 3) -> str:
                                         ORDER BY adc ASC, neighbor_id ASC) AS rank
               FROM scored
             ) WHERE rank <= {k}
+        """
+
+
+def _stream_pq_sql(m: int = 4, dim: int = 64, threshold: float = 0.35) -> str:
+    """SQL twin of q_stream_pq_neardup: the PQ CTE chain re-pointed at the
+    OLD corpus (codebooks frozen at index build), old code keys from the
+    distributed encode, new-batch codes by the same argmin against cb2
+    (the in-row encoder is bit-identical by construction), exact
+    code-tuple join, cosine verify at >= threshold."""
+    dsub = dim // m
+    kc = _pq_ctes(m, dim).replace("FROM embeddings", "FROM old_emb")
+    return f"""
+            WITH old_emb AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 3),
+            {kc},
+            okeys AS (
+              SELECT vec_id AS id_old,
+                     array_to_string(list(code ORDER BY subspace), '_') AS code_key
+              FROM codes GROUP BY vec_id
+            ),
+            newv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                     WHERE vec_id % 5 = 3),
+            nsub AS (
+              SELECT vec_id, j AS subspace,
+                     v[(j * {dsub} + 1):(j * {dsub} + {dsub})] AS sv
+              FROM newv, range({m}) r(j)
+            ),
+            ncodes AS (
+              SELECT vec_id, subspace, code FROM (
+                SELECT s.vec_id, s.subspace, c.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                         ORDER BY {_pq_d2("s.sv", "c.centroid")} ASC, c.code ASC) AS rn
+                FROM nsub s JOIN cb2 c USING (subspace)
+              ) WHERE rn = 1
+            ),
+            nkeys AS (
+              SELECT vec_id AS id_new,
+                     array_to_string(list(code ORDER BY subspace), '_') AS code_key
+              FROM ncodes GROUP BY vec_id
+            ),
+            oldv AS (SELECT vec_id, v FROM emb)
+            SELECT n.id_new, o.id_old,
+                   round(list_dot_product(nv.v, ov.v)
+                         / (sqrt(list_dot_product(nv.v, nv.v))
+                            * sqrt(list_dot_product(ov.v, ov.v))), 6) AS cosine
+            FROM nkeys n
+            JOIN okeys o USING (code_key)
+            JOIN newv nv ON nv.vec_id = n.id_new
+            JOIN oldv ov ON ov.vec_id = o.id_old
+            WHERE n.id_new <> o.id_old
+              AND round(list_dot_product(nv.v, ov.v)
+                        / (sqrt(list_dot_product(nv.v, nv.v))
+                           * sqrt(list_dot_product(ov.v, ov.v))), 6) >= {threshold}
         """
 
 
@@ -5570,6 +5642,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ann_ivf_trained": _ivf_trained_sql(),
         "ann_pq_adc": _pq_adc_sql(),
         "ann_ivf_pq": _ivf_pq_sql(),
+        "stream_pq_neardup": _stream_pq_sql(),
         "doc_chunk_dedup": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

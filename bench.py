@@ -141,9 +141,10 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 102)
+    # late-r6 operators (set is now 103)
     "ann_pq_adc",
     "ann_ivf_pq",
+    "stream_pq_neardup",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

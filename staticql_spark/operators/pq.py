@@ -245,3 +245,57 @@ def ivfpq_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def code_keys(codes: DataFrame, id_col: str = "vid") -> DataFrame:
+    """Collapse the tall code frame to one row per vector:
+    (id, code_key) where code_key = 'c0_c1_..._c{m-1}' in subspace order —
+    the exact-match blocking key PQ-code dedup joins on.  Per-vector
+    state is the m-entry struct list; one groupBy shuffle of small ints."""
+    return codes.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            "_",
+        ).alias("code_key")
+    )
+
+
+def encode_inrow(
+    vec: Column, codebook_rows: list, m: int, dsub: int
+) -> Column:
+    """code_key computed entirely IN-ROW from literal codebooks — the
+    streaming-side encoder.  ``codebook_rows`` is the collected
+    (subspace, code, centroid) list (m x K rows — bounded by
+    construction; the logreg broadcast-weights precedent).  Per subspace
+    the argmin is array_min over struct(rounded d, code) — bit-identical
+    to _assign's min(struct(d, code)), same tiebreak — so a vector
+    encodes to the SAME codes whether it flows through the distributed
+    pq_encode or this map-only path (locked by
+    test_stream_pq_encode_matches_batch).  No shuffle, no state:
+    append-mode streaming friendly."""
+    per_sub: dict[int, list] = {}
+    for r in codebook_rows:
+        per_sub.setdefault(r["subspace"], []).append((r["code"], list(r["centroid"])))
+    keys = []
+    dvec = as_double(vec)
+    for j in range(m):
+        sv = F.slice(dvec, j * dsub + 1, dsub)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        sqdist6(
+                            sv, F.array(*[F.lit(float(x)) for x in cent])
+                        ),
+                        6,
+                    ).alias("d"),
+                    F.lit(code).cast("long").alias("code"),
+                )
+                for code, cent in sorted(per_sub.get(j, []))
+            ]
+        )
+        keys.append(F.array_min(entries)["code"].cast("string"))
+    return F.concat_ws("_", *keys)

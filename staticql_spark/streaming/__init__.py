@@ -802,3 +802,65 @@ def stream_kmv_grouped(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------------ PQ-code near-dup
+
+
+def stream_pq_neardup(
+    new_vecs: DataFrame,
+    codebooks: DataFrame,
+    index_keys: DataFrame,
+    static_vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Continuous embedding near-dup detection against a static PQ index
+    — the vector-space sibling of :func:`stream_lsh_dedup`.
+
+    A STREAM of new vectors is PQ-encoded entirely in-row against the
+    frozen codebooks (``pq.encode_inrow``: literal centroids, argmin
+    bit-identical to the distributed ``pq_encode``), then probed against
+    the persisted corpus code index by exact code-tuple match — the PQ
+    blocking rule: two vectors whose m codes ALL agree sit in the same
+    product-quantizer cell intersection, a far tighter candidate set
+    than one coarse IVF cell.  Candidates verify with the exact cosine
+    against the static side's float vector (one id-keyed join), rounded
+    to 6, kept at >= ``threshold``.
+
+    The stream side is map-only (no shuffle, no state) so the plan is
+    append-mode friendly; ``codebooks`` is collected to literals — m x K
+    rows, bounded by construction (the logreg broadcast-weights
+    precedent).  Codebooks MUST be the ones the index was encoded with
+    (frozen at snapshot build, the same contract as stream_lsh_dedup's
+    band index).  New x new pairs inside the stream are out of scope:
+    run the batch path at snapshot boundaries.  Identical semantics on
+    batch inputs (test_stream_pq_neardup_stream_matches_batch).
+    """
+    from ..operators.pq import encode_inrow
+    from ..operators.similarity import as_double, cosine
+
+    dsub = dim // m
+    cb_rows = codebooks.collect()
+    probe = new_vecs.select(
+        F.col(id_col).alias("id_new"),
+        F.col(vec_col).alias("__nv"),
+        encode_inrow(F.col(vec_col), cb_rows, m, dsub).alias("code_key"),
+    )
+    cands = probe.join(
+        index_keys.select(F.col("vid").alias("id_old"), "code_key"), "code_key"
+    ).filter(F.col("id_new") != F.col("id_old"))
+    old = static_vecs.select(
+        F.col(id_col).alias("id_old"), F.col(vec_col).alias("__ov")
+    )
+    out = cands.join(old, "id_old").select(
+        "id_new",
+        "id_old",
+        F.round(cosine(as_double(F.col("__nv")), as_double(F.col("__ov"))), 6).alias(
+            "cosine"
+        ),
+    )
+    return out.filter(F.col("cosine") >= threshold)

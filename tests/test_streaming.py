@@ -568,3 +568,61 @@ def test_stream_kmv_grouped_matches_batch(spark, tmp_path_factory):
     ).collect()
     got = {r["grp"]: (r["sketch_k"], r["kth_hash"], r["est_ndv"]) for r in rows}
     assert got == batch
+
+
+def test_stream_pq_neardup_stream_matches_batch(spark, tmp_path):
+    """Streaming PQ-code near-dup: a 2-micro-batch vector stream probed
+    against the static code index must emit exactly the batch twin's
+    pairs; the in-row encoder must agree with the distributed encode."""
+    from staticql_spark.operators import pq
+    from staticql_spark.streaming import stream_pq_neardup
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter("vec_id % 5 != 3")
+    new = emb.filter("vec_id % 5 == 3")
+    cbs = pq.pq_train(old, m=4, dim=64, stride=100, iters=2)
+    keys = pq.code_keys(pq.pq_encode(old, cbs, m=4, dim=64))
+
+    # in-row encoder == distributed encoder on the same frozen codebooks
+    cb_rows = cbs.collect()
+    inrow = {
+        r["vec_id"]: r["ck"]
+        for r in new.select(
+            "vec_id", pq.encode_inrow(F.col("embedding"), cb_rows, 4, 16).alias("ck")
+        ).collect()
+    }
+    dist = {
+        r["vid"]: r["code_key"]
+        for r in pq.code_keys(pq.pq_encode(new, cbs, m=4, dim=64)).collect()
+    }
+    assert inrow == dist
+
+    want = {
+        (r["id_new"], r["id_old"], r["cosine"])
+        for r in stream_pq_neardup(new, cbs, keys, old, threshold=0.0).collect()
+    }
+    assert want, "fixture must produce at least one code-collision pair"
+
+    drops = str(tmp_path / "drops")
+    new.filter("vec_id % 10 = 3").coalesce(1).write.mode("append").parquet(drops)
+    new.filter("vec_id % 10 <> 3").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_pq_neardup(stream, cbs, keys, old, threshold=0.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["id_new"], r["id_old"], r["cosine"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == want
