@@ -1201,6 +1201,17 @@ def q_stream_pq_neardup(spark, sf):
     )
 
 
+def q_embedding_prototypes(spark, sf):
+    # D4 prototypicality pass (Tirumala et al. 2023): rank every vector
+    # by cosine to its trained k-means cell centroid; the top drop_frac
+    # per cell (the templated cluster core) is the prune set that D4
+    # removes after SemDeDup. Same trained cells as dedup_semantic /
+    # ann_ivf_trained (oracle reuses the unrolled-Lloyd CTEs).
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    return similarity.cell_prototypicality(emb, centroids=cents, drop_frac=0.25)
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2684,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "ann_ivf_pq": q_ann_ivf_pq,
         "stream_pq_neardup": q_stream_pq_neardup,
+        "embedding_prototypes": q_embedding_prototypes,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -3391,6 +3403,36 @@ def _stream_pq_sql(m: int = 4, dim: int = 64, threshold: float = 0.35) -> str:
               AND round(list_dot_product(nv.v, ov.v)
                         / (sqrt(list_dot_product(nv.v, nv.v))
                            * sqrt(list_dot_product(ov.v, ov.v))), 6) >= {threshold}
+        """
+
+
+
+def _prototypes_sql(drop_frac: float = 0.25) -> str:
+    """SQL twin of q_embedding_prototypes: the shared unrolled-Lloyd
+    CTEs (cent2), cosine-argmax assignment, per-cell prototypicality
+    rank and the floor(cell_n * drop_frac) prune flag."""
+    return f"""
+            WITH {_kmeans_ctes()},
+            assigned AS {_ivf_assign_sql("emb", "cent2", "v", "vec_id", 1)},
+            scored AS (
+              SELECT a.vec_id, a.cell,
+                     round(list_dot_product(a.v, c.centroid)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(c.centroid, c.centroid))),
+                           6) AS proto_cos
+              FROM assigned a JOIN cent2 c ON a.cell = c.cid
+            ),
+            ranked AS (
+              SELECT vec_id AS vid, cell, proto_cos,
+                     row_number() OVER (PARTITION BY cell
+                                        ORDER BY proto_cos DESC, vec_id ASC) AS proto_rank,
+                     count(*) OVER (PARTITION BY cell) AS cell_n
+              FROM scored
+            )
+            SELECT vid, cell, proto_cos, proto_rank,
+                   CAST(cell_n AS BIGINT) AS cell_n,
+                   (proto_rank <= floor(cell_n * {drop_frac})) AS proto_drop
+            FROM ranked
         """
 
 
@@ -5643,6 +5685,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ann_pq_adc": _pq_adc_sql(),
         "ann_ivf_pq": _ivf_pq_sql(),
         "stream_pq_neardup": _stream_pq_sql(),
+        "embedding_prototypes": _prototypes_sql(),
         "doc_chunk_dedup": f"""
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

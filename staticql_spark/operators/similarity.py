@@ -804,3 +804,62 @@ def class_separation(
             F.round(F.col("cohesion") - F.col("nearest_other"), 6).alias("margin"),
         )
     )
+
+
+def cell_prototypicality(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    centroids: DataFrame | None = None,
+    drop_frac: float = 0.25,
+) -> DataFrame:
+    """D4-style prototypicality scoring (Tirumala et al. 2023, "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification"): after SemDeDup removes near-duplicate CLUSTERS,
+    D4's second pass prunes the most PROTOTYPICAL points — the ones
+    closest to their k-means cluster centroid, i.e. the templated,
+    information-poor core of each semantic cluster — keeping the diverse
+    boundary.
+
+    Per vector: its cell, cosine to the cell centroid (rounded 6),
+    rank within the cell (1 = most prototypical, ties on id asc), cell
+    size, and ``proto_drop`` = rank <= floor(cell_n * drop_frac) — the
+    prune set at ``drop_frac``.
+
+    Scale: one broadcast-argmax assign (no corpus shuffle), the
+    proto-cosine computed in the same pass via the assign's carried
+    vector, then per-cell window rank + count — partitions are cells,
+    whose size the IVF balance report (ivf_cell_balance) already
+    monitors; a pathological whale cell is an index-health bug upstream
+    of this operator.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+    cents = centroids.select(F.col("cid").alias("cell"), "centroid")
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        "vid",
+        "cell",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("proto_cos"),
+    )
+    w = W.partitionBy("cell").orderBy(F.col("proto_cos").desc(), F.col("vid").asc())
+    cw = W.partitionBy("cell")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("cell_n", F.count("*").over(cw))
+        .select(
+            "vid",
+            "cell",
+            "proto_cos",
+            "proto_rank",
+            "cell_n",
+            (
+                F.col("proto_rank")
+                <= F.floor(F.col("cell_n") * F.lit(drop_frac)).cast("int")
+            ).alias("proto_drop"),
+        )
+    )

@@ -1743,3 +1743,25 @@ def test_ivfpq_topk_finds_cluster_mate(spark):
     # nprobe=1: each query probes its own cluster's cell only; the mate
     # is in that cell, the far pair is not
     assert got == mate, got
+
+
+def test_cell_prototypicality_ranks_and_prune_set(spark, emb):
+    # per cell: ranks are 1..n, the prune set is exactly the floor(n/4)
+    # most-prototypical members, and every dropped row is at least as
+    # close to the centroid as every kept row
+    out = similarity.cell_prototypicality(emb, drop_frac=0.25).collect()
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert by_cell
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        assert sorted(r["proto_rank"] for r in rows) == list(range(1, n + 1))
+        assert all(r["cell_n"] == n for r in rows)
+        dropped = [r for r in rows if r["proto_drop"]]
+        kept = [r for r in rows if not r["proto_drop"]]
+        assert len(dropped) == n // 4
+        if dropped and kept:
+            assert min(d["proto_cos"] for d in dropped) >= max(
+                k["proto_cos"] for k in kept
+            ) - 1e-9
