@@ -1212,6 +1212,16 @@ def q_embedding_prototypes(spark, sf):
     return similarity.cell_prototypicality(emb, centroids=cents, drop_frac=0.25)
 
 
+def q_doc_training_order(spark, sf):
+    # the final mile: mixture_epochs plan -> epoch expansion (floor
+    # repeats + seeded md5-Bernoulli fractional repeat) -> independent
+    # shuffle key per (doc, rep) -> two-phase sharded positions. Budget
+    # 40k over 20 even sources => epochs ~1.5, so the fractional-draw
+    # path is exercised, not just integer repeats.
+    docs = _t(spark, sf, "documents")
+    return text.training_order(docs, budget_tokens=40_000, n_shards=8)
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2696,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": q_ann_ivf_pq,
         "stream_pq_neardup": q_stream_pq_neardup,
         "embedding_prototypes": q_embedding_prototypes,
+        "doc_training_order": q_doc_training_order,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6212,6 +6223,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT vocab_size, covered_tokens, total_tokens,
                    round(covered_tokens / total_tokens, 6) AS coverage
             FROM cov, tot
+        """,
+        "doc_training_order": f"""
+            WITH c AS (
+              SELECT source, sum(len({_TOKS_RAW}))::DOUBLE AS nt
+              FROM documents GROUP BY source
+            ),
+            ns AS (SELECT count(*)::DOUBLE AS n FROM c),
+            plan AS (
+              SELECT source,
+                     CASE WHEN nt > 0
+                          THEN round(least(4.0, (40000.0 / ns.n) / nt), 4)
+                          ELSE 0.0 END AS epochs
+              FROM c, ns
+            ),
+            expanded AS (
+              SELECT d.doc_id,
+                     unnest(range(1, CAST(floor(p.epochs) AS BIGINT)
+                       + CASE WHEN
+                           ('0x' || substr(md5('order1|frac|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                             % 1000000
+                           < CAST(round((p.epochs - floor(p.epochs)) * 1000000) AS BIGINT)
+                         THEN 1 ELSE 0 END + 1)) AS rep
+              FROM documents d JOIN plan p USING (source)
+            ),
+            keyed AS (
+              SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+                     ('0x' || substr(md5('order1|' || doc_id::VARCHAR || ':' || rep::VARCHAR), 1, 15))::BIGINT AS k
+              FROM expanded
+            )
+            SELECT doc_id, rep,
+                   CAST(k % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY k % 8
+                                           ORDER BY k ASC, doc_id ASC, rep ASC) AS BIGINT) AS pos
+            FROM keyed
         """,
         "doc_mixture_epochs": f"""
             WITH c AS (

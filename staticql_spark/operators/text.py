@@ -1602,3 +1602,117 @@ def shuffle_shards(
         .withColumn("pos", (F.row_number().over(w) + F.col("_base")).cast("long"))
         .select(id_col, "shard", "pos")
     )
+
+
+def training_order(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    seed: str = "order1",
+    max_epochs: float = 4.0,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_buckets: int = 64,
+) -> DataFrame:
+    """The final mile of the curation pipeline: materialize the actual
+    training ORDER -> (id, rep, shard, pos).
+
+    Composes :func:`mixture_epochs` (Muennighoff-style per-stratum epoch
+    multipliers under a token budget) with the :func:`shuffle_shards`
+    idiom: every doc is expanded to ``floor(epochs)`` full repeats plus
+    one more with probability ``frac(epochs)`` (a seeded md5-Bernoulli
+    draw, so the expansion hits the planned token budget in expectation
+    and is exactly reproducible), then every (doc, rep) instance gets an
+    independent shuffle key — repeats of one doc land in DIFFERENT
+    shards/positions, which is the point of epoch-aware shuffling (a
+    repeat adjacent to its twin trains like a duplicate).
+
+    Scale: the plan frame is |strata| rows broadcast back; expansion is
+    a map-side explode bounded by ceil(max_epochs) per doc; the
+    within-shard rank is the same two-phase bucketed scheme as
+    shuffle_shards (per-(shard, high-bits bucket) windows + broadcast
+    base offsets) — no whale partitions at any corpus size.
+    """
+    df = ensure_parallelism(df)
+    plan = mixture_epochs(df, budget_tokens, max_epochs, strata_col, text_col)
+    docs = df.join(
+        F.broadcast(plan.select(strata_col, "epochs")), strata_col
+    )
+    full = F.floor(F.col("epochs")).cast("int")
+    fracm = F.round(
+        (F.col("epochs") - F.floor(F.col("epochs"))) * 1_000_000, 0
+    ).cast("long")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "|frac|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1_000_000)
+    )
+    n_rep = full + (draw < fracm).cast("int")
+    expanded = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n_rep >= 1, F.sequence(F.lit(1), n_rep)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("rep"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + "|"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span = (1 << 60) // pos_buckets
+    keyed = expanded.select(
+        F.col(id_col),
+        F.col("rep").cast("long").alias("rep"),
+        key.alias("_k"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+        F.floor(key / F.lit(span)).cast("int").alias("_b"),
+    )
+    base = (
+        keyed.groupBy("shard", "_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy("shard")
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "_b", "_base")
+    )
+    w = Window.partitionBy("shard", "_b").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc(), F.col("rep").asc()
+    )
+    return (
+        keyed.join(F.broadcast(base), ["shard", "_b"])
+        .withColumn("pos", (F.row_number().over(w) + F.col("_base")).cast("long"))
+        .select(id_col, "rep", "shard", "pos")
+    )

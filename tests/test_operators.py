@@ -1765,3 +1765,32 @@ def test_cell_prototypicality_ranks_and_prune_set(spark, emb):
             assert min(d["proto_cos"] for d in dropped) >= max(
                 k["proto_cos"] for k in kept
             ) - 1e-9
+
+
+def test_training_order_expansion_and_positions(spark, docs):
+    # budget => epochs ~uniform per source; every (doc, rep) instance gets
+    # an independent shard/pos; per-shard positions are exactly 1..n
+    out = text.training_order(docs, budget_tokens=8_000, n_shards=4).collect()
+    assert out
+    by_shard: dict[int, list[int]] = {}
+    reps_per_doc: dict[int, int] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+        reps_per_doc[r["doc_id"]] = max(reps_per_doc.get(r["doc_id"], 0), r["rep"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # reps are contiguous from 1 per doc
+    for r in out:
+        assert 1 <= r["rep"] <= reps_per_doc[r["doc_id"]]
+    # at least one doc repeats, and its instances are independently placed
+    multi = [d for d, n in reps_per_doc.items() if n >= 2]
+    if multi:
+        placements = {}
+        for r in out:
+            placements.setdefault(r["doc_id"], set()).add((r["shard"], r["pos"]))
+        d = multi[0]
+        assert len(placements[d]) == sum(1 for r in out if r["doc_id"] == d)
+    # deterministic
+    again = {(r["doc_id"], r["rep"]): (r["shard"], r["pos"])
+             for r in text.training_order(docs, budget_tokens=8_000, n_shards=4).collect()}
+    assert all(again[(r["doc_id"], r["rep"])] == (r["shard"], r["pos"]) for r in out)
