@@ -489,3 +489,28 @@ def test_ivf_pq_prunes_via_cell_join_no_cartesian(spark):
     p = plan(entrymod.q_ann_ivf_pq(spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_stream_pq_neardup_stream_side_is_shuffle_free_prejoin(spark):
+    # the probe side must be map-only up to the code-key join (in-row
+    # encode from literals, no argmin aggregation, no cartesian)
+    p = plan(entrymod.q_stream_pq_neardup(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+
+
+def test_embedding_prototypes_assign_is_partial_agg(spark):
+    # the cell assign is the map-side-combined argmax; the centroid join
+    # for the proto-cosine is a broadcast
+    p = plan(entrymod.q_embedding_prototypes(spark, SF_SMOKE))
+    assert "partial_min" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_training_order_plan_broadcast_and_no_whales(spark):
+    # the |strata|-row epochs plan and the |shard x bucket| base offsets
+    # must both broadcast; the expansion explode is map-side
+    p = plan(entrymod.q_doc_training_order(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Generate" in p, p  # the per-doc repeat explode
