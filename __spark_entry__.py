@@ -1222,6 +1222,16 @@ def q_doc_training_order(spark, sf):
     return text.training_order(docs, budget_tokens=40_000, n_shards=8)
 
 
+def q_doc_temperature_mix(spark, sf):
+    # XLM/CC-100 temperature sampling (Conneau et al. 2020): stratum
+    # share p -> tempered q ∝ p^0.7; boost = q/p is the up/down-sampling
+    # factor. Two tiny aggs broadcast back — the soft alternative to
+    # doc_source_cap's hard cutoff.
+    return text.temperature_weights(
+        _t(spark, sf, "documents"), alpha=0.7, strata_col="source"
+    )
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2707,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pq_neardup": q_stream_pq_neardup,
         "embedding_prototypes": q_embedding_prototypes,
         "doc_training_order": q_doc_training_order,
+        "doc_temperature_mix": q_doc_temperature_mix,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6223,6 +6234,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT vocab_size, covered_tokens, total_tokens,
                    round(covered_tokens / total_tokens, 6) AS coverage
             FROM cov, tot
+        """,
+        "doc_temperature_mix": f"""
+            WITH c AS (
+              SELECT source, sum(len({_TOKS_RAW}))::DOUBLE AS nt
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(nt) AS t FROM c),
+            shared AS (SELECT source, nt, nt / tot.t AS p FROM c, tot),
+            z AS (SELECT sum(pow(p, 0.7)) AS z FROM shared)
+            SELECT source,
+                   nt::BIGINT AS n_tokens,
+                   round(p, 6) AS p_share,
+                   round(pow(p, 0.7) / z.z, 6) AS q_share,
+                   round((pow(p, 0.7) / z.z) / p, 6) AS boost
+            FROM shared, z
         """,
         "doc_training_order": f"""
             WITH c AS (

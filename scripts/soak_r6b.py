@@ -73,6 +73,28 @@ def main():
         "shuffle_shards(n_shards=64, pos_buckets=128)",
         lambda: text.shuffle_shards(docs, n_shards=64, pos_buckets=128),
     )
+    timed(
+        "training_order(budget=100M, 64 shards)",
+        lambda: text.training_order(
+            docs, budget_tokens=100_000_000, n_shards=64, pos_buckets=128
+        ),
+    )
+    from staticql_spark.operators.similarity import cell_prototypicality
+
+    timed(
+        "cell_prototypicality(stride=100)",
+        lambda: cell_prototypicality(emb, drop_frac=0.25),
+    )
+    from staticql_spark.streaming import stream_pq_neardup
+
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    cbs_old = pq.pq_train(old, m=4, dim=64, stride=100, iters=2)
+    okeys = pq.code_keys(pq.pq_encode(old, cbs_old, m=4, dim=64))
+    timed(
+        "stream_pq_neardup(batch twin, old/new 4:1)",
+        lambda: stream_pq_neardup(new, cbs_old, okeys, old, m=4, dim=64, threshold=0.35),
+    )
 
     with open(os.path.join(REPO, "SOAK_r6b.json"), "w") as f:
         f.write(

@@ -1716,3 +1716,46 @@ def training_order(
         .withColumn("pos", (F.row_number().over(w) + F.col("_base")).cast("long"))
         .select(id_col, "rep", "shard", "pos")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the XLM/CC-100 multilingual
+    recipe, Conneau et al. 2020 §3.1: sample stratum i with probability
+    q_i ∝ p_i^alpha where p_i is its token share).  alpha < 1 flattens
+    the mixture — low-resource strata are up-sampled, head strata
+    down-sampled — without the hard cutoff of a per-source cap.
+
+    One row per stratum: token count, raw share p, tempered share q
+    (both rounded 6), and boost = q/p — the factor a sampler multiplies
+    each stratum's inclusion probability by.
+
+    Scale: one map-side-combined aggregate to |strata| rows; the
+    temperature arithmetic runs on that tiny frame (the normalizing
+    constant rides in via a 1-row broadcast cross join).
+    """
+    counts = ensure_parallelism(df).groupBy(strata_col).agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("nt")
+    )
+    tot = counts.agg(F.sum("nt").alias("__tot"))
+    shared = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("nt") / F.col("__tot")
+    )
+    # normalizer for p^alpha over strata: second tiny agg, broadcast back
+    z = shared.agg(F.sum(F.pow(F.col("p"), F.lit(alpha))).alias("__z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            F.col("nt").cast("long").alias("n_tokens"),
+            F.round(F.col("p"), 6).alias("p_share"),
+            F.round(F.pow(F.col("p"), F.lit(alpha)) / F.col("__z"), 6).alias("q_share"),
+            F.round(
+                (F.pow(F.col("p"), F.lit(alpha)) / F.col("__z")) / F.col("p"), 6
+            ).alias("boost"),
+        )
+    )

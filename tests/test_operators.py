@@ -1794,3 +1794,22 @@ def test_training_order_expansion_and_positions(spark, docs):
     again = {(r["doc_id"], r["rep"]): (r["shard"], r["pos"])
              for r in text.training_order(docs, budget_tokens=8_000, n_shards=4).collect()}
     assert all(again[(r["doc_id"], r["rep"])] == (r["shard"], r["pos"]) for r in out)
+
+
+def test_temperature_weights_flattens_mixture(spark):
+    # skewed 2-strata corpus: alpha<1 must up-sample the small stratum
+    # (boost>1) and down-sample the big one (boost<1); q sums to 1;
+    # alpha=1 is the identity
+    rows = [(i, "w " * 100, "big") for i in range(20)] + [
+        (100 + i, "w " * 10, "small") for i in range(2)
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    out = {r["source"]: r for r in text.temperature_weights(df, alpha=0.7).collect()}
+    assert abs(sum(r["q_share"] for r in out.values()) - 1.0) < 1e-4
+    assert out["small"]["boost"] > 1.0 > out["big"]["boost"]
+    assert out["small"]["q_share"] > out["small"]["p_share"]
+    ident = {r["source"]: r for r in text.temperature_weights(df, alpha=1.0).collect()}
+    for s in ident:
+        assert abs(ident[s]["q_share"] - ident[s]["p_share"]) < 1e-6
