@@ -387,3 +387,21 @@ def test_orderby_icu_collation_matches_localecompare(spark):
         .exec()
     )
     assert [r["name"] for r in p2.data] == ["é-doc"]
+
+
+def test_driver_contract_registry_is_total():
+    """Meta-contract: every queries() key has an oracle twin, keys are
+    unique strings, and oracles are non-empty SQL — a registration typo
+    (key in one dict but not the other) surfaces here, not in the driver
+    run."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(q) == set(o), set(q) ^ set(o)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+    # the driver's correctness gate reads the FIRST 50 keys: they must be
+    # the rotation window COVERAGE.md describes (never-checked keys first)
+    head = list(q)[:50]
+    assert len(head) == 50
