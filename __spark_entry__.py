@@ -1232,6 +1232,22 @@ def q_doc_temperature_mix(spark, sf):
     )
 
 
+def q_events_kanon(spark, sf):
+    # k-anonymous telemetry release: per-(event_type, day) counts with
+    # cells under 50 distinct users suppressed into one residual row —
+    # the release gate that keeps an aggregate export from isolating a
+    # small user group. privacy.kanon_release; strict/totals modes via
+    # the suppressed flag.
+    from staticql_spark.operators.privacy import kanon_release
+
+    ev = load_events(spark, f"{sf}/events.parquet").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    return kanon_release(ev, dims=["event_type", "day"], k=50, subject_col="user_id")
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2718,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_prototypes": q_embedding_prototypes,
         "doc_training_order": q_doc_training_order,
         "doc_temperature_mix": q_doc_temperature_mix,
+        "events_kanon": q_events_kanon,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6234,6 +6251,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT vocab_size, covered_tokens, total_tokens,
                    round(covered_tokens / total_tokens, 6) AS coverage
             FROM cov, tot
+        """,
+        "events_kanon": """
+            WITH cells AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     count(*)::BIGINT AS n_rows,
+                     count(DISTINCT user_id)::BIGINT AS n_subjects
+              FROM events GROUP BY 1, 2
+            ),
+            ok AS (
+              SELECT event_type, day, n_rows, n_subjects, false AS suppressed
+              FROM cells WHERE n_subjects >= 50
+            ),
+            residual AS (
+              SELECT '__other__' AS event_type, '__other__' AS day,
+                     CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                     CAST(sum(n_subjects) AS BIGINT) AS n_subjects,
+                     true AS suppressed
+              FROM cells WHERE n_subjects < 50
+              HAVING sum(n_rows) IS NOT NULL
+            )
+            SELECT * FROM ok UNION ALL SELECT * FROM residual
         """,
         "doc_temperature_mix": f"""
             WITH c AS (

@@ -141,13 +141,14 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 106)
+    # late-r6 operators (set is now 107)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
     "embedding_prototypes",
     "doc_training_order",
     "doc_temperature_mix",
+    "events_kanon",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

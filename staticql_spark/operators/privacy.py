@@ -1,0 +1,68 @@
+"""Privacy-threshold release operators.
+
+The PII family (text.pii_scrub) redacts identifiers INSIDE documents;
+this module governs what aggregate statistics may leave the pipeline at
+all.  k-anonymity suppression is the standard release rule for usage /
+telemetry aggregates: a cell (combination of quasi-identifier values)
+backed by fewer than k distinct subjects is suppressed and rolled into a
+single residual bucket, so no released row isolates a small group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import ensure_parallelism
+
+
+def kanon_release(
+    df: DataFrame,
+    dims: list[str],
+    k: int = 5,
+    subject_col: str | None = None,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """k-anonymous aggregate release -> (dims..., n_rows, n_subjects,
+    suppressed).
+
+    Cells (groupings of ``dims``) with fewer than ``k`` distinct subjects
+    (``subject_col``; row count if None) are suppressed: their dims are
+    replaced by ``other_label`` and they re-aggregate into ONE residual
+    row, so the released total is preserved while no row isolates a
+    group smaller than k.  The residual row's ``n_subjects`` is the SUM of
+    the suppressed cells' subject counts (an upper bound on its distinct
+    subjects — one subject can span cells), and the row itself may still
+    be small; it is flagged ``suppressed = true`` so a downstream policy
+    can drop it entirely (strict mode) or keep it (totals mode).
+
+    Scale: one shuffle to the cell aggregate; the suppression re-group
+    touches only the (rare) sub-threshold cells — the second aggregate's
+    input is at most |cells| rows, never the raw data.  String dims only
+    (the sentinel label must be representable); cast upstream.
+    """
+    df = ensure_parallelism(df)
+    subject = F.count_distinct(F.col(subject_col)) if subject_col else F.count("*")
+    cells = df.groupBy(*dims).agg(
+        F.count("*").alias("n_rows"),
+        subject.cast("long").alias("n_subjects"),
+    )
+    ok = cells.filter(F.col("n_subjects") >= k).withColumn(
+        "suppressed", F.lit(False)
+    )
+    residual = (
+        cells.filter(F.col("n_subjects") < k)
+        .groupBy()
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_subjects").cast("long").alias("n_subjects"),
+        )
+        .filter(F.col("n_rows").isNotNull())
+        .select(
+            *[F.lit(other_label).alias(d) for d in dims],
+            "n_rows",
+            "n_subjects",
+            F.lit(True).alias("suppressed"),
+        )
+    )
+    return ok.unionByName(residual)

@@ -1813,3 +1813,25 @@ def test_temperature_weights_flattens_mixture(spark):
     ident = {r["source"]: r for r in text.temperature_weights(df, alpha=1.0).collect()}
     for s in ident:
         assert abs(ident[s]["q_share"] - ident[s]["p_share"]) < 1e-6
+
+
+def test_kanon_release_suppresses_small_cells(spark):
+    from staticql_spark.operators.privacy import kanon_release
+
+    rows = (
+        [("a", f"u{i}") for i in range(6)]          # cell a: 6 subjects
+        + [("b", f"v{i}") for i in range(2)]        # cell b: 2 -> suppressed
+        + [("c", "w0"), ("c", "w0"), ("c", "w1")]   # cell c: 2 -> suppressed
+    )
+    df = spark.createDataFrame(rows, ["dim", "subject"])
+    out = kanon_release(df, dims=["dim"], k=3, subject_col="subject").collect()
+    rel = {r["dim"]: r for r in out}
+    assert set(rel) == {"a", "__other__"}
+    assert rel["a"]["n_subjects"] == 6 and not rel["a"]["suppressed"]
+    other = rel["__other__"]
+    assert other["suppressed"] and other["n_rows"] == 5 and other["n_subjects"] == 4
+    # released totals preserved
+    assert sum(r["n_rows"] for r in out) == len(rows)
+    # no suppression -> no residual row
+    out2 = kanon_release(df, dims=["dim"], k=1, subject_col="subject").collect()
+    assert all(not r["suppressed"] for r in out2) and len(out2) == 3
