@@ -1248,6 +1248,17 @@ def q_events_kanon(spark, sf):
     return kanon_release(ev, dims=["event_type", "day"], k=50, subject_col="user_id")
 
 
+def q_embedding_drift(spark, sf):
+    # population-stability drift between corpus versions over FROZEN
+    # old-corpus cells (the baseline must not move with the data):
+    # per-cell Laplace-smoothed shares and PSI terms; sum psi_term for
+    # the headline drift number (<0.1 stable, >0.25 shifted).
+    emb = _t(spark, sf, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+    return similarity.embedding_drift(old, new, centroid_stride=100)
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2735,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_training_order": q_doc_training_order,
         "doc_temperature_mix": q_doc_temperature_mix,
         "events_kanon": q_events_kanon,
+        "embedding_drift": q_embedding_drift,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -3472,6 +3484,45 @@ def _prototypes_sql(drop_frac: float = 0.25) -> str:
                    CAST(cell_n AS BIGINT) AS cell_n,
                    (proto_rank <= floor(cell_n * {drop_frac})) AS proto_drop
             FROM ranked
+        """
+
+
+
+def _embedding_drift_sql() -> str:
+    """SQL twin of q_embedding_drift: old-corpus stride-100 cells, both
+    versions assigned by cosine argmax, full-outer per-cell counts,
+    Laplace-smoothed shares and PSI terms (all rounded 6)."""
+    return f"""
+            WITH old_emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                             FROM embeddings WHERE vec_id % 5 <> 3),
+            new_emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings WHERE vec_id % 5 = 3),
+            cent AS (SELECT vec_id AS cid, v AS centroid FROM old_emb
+                     WHERE vec_id % 100 = 0),
+            ao AS {_ivf_assign_sql("old_emb", "cent", "v", "vec_id", 1)},
+            an AS {_ivf_assign_sql("new_emb", "cent", "v", "vec_id", 1)},
+            co AS (SELECT cell, count(*)::BIGINT AS n_old FROM ao GROUP BY cell),
+            cn AS (SELECT cell, count(*)::BIGINT AS n_new FROM an GROUP BY cell),
+            cells AS (
+              SELECT coalesce(co.cell, cn.cell) AS cell,
+                     coalesce(n_old, 0) AS n_old,
+                     coalesce(n_new, 0) AS n_new
+              FROM co FULL OUTER JOIN cn ON co.cell = cn.cell
+            ),
+            tot AS (SELECT sum(n_old)::DOUBLE AS t_o, sum(n_new)::DOUBLE AS t_n,
+                           count(*)::DOUBLE AS nc
+                    FROM cells),
+            p AS (
+              SELECT cell, n_old, n_new,
+                     (n_old + 0.5) / (t_o + 0.5 * nc) AS po,
+                     (n_new + 0.5) / (t_n + 0.5 * nc) AS pn
+              FROM cells, tot
+            )
+            SELECT cell, n_old, n_new,
+                   round(po, 6) AS p_old,
+                   round(pn, 6) AS p_new,
+                   round((po - pn) * ln(po / pn), 6) AS psi_term
+            FROM p
         """
 
 
@@ -6252,6 +6303,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(covered_tokens / total_tokens, 6) AS coverage
             FROM cov, tot
         """,
+        "embedding_drift": _embedding_drift_sql(),
         "events_kanon": """
             WITH cells AS (
               SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 107)
+    # late-r6 operators (set is now 108)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -149,6 +149,7 @@ HEADLINE = [
     "doc_training_order",
     "doc_temperature_mix",
     "events_kanon",
+    "embedding_drift",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

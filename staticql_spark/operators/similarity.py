@@ -863,3 +863,72 @@ def cell_prototypicality(
             ).alias("proto_drop"),
         )
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_stride: int = 100,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-population drift report between two corpus versions —
+    the monitoring check that tells you a retrained embedder or a
+    changed upstream corpus has shifted the vector distribution an ANN
+    index / dedup blocking was built for.
+
+    Both versions are assigned to the SAME frozen cells (sampled or
+    trained on the OLD version — the baseline must not move with the
+    data), then each cell contributes a population-stability-index term
+    psi = (p_old - p_new) * ln(p_old / p_new) over Laplace-smoothed cell
+    shares (smoothing keeps empty-on-one-side cells finite; the industry
+    read: total PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+    One row per cell: (cell, n_old, n_new, p_old, p_new, psi_term), all
+    shares/terms rounded 6.  Sum psi_term for the headline number.
+
+    Scale: two broadcast-argmax assigns (no corpus shuffle) + two
+    |cells|-row aggregates joined full-outer on cell; totals ride in via
+    1-row broadcasts.
+    """
+    if centroids is None:
+        centroids = centroid_sample(old, vec_col, id_col, centroid_stride)
+
+    def cell_counts(df: DataFrame, alias: str) -> DataFrame:
+        vecs = ensure_parallelism(df).select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        )
+        assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+        return assigned.groupBy("cell").agg(F.count("*").alias(alias))
+
+    co = cell_counts(old, "n_old")
+    cn = cell_counts(new, "n_new")
+    cells = co.join(cn, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    tot = cells.agg(
+        F.sum("n_old").cast("double").alias("__to"),
+        F.sum("n_new").cast("double").alias("__tn"),
+        F.count("*").cast("double").alias("__nc"),
+    )
+    sm = F.lit(0.5)
+    with_p = cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + sm) / (F.col("__to") + sm * F.col("__nc"))).alias("__po"),
+        ((F.col("n_new") + sm) / (F.col("__tn") + sm * F.col("__nc"))).alias("__pn"),
+    )
+    return with_p.select(
+        "cell",
+        "n_old",
+        "n_new",
+        F.round(F.col("__po"), 6).alias("p_old"),
+        F.round(F.col("__pn"), 6).alias("p_new"),
+        F.round(
+            (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
+        ).alias("psi_term"),
+    )

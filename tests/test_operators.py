@@ -1835,3 +1835,19 @@ def test_kanon_release_suppresses_small_cells(spark):
     # no suppression -> no residual row
     out2 = kanon_release(df, dims=["dim"], k=1, subject_col="subject").collect()
     assert all(not r["suppressed"] for r in out2) and len(out2) == 3
+
+
+def test_embedding_drift_psi_zero_when_identical(spark, emb):
+    # same population on both sides: every psi term ~0 and shares equal
+    out = similarity.embedding_drift(emb, emb).collect()
+    assert out
+    for r in out:
+        assert abs(r["psi_term"]) < 1e-6
+        assert abs(r["p_old"] - r["p_new"]) < 1e-6
+    # shifted population (half the corpus dropped from 'new'): total PSI
+    # strictly positive and shares sum ~1 on both sides
+    new = emb.filter("vec_id % 2 = 0")
+    out2 = similarity.embedding_drift(emb, new).collect()
+    assert sum(r["psi_term"] for r in out2) >= 0.0
+    assert abs(sum(r["p_old"] for r in out2) - 1.0) < 1e-3
+    assert abs(sum(r["p_new"] for r in out2) - 1.0) < 1e-3
