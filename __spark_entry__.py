@@ -1259,6 +1259,15 @@ def q_embedding_drift(spark, sf):
     return similarity.embedding_drift(old, new, centroid_stride=100)
 
 
+def q_ann_label_noise(spark, sf):
+    # confident-learning-lite: every labeled vector classified by its 5
+    # nearest neighbors in the same corpus; per-label neighborhood
+    # disagreement rate = the re-review shortlist for the labeling team.
+    from staticql_spark.operators.classify import label_noise_report
+
+    return label_noise_report(_t(spark, sf, "embeddings"), k=5)
+
+
 def q_doc_chunk_dedup(spark, sf):
     # C4-style exact unit dedup (Raffel et al. 2020): non-overlapping
     # 8-token chunks, drop any chunk seen in >= 2 distinct docs,
@@ -2747,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": q_doc_temperature_mix,
         "events_kanon": q_events_kanon,
         "embedding_drift": q_embedding_drift,
+        "ann_label_noise": q_ann_label_noise,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -5899,6 +5909,53 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS dsir_w
             FROM tb JOIN lm USING (b)
             GROUP BY doc_id
+        """,
+        "ann_label_noise": """
+            WITH q AS (
+              SELECT vec_id AS query_id, label AS true_label,
+                     embedding::DOUBLE[] AS qv
+              FROM embeddings
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, label AS nl,
+                     embedding::DOUBLE[] AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id, nl,
+                     round(list_dot_product(qv, cv)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                           6) AS cosine
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            ),
+            nbrs AS (
+              SELECT query_id, nl FROM (
+                SELECT query_id, nl,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 5
+            ),
+            votes AS (
+              SELECT query_id, nl, count(*) AS votes
+              FROM nbrs GROUP BY query_id, nl
+            ),
+            pred AS (
+              SELECT query_id, nl AS pred_label FROM (
+                SELECT query_id, nl, votes,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY votes DESC, nl ASC) AS r
+                FROM votes
+              ) WHERE r = 1
+            )
+            SELECT q.true_label AS label,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CASE WHEN p.pred_label = q.true_label THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_flagged,
+                   round(sum(CASE WHEN p.pred_label = q.true_label THEN 0 ELSE 1 END)::DOUBLE
+                         / count(*), 6) AS noise_rate
+            FROM pred p JOIN q USING (query_id)
+            GROUP BY q.true_label
         """,
         "ann_knn_classify": """
             WITH q AS (

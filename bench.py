@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 108)
+    # late-r6 operators (set is now 109)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -150,6 +150,7 @@ HEADLINE = [
     "doc_temperature_mix",
     "events_kanon",
     "embedding_drift",
+    "ann_label_noise",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -242,3 +242,38 @@ def knn_classify(
         "true_label",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def label_noise_report(
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Confident-learning-lite label-noise audit (the cheap core of
+    Northcutt et al. 2021): classify EVERY labeled vector by its k
+    nearest neighbors in the same corpus (self-match excluded) and
+    report, per label, how often the neighborhood disagrees with the
+    assigned label — the shortlist a labeling team re-reviews first.
+
+    One row per label: (label, n, n_flagged, noise_rate), noise_rate
+    rounded 6.
+
+    Scale: inherits knn_classify's shape (broadcast queries x corpus for
+    the exact path; pass ``neighbors=`` from ivf_query for the sublinear
+    path at web scale — corpus-as-queries is exactly the case where you
+    would); the audit tail is a |labels|-row aggregate.
+    """
+    res = knn_classify(
+        corpus, corpus, k=k, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, neighbors=neighbors,
+    )
+    return res.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((~F.col("correct")).cast("long")).alias("n_flagged"),
+        F.round(
+            F.sum((~F.col("correct")).cast("int")) / F.count("*"), 6
+        ).alias("noise_rate"),
+    )

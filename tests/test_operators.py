@@ -1851,3 +1851,22 @@ def test_embedding_drift_psi_zero_when_identical(spark, emb):
     assert sum(r["psi_term"] for r in out2) >= 0.0
     assert abs(sum(r["p_old"] for r in out2) - 1.0) < 1e-3
     assert abs(sum(r["p_new"] for r in out2) - 1.0) < 1e-3
+
+
+def test_label_noise_report_flags_planted_flip(spark):
+    # two tight clusters, one deliberately mislabeled point: its
+    # neighborhood outvotes the bad label, so exactly that label shows
+    # noise while the clean cluster reads 0
+    from staticql_spark.operators.classify import label_noise_report
+    rows = (
+        [(i, [1.0 + 0.01 * i, 0.0], "a") for i in range(5)]
+        + [(10 + i, [0.0, 1.0 + 0.01 * i], "b") for i in range(4)]
+        + [(99, [0.0, 1.05], "a")]  # sits in cluster b, labeled a
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r["label"]: r for r in label_noise_report(df, k=3).collect()}
+    assert out["a"]["n_flagged"] == 1 and out["a"]["n"] == 6
+    assert out["b"]["n_flagged"] == 0
