@@ -2465,6 +2465,15 @@ def q_multimodal_features(spark, sf):
     return multimodal.parse_headers(media)
 
 
+def q_multimodal_ahash(spark, sf):
+    # image near-dup by average-hash over the real PPM fixture rasters:
+    # integer-exact bit rule (luma*npix > total), identical-hash families
+    # with min-id canonical. Expression path for oracle parity; the
+    # production path is the numpy twin over mapInPandas (pytest-locked).
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return multimodal.image_ahash_small(media)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2757,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kanon": q_events_kanon,
         "embedding_drift": q_embedding_drift,
         "ann_label_noise": q_ann_label_noise,
+        "multimodal_ahash": q_multimodal_ahash,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -5956,6 +5966,44 @@ def _oracle_sql_literal() -> dict[str, str]:
                          / count(*), 6) AS noise_rate
             FROM pred p JOIN q USING (query_id)
             GROUP BY q.true_label
+        """,
+        "multimodal_ahash": f"""
+            WITH m AS (
+              SELECT media_id, hex(payload) AS hx FROM read_parquet('{_MEDIA_FIXTURE}')
+              WHERE kind = 'image'
+            ),
+            hdr AS (
+              SELECT media_id, hx,
+                     length(regexp_extract(hx, '^50360A(?:..)*?0A(?:..)*?0A', 0)) AS off,
+                     decode(unhex(regexp_extract(hx, '^50360A((?:..)*?)20', 1)))::INT AS width,
+                     decode(unhex(regexp_extract(hx, '^50360A(?:..)*?20((?:..)*?)0A', 1)))::INT AS height
+              FROM m
+            ),
+            px AS (
+              SELECT media_id, off, width, height, width * height AS npix,
+                     unnest(range(width * height)) AS i
+              FROM hdr
+            ),
+            luma AS (
+              SELECT p.media_id, p.width, p.height, p.npix, p.i,
+                     ('0x' || substr(h.hx, CAST(p.off + 6 * p.i + 1 AS INT), 2))::BIGINT
+                   + ('0x' || substr(h.hx, CAST(p.off + 6 * p.i + 3 AS INT), 2))::BIGINT
+                   + ('0x' || substr(h.hx, CAST(p.off + 6 * p.i + 5 AS INT), 2))::BIGINT AS l
+              FROM px p JOIN hdr h USING (media_id)
+            ),
+            tot AS (SELECT media_id, sum(l) AS total FROM luma GROUP BY media_id),
+            hashed AS (
+              SELECT l.media_id, l.width, l.height,
+                     CAST(sum(CASE WHEN l.l * l.npix > t.total
+                              THEN CAST(1 AS BIGINT) << CAST(l.i AS INT) ELSE 0 END) AS BIGINT)
+                       AS ahash
+              FROM luma l JOIN tot t USING (media_id)
+              GROUP BY l.media_id, l.width, l.height
+            )
+            SELECT media_id, width, height, ahash,
+                   min(media_id) OVER (PARTITION BY ahash) AS canonical,
+                   count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dups
+            FROM hashed
         """,
         "ann_knn_classify": """
             WITH q AS (

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 109)
+    # late-r6 operators (set is now 110)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -151,6 +151,7 @@ HEADLINE = [
     "events_kanon",
     "embedding_drift",
     "ann_label_noise",
+    "multimodal_ahash",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -421,3 +421,82 @@ def synthetic_media_real(spark, n: int = 64) -> DataFrame:
             kind = "audio"
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_ahash_small(media: DataFrame, max_bits: int = 52) -> DataFrame:
+    """Average-hash (aHash) near-dup fingerprint for SMALL binary PPM
+    rasters, computed entirely in JVM expressions over the hex payload —
+    integer-exact end to end, so the DuckDB oracle replays it
+    bit-for-bit: per pixel luma3 = r+g+b, bit_i = (luma3_i * npix >
+    sum(luma3)), hash = Σ bit_i·2^i.
+
+    Returns image rows only: (media_id, width, height, ahash, canonical,
+    n_dups) where canonical/n_dups group identical hashes (min-id
+    canonical — the aHash-exact duplicate family).
+
+    This expression path exists for oracle parity and thumbnail-scale
+    rasters (npix <= ``max_bits`` = 52 so 2^i stays float-exact; the
+    per-pixel expression tree is
+    O(npix)).  The production path for real images is decode_image /
+    image_features over the Arrow-batched mapInPandas boundary, with
+    this same bit rule applied to the numpy array
+    (tests/test_multimodal.py locks the two paths equal).
+    """
+    from pyspark.sql import Window
+
+    hx = F.hex(F.col("payload"))
+    header = F.regexp_extract(hx, r"^50360A(?:..)*?0A(?:..)*?0A", 0)
+    off = F.length(header)  # hex chars; raster starts at off+1 (1-based)
+    width = F.expr(
+        "CAST(decode(unhex(regexp_extract(hex(payload),"
+        " '^50360A((?:..)*?)20', 1)), 'UTF-8') AS INT)"
+    )
+    height = F.expr(
+        "CAST(decode(unhex(regexp_extract(hex(payload),"
+        " '^50360A(?:..)*?20((?:..)*?)0A', 1)), 'UTF-8') AS INT)"
+    )
+    npix = (width * height).cast("long")
+
+    def byte_at(hpos: "F.Column") -> "F.Column":
+        return F.conv(F.substring(hx, hpos, 2), 16, 10).cast("long")
+
+    idx = F.sequence(F.lit(0).cast("long"), npix - 1)
+    luma = F.transform(
+        idx,
+        lambda i: byte_at(off + 6 * i + 1)
+        + byte_at(off + 6 * i + 3)
+        + byte_at(off + 6 * i + 5),
+    )
+    total = F.aggregate(luma, F.lit(0).cast("long"), lambda a, x: a + x)
+    ahash = F.aggregate(
+        F.zip_with(
+            luma,
+            F.sequence(F.lit(0).cast("long"), npix - 1),
+            lambda l, i: F.when(
+                l * npix > total, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", width.alias("width"), height.alias("height"), ahash.alias("ahash")
+    )
+    w = Window.partitionBy("ahash")
+    return imgs.select(
+        "media_id",
+        "width",
+        "height",
+        "ahash",
+        F.min("media_id").over(w).alias("canonical"),
+        F.count("*").over(w).cast("long").alias("n_dups"),
+    )
+
+
+def ahash_np(arr: np.ndarray) -> int:
+    """NumPy twin of image_ahash_small's bit rule for (h, w, 3) uint8."""
+    luma = arr.astype(np.int64).sum(axis=2).reshape(-1)
+    npix = luma.size
+    total = int(luma.sum())
+    bits = (luma * npix) > total
+    return int(sum(1 << i for i, b in enumerate(bits) if b))

@@ -1870,3 +1870,18 @@ def test_label_noise_report_flags_planted_flip(spark):
     out = {r["label"]: r for r in label_noise_report(df, k=3).collect()}
     assert out["a"]["n_flagged"] == 1 and out["a"]["n"] == 6
     assert out["b"]["n_flagged"] == 0
+
+
+def test_image_ahash_expr_matches_numpy_twin(spark):
+    # the JVM-expression aHash (oracle-parity path) and the numpy bit
+    # rule over decode_image (production path) must agree bit-for-bit
+    media = multimodal.synthetic_media_real(spark, n=16)
+    got = {
+        r["media_id"]: (r["ahash"], r["canonical"], r["n_dups"])
+        for r in multimodal.image_ahash_small(media).collect()
+    }
+    rows = media.filter("kind = 'image'").collect()
+    assert set(got) == {r["media_id"] for r in rows}
+    for r in rows:
+        arr = multimodal.decode_image(bytes(r["payload"]))
+        assert got[r["media_id"]][0] == multimodal.ahash_np(arr), r["media_id"]
