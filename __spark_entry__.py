@@ -2474,6 +2474,17 @@ def q_multimodal_ahash(spark, sf):
     return multimodal.image_ahash_small(media)
 
 
+def q_exact_percentiles(spark, sf):
+    # EXACT distributed quantiles by two-phase bucket counting — no
+    # global sort, no driver collect, no per-group value buffering (the
+    # memory hazard of SQL percentile at 100 TB). Shared rank definition
+    # with the oracle: value at rank ceil(q*n), 1-based ascending.
+    from staticql_spark.operators.profile import exact_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2767,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "ann_label_noise": q_ann_label_noise,
         "multimodal_ahash": q_multimodal_ahash,
+        "exact_percentiles": q_exact_percentiles,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6004,6 +6016,22 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(media_id) OVER (PARTITION BY ahash) AS canonical,
                    count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dups
             FROM hashed
+        """,
+        "exact_percentiles": """
+            WITH v AS (
+              SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            ),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                     count(*) OVER () AS n
+              FROM v
+            )
+            SELECT q, x AS value,
+                   CAST(greatest(ceil(q * r.n), 1) AS BIGINT) AS rank,
+                   CAST(r.n AS BIGINT) AS n
+            FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
+            JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
         """,
         "ann_knn_classify": """
             WITH q AS (

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 110)
+    # late-r6 operators (set is now 111)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -152,6 +152,7 @@ HEADLINE = [
     "embedding_drift",
     "ann_label_noise",
     "multimodal_ahash",
+    "exact_percentiles",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

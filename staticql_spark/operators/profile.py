@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,3 +120,99 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                 )
             )
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT distributed quantiles without a global sort or a driver
+    collect — the scale-safe alternative to SQL ``percentile`` (which
+    buffers every group value in memory) and the exactness ``
+    percentile_approx`` gives up.
+
+    Definition shared with the oracle: quantile q = the element at rank
+    ceil(q * n) (1-based) of the ascending sort — so both engines agree
+    without depending on either's built-in quantile interpolation mode.
+
+    Two passes, classic count-bucket scheme:
+    1. one aggregate for (min, max, n); one aggregate for per-bucket
+       counts over ``num_buckets`` equal-width buckets (tiny frame);
+       a running sum over that frame locates, for each q, the bucket
+       containing the target rank and the rank offset within it.
+    2. rows of ONLY the target buckets rank locally (window per bucket,
+       expected n/num_buckets rows per partition) and the row whose
+       local rank matches is the answer.
+
+    Returns (q, value, rank, n).  NULLs are excluded (ranks are over
+    non-null values).  Raise ``num_buckets`` to shrink pass-2 partitions
+    at extreme scale; a skewed-to-one-value column degrades to a single
+    hot bucket — exactly the distribution where any exact quantile needs
+    to touch those rows.
+    """
+    vals = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    stats = vals.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+    )
+    # bucket width; degenerate all-equal column -> width 0 -> bucket 0
+    b = vals.crossJoin(F.broadcast(stats)).select(
+        "x",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(num_buckets))
+                ).cast("int"),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bkt"),
+    )
+    counts = b.groupBy("bkt").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.withColumn("below", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    targets = (
+        stats.select("n")
+        .crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(float(q),) for q in qs], ["q"]
+                )
+            )
+        )
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n_total"),
+            F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)).alias("rank"),
+        )
+    )
+    # locate each q's bucket: the first bucket whose cumulative count
+    # reaches the rank (tiny |buckets| x |qs| join)
+    located = (
+        targets.join(
+            F.broadcast(cum),
+            (F.col("rank") > F.col("below"))
+            & (F.col("rank") <= F.col("below") + F.col("cnt")),
+        )
+        .select(
+            "q", "n_total", "rank", "bkt",
+            (F.col("rank") - F.col("below")).alias("lrank"),
+        )
+    )
+    wloc = Window.partitionBy("bkt").orderBy("x")
+    in_bucket = (
+        b.join(F.broadcast(located.select("bkt").distinct()), "bkt")
+        .withColumn("lr", F.row_number().over(wloc))
+    )
+    return (
+        in_bucket.join(
+            located, (in_bucket.bkt == located.bkt) & (F.col("lr") == F.col("lrank"))
+        )
+        .select("q", F.col("x").alias("value"), "rank", F.col("n_total").alias("n"))
+    )

@@ -1885,3 +1885,22 @@ def test_image_ahash_expr_matches_numpy_twin(spark):
     for r in rows:
         arr = multimodal.decode_image(bytes(r["payload"]))
         assert got[r["media_id"]][0] == multimodal.ahash_np(arr), r["media_id"]
+
+
+def test_exact_quantiles_matches_sql_percentile_rank_def(spark):
+    # two-phase bucketed quantiles == brute-force rank definition
+    # (value at ceil(q*n), 1-based ascending) on a known small frame
+    from staticql_spark.operators.profile import exact_quantiles
+    vals = [float(v) for v in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["q"]: r for r in exact_quantiles(df, "x", [0.1, 0.5, 1.0], num_buckets=4).collect()}
+    srt = sorted(vals)
+    import math
+    for q in (0.1, 0.5, 1.0):
+        want = srt[max(math.ceil(q * len(vals)), 1) - 1]
+        assert out[q]["value"] == want, (q, out[q])
+        assert out[q]["n"] == len(vals)
+    # degenerate all-equal column: every quantile is that value
+    dfc = spark.createDataFrame([(3.0,)] * 7, ["x"])
+    outc = exact_quantiles(dfc, "x", [0.5]).collect()
+    assert outc[0]["value"] == 3.0

@@ -514,3 +514,11 @@ def test_training_order_plan_broadcast_and_no_whales(spark):
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "Generate" in p, p  # the per-doc repeat explode
+
+
+def test_exact_percentiles_no_global_sort(spark):
+    # the scale contract: pass-2 ranks per bucket (hash exchange on bkt),
+    # never a rangepartitioning global sort of the value stream
+    p = plan(entrymod.q_exact_percentiles(spark, SF_SMOKE))
+    assert "rangepartitioning" not in p.lower(), p
+    assert "CartesianProduct" not in p, p
