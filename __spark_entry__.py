@@ -2485,6 +2485,15 @@ def q_exact_percentiles(spark, sf):
     return exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.9, 0.99])
 
 
+def q_multimodal_audio_hash(spark, sf):
+    # audio near-dup by energy-contour hash over the real WAV fixture
+    # clips: signed int16 samples straight off the hex payload, 8 equal
+    # blocks, bit = block energy * 8 > total — integer-exact, so the
+    # oracle replays it bit-for-bit; numpy twin locked by pytest.
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    return multimodal.audio_energy_hash_small(media)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2779,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_label_noise": q_ann_label_noise,
         "multimodal_ahash": q_multimodal_ahash,
         "exact_percentiles": q_exact_percentiles,
+        "multimodal_audio_hash": q_multimodal_audio_hash,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6032,6 +6042,59 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(r.n AS BIGINT) AS n
             FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
             JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
+        """,
+        "multimodal_audio_hash": f"""
+            WITH m AS (
+              SELECT media_id, hex(payload) AS hx FROM read_parquet('{_MEDIA_FIXTURE}')
+              WHERE kind = 'audio'
+            ),
+            hdr AS (
+              SELECT media_id, hx,
+                     (('0x' || substr(hx, 81, 2))::BIGINT
+                      + 256 * ('0x' || substr(hx, 83, 2))::BIGINT
+                      + 65536 * ('0x' || substr(hx, 85, 2))::BIGINT
+                      + 16777216 * ('0x' || substr(hx, 87, 2))::BIGINT) // 2 AS n_samples
+              FROM m
+            ),
+            prep AS (
+              SELECT media_id, hx, n_samples,
+                     (n_samples // 8) AS blk,
+                     (n_samples // 8) * 8 AS used
+              FROM hdr
+            ),
+            idx AS (
+              SELECT media_id, n_samples, blk,
+                     unnest(range(used)) AS i
+              FROM prep
+            ),
+            samp AS (
+              SELECT x.media_id, x.n_samples, x.blk, x.i, x.i // x.blk AS b,
+                     CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s
+              FROM (
+                SELECT d.media_id, d.n_samples, d.blk, d.i,
+                       ('0x' || substr(p.hx, CAST(89 + 4 * d.i AS INT), 2))::BIGINT
+                       + 256 * ('0x' || substr(p.hx, CAST(91 + 4 * d.i AS INT), 2))::BIGINT AS raw
+                FROM idx d JOIN prep p USING (media_id)
+              ) x
+            ),
+            blocks AS (
+              SELECT media_id, n_samples, b, sum(abs(s)) AS e
+              FROM samp GROUP BY media_id, n_samples, b
+            ),
+            tot AS (SELECT media_id, sum(e) AS total FROM blocks GROUP BY media_id),
+            hashed AS (
+              SELECT bl.media_id, bl.n_samples,
+                     CAST(t.total AS BIGINT) AS total_energy,
+                     CAST(sum(CASE WHEN bl.e * 8 > t.total
+                              THEN CAST(1 AS BIGINT) << CAST(bl.b AS INT) ELSE 0 END) AS BIGINT)
+                       AS ehash
+              FROM blocks bl JOIN tot t USING (media_id)
+              GROUP BY bl.media_id, bl.n_samples, t.total
+            )
+            SELECT media_id, n_samples, total_energy, ehash,
+                   min(media_id) OVER (PARTITION BY ehash) AS canonical,
+                   count(*) OVER (PARTITION BY ehash)::BIGINT AS n_dups
+            FROM hashed
         """,
         "ann_knn_classify": """
             WITH q AS (

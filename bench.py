@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 111)
+    # late-r6 operators (set is now 112)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_label_noise",
     "multimodal_ahash",
     "exact_percentiles",
+    "multimodal_audio_hash",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -500,3 +500,95 @@ def ahash_np(arr: np.ndarray) -> int:
     total = int(luma.sum())
     bits = (luma * npix) > total
     return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def audio_energy_hash_small(media: DataFrame, blocks: int = 8) -> DataFrame:
+    """Energy-contour hash for SMALL canonical mono 16-bit WAV payloads —
+    the audio twin of :func:`image_ahash_small`, JVM-expression path,
+    integer-exact: samples decode as signed int16 LE straight off the
+    hex payload (canonical 44-byte header, data at byte 45), the clip is
+    split into ``blocks`` equal blocks (remainder samples dropped),
+    block energy = Σ|s|, bit_b = (energy_b · blocks > total), hash =
+    Σ bit_b·2^b.  Two tones with the same loudness SHAPE collide even
+    at different frequencies; families group by identical hash with a
+    min-id canonical.
+
+    Returns audio rows only: (media_id, n_samples, total_energy, ehash,
+    canonical, n_dups).  Expression path for oracle parity on
+    fixture-scale clips; production audio goes through decode_audio /
+    audio_features over mapInPandas (numpy twin locked by test).
+    """
+    from pyspark.sql import Window
+
+    hx = F.hex(F.col("payload"))
+
+    def byte_at(hpos):
+        return F.conv(F.substring(hx, hpos, 2), 16, 10).cast("long")
+
+    data_size = (
+        byte_at(F.lit(81))
+        + 256 * byte_at(F.lit(83))
+        + 65536 * byte_at(F.lit(85))
+        + 16777216 * byte_at(F.lit(87))
+    )
+    n_samples = (data_size / 2).cast("long")
+    blk = F.floor(n_samples / blocks).cast("long")
+    used = (blk * blocks).cast("int")
+
+    def sample_at(i):
+        raw = byte_at(F.lit(89) + 4 * i) + 256 * byte_at(F.lit(91) + 4 * i)
+        return F.when(raw >= 32768, raw - 65536).otherwise(raw)
+
+    absarr = F.transform(
+        F.sequence(F.lit(0).cast("long"), used.cast("long") - 1),
+        lambda i: F.abs(sample_at(i)),
+    )
+    energies = F.transform(
+        F.sequence(F.lit(0), F.lit(blocks - 1)),
+        lambda b: F.aggregate(
+            F.slice(absarr, (b * blk + 1).cast("int"), blk.cast("int")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    total = F.aggregate(absarr, F.lit(0).cast("long"), lambda a, x: a + x)
+    ehash = F.aggregate(
+        F.zip_with(
+            energies,
+            F.sequence(F.lit(0), F.lit(blocks - 1)),
+            lambda e, b: F.when(
+                e * blocks > total, F.pow(F.lit(2.0), b).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        n_samples.alias("n_samples"),
+        total.alias("total_energy"),
+        ehash.alias("ehash"),
+    )
+    w = Window.partitionBy("ehash")
+    return auds.select(
+        "media_id",
+        "n_samples",
+        "total_energy",
+        "ehash",
+        F.min("media_id").over(w).alias("canonical"),
+        F.count("*").over(w).cast("long").alias("n_dups"),
+    )
+
+
+def energy_hash_np(samples: np.ndarray, blocks: int = 8) -> tuple[int, int]:
+    """NumPy twin of audio_energy_hash_small's bit rule for int16 PCM.
+    Returns (total_energy, ehash)."""
+    s = np.abs(samples.astype(np.int64))
+    blk = s.size // blocks
+    used = s[: blk * blocks]
+    total = int(used.sum())
+    h = 0
+    for b in range(blocks):
+        if int(used[b * blk : (b + 1) * blk].sum()) * blocks > total:
+            h |= 1 << b
+    return total, h

@@ -1904,3 +1904,17 @@ def test_exact_quantiles_matches_sql_percentile_rank_def(spark):
     dfc = spark.createDataFrame([(3.0,)] * 7, ["x"])
     outc = exact_quantiles(dfc, "x", [0.5]).collect()
     assert outc[0]["value"] == 3.0
+
+
+def test_audio_energy_hash_expr_matches_numpy_twin(spark):
+    import numpy as np
+    media = multimodal.synthetic_media_real(spark, n=16)
+    got = {
+        r["media_id"]: (r["total_energy"], r["ehash"])
+        for r in multimodal.audio_energy_hash_small(media).collect()
+    }
+    rows = media.filter("kind = 'audio'").collect()
+    assert set(got) == {r["media_id"] for r in rows}
+    for r in rows:
+        pcm = np.frombuffer(bytes(r["payload"])[44:], dtype="<i2")
+        assert got[r["media_id"]] == multimodal.energy_hash_np(pcm), r["media_id"]
