@@ -2494,6 +2494,37 @@ def q_multimodal_audio_hash(spark, sf):
     return multimodal.audio_energy_hash_small(media)
 
 
+def q_fd_discovery(spark, sf):
+    # functional-dependency discovery (the pairwise Metanome core) over
+    # customer columns: c_nationkey -> c_mktsegment does NOT hold,
+    # key -> anything holds — one two-column distinct agg per pair.
+    from staticql_spark.operators.profile import fd_discovery
+
+    cust = _t(spark, sf, "customer")
+    return fd_discovery(cust, ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+
+def q_ri_report(spark, sf):
+    # referential-integrity audit across the warehouse FK graph: orphan
+    # counts/rates per relationship via left-anti joins on the keys.
+    from staticql_spark.operators.profile import ri_report
+
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    return ri_report(
+        [
+            ("lineitem.orderkey->orders", li, "l_orderkey", "", o, "o_orderkey"),
+            ("orders.custkey->customer", o, "o_custkey", "", c, "c_custkey"),
+            ("customer.nationkey->nation", c, "c_nationkey", "", n, "n_nationkey"),
+            ("supplier.nationkey->nation", s, "s_nationkey", "", n, "n_nationkey"),
+            ("lineitem.suppkey->supplier", li, "l_suppkey", "", s, "s_suppkey"),
+        ]
+    )
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2789,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ahash": q_multimodal_ahash,
         "exact_percentiles": q_exact_percentiles,
         "multimodal_audio_hash": q_multimodal_audio_hash,
+        "fd_discovery": q_fd_discovery,
+        "ri_report": q_ri_report,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6095,6 +6128,68 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(media_id) OVER (PARTITION BY ehash) AS canonical,
                    count(*) OVER (PARTITION BY ehash)::BIGINT AS n_dups
             FROM hashed
+        """,
+        "fd_discovery": """
+            WITH pairs(determinant, dependent) AS (
+              VALUES ('c_custkey','c_nationkey'), ('c_custkey','c_mktsegment'),
+                     ('c_nationkey','c_custkey'), ('c_nationkey','c_mktsegment'),
+                     ('c_mktsegment','c_custkey'), ('c_mktsegment','c_nationkey')
+            ),
+            stats AS (
+              SELECT 'c_custkey' a, 'c_nationkey' b,
+                     count(DISTINCT c_custkey)::BIGINT nd,
+                     count(DISTINCT (c_custkey, c_nationkey))::BIGINT np FROM customer
+              UNION ALL SELECT 'c_custkey', 'c_mktsegment',
+                     count(DISTINCT c_custkey)::BIGINT,
+                     count(DISTINCT (c_custkey, c_mktsegment))::BIGINT FROM customer
+              UNION ALL SELECT 'c_nationkey', 'c_custkey',
+                     count(DISTINCT c_nationkey)::BIGINT,
+                     count(DISTINCT (c_nationkey, c_custkey))::BIGINT FROM customer
+              UNION ALL SELECT 'c_nationkey', 'c_mktsegment',
+                     count(DISTINCT c_nationkey)::BIGINT,
+                     count(DISTINCT (c_nationkey, c_mktsegment))::BIGINT FROM customer
+              UNION ALL SELECT 'c_mktsegment', 'c_custkey',
+                     count(DISTINCT c_mktsegment)::BIGINT,
+                     count(DISTINCT (c_mktsegment, c_custkey))::BIGINT FROM customer
+              UNION ALL SELECT 'c_mktsegment', 'c_nationkey',
+                     count(DISTINCT c_mktsegment)::BIGINT,
+                     count(DISTINCT (c_mktsegment, c_nationkey))::BIGINT FROM customer
+            )
+            SELECT a AS determinant, b AS dependent, nd AS n_det, np AS n_pairs,
+                   (np - nd) AS violations, (np = nd) AS holds
+            FROM stats
+        """,
+        "ri_report": """
+            SELECT 'lineitem.orderkey->orders' AS relationship,
+                   count(*)::BIGINT AS n_child,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   round(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS orphan_rate
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey IS NOT NULL
+            UNION ALL
+            SELECT 'orders.custkey->customer', count(*)::BIGINT,
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey IS NOT NULL
+            UNION ALL
+            SELECT 'customer.nationkey->nation', count(*)::BIGINT,
+                   CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey IS NOT NULL
+            UNION ALL
+            SELECT 'supplier.nationkey->nation', count(*)::BIGINT,
+                   CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_nationkey IS NOT NULL
+            UNION ALL
+            SELECT 'lineitem.suppkey->supplier', count(*)::BIGINT,
+                   CAST(sum(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+            FROM lineitem l LEFT JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+            WHERE l.l_suppkey IS NOT NULL
         """,
         "ann_knn_classify": """
             WITH q AS (

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 112)
+    # late-r6 operators (set is now 114)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -154,6 +154,8 @@ HEADLINE = [
     "multimodal_ahash",
     "exact_percentiles",
     "multimodal_audio_hash",
+    "fd_discovery",
+    "ri_report",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -96,6 +96,21 @@ def main():
         lambda: stream_pq_neardup(new, cbs_old, okeys, old, m=4, dim=64, threshold=0.35),
     )
 
+    # exact quantiles over a 12M-row numeric column (deterministic:
+    # sf0.1 lineitem prices replicated 20x with fixed offsets)
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    big_vals = li.crossJoin(reps).select(
+        (F.col("l_extendedprice") + F.col("rep") * 0.001).alias("l_extendedprice")
+    )
+    n_vals = big_vals.count()
+    from staticql_spark.operators.profile import exact_quantiles
+
+    timed(
+        f"exact_quantiles({n_vals} rows, 4 qs)",
+        lambda: exact_quantiles(big_vals, "l_extendedprice", [0.25, 0.5, 0.9, 0.99]),
+    )
+
     with open(os.path.join(REPO, "SOAK_r6b.json"), "w") as f:
         f.write(
             json.dumps(

@@ -216,3 +216,66 @@ def exact_quantiles(
         )
         .select("q", F.col("x").alias("value"), "rank", F.col("n_total").alias("n"))
     )
+
+
+def fd_discovery(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Functional-dependency discovery over a column set (the pairwise
+    core of profiling systems like Metanome): A -> B holds iff every A
+    value maps to exactly one B value, i.e. countDistinct(A) ==
+    countDistinct(A, B).  Emits one row per ordered pair:
+    (determinant, dependent, n_det, n_pairs, violations, holds).
+
+    Scale: one distinct-aggregate per pair over a two-column projection —
+    |cols|² passes but each reads only two columns off the scan (column
+    pruning does the heavy lifting); for wide audits run the pairs you
+    care about, not the cross product.
+    """
+    out = None
+    for a in cols:
+        for bcol in cols:
+            if a == bcol:
+                continue
+            pair = df.agg(
+                F.count_distinct(F.col(a)).alias("n_det"),
+                F.count_distinct(F.col(a), F.col(bcol)).alias("n_pairs"),
+            ).select(
+                F.lit(a).alias("determinant"),
+                F.lit(bcol).alias("dependent"),
+                F.col("n_det").cast("long").alias("n_det"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                (F.col("n_pairs") - F.col("n_det")).cast("long").alias("violations"),
+                (F.col("n_pairs") == F.col("n_det")).alias("holds"),
+            )
+            out = pair if out is None else out.unionByName(pair)
+    return out
+
+
+def ri_report(
+    relationships: Sequence[tuple[str, DataFrame, str, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk, pk_name,
+    parent, pk) relationship, the orphan count (child rows whose fk has
+    no parent; NULL fks excluded — SQL RI semantics) and rate.
+
+    One row per relationship: (relationship, n_child, n_orphans,
+    orphan_rate).  Scale: each check is a left-anti join on the key —
+    broadcast when the parent's key projection is small, shuffle
+    otherwise (AQE's call); the child streams through one projection.
+    """
+    out = None
+    for name, child, fk, _pk_name, parent, pk in relationships:
+        c = child.select(F.col(fk).alias("__fk")).filter(F.col("__fk").isNotNull())
+        p = parent.select(F.col(pk).alias("__fk")).distinct()
+        orphans = c.join(p, "__fk", "left_anti")
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

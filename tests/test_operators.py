@@ -1918,3 +1918,28 @@ def test_audio_energy_hash_expr_matches_numpy_twin(spark):
     for r in rows:
         pcm = np.frombuffer(bytes(r["payload"])[44:], dtype="<i2")
         assert got[r["media_id"]] == multimodal.energy_hash_np(pcm), r["media_id"]
+
+
+def test_fd_discovery_key_determines_all(spark):
+    from staticql_spark.operators.profile import fd_discovery
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y"), (3, "b", "y")], ["k", "g", "v"]
+    )
+    out = {(r["determinant"], r["dependent"]): r for r in
+           fd_discovery(df, ["k", "g", "v"]).collect()}
+    assert out[("k", "g")]["holds"] and out[("k", "v")]["holds"]
+    assert not out[("g", "v")]["holds"] and out[("g", "v")]["violations"] == 1
+    assert not out[("v", "g")]["holds"]
+
+
+def test_ri_report_counts_orphans(spark):
+    from staticql_spark.operators.profile import ri_report
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    out = ri_report([("c->p", child, "fk", "", parent, "pk")]).collect()
+    r = out[0]
+    # NULL fk excluded (SQL RI semantics); one orphan (99)
+    assert r["n_child"] == 3 and r["n_orphans"] == 1
+    assert abs(r["orphan_rate"] - round(1 / 3, 6)) < 1e-9
