@@ -2525,6 +2525,19 @@ def q_ri_report(spark, sf):
     )
 
 
+def q_dedup_chunk_incremental(spark, sf):
+    # incremental C4 chunk dedup: the daily batch (doc_id % 5 == 0)
+    # cleaned against the persisted chunk-frequency index of the old
+    # corpus — a chunk drops when old+batch distinct-doc frequency hits
+    # 2, so boilerplate the corpus has seen once is cut immediately.
+    # Cost tracks the batch; the old corpus contributes (h, nd) rows only.
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup.chunk_index(old, width=8)
+    return dedup.incremental_chunk_dedup(new, idx, width=8, min_docs=2)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2822,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_hash": q_multimodal_audio_hash,
         "fd_discovery": q_fd_discovery,
         "ri_report": q_ri_report,
+        "dedup_chunk_incremental": q_dedup_chunk_incremental,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6190,6 +6204,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(CASE WHEN sp.s_suppkey IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
             FROM lineitem l LEFT JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
             WHERE l.l_suppkey IS NOT NULL
+        """,
+        "dedup_chunk_incremental": """
+            WITH old_docs AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            new_docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            otoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM old_docs),
+            och0 AS (
+              SELECT doc_id, t,
+                     unnest(range(CAST(greatest(ceil(len(t) / 8.0), 1) AS BIGINT))) AS pos
+              FROM otoks
+            ),
+            ochunks AS (
+              SELECT doc_id, array_to_string(t[(pos * 8 + 1):(pos * 8 + 8)], ' ') AS chunk
+              FROM och0
+            ),
+            idx AS (SELECT chunk, count(DISTINCT doc_id) AS nd_old FROM ochunks GROUP BY chunk),
+            ntoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM new_docs),
+            nch0 AS (
+              SELECT doc_id, t,
+                     unnest(range(CAST(greatest(ceil(len(t) / 8.0), 1) AS BIGINT))) AS pos
+              FROM ntoks
+            ),
+            nchunks AS (
+              SELECT doc_id, pos,
+                     array_to_string(t[(pos * 8 + 1):(pos * 8 + 8)], ' ') AS chunk
+              FROM nch0
+            ),
+            bc AS (SELECT chunk, count(DISTINCT doc_id) AS nd_new FROM nchunks GROUP BY chunk),
+            merged AS (
+              SELECT b.chunk, b.nd_new + coalesce(i.nd_old, 0) AS nd
+              FROM bc b LEFT JOIN idx i USING (chunk)
+            ),
+            pc AS (
+              SELECT n.doc_id, n.pos, n.chunk, (m.nd < 2) AS keep
+              FROM nchunks n JOIN merged m USING (chunk)
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+                   coalesce(
+                     string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), ''
+                   ) AS clean_text
+            FROM pc GROUP BY doc_id
         """,
         "ann_knn_classify": """
             WITH q AS (

@@ -1154,3 +1154,99 @@ def chunk_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+def chunk_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Persistable corpus chunk-frequency index for incremental
+    chunk_dedup: (h, nd) = md5 of each non-overlapping ``width``-token
+    chunk and its distinct-document frequency.  16-byte keys + longs —
+    the compact artifact a daily pipeline stores instead of re-counting
+    the whole corpus."""
+    df = ensure_parallelism(df)
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(width)).cast("int"), F.lit(1)
+    )
+    chunks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(F.array_join(F.slice(toks, i * width + 1, width), " ")),
+            )
+        ).alias("h"),
+    )
+    return chunks.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+
+
+def incremental_chunk_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Incremental C4-style chunk dedup: clean a NEW batch against a
+    persisted :func:`chunk_index` — a chunk drops when its distinct-doc
+    frequency across (old corpus + this batch) reaches ``min_docs``, so
+    batch boilerplate that the old corpus already saw once is cut
+    immediately, and new-x-new repeats within the batch are caught too.
+    Same output shape as chunk_dedup: (id, n_chunks, n_dropped,
+    clean_text).
+
+    Scale: cost tracks the BATCH — the old corpus contributes only its
+    (h, nd) index rows, joined on the 16-byte hash; the batch text
+    crosses one doc-keyed shuffle exactly as in chunk_dedup.
+    """
+    new_docs = ensure_parallelism(new_docs)
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(width)).cast("int"), F.lit(1)
+    )
+    chunk_at = lambda t, p: F.array_join(F.slice(t, p * width + 1, width), " ")
+    chunks = new_docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(chunk_at(F.split(F.col(text_col), " "), i)),
+            )
+        ).alias("pos", "h"),
+    )
+    batch_cnt = chunks.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("nd_new")
+    )
+    merged = batch_cnt.join(
+        index.select("h", F.col("nd").alias("nd_old")), "h", "left"
+    ).select(
+        "h",
+        (F.col("nd_new") + F.coalesce(F.col("nd_old"), F.lit(0))).alias("nd"),
+    )
+    flags = chunks.join(merged, "h").select(
+        id_col, "pos", (F.col("nd") < min_docs).alias("keep")
+    )
+    per_doc = flags.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("pos")))
+        ).alias("kept_pos"),
+    )
+    return new_docs.join(per_doc, id_col).select(
+        id_col,
+        "n_chunks",
+        "n_dropped",
+        F.array_join(
+            F.transform(
+                F.col("kept_pos"),
+                lambda p: chunk_at(F.split(F.col(text_col), " "), p),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1943,3 +1943,27 @@ def test_ri_report_counts_orphans(spark):
     # NULL fk excluded (SQL RI semantics); one orphan (99)
     assert r["n_child"] == 3 and r["n_orphans"] == 1
     assert abs(r["orphan_rate"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_incremental_chunk_dedup_vs_index(spark):
+    # a batch chunk drops when old-corpus frequency + batch frequency
+    # reaches min_docs: seen-once-in-old boilerplate is cut immediately,
+    # batch-internal repeats are caught, fresh chunks survive
+    old = spark.createDataFrame(
+        [(1, "nav bar home link old tail one here")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "nav bar home link fresh alpha beta gamma"),
+            (11, "batch dup chunk here fresh delta eps zeta"),
+            (12, "batch dup chunk here fresh eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = dedup.chunk_index(old, width=4)
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_chunk_dedup(new, idx, width=4, min_docs=2).collect()}
+    assert out[10]["clean_text"] == "fresh alpha beta gamma"      # old hit cut
+    assert out[11]["clean_text"] == "fresh delta eps zeta"        # batch dup cut
+    assert out[12]["clean_text"] == "fresh eta theta iota"
+    assert all(out[i]["n_dropped"] == 1 for i in (10, 11, 12))
