@@ -2538,6 +2538,20 @@ def q_dedup_chunk_incremental(spark, sf):
     return dedup.incremental_chunk_dedup(new, idx, width=8, min_docs=2)
 
 
+def q_kmv_join_estimate(spark, sf):
+    # optimizer-style join-cardinality planning from per-table KMV
+    # sketches: distinct custkeys on each side, union by sketch merge,
+    # intersection by inclusion-exclusion — next to the exact twins for
+    # calibration. All sketch math on <= 3k hash rows.
+    from staticql_spark.operators.sketch import kmv_join_estimate
+
+    return kmv_join_estimate(
+        _t(spark, sf, "orders"), "o_custkey",
+        _t(spark, sf, "customer"), "c_custkey",
+        k=256,
+    )
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2836,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_discovery": q_fd_discovery,
         "ri_report": q_ri_report,
         "dedup_chunk_incremental": q_dedup_chunk_incremental,
+        "kmv_join_estimate": q_kmv_join_estimate,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6246,6 +6261,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                      string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY pos), ''
                    ) AS clean_text
             FROM pc GROUP BY doc_id
+        """,
+        "kmv_join_estimate": """
+            WITH ha AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5('kmv1|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM orders WHERE o_custkey IS NOT NULL
+              ) ORDER BY h LIMIT 256
+            ),
+            hb AS (
+              SELECT h FROM (
+                SELECT DISTINCT ('0x' || substr(md5('kmv1|' || c_custkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM customer WHERE c_custkey IS NOT NULL
+              ) ORDER BY h LIMIT 256
+            ),
+            mu AS (
+              SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+              ORDER BY h LIMIT 256
+            ),
+            ea AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255.0 / (max(h)::DOUBLE / 1152921504606846976.0) END, 2) AS est_a FROM ha),
+            eb AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255.0 / (max(h)::DOUBLE / 1152921504606846976.0) END, 2) AS est_b FROM hb),
+            eu AS (SELECT round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255.0 / (max(h)::DOUBLE / 1152921504606846976.0) END, 2) AS est_union FROM mu),
+            ex AS (
+              SELECT (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS exact_a,
+                     (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT AS exact_b,
+                     (SELECT count(*) FROM (
+                        SELECT DISTINCT o_custkey FROM orders
+                        INTERSECT SELECT DISTINCT c_custkey FROM customer
+                     ))::BIGINT AS exact_intersection
+            )
+            SELECT est_a, est_b, est_union,
+                   round(greatest(est_a + est_b - est_union, 0.0), 2) AS est_intersection,
+                   exact_intersection, exact_a, exact_b
+            FROM ea, eb, eu, ex
         """,
         "ann_knn_classify": """
             WITH q AS (

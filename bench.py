@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 115)
+    # late-r6 operators (set is now 116)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -157,6 +157,7 @@ HEADLINE = [
     "fd_discovery",
     "ri_report",
     "dedup_chunk_incremental",
+    "kmv_join_estimate",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -235,3 +235,66 @@ def kmv_grouped(
         sk.join(exact, "grp")
         .select("grp", "sketch_k", "kth_hash", F.round(est, 2).alias("est_ndv"), "exact_ndv")
     )
+
+
+def kmv_join_estimate(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 256,
+    salt: str = "kmv1",
+) -> DataFrame:
+    """Join-cardinality planning from per-table KMV sketches alone — the
+    optimizer-style estimate you compute BEFORE running a join to pick a
+    strategy (broadcast vs shuffle, or refuse a blow-up): distinct keys
+    on each side, of the union (sketch merge), and of the INTERSECTION
+    by inclusion-exclusion est(A) + est(B) - est(A∪B), clamped at >= 0.
+
+    One row: (est_a, est_b, est_union, est_intersection, exact_a,
+    exact_b, exact_intersection) — exact twins computed for the oracle /
+    calibration; a production planner would drop them.  All sketch math
+    runs on at most 3k hash rows; each side is summarized independently
+    (the sketches persist per table/partition and merge without
+    re-reading data).
+    """
+    sa = kmv_bottom_k(df_a, col_a, k, salt)
+    sb = kmv_bottom_k(df_b, col_b, k, salt)
+
+    def est_of(sk):
+        agg = sk.agg(F.count("h").alias("sk"), F.max("h").alias("kh"))
+        return agg.select(
+            F.when(F.col("sk") < F.lit(k), F.col("sk").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) / (F.col("kh").cast("double") / F.lit(_HASH_SPACE))
+            )
+            .alias("e")
+        )
+    merged = sa.union(sb).distinct().orderBy("h").limit(k)
+    ea = est_of(sa).select(F.round("e", 2).alias("est_a"))
+    eb = est_of(sb).select(F.round("e", 2).alias("est_b"))
+    eu = est_of(merged).select(F.round("e", 2).alias("est_union"))
+    exact = (
+        df_a.select(F.col(col_a).alias("_v"))
+        .distinct()
+        .join(df_b.select(F.col(col_b).alias("_v")).distinct(), "_v")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+        .crossJoin(df_a.agg(F.countDistinct(col_a).cast("long").alias("exact_a")))
+        .crossJoin(df_b.agg(F.countDistinct(col_b).cast("long").alias("exact_b")))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+                ),
+                2,
+            ).alias("est_intersection"),
+        )
+        .crossJoin(exact)
+    )

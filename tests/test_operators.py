@@ -1967,3 +1967,19 @@ def test_incremental_chunk_dedup_vs_index(spark):
     assert out[11]["clean_text"] == "fresh delta eps zeta"        # batch dup cut
     assert out[12]["clean_text"] == "fresh eta theta iota"
     assert all(out[i]["n_dropped"] == 1 for i in (10, 11, 12))
+
+
+def test_kmv_join_estimate_exact_regime_and_accuracy(spark):
+    from staticql_spark.operators.sketch import kmv_join_estimate
+    # overlap 500..999 between two 1000-key ranges; k > ndv so every
+    # sketch is exact and the inclusion-exclusion intersection is exact
+    a = spark.range(0, 1000).select(F.col("id").alias("ka"))
+    b = spark.range(500, 1500).select(F.col("id").alias("kb"))
+    r = kmv_join_estimate(a, "ka", b, "kb", k=4096).collect()[0]
+    assert r["exact_a"] == 1000 and r["exact_b"] == 1000
+    assert r["exact_intersection"] == 500
+    assert r["est_a"] == 1000.0 and r["est_union"] == 1500.0
+    assert r["est_intersection"] == 500.0
+    # sketch regime (k << ndv): estimate within 25% of truth
+    r2 = kmv_join_estimate(a, "ka", b, "kb", k=256).collect()[0]
+    assert abs(r2["est_intersection"] - 500) / 500 < 0.25, r2
