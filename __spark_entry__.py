@@ -2552,6 +2552,49 @@ def q_kmv_join_estimate(spark, sf):
     )
 
 
+def q_events_bot_score(spark, sf):
+    # bot/automation detection — a training-data curation gate (machine
+    # traffic poisons behavioral corpora): per user, inter-event gap
+    # regularity as the coefficient of variation computed EXACTLY in
+    # integer microseconds (sum and sum-of-squares in decimal128, so
+    # both engines agree bit-for-bit before the one rounded sqrt);
+    # flag = high-volume + low-variance cadence.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    ts_us = asof.epoch_us(ev, "ts")
+    w = W.partitionBy("user_id").orderBy(ts_us, "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    g = ev.select("user_id", gap.alias("_g")).filter(F.col("_g").isNotNull())
+    agg = g.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("_g").cast("decimal(38,0)").alias("_s"),
+        F.sum(F.col("_g").cast("decimal(38,0)") * F.col("_g")).alias("_s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    cv = F.when(
+        F.col("_s") > 0,
+        F.sqrt(F.greatest(n * s2 - s * s, F.lit(0.0))) / s,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.floor(F.col("_s").cast("double") / F.col("n_gaps")).cast("long").alias("mean_gap_us"),
+        F.round(cv, 6).alias("gap_cv"),
+        ((F.col("n_gaps") >= 20) & (cv < 0.5)).alias("bot_flag"),
+    )
+
+
+def q_doc_vocab_drift(spark, sf):
+    # vocabulary-distribution drift between corpus versions: token mass
+    # in 512 hashed buckets (dsir idiom — bounded state), smoothed
+    # shares, per-bucket PSI terms; the text twin of embedding_drift.
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return text.vocab_drift(old, new, buckets=512)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2851,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_report": q_ri_report,
         "dedup_chunk_incremental": q_dedup_chunk_incremental,
         "kmv_join_estimate": q_kmv_join_estimate,
+        "events_bot_score": q_events_bot_score,
+        "doc_vocab_drift": q_doc_vocab_drift,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6297,6 +6342,69 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(greatest(est_a + est_b - est_union, 0.0), 2) AS est_intersection,
                    exact_intersection, exact_a, exact_b
             FROM ea, eb, eu, ex
+        """,
+        "events_bot_score": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+              FROM events
+            ),
+            a AS (
+              SELECT user_id,
+                     count(gap)::BIGINT AS n_gaps,
+                     sum(gap::HUGEINT) AS s,
+                     sum(gap::HUGEINT * gap::HUGEINT) AS s2
+              FROM g WHERE gap IS NOT NULL GROUP BY user_id
+            ),
+            c AS (
+              SELECT user_id, n_gaps, s, s2,
+                     CASE WHEN s > 0 THEN
+                       sqrt(greatest(n_gaps::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE, 0.0))
+                         / s::DOUBLE
+                     ELSE 0.0 END AS cv
+              FROM a
+            )
+            SELECT user_id, n_gaps,
+                   CAST(floor(s::DOUBLE / n_gaps) AS BIGINT) AS mean_gap_us,
+                   round(cv, 6) AS gap_cv,
+                   (n_gaps >= 20 AND cv < 0.5) AS bot_flag
+            FROM c
+        """,
+        "doc_vocab_drift": f"""
+            WITH old_t AS (
+              SELECT unnest({_TOKS_RAW}) AS t FROM documents WHERE doc_id % 5 <> 0
+            ),
+            new_t AS (
+              SELECT unnest({_TOKS_RAW}) AS t FROM documents WHERE doc_id % 5 = 0
+            ),
+            co AS (
+              SELECT ('0x' || substr(md5('vdrift1|' || t), 1, 15))::BIGINT % 512 AS bucket,
+                     count(*)::BIGINT AS n_old
+              FROM old_t GROUP BY 1
+            ),
+            cn AS (
+              SELECT ('0x' || substr(md5('vdrift1|' || t), 1, 15))::BIGINT % 512 AS bucket,
+                     count(*)::BIGINT AS n_new
+              FROM new_t GROUP BY 1
+            ),
+            cells AS (
+              SELECT coalesce(co.bucket, cn.bucket) AS bucket,
+                     coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+              FROM co FULL OUTER JOIN cn ON co.bucket = cn.bucket
+            ),
+            tot AS (SELECT sum(n_old)::DOUBLE t_o, sum(n_new)::DOUBLE t_n,
+                           count(*)::DOUBLE nb FROM cells),
+            p AS (
+              SELECT bucket, n_old, n_new,
+                     (n_old + 0.5) / (t_o + 0.5 * nb) AS po,
+                     (n_new + 0.5) / (t_n + 0.5 * nb) AS pn
+              FROM cells, tot
+            )
+            SELECT bucket, n_old, n_new,
+                   round(po, 6) AS p_old, round(pn, 6) AS p_new,
+                   round((po - pn) * ln(po / pn), 6) AS psi_term
+            FROM p
         """,
         "ann_knn_classify": """
             WITH q AS (

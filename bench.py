@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 116)
+    # late-r6 operators (set is now 118)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -158,6 +158,8 @@ HEADLINE = [
     "ri_report",
     "dedup_chunk_incremental",
     "kmv_join_estimate",
+    "events_bot_score",
+    "doc_vocab_drift",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

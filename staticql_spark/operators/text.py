@@ -1759,3 +1759,70 @@ def temperature_weights(
             ).alias("boost"),
         )
     )
+
+
+def vocab_drift(
+    old: DataFrame,
+    new: DataFrame,
+    buckets: int = 512,
+    text_col: str = "text",
+    salt: str = "vdrift1",
+) -> DataFrame:
+    """Vocabulary-distribution drift between two corpus versions — the
+    text twin of similarity.embedding_drift: token mass hashed into
+    ``buckets`` md5 buckets (the dsir_weights idiom, so no unbounded
+    vocab state), Laplace-smoothed shares per side, per-bucket PSI term
+    (p_old - p_new) * ln(p_old / p_new).  Sum psi_term for the headline
+    number; the industry bands apply (< 0.1 stable, > 0.25 shifted).
+
+    One row per bucket: (bucket, n_old, n_new, p_old, p_new, psi_term),
+    shares/terms rounded 6.
+
+    Scale: each side is one token explode -> |buckets|-row aggregate
+    (map-side combined); the PSI math runs on the joined tiny frames.
+    """
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        toks = ensure_parallelism(df).select(
+            F.explode(tokens(F.col(text_col))).alias("t")
+        )
+        b = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("t"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(buckets),
+        )
+        return toks.groupBy(b.alias("bucket")).agg(F.count("*").alias(alias))
+
+    co = bucket_counts(old, "n_old")
+    cn = bucket_counts(new, "n_new")
+    cells = co.join(cn, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    tot = cells.agg(
+        F.sum("n_old").cast("double").alias("__to"),
+        F.sum("n_new").cast("double").alias("__tn"),
+        F.count("*").cast("double").alias("__nb"),
+    )
+    sm = F.lit(0.5)
+    p = cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + sm) / (F.col("__to") + sm * F.col("__nb"))).alias("__po"),
+        ((F.col("n_new") + sm) / (F.col("__tn") + sm * F.col("__nb"))).alias("__pn"),
+    )
+    return p.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(F.col("__po"), 6).alias("p_old"),
+        F.round(F.col("__pn"), 6).alias("p_new"),
+        F.round(
+            (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
+        ).alias("psi_term"),
+    )

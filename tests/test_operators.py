@@ -1983,3 +1983,37 @@ def test_kmv_join_estimate_exact_regime_and_accuracy(spark):
     # sketch regime (k << ndv): estimate within 25% of truth
     r2 = kmv_join_estimate(a, "ka", b, "kb", k=256).collect()[0]
     assert abs(r2["est_intersection"] - 500) / 500 < 0.25, r2
+
+
+def test_vocab_drift_identical_and_shifted(spark, docs):
+    out = text.vocab_drift(docs, docs, buckets=64).collect()
+    assert out and all(abs(r["psi_term"]) < 1e-6 for r in out)
+    shifted = docs.limit(10)
+    out2 = text.vocab_drift(docs, shifted, buckets=64).collect()
+    assert sum(r["psi_term"] for r in out2) >= 0.0
+
+
+def test_bot_score_flags_metronome_user(spark):
+    import __spark_entry__ as e
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 30 events exactly 60s apart (bot); user 2: irregular gaps
+    for i in range(30):
+        rows.append((i, base + datetime.timedelta(seconds=60 * i), 1, "view", 1.0, "{}"))
+    gaps = [7, 200, 3, 900, 45, 12, 600, 5, 300, 90, 1500, 30, 8, 250,
+            70, 33, 410, 15, 120, 55, 700, 22, 180, 64, 95, 11, 350, 42, 9]
+    t = base
+    rows.append((100, t, 2, "view", 1.0, "{}"))
+    for j, gsec in enumerate(gaps):
+        t = t + datetime.timedelta(seconds=gsec)
+        rows.append((101 + j, t, 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in e.q_events_bot_score(spark, d).collect()}
+    assert out[1]["bot_flag"] and out[1]["gap_cv"] < 1e-6
+    assert not out[2]["bot_flag"] and out[2]["gap_cv"] > 0.5
