@@ -2595,6 +2595,36 @@ def q_doc_vocab_drift(spark, sf):
     return text.vocab_drift(old, new, buckets=512)
 
 
+def q_pipeline_media_manifest(spark, sf):
+    # composed multimodal curation: image aHash + audio energy-hash
+    # families reduced to their canonical members — the dedup manifest a
+    # media-heavy training pipeline ships (one row per kept asset with
+    # its fingerprint and family size). Oracle composes the two hash
+    # oracles verbatim (see oracle_sql()).
+    media = spark.read.parquet(_MEDIA_FIXTURE)
+    imgs = (
+        multimodal.image_ahash_small(media)
+        .filter(F.col("media_id") == F.col("canonical"))
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            F.col("ahash").cast("string").alias("fingerprint"),
+            F.col("n_dups").alias("family_size"),
+        )
+    )
+    auds = (
+        multimodal.audio_energy_hash_small(media)
+        .filter(F.col("media_id") == F.col("canonical"))
+        .select(
+            "media_id",
+            F.lit("audio").alias("kind"),
+            F.col("ehash").cast("string").alias("fingerprint"),
+            F.col("n_dups").alias("family_size"),
+        )
+    )
+    return imgs.unionByName(auds)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2896,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_join_estimate": q_kmv_join_estimate,
         "events_bot_score": q_events_bot_score,
         "doc_vocab_drift": q_doc_vocab_drift,
+        "pipeline_media_manifest": q_pipeline_media_manifest,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6906,4 +6937,14 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter is semantics-transparent (exact verify removes
     # false positives), so its oracle IS the exact decontaminate twin
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
+    # the media manifest is the canonical-only projection of the two hash
+    # oracles — composed verbatim so the fingerprint math lives once
+    d["pipeline_media_manifest"] = f"""
+            SELECT media_id, 'image' AS kind, ahash::VARCHAR AS fingerprint,
+                   n_dups AS family_size
+            FROM ({d["multimodal_ahash"]}) WHERE media_id = canonical
+            UNION ALL
+            SELECT media_id, 'audio', ehash::VARCHAR, n_dups
+            FROM ({d["multimodal_audio_hash"]}) WHERE media_id = canonical
+        """
     return d
