@@ -2625,6 +2625,20 @@ def q_pipeline_media_manifest(spark, sf):
     return imgs.unionByName(auds)
 
 
+def q_dedup_triangles(spark, sf):
+    # local clustering of the near-dup graph: per-doc triangle counts
+    # over the LSH pair edges (degree-oriented wedge enumeration — the
+    # O(sqrt(E)) fan-out bound that survives hub nodes). Dense template
+    # clusters triangle-close; borderline chains don't. Oracle composes
+    # the dedup_minhash_lsh pair SQL verbatim (see oracle_sql()).
+    from staticql_spark.operators.graph import triangle_counts
+
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+    return triangle_counts(pairs, src="id_a", dst="id_b")
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2927,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_score": q_events_bot_score,
         "doc_vocab_drift": q_doc_vocab_drift,
         "pipeline_media_manifest": q_pipeline_media_manifest,
+        "dedup_triangles": q_dedup_triangles,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6939,6 +6954,24 @@ def oracle_sql() -> dict[str, str]:
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
+    # triangles over the LSH pair graph: compose the pair SQL verbatim
+    d["dedup_triangles"] = f"""
+            WITH edges AS (
+              SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+              FROM ({d["dedup_minhash_lsh"]})
+              WHERE id_a <> id_b
+            ),
+            e AS (SELECT DISTINCT a, b FROM edges),
+            tri AS (
+              SELECT t1.a AS x, t1.b AS y, t2.b AS z
+              FROM e t1
+              JOIN e t2 ON t2.a = t1.a AND t1.b < t2.b
+              JOIN e t3 ON t3.a = t1.b AND t3.b = t2.b
+            )
+            SELECT node, count(*)::BIGINT AS n_triangles FROM (
+              SELECT unnest([x, y, z]) AS node FROM tri
+            ) GROUP BY node
+        """
     d["pipeline_media_manifest"] = f"""
             SELECT media_id, 'image' AS kind, ahash::VARCHAR AS fingerprint,
                    n_dups AS family_size

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 119)
+    # late-r6 operators (set is now 120)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -161,6 +161,7 @@ HEADLINE = [
     "events_bot_score",
     "doc_vocab_drift",
     "pipeline_media_manifest",
+    "dedup_triangles",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -96,3 +96,73 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph — the
+    local clustering signal (on a near-dup pair graph, a node's triangle
+    count says whether its duplicate family is a dense template cluster
+    or a chain of borderline matches).
+
+    Input edges may be directed/duplicated; they are canonicalized to
+    a < b and deduplicated first.  Enumeration uses DEGREE ORIENTATION
+    (each edge points from its lower-(degree, id) endpoint): every
+    wedge-join then fans out by a vertex's ORIENTED out-degree, which is
+    O(sqrt(|E|)) even for hub nodes — the standard fix for the
+    celebrity-vertex blow-up that kills naive id-ordered enumeration at
+    scale.  Each triangle is found exactly once (at its lowest-order
+    apex), then credited to all three corners with one explode +
+    map-side-combined count.
+
+    Returns (node, n_triangles), nodes with >= 1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select("b"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): u -> w iff (d_u, u) < (d_w, w)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    # a wedge u->w1, u->w2 closes iff (w1, w2) is an oriented edge in
+    # EITHER direction — membership in the canonical a<b set suffices
+    closed = wedges.join(
+        e.select(F.col("a").alias("w1"), F.col("b").alias("w2")).unionAll(
+            e.select(F.col("b"), F.col("a"))
+        ),
+        ["w1", "w2"],
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "w1", "w2")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -2017,3 +2017,14 @@ def test_bot_score_flags_metronome_user(spark):
     out = {r["user_id"]: r for r in e.q_events_bot_score(spark, d).collect()}
     assert out[1]["bot_flag"] and out[1]["gap_cv"] < 1e-6
     assert not out[2]["bot_flag"] and out[2]["gap_cv"] > 0.5
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} plus pendant 5: each K4 node sits in C(3,2)=3
+    # triangles, the pendant in none; duplicated/reversed edges collapse
+    from staticql_spark.operators.graph import triangle_counts
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(4, 5), (5, 4), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
