@@ -2639,6 +2639,31 @@ def q_dedup_triangles(spark, sf):
     return triangle_counts(pairs, src="id_a", dst="id_b")
 
 
+def q_events_ppr(spark, sf):
+    # personalized PageRank — graph-based data selection: restart mass
+    # pinned to a seed user set (user_id % 100 == 0), rank = multi-hop
+    # proximity to the seeds through the bidirected user<->item click
+    # graph; unreachable nodes stay at exactly 0. Two unrolled rounds
+    # (no dangling on a bidirected graph, so the oracle drops that term).
+    from staticql_spark.operators.graph import personalized_pagerank
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    base = clicks.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+    ).distinct()
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        clicks.filter(F.col("user_id") % 100 == 0)
+        .select(F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iters=2)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2942,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_drift": q_doc_vocab_drift,
         "pipeline_media_manifest": q_pipeline_media_manifest,
         "dedup_triangles": q_dedup_triangles,
+        "events_ppr": q_events_ppr,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6451,6 +6477,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(po, 6) AS p_old, round(pn, 6) AS p_new,
                    round((po - pn) * ln(po / pn), 6) AS psi_term
             FROM p
+        """,
+        "events_ppr": """
+            WITH base AS (
+              SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
+                     'k:' || json_extract_string(props, '$.k') AS dst
+              FROM events WHERE event_type = 'click'
+            ),
+            edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            sd AS (
+              SELECT DISTINCT 'u:' || user_id::VARCHAR AS node
+              FROM events WHERE event_type = 'click' AND user_id % 100 = 0
+            ),
+            sd2 AS (SELECT sd.node FROM sd JOIN nodes USING (node)),
+            ns AS (SELECT count(*)::DOUBLE AS n FROM sd2),
+            sflag AS (
+              SELECT nodes.node,
+                     CASE WHEN sd2.node IS NOT NULL THEN 1.0 ELSE 0.0 END AS sf
+              FROM nodes LEFT JOIN sd2 USING (node)
+            ),
+            deg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+            r0 AS (SELECT node, sf / (SELECT n FROM ns) AS rank FROM sflag),
+            s1 AS (
+              SELECT e.dst AS node, sum(r.rank / deg.d) AS recv
+              FROM edges e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT f.node,
+                     (1.0 - 0.85) * f.sf / (SELECT n FROM ns)
+                       + 0.85 * coalesce(s1.recv, 0) AS rank
+              FROM sflag f LEFT JOIN s1 USING (node)
+            ),
+            s2 AS (
+              SELECT e.dst AS node, sum(r.rank / deg.d) AS recv
+              FROM edges e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT f.node,
+                     (1.0 - 0.85) * f.sf / (SELECT n FROM ns)
+                       + 0.85 * coalesce(s2.recv, 0) AS rank
+              FROM sflag f LEFT JOIN s2 USING (node)
+            )
+            SELECT r2.node, round(r2.rank, 6) AS rank,
+                   (sd2.node IS NOT NULL) AS is_seed
+            FROM r2 LEFT JOIN sd2 ON r2.node = sd2.node
         """,
         "ann_knn_classify": """
             WITH q AS (

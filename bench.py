@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 120)
+    # late-r6 operators (set is now 121)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -162,6 +162,7 @@ HEADLINE = [
     "doc_vocab_drift",
     "pipeline_media_manifest",
     "dedup_triangles",
+    "events_ppr",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -2028,3 +2028,18 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from staticql_spark.operators.graph import personalized_pagerank
+    # two components: seeds in component A only -> component B rank = 0;
+    # total rank mass stays ~1 (bidirected graph, no dangling)
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r for r in personalized_pagerank(e, seeds, iters=2).collect()}
+    assert out[1]["is_seed"] and not out[2]["is_seed"]
+    assert out[10]["rank"] == 0.0 and out[11]["rank"] == 0.0
+    assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-4
+    # seed neighborhood outranks the far node
+    assert out[1]["rank"] > out[3]["rank"] > 0.0
