@@ -2664,6 +2664,30 @@ def q_events_ppr(spark, sf):
     return personalized_pagerank(edges, seeds, iters=2)
 
 
+def q_ann_pq_recall(spark, sf):
+    # PQ self-evaluation: recall@5 of the ADC path against the exact L2
+    # top-5 (same rounded-sqdist boundary) — the number that says how
+    # much ranking quality the 64x compression costs on THIS corpus.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
+    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    approx = pq.pq_adc_topk(queries, codes, cbs, k=5, m=4, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias("recall_at_5"),
+        )
+    )
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2968,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_media_manifest": q_pipeline_media_manifest,
         "dedup_triangles": q_dedup_triangles,
         "events_ppr": q_events_ppr,
+        "ann_pq_recall": q_ann_pq_recall,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -7027,6 +7052,37 @@ def oracle_sql() -> dict[str, str]:
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
+    # PQ recall: the ADC oracle composed against an exact-L2 ground truth
+    d["ann_pq_recall"] = f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(round(list_dot_product(qv, qv), 6)
+                           - 2 * round(list_dot_product(qv, e.v), 6)
+                           + round(list_dot_product(e.v, e.v), 6), 6) AS dd
+              FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id
+            ),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dd ASC, neighbor_id ASC) AS rk
+                FROM scored
+              ) WHERE rk <= 5
+            ),
+            approx AS (
+              SELECT query_id, neighbor_id FROM ({d["ann_pq_adc"]})
+            ),
+            hits AS (
+              SELECT a.query_id, a.neighbor_id
+              FROM approx a JOIN exact x USING (query_id, neighbor_id)
+            )
+            SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact_pairs,
+                   (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+                   round((SELECT count(*) FROM hits)::DOUBLE
+                         / (SELECT count(*) FROM exact), 4) AS recall_at_5
+        """
     # triangles over the LSH pair graph: compose the pair SQL verbatim
     d["dedup_triangles"] = f"""
             WITH edges AS (

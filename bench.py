@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 121)
+    # late-r6 operators (set is now 122)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -163,6 +163,7 @@ HEADLINE = [
     "pipeline_media_manifest",
     "dedup_triangles",
     "events_ppr",
+    "ann_pq_recall",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

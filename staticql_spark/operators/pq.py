@@ -299,3 +299,34 @@ def encode_inrow(
         )
         keys.append(F.array_min(entries)["code"].cast("string"))
     return F.concat_ws("_", *keys)
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact L2 top-k over the full float vectors — the ground truth the
+    ADC/IVFADC paths are measured against (same rounded-sqdist boundary
+    as the PQ pipeline so ties agree cross-engine).  Broadcast queries x
+    corpus scan, per-query window rank; self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sqdist6(F.col("qv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
