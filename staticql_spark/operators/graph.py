@@ -118,6 +118,10 @@ def triangle_counts(
 
     Returns (node, n_triangles), nodes with >= 1 triangle.
     """
+    # the canonical edge set is referenced three times (degrees, the
+    # oriented wedges, and the closing-edge probe) — an eager checkpoint
+    # evaluates the (possibly expensive — LSH pairs) upstream ONCE, the
+    # same recompute fix as connected_components' symmetrize (r6)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -125,6 +129,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("v"))
