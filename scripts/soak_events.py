@@ -36,6 +36,11 @@ PICKS = [
     "events_anomaly",
     "stream_first_seen",
     "latest_per_user",
+    # late-r6 event-family additions
+    "events_bot_score",
+    "events_kanon",
+    "events_ppr",
+    "events_cooccurrence",
 ]
 
 
