@@ -2688,6 +2688,45 @@ def q_ann_pq_recall(spark, sf):
     )
 
 
+def q_supplier_pareto(spark, sf):
+    # ABC / Pareto analysis: suppliers ranked by revenue, cumulative
+    # share, class A (<= 80%), B (<= 95%), C (rest). The window runs on
+    # the |suppliers|-row AGGREGATE, never the raw lineitem stream — the
+    # scale-honest way to do a "global" cumulative share.
+    li = _t(spark, sf, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    wtot = rev.agg(F.sum("revenue").alias("__tot"))
+    w = W.orderBy(F.col("revenue").desc(), F.col("l_suppkey").asc())
+    ranked = (
+        rev.crossJoin(F.broadcast(wtot))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("revenue").over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                / F.col("__tot"),
+                6,
+            ),
+        )
+    )
+    return ranked.select(
+        "l_suppkey",
+        "revenue",
+        "rnk",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.80, F.lit("A"))
+        .when(F.col("cum_share") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -2993,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_triangles": q_dedup_triangles,
         "events_ppr": q_events_ppr,
         "ann_pq_recall": q_ann_pq_recall,
+        "supplier_pareto": q_supplier_pareto,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -6549,6 +6589,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT r2.node, round(r2.rank, 6) AS rank,
                    (sd2.node IS NOT NULL) AS is_seed
             FROM r2 LEFT JOIN sd2 ON r2.node = sd2.node
+        """,
+        "supplier_pareto": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_suppkey
+            ),
+            tot AS (SELECT sum(revenue) AS t FROM rev),
+            ranked AS (
+              SELECT l_suppkey, revenue,
+                     row_number() OVER (ORDER BY revenue DESC, l_suppkey ASC) AS rnk,
+                     round(sum(revenue) OVER (ORDER BY revenue DESC, l_suppkey ASC
+                                              ROWS UNBOUNDED PRECEDING)
+                           / (SELECT t FROM tot), 6) AS cum_share
+              FROM rev
+            )
+            SELECT l_suppkey, revenue, CAST(rnk AS BIGINT) AS rnk, cum_share,
+                   CASE WHEN cum_share <= 0.80 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
         """,
         "ann_knn_classify": """
             WITH q AS (

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 122)
+    # late-r6 operators (set is now 123)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -164,6 +164,7 @@ HEADLINE = [
     "dedup_triangles",
     "events_ppr",
     "ann_pq_recall",
+    "supplier_pareto",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",
