@@ -2727,6 +2727,13 @@ def q_supplier_pareto(spark, sf):
     )
 
 
+def q_doc_ccnet_buckets(spark, sf):
+    # CCNet head/middle/tail (Wenzek et al. 2020): per-language exact
+    # perplexity terciles over the unigram-NLL proxy; integer 3*rank vs n
+    # decision, two-phase rank (no per-language whale windows).
+    return text.ccnet_buckets(_t(spark, sf, "documents"))
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -3033,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ppr": q_events_ppr,
         "ann_pq_recall": q_ann_pq_recall,
         "supplier_pareto": q_supplier_pareto,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -7113,6 +7121,28 @@ def oracle_sql() -> dict[str, str]:
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
+    # CCNet terciles: the unigram-NLL oracle composed with exact ranks
+    d["doc_ccnet_buckets"] = f"""
+            WITH nllq AS ({d["doc_unigram_nll"]}),
+            scored AS (
+              SELECT n.doc_id, n.n_tokens, n.nll, d.lang
+              FROM nllq n JOIN documents d USING (doc_id)
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_tokens, nll,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY nll ASC, doc_id ASC) AS lang_rank,
+                     count(*) OVER (PARTITION BY lang) AS lang_n
+              FROM scored
+            )
+            SELECT doc_id, lang, n_tokens, nll,
+                   CAST(lang_rank AS BIGINT) AS lang_rank,
+                   CAST(lang_n AS BIGINT) AS lang_n,
+                   CASE WHEN 3 * lang_rank <= lang_n THEN 'head'
+                        WHEN 3 * lang_rank <= 2 * lang_n THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked
+        """
     # PQ recall: the ADC oracle composed against an exact-L2 ground truth
     d["ann_pq_recall"] = f"""
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

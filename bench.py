@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 123)
+    # late-r6 operators (set is now 124)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -165,6 +165,7 @@ HEADLINE = [
     "events_ppr",
     "ann_pq_recall",
     "supplier_pareto",
+    "doc_ccnet_buckets",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

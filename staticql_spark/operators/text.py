@@ -1826,3 +1826,71 @@ def vocab_drift(
             (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
         ).alias("psi_term"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vocab_k: int = 50_000,
+) -> DataFrame:
+    """CCNet-style quality terciles (Wenzek et al. 2020): per language,
+    docs split into head / middle / tail by their LM perplexity proxy
+    (:func:`unigram_logprob` nll, ascending — lowest-perplexity third is
+    the head CCNet keeps, the tail is usually dropped).
+
+    Tercile boundaries are EXACT per-language ranks, decided entirely in
+    integer arithmetic (3·rank vs n), so the assignment is
+    engine-portable with no quantile-interpolation ambiguity.  The rank
+    itself is the module's two-phase idiom (see shuffle_shards): rank
+    within (lang, coarse nll bucket) + broadcast per-bucket base offsets
+    — never one window partition per language (a language IS a whale at
+    corpus scale).
+
+    One row per scored doc: (id, lang, n_tokens, nll, lang_rank, lang_n,
+    bucket) with bucket in {'head','middle','tail'}.
+    """
+    scored = unigram_logprob(df, text_col, id_col, vocab_k).join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    # coarse ordering buckets: nll is rounded to 4dp and small (log2
+    # space), so floor(nll*4) gives bounded per-(lang, bucket) windows
+    # whose order equals nll order
+    b = F.floor(F.col("nll") * 4).cast("long")
+    keyed = scored.withColumn("_b", b)
+    base = (
+        keyed.groupBy("lang", "_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.partitionBy("lang")
+                    .orderBy("_b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy("lang")))
+        .select("lang", "_b", "_base", "_tot")
+    )
+    w = Window.partitionBy("lang", "_b").orderBy(
+        F.col("nll").asc(), F.col(id_col).asc()
+    )
+    ranked = keyed.join(F.broadcast(base), ["lang", "_b"]).withColumn(
+        "lang_rank", (F.row_number().over(w) + F.col("_base")).cast("long")
+    )
+    return ranked.select(
+        id_col,
+        "lang",
+        "n_tokens",
+        "nll",
+        "lang_rank",
+        F.col("_tot").cast("long").alias("lang_n"),
+        F.when(3 * F.col("lang_rank") <= F.col("_tot"), F.lit("head"))
+        .when(3 * F.col("lang_rank") <= 2 * F.col("_tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2043,3 +2043,18 @@ def test_personalized_pagerank_mass_and_locality(spark):
     assert abs(sum(r["rank"] for r in out.values()) - 1.0) < 1e-4
     # seed neighborhood outranks the far node
     assert out[1]["rank"] > out[3]["rank"] > 0.0
+
+
+def test_ccnet_buckets_exact_terciles(spark):
+    # 9 docs, one lang: exactly 3 head / 3 middle / 3 tail, ordered by
+    # ascending nll; rank is a permutation 1..n
+    rows = [(i, ("common " * 5 + "rare" + str(i) + " " * 1) * (i + 1)) for i in range(9)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), "en") for i, t in rows], ["doc_id", "text", "lang"]
+    )
+    out = sorted(text.ccnet_buckets(df).collect(), key=lambda r: r["lang_rank"])
+    assert [r["lang_rank"] for r in out] == list(range(1, 10))
+    assert [r["bucket"] for r in out] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    nlls = [r["nll"] for r in out]
+    assert nlls == sorted(nlls)
+    assert all(r["lang_n"] == 9 for r in out)
