@@ -2734,6 +2734,74 @@ def q_doc_ccnet_buckets(spark, sf):
     return text.ccnet_buckets(_t(spark, sf, "documents"))
 
 
+def q_ann_ivfpq_recall(spark, sf):
+    # the eval triad's third leg: recall@5 of the composed IVF-PQ path
+    # (cell pruning ON TOP of quantization) vs exact L2 — separates the
+    # pruning loss from ann_pq_recall's pure quantization loss.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
+    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    approx = pq.ivfpq_topk(
+        queries, emb, codes, cbs, k=5, m=4, dim=64, coarse_stride=100, nprobe=3
+    ).select("query_id", "neighbor_id")
+    exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_exact_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias("recall_at_5"),
+        )
+    )
+
+
+def q_events_cohort_ltv(spark, sf):
+    # cohort lifetime value: purchase value accumulated by day-offset per
+    # first-activity cohort — the revenue twin of events_retention. The
+    # running sum windows over the (cohort, offset) AGGREGATE (tiny
+    # frame), never the raw event stream; per-user normalization rides in
+    # from the cohort-size join.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("d"), "value"
+    )
+    per_off = (
+        purchases.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    w = (
+        W.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        per_off.join(sizes, "cohort_day")
+        .withColumn("cum_value", F.round(F.sum("day_value").over(w), 4))
+        .select(
+            "cohort_day",
+            "day_offset",
+            "day_value",
+            "cum_value",
+            "cohort_users",
+            F.round(F.col("cum_value") / F.col("cohort_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -3041,6 +3109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": q_ann_pq_recall,
         "supplier_pareto": q_supplier_pareto,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "ann_ivfpq_recall": q_ann_ivfpq_recall,
+        "events_cohort_ltv": q_events_cohort_ltv,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_shuffle_shards": q_doc_shuffle_shards,
         "bpe_fertility": q_bpe_fertility,
@@ -5587,6 +5657,34 @@ def _oracle_sql_literal() -> dict[str, str]:
         # doc_training_manifest: the composed flagship — stitches the
         # leakfree-split recursive-CTE oracle, the curriculum threshold
         # oracle and the two-phase-pack oracle on doc_id
+        "events_cohort_ltv": """
+            WITH first_day AS (
+              SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY user_id
+            ),
+            per_off AS (
+              SELECT f.cohort_day,
+                     (e.ts::DATE - f.cohort_day)::BIGINT AS day_offset,
+                     round(sum(e.value), 4) AS day_value
+              FROM events e JOIN first_day f USING (user_id)
+              WHERE e.event_type = 'purchase'
+              GROUP BY f.cohort_day, day_offset
+            ),
+            sizes AS (
+              SELECT cohort_day, count(*)::BIGINT AS cohort_users
+              FROM first_day GROUP BY cohort_day
+            ),
+            cum AS (
+              SELECT p.cohort_day, p.day_offset, p.day_value,
+                     round(sum(p.day_value) OVER (PARTITION BY p.cohort_day
+                                                  ORDER BY p.day_offset
+                                                  ROWS UNBOUNDED PRECEDING), 4) AS cum_value,
+                     s.cohort_users
+              FROM per_off p JOIN sizes s USING (cohort_day)
+            )
+            SELECT cohort_day, day_offset, day_value, cum_value, cohort_users,
+                   round(cum_value / cohort_users, 6) AS ltv_per_user
+            FROM cum
+        """,
         "events_retention": """
             WITH active AS (
               SELECT DISTINCT user_id, ts::DATE AS d FROM events
@@ -7121,6 +7219,37 @@ def oracle_sql() -> dict[str, str]:
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
+    # IVF-PQ recall: same exact-L2 ground truth, the IVFADC oracle on top
+    d["ann_ivfpq_recall"] = f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(round(list_dot_product(qv, qv), 6)
+                           - 2 * round(list_dot_product(qv, e.v), 6)
+                           + round(list_dot_product(e.v, e.v), 6), 6) AS dd
+              FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id
+            ),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dd ASC, neighbor_id ASC) AS rk
+                FROM scored
+              ) WHERE rk <= 5
+            ),
+            approx AS (
+              SELECT query_id, neighbor_id FROM ({d["ann_ivf_pq"]})
+            ),
+            hits AS (
+              SELECT a.query_id, a.neighbor_id
+              FROM approx a JOIN exact x USING (query_id, neighbor_id)
+            )
+            SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact_pairs,
+                   (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+                   round((SELECT count(*) FROM hits)::DOUBLE
+                         / (SELECT count(*) FROM exact), 4) AS recall_at_5
+        """
     # CCNet terciles: the unigram-NLL oracle composed with exact ranks
     d["doc_ccnet_buckets"] = f"""
             WITH nllq AS ({d["doc_unigram_nll"]}),

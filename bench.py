@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 124)
+    # late-r6 operators (set is now 126)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -166,6 +166,8 @@ HEADLINE = [
     "ann_pq_recall",
     "supplier_pareto",
     "doc_ccnet_buckets",
+    "ann_ivfpq_recall",
+    "events_cohort_ltv",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",
