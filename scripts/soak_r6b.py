@@ -111,6 +111,20 @@ def main():
         lambda: exact_quantiles(big_vals, "l_extendedprice", [0.25, 0.5, 0.9, 0.99]),
     )
 
+    from staticql_spark.operators.text import ccnet_buckets, training_order as _to  # noqa: F401
+
+    timed(
+        "ccnet_buckets(500k docs, two-phase rank)",
+        lambda: ccnet_buckets(docs),
+    )
+    timed(
+        "ivfpq_topk+recall corpus (encode reuse)",
+        lambda: pq.ivfpq_topk(
+            emb.filter(F.col("vec_id") % 50 == 0), emb, codes, cbs,
+            k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
+        ),
+    )
+
     with open(os.path.join(REPO, "SOAK_r6b.json"), "w") as f:
         f.write(
             json.dumps(
