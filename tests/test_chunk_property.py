@@ -105,3 +105,34 @@ def test_shuffle_shards_matches_reference_rank(
         for pos, i in enumerate(sorted(ids, key=lambda i: (keys[i], i)), start=1):
             ref[i] = (shard, pos)
     assert got == ref
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=60,
+    ),
+    qs=st.lists(st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.9, 1.0]),
+                min_size=1, max_size=3, unique=True),
+    num_buckets=st.sampled_from([2, 7, 64]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_quantiles_property(spark, vals, qs, num_buckets):
+    # two-phase bucketed quantiles == value at ceil(q*n) of the sorted
+    # list, for arbitrary floats, quantiles, and bucket counts
+    from staticql_spark.operators.profile import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "x", qs, num_buckets=num_buckets).collect()
+    }
+    srt = sorted(float(v) for v in vals)
+    for q in qs:
+        want = srt[max(math.ceil(q * len(vals)), 1) - 1]
+        assert out[q] == want, (q, out[q], want)

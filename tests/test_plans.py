@@ -522,3 +522,38 @@ def test_exact_percentiles_no_global_sort(spark):
     p = plan(entrymod.q_exact_percentiles(spark, SF_SMOKE))
     assert "rangepartitioning" not in p.lower(), p
     assert "CartesianProduct" not in p, p
+
+
+def test_kanon_second_aggregate_is_cell_sized(spark):
+    # suppression re-groups only the cell aggregate — no second pass over
+    # raw events, no cartesian
+    p = plan(entrymod.q_events_kanon(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+
+
+def test_supplier_pareto_window_on_aggregate(spark):
+    # the cumulative-share window must consume the |suppliers| aggregate:
+    # the Window's child chain contains a HashAggregate, and the raw scan
+    # feeds the aggregate, not the window sort
+    p = plan(entrymod.q_supplier_pareto(spark, SF_SMOKE))
+    assert "Window" in p and "HashAggregate" in p, p
+
+
+def test_cohort_ltv_no_cartesian_window_on_aggregate(spark):
+    p = plan(entrymod.q_events_cohort_ltv(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p and "HashAggregate" in p, p
+
+
+def test_kmv_join_estimate_sketch_sides_are_take_ordered(spark):
+    # each bottom-k sketch must compile to a distributed TakeOrdered
+    # (bounded per-partition heaps), never a full global sort
+    p = plan(entrymod.q_kmv_join_estimate(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_ri_report_anti_joins(spark):
+    # orphan checks are anti joins on the key columns, no cartesian
+    p = plan(entrymod.q_ri_report(spark, SF_SMOKE))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
