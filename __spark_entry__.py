@@ -2802,6 +2802,29 @@ def q_events_cohort_ltv(spark, sf):
     )
 
 
+def q_grouped_percentiles(spark, sf):
+    # per-group EXACT quantiles, same two-phase counting scheme and rank
+    # definition as exact_percentiles — window partitions are (group,
+    # bucket), never a whole group. r7-window candidate (registered past
+    # position 50 this round; rotation ledgered in COVERAGE.md).
+    from staticql_spark.operators.profile import grouped_exact_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    return grouped_exact_quantiles(
+        li, "l_extendedprice", "l_returnflag", [0.5, 0.9, 0.99]
+    )
+
+
+def q_robust_outliers(spark, sf):
+    # median/MAD outlier report over event values: exact median and MAD
+    # (two two-phase quantile passes, shared rank definition), robust
+    # z = |x-med|/(1.4826*MAD). r7-window candidate (tail-registered).
+    from staticql_spark.operators.profile import robust_outlier_summary
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return robust_outlier_summary(ev, "value", z_thresh=3.5)
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -3267,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_subquery": q_exists_subquery,
         "anti_join": q_anti_join,
         "conditional_pivot": q_conditional_pivot,
+        "grouped_percentiles": q_grouped_percentiles,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -6376,6 +6401,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                    min(media_id) OVER (PARTITION BY ahash) AS canonical,
                    count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dups
             FROM hashed
+        """,
+        "grouped_percentiles": """
+            WITH v AS (
+              SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS x
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ),
+            r AS (
+              SELECT g, x,
+                     row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM v
+            )
+            SELECT g AS l_returnflag, q, x AS value,
+                   CAST(greatest(ceil(q * r.n), 1) AS BIGINT) AS rank,
+                   CAST(r.n AS BIGINT) AS n
+            FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+            JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
+        """,
+        "robust_outliers": """
+            WITH v AS (
+              SELECT value::DOUBLE AS x FROM events WHERE value IS NOT NULL
+            ),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) rn, count(*) OVER () n FROM v),
+            med AS (SELECT x AS m, n FROM r WHERE rn = greatest(ceil(0.5 * n), 1)),
+            d AS (SELECT abs(v.x - med.m) AS dev, v.x, med.m, med.n FROM v, med),
+            dr AS (SELECT dev, row_number() OVER (ORDER BY dev) rn,
+                          count(*) OVER () dn FROM d),
+            mad AS (SELECT dev AS md FROM dr WHERE rn = greatest(ceil(0.5 * dn), 1)),
+            scored AS (
+              SELECT d.x, d.m, d.n, mad.md,
+                     CASE WHEN mad.md > 0
+                          THEN d.dev / (1.4826 * mad.md) END AS rz
+              FROM d, mad
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   round(max(m), 6) AS median,
+                   round(max(md), 6) AS mad,
+                   CAST(sum(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   round(coalesce(max(rz), 0.0), 6) AS max_robust_z
+            FROM scored
         """,
         "exact_percentiles": """
             WITH v AS (

@@ -141,7 +141,7 @@ HEADLINE = [
     "embedding_class_sep",
     "doc_length_budget",
     "doc_vocab_coverage",
-    # late-r6 operators (set is now 126)
+    # late-r6 operators (set is now 128)
     "ann_pq_adc",
     "ann_ivf_pq",
     "stream_pq_neardup",
@@ -168,6 +168,8 @@ HEADLINE = [
     "doc_ccnet_buckets",
     "ann_ivfpq_recall",
     "events_cohort_ltv",
+    "grouped_percentiles",
+    "robust_outliers",
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",

@@ -279,3 +279,146 @@ def ri_report(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs: Sequence[float],
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-group EXACT quantiles with the same two-phase counting scheme
+    as :func:`exact_quantiles` — and the same definition (value at rank
+    ceil(q*n), 1-based ascending within the group), so grouped and
+    global answers compose.
+
+    Per group: (min, max, n) and bucket counts from ONE pass over the
+    data (group-keyed aggregates, map-side combined); rank location on
+    the |groups x buckets| frame; pass 2 ranks rows of only the target
+    (group, bucket) pairs.  No per-group value buffering (SQL
+    ``percentile``'s hazard) and no global sort; window partitions are
+    (group, bucket) — group size over ``num_buckets``, never a whole
+    group.
+
+    Returns (group, q, value, rank, n).
+    """
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    stats = vals.groupBy("g").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+    )
+    b = vals.join(stats, "g").select(
+        "g",
+        "x",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(num_buckets))
+                ).cast("int"),
+                F.lit(num_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bkt"),
+    )
+    counts = b.groupBy("g", "bkt").agg(F.count("*").alias("cnt"))
+    wcum = (
+        Window.partitionBy("g").orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn("below", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], ["q"])
+    targets = (
+        stats.select("g", "n")
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "g",
+            "q",
+            F.col("n").cast("long").alias("n_total"),
+            F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1)).alias("rank"),
+        )
+    )
+    located = targets.join(
+        F.broadcast(cum),
+        (targets.g == cum.g)
+        & (F.col("rank") > F.col("below"))
+        & (F.col("rank") <= F.col("below") + F.col("cnt")),
+    ).select(
+        targets.g.alias("g"),
+        "q",
+        "n_total",
+        "rank",
+        "bkt",
+        (F.col("rank") - F.col("below")).alias("lrank"),
+    )
+    wloc = Window.partitionBy("g", "bkt").orderBy("x")
+    in_bucket = b.join(
+        F.broadcast(located.select("g", "bkt").distinct()), ["g", "bkt"]
+    ).withColumn("lr", F.row_number().over(wloc))
+    return (
+        in_bucket.alias("ib")
+        .join(
+            located.alias("lc"),
+            (F.col("ib.g") == F.col("lc.g"))
+            & (F.col("ib.bkt") == F.col("lc.bkt"))
+            & (F.col("ib.lr") == F.col("lc.lrank")),
+        )
+        .select(
+            F.col("ib.g").alias(group_col),
+            "q",
+            F.col("x").alias("value"),
+            F.col("lc.rank").alias("rank"),
+            F.col("lc.n_total").alias("n"),
+        )
+    )
+
+
+def robust_outlier_summary(
+    df: DataFrame, col: str, z_thresh: float = 3.5, num_buckets: int = 1024
+) -> DataFrame:
+    """Median/MAD robust outlier report for a numeric column — the
+    outlier detector that, unlike mean/std (table_profile), is not
+    dragged by the outliers it is looking for.  Median and MAD are both
+    EXACT, via two :func:`exact_quantiles` passes (the shared
+    ceil(q·n)-rank definition), so the report is engine-portable with no
+    quantile-interpolation ambiguity; robust z = |x - med| / (1.4826 ·
+    MAD), the normal-consistency scaling.
+
+    One row: (n, median, mad, n_outliers, max_robust_z) — rounded 6.
+    A zero-MAD column (>= half the values identical) reports 0 outliers
+    by convention (robust z undefined).
+    """
+    med = (
+        exact_quantiles(df, col, [0.5], num_buckets)
+        .select(F.col("value").alias("__med"), F.col("n").alias("__n"))
+    )
+    devs = df.select(F.col(col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    ).crossJoin(F.broadcast(med)).select(
+        (F.abs(F.col("x") - F.col("__med"))).alias("dev"), "x", "__med", "__n"
+    )
+    mad = (
+        exact_quantiles(devs, "dev", [0.5], num_buckets)
+        .select(F.col("value").alias("__mad"))
+    )
+    scored = devs.crossJoin(F.broadcast(mad)).select(
+        "x",
+        "__med",
+        "__mad",
+        "__n",
+        F.when(
+            F.col("__mad") > 0, F.col("dev") / (F.lit(1.4826) * F.col("__mad"))
+        ).alias("rz"),
+    )
+    return scored.agg(
+        F.first("__n").alias("n"),
+        F.round(F.first("__med"), 6).alias("median"),
+        F.round(F.first("__mad"), 6).alias("mad"),
+        F.sum(
+            F.coalesce((F.col("rz") > z_thresh).cast("long"), F.lit(0))
+        ).alias("n_outliers"),
+        F.round(F.coalesce(F.max("rz"), F.lit(0.0)), 6).alias("max_robust_z"),
+    )

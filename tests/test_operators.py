@@ -2058,3 +2058,32 @@ def test_ccnet_buckets_exact_terciles(spark):
     nlls = [r["nll"] for r in out]
     assert nlls == sorted(nlls)
     assert all(r["lang_n"] == 9 for r in out)
+
+
+def test_grouped_exact_quantiles_matches_reference(spark):
+    from staticql_spark.operators.profile import grouped_exact_quantiles
+    import math
+    data = {"a": [5.0, 1.0, 9.0, 3.0, 7.0], "b": [10.0, 20.0, 30.0]}
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = {(r["grp"], r["q"]): r for r in
+           grouped_exact_quantiles(df, "x", "grp", [0.5, 1.0], num_buckets=4).collect()}
+    for g, vs in data.items():
+        srt = sorted(vs)
+        for q in (0.5, 1.0):
+            want = srt[max(math.ceil(q * len(vs)), 1) - 1]
+            assert out[(g, q)]["value"] == want, (g, q)
+            assert out[(g, q)]["n"] == len(vs)
+
+
+def test_robust_outlier_summary_flags_planted_spike(spark):
+    from staticql_spark.operators.profile import robust_outlier_summary
+    vals = [float(v) for v in range(100)] + [10_000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    r = robust_outlier_summary(df, "value").collect()[0]
+    assert r["n"] == 101 and r["median"] == 50.0
+    assert r["n_outliers"] == 1 and r["max_robust_z"] > 100
+    # constant column: MAD 0 -> zero outliers by convention
+    dfc = spark.createDataFrame([(1.0,)] * 10, ["value"])
+    rc = robust_outlier_summary(dfc, "value").collect()[0]
+    assert rc["mad"] == 0.0 and rc["n_outliers"] == 0 and rc["max_robust_z"] == 0.0
