@@ -2825,6 +2825,88 @@ def q_robust_outliers(spark, sf):
     return robust_outlier_summary(ev, "value", z_thresh=3.5)
 
 
+def q_kmeans_inertia(spark, sf):
+    # clustering-quality report over the trained IVF centroids: per-cell
+    # count + within-cell SSE (the Lloyd objective) — the geometry twin
+    # of ann_cell_balance. d2 from 6dp-rounded dots, exact DECIMAL sum.
+    # r7-window candidate (tail-registered).
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    return similarity.kmeans_inertia(emb, cents)
+
+
+def q_doc_ngram_coverage(spark, sf):
+    # corpus-wide eval-coverage aggregate (GPT-3/Pile overlap-appendix
+    # question): what fraction of the eval set's distinct 5-grams the
+    # training corpus contains at all. Bench grams broadcast; the only
+    # exchange carries <= |bench grams| rows. r7-window candidate.
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return text.ngram_coverage(corpus, bench, n=5)
+
+
+def q_shard_checksums(spark, sf):
+    # order-independent per-shard content checksums (XOR of 60-bit md5
+    # row digests; md5(id)-assigned shards) — export validation / data
+    # versioning: re-verifying an export is one map-side pass and a
+    # mismatch localizes to 1/16 of the corpus. r7-window candidate.
+    from staticql_spark.operators.shards import shard_checksums
+
+    docs = _t(spark, sf, "documents")
+    return shard_checksums(
+        docs, ["text", "lang", "source", "n_chars"], n_shards=16
+    )
+
+
+def q_events_dau_wau(spark, sf):
+    # engagement stickiness: daily actives vs trailing-7-day actives
+    # (DAU/WAU). The trailing-distinct is exact via a bounded 7x explode
+    # of the DISTINCT (user, day) frame — never of raw events — so the
+    # shuffle grows with active-days, not event volume. r7-window cand.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = active.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = active.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("d"),
+    )
+    wau = contrib.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+def q_events_time_to_convert(spark, sf):
+    # conversion-latency percentiles: per user, first click -> first
+    # subsequent purchase, latency in integer microseconds (exact in both
+    # engines), then the shared two-phase exact-quantile machinery over
+    # the derived frame. r7-window candidate (tail-registered).
+    from staticql_spark.operators.asof import epoch_us
+    from staticql_spark.operators.profile import exact_quantiles
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    lat = (
+        purchases.join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = lat.select(
+        (epoch_us(lat, "p_ts") - epoch_us(lat, "c_ts")).alias("latency_us")
+    )
+    return exact_quantiles(lat, "latency_us", [0.5, 0.9, 0.99])
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -3292,6 +3374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_pivot": q_conditional_pivot,
         "grouped_percentiles": q_grouped_percentiles,
         "robust_outliers": q_robust_outliers,
+        "kmeans_inertia": q_kmeans_inertia,
+        "doc_ngram_coverage": q_doc_ngram_coverage,
+        "shard_checksums": q_shard_checksums,
+        "events_dau_wau": q_events_dau_wau,
+        "events_time_to_convert": q_events_time_to_convert,
     }
 
 
@@ -6414,6 +6501,103 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM v
             )
             SELECT g AS l_returnflag, q, x AS value,
+                   CAST(greatest(ceil(q * r.n), 1) AS BIGINT) AS rank,
+                   CAST(r.n AS BIGINT) AS n
+            FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+            JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
+        """,
+        "kmeans_inertia": f"""
+            WITH {_kmeans_ctes(64)},
+            a AS {_ivf_assign_sql("emb", "cent2", "v", "vec_id", 1)},
+            d AS (
+              SELECT a.cell,
+                     CAST(round(round(list_dot_product(a.v, a.v), 6)
+                                - 2 * round(list_dot_product(a.v, c.centroid), 6)
+                                + round(list_dot_product(c.centroid, c.centroid), 6),
+                                6) AS DECIMAL(20,6)) AS d2
+              FROM a JOIN cent2 c ON a.cell = c.cid
+            )
+            SELECT cell, count(*)::BIGINT AS n_vectors,
+                   round(CAST(sum(d2) AS DOUBLE), 4) AS inertia,
+                   round(CAST(sum(d2) AS DOUBLE) / count(*), 6) AS mean_d2
+            FROM d GROUP BY cell
+        """,
+        "doc_ngram_coverage": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE doc_id % 10 = 0 AND len(t) >= 5
+              )
+            ),
+            corpus AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toks WHERE doc_id % 10 <> 0 AND len(t) >= 5
+              )
+            )
+            SELECT (SELECT count(*) FROM bench)::BIGINT AS n_bench_grams,
+                   (SELECT count(*) FROM bench b
+                    WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = b.gram)
+                   )::BIGINT AS n_covered,
+                   round((SELECT count(*) FROM bench b
+                          WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.gram = b.gram))
+                         ::DOUBLE
+                         / (SELECT count(*) FROM bench), 6) AS coverage
+        """,
+        "shard_checksums": """
+            SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 16) AS shard_id,
+                   count(*)::BIGINT AS n_rows,
+                   bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang, source,
+                                                         n_chars)), 1, 15))::BIGINT
+                   ) AS xor_checksum
+            FROM documents
+            GROUP BY shard_id
+        """,
+        "events_dau_wau": """
+            WITH active AS (
+              SELECT DISTINCT user_id, ts::DATE AS d FROM events
+            ),
+            dau AS (
+              SELECT d, count(DISTINCT user_id)::BIGINT AS dau
+              FROM active GROUP BY d
+            ),
+            contrib AS (
+              SELECT user_id, (d + CAST(r.i AS INTEGER)) AS d
+              FROM active, range(0, 7) r(i)
+            ),
+            wau AS (
+              SELECT d, count(DISTINCT user_id)::BIGINT AS wau
+              FROM contrib GROUP BY d
+            )
+            SELECT dau.d AS day, dau.dau, wau.wau,
+                   round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+            FROM dau JOIN wau ON dau.d = wau.d
+        """,
+        "events_time_to_convert": """
+            WITH c AS (
+              SELECT user_id, min(ts) AS c_ts FROM events
+              WHERE event_type = 'click' GROUP BY user_id
+            ),
+            l AS (
+              SELECT e.user_id,
+                     epoch_us(min(e.ts)) - epoch_us(c.c_ts) AS latency_us
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+              GROUP BY e.user_id, c.c_ts
+            ),
+            v AS (SELECT latency_us::DOUBLE AS x FROM l),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                     count(*) OVER () AS n
+              FROM v
+            )
+            SELECT q, x AS value,
                    CAST(greatest(ceil(q * r.n), 1) AS BIGINT) AS rank,
                    CAST(r.n AS BIGINT) AS n
             FROM (VALUES (0.5), (0.9), (0.99)) t(q)

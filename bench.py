@@ -173,6 +173,11 @@ HEADLINE = [
     "doc_chunk_dedup",
     "doc_shuffle_shards",
     "bpe_fertility",
+    "kmeans_inertia",
+    "doc_ngram_coverage",
+    "shard_checksums",
+    "events_dau_wau",
+    "events_time_to_convert",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -80,3 +80,47 @@ def export_training_shards(
     with open(f"{out_dir}/_manifest.json", "w") as f:
         json.dump(manifest, f, indent=1, default=str)
     return manifest
+
+
+def shard_checksums(
+    df: DataFrame,
+    content_cols: list[str],
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard1",
+) -> DataFrame:
+    """Order-independent per-shard content checksums — the data-versioning
+    primitive for export validation: two exports of the same corpus match
+    shard-for-shard regardless of partitioning, task order, or row order,
+    and any single changed/dropped/added row flips exactly one shard's
+    checksum (XOR of per-row digests is commutative and self-inverse, so
+    re-verifying 100 TB after a re-shuffle costs one map-side pass, and a
+    mismatch localizes the diff to 1/``n_shards`` of the data).
+
+    Row digest = first 60 bits of md5 over the ``content_cols`` joined
+    with the 0x1f unit separator (the repo-wide engine-portable digest
+    recipe); shard = md5(salt|id) mod ``n_shards`` — content edits move a
+    row's digest but never its shard, so version diffs align.  Returns
+    (shard_id, n_rows, xor_checksum) — one aggregation, map-side
+    combined, |shards| rows out.
+    """
+    payload = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    digest = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    return (
+        df.select(shard.alias("shard_id"), digest.alias("__d"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(__d)").alias("xor_checksum"),
+        )
+    )

@@ -716,6 +716,56 @@ def ivf_cell_balance(
     )
 
 
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell clustering-quality report over trained centroids: member
+    count, within-cell sum of squared L2 distance (inertia — the Lloyd
+    objective), and mean squared distance.  The geometry complement to
+    :func:`ivf_cell_balance`'s cardinality view: a cell can be perfectly
+    sized yet loose (high mean d²), which is the retrain signal a balance
+    report alone cannot see.
+
+    Cross-engine contract: d² is built from three 6dp-rounded dots
+    (``round(round(v·v,6) - 2·round(v·c,6) + round(c·c,6), 6)``) and the
+    per-cell sum runs in DECIMAL(20,6) — exact, summation-order-free — so
+    the oracle reproduces `inertia` bit-for-bit from the same rounded
+    terms.  Returns (cell, n_vectors, inertia[4dp], mean_d2[6dp]).
+
+    Scale: one broadcast-argmax assign (no corpus shuffle — the vectors
+    never move for the centroid join either, centroids are broadcast
+    twice), then one map-side-combined |cells|-row aggregate.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
+    joined = assigned.join(
+        F.broadcast(centroids.select(F.col("cid").alias("cell"), "centroid")), "cell"
+    )
+    d2 = F.round(
+        F.round(dot(F.col("v"), F.col("v")), 6)
+        - 2 * F.round(dot(F.col("v"), F.col("centroid")), 6)
+        + F.round(dot(F.col("centroid"), F.col("centroid")), 6),
+        6,
+    )
+    per_cell = joined.select("cell", d2.cast("decimal(20,6)").alias("__d2")).groupBy(
+        "cell"
+    ).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("__d2").alias("__s"),
+    )
+    return per_cell.select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("__s").cast("double"), 4).alias("inertia"),
+        F.round(F.col("__s").cast("double") / F.col("n_vectors"), 6).alias("mean_d2"),
+    )
+
+
 def class_separation(
     corpus: DataFrame,
     vec_col: str = "embedding",

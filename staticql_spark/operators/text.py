@@ -1006,6 +1006,50 @@ def decontaminate_keep(
     return docs.join(hits.select(id_col), id_col, "left_anti")
 
 
+def ngram_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Eval-coverage report — the aggregate complement to
+    :func:`decontaminate`: what fraction of the benchmark's DISTINCT word
+    n-grams occur anywhere in the corpus.  Decontamination asks "which
+    training docs leak the eval set"; this asks the reporting question
+    the GPT-3/Pile overlap appendices answer corpus-wide: "how much of
+    the eval set is covered at all" — near-0 means the eval is genuinely
+    held out, near-1 means eval-set memorization is structurally possible
+    and the per-doc filter is load-bearing.
+
+    Returns ONE row: (n_bench_grams, n_covered, coverage[6dp]).
+
+    100 TB shape: the benchmark gram set is tiny and BROADCAST into a
+    join against the corpus gram stream (map-side, no corpus shuffle);
+    the distinct-covered count then aggregates at most |bench| gram
+    hashes per partition (map-side combined), so the only exchange
+    carries <= |bench grams| rows regardless of corpus size.
+    """
+    bench = ngram_fingerprints(
+        benchmark, bench_text_col or text_col, bench_id_col or id_col, n
+    ).select("gram").distinct()
+    covered = (
+        ngram_fingerprints(corpus, text_col, id_col, n)
+        .select("gram")
+        .join(F.broadcast(bench), "gram")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_covered"))
+    )
+    totals = bench.agg(F.count("*").cast("long").alias("n_bench_grams"))
+    return totals.crossJoin(covered).select(
+        "n_bench_grams",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_bench_grams"), 6).alias("coverage"),
+    )
+
+
 # ------------------------------------------------- normalization & self-dedup
 
 def normalize_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2087,3 +2087,101 @@ def test_robust_outlier_summary_flags_planted_spike(spark):
     dfc = spark.createDataFrame([(1.0,)] * 10, ["value"])
     rc = robust_outlier_summary(dfc, "value").collect()[0]
     assert rc["mad"] == 0.0 and rc["n_outliers"] == 0 and rc["max_robust_z"] == 0.0
+
+
+def test_kmeans_inertia_matches_numpy(spark):
+    # per-cell inertia vs a NumPy twin at the exact rounding contract:
+    # assign = 6dp-rounded cosine argmax (ties -> smallest cid), d2 from
+    # three 6dp-rounded dots re-rounded, per-cell sum exact in Decimal
+    import decimal
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    dim, n, stride = 6, 90, 30
+    vecs = rng.integers(-4, 5, size=(n, dim)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_df = similarity.kmeans_fit(df, centroid_stride=stride, iters=1)
+    got = {
+        r["cell"]: (r["n_vectors"], r["inertia"], r["mean_d2"])
+        for r in similarity.kmeans_inertia(df, cents_df).collect()
+    }
+
+    cents = {r["cid"]: np.array(r["centroid"]) for r in cents_df.collect()}
+    members: dict[int, list[int]] = {c: [] for c in cents}
+    for i in range(n):
+        best = max(
+            sorted(cents),
+            key=lambda c: (
+                round(
+                    float(vecs[i] @ cents[c])
+                    / (np.linalg.norm(vecs[i]) * np.linalg.norm(cents[c])),
+                    6,
+                ),
+                -c,
+            ),
+        )
+        members[best].append(i)
+    q6 = decimal.Decimal("0.000001")
+    for c, m in members.items():
+        if not m:
+            assert c not in got
+            continue
+        s = sum(
+            decimal.Decimal(
+                round(
+                    round(float(vecs[i] @ vecs[i]), 6)
+                    - 2 * round(float(vecs[i] @ cents[c]), 6)
+                    + round(float(cents[c] @ cents[c]), 6),
+                    6,
+                )
+            ).quantize(q6)
+            for i in m
+        )
+        assert got[c][0] == len(m)
+        assert got[c][1] == pytest.approx(round(float(s), 4), abs=1e-9)
+        assert got[c][2] == pytest.approx(round(float(s) / len(m), 6), abs=1e-9)
+
+
+def test_shard_checksums_order_invariant_and_sensitive(spark):
+    from staticql_spark.operators.shards import shard_checksums
+
+    rows = [(i, f"text {i}", "en", "web", 6 + i % 3) for i in range(200)]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    df = spark.createDataFrame(rows, cols)
+    base = {
+        r["shard_id"]: (r["n_rows"], r["xor_checksum"])
+        for r in shard_checksums(df, cols[1:]).collect()
+    }
+    assert sum(n for n, _ in base.values()) == 200
+    # row/partition order must not matter (XOR is commutative)
+    shuffled = df.orderBy(F.col("text").desc()).repartition(7)
+    again = {
+        r["shard_id"]: (r["n_rows"], r["xor_checksum"])
+        for r in shard_checksums(shuffled, cols[1:]).collect()
+    }
+    assert again == base
+    # one edited row flips exactly its own shard's checksum, counts intact
+    edited = df.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("TAMPERED")).otherwise(F.col("text"))
+    )
+    diff = {
+        r["shard_id"]: (r["n_rows"], r["xor_checksum"])
+        for r in shard_checksums(edited, cols[1:]).collect()
+    }
+    changed = [s for s in base if diff[s] != base[s]]
+    assert len(changed) == 1
+    assert diff[changed[0]][0] == base[changed[0]][0]  # count unchanged
+
+
+def test_ngram_coverage_counts(spark):
+    bench = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a b x"), (2, "y z w")], ["doc_id", "text"]
+    )
+    r = text.ngram_coverage(corpus, bench, n=2).collect()[0]
+    # bench bigrams {ab, bc}; corpus contains only ab
+    assert r["n_bench_grams"] == 2
+    assert r["n_covered"] == 1
+    assert r["coverage"] == 0.5
