@@ -2907,6 +2907,88 @@ def q_events_time_to_convert(spark, sf):
     return exact_quantiles(lat, "latency_us", [0.5, 0.9, 0.99])
 
 
+def q_checksum_delta(spark, sf):
+    # corpus-version diff via XOR checksum algebra: v2 = v1 with doc 13
+    # dropped and doc 7 edited — exactly the touched shards flag changed,
+    # every other shard compares equal, so a consumer re-ships 2/16 of
+    # the corpus. r7-window candidate (tail-registered).
+    from staticql_spark.operators.shards import checksum_delta
+
+    docs = _t(spark, sf, "documents")
+    v2 = docs.filter(F.col("doc_id") != 13).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    return checksum_delta(docs, v2, ["text", "lang", "source", "n_chars"], n_shards=16)
+
+
+def q_doc_dedup_funnel(spark, sf):
+    # curation-funnel observability: survivor count and retained share
+    # after each pipeline stage (raw -> exact dedup -> eval holdout ->
+    # decontamination -> quality cut) — the per-stage loss report every
+    # production pipeline publishes. Five count aggregates, each subtree
+    # the stage's own shape; nothing materializes. r7-window candidate.
+    docs = _t(spark, sf, "documents")
+    keepers = dedup.exact_dedup(docs)
+    held = keepers.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    held_docs = docs.join(held, "doc_id")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    decon = text.decontaminate_keep(held_docs, bench, n=5, min_shared=1)
+    qual = text.quality_score(decon).filter(F.col("quality") >= 0.5)
+
+    def stage(df, idx, name):
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    funnel = (
+        stage(docs, 1, "raw")
+        .unionByName(stage(keepers, 2, "exact_dedup"))
+        .unionByName(stage(held, 3, "eval_holdout"))
+        .unionByName(stage(decon, 4, "decontaminated"))
+        .unionByName(stage(qual, 5, "quality"))
+    )
+    raw = docs.agg(F.count("*").cast("double").alias("__raw"))
+    return funnel.crossJoin(F.broadcast(raw)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__raw"), 6).alias("retained_pct"),
+    )
+
+
+def q_events_lpa(spark, sf):
+    # label-propagation communities over the bidirected user <-> item
+    # click graph: the density-driven complement to connected components
+    # (a bridge edge merges components but not LPA labels). 2 synchronous
+    # rounds, min-label tie-break — RNG-free, so the oracle unrolls both
+    # rounds exactly. r7-window candidate (tail-registered).
+    from staticql_spark.operators.graph import label_propagation
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    base = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return label_propagation(edges, iters=2)
+
+
+def q_stream_shard_ck(spark, sf):
+    # live shard checksums, batch-fallback twin: the same (shard_id,
+    # n_rows, xor_checksum) the streaming aggregate maintains; stream-vs-
+    # batch equality is locked by test_stream_shard_checksums_matches_batch.
+    # r7-window candidate (tail-registered).
+    from staticql_spark.streaming import stream_shard_checksums
+
+    docs = _t(spark, sf, "documents")
+    return stream_shard_checksums(docs, ["text", "lang", "source", "n_chars"])
+
+
 def q_pipeline_curate_mixture(spark, sf):
     # end-to-end curation pipeline as ONE declarative program: quality
     # cut -> exact dedup -> per-source cap -> DSIR weighting vs the 'en'
@@ -3379,6 +3461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_checksums": q_shard_checksums,
         "events_dau_wau": q_events_dau_wau,
         "events_time_to_convert": q_events_time_to_convert,
+        "checksum_delta": q_checksum_delta,
+        "doc_dedup_funnel": q_doc_dedup_funnel,
+        "events_lpa": q_events_lpa,
+        "stream_shard_ck": q_stream_shard_ck,
     }
 
 
@@ -6226,6 +6312,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT node, round(rank, 6) AS rank FROM r2
         """,
+        "events_lpa": """
+            WITH base AS (
+              SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
+                     'k:' || json_extract_string(props, '$.k') AS dst
+              FROM events WHERE event_type = 'click'
+            ),
+            edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            l0 AS (SELECT node, node AS community FROM nodes),
+            m1 AS (
+              SELECT e.dst AS node, l.community, count(*) AS c
+              FROM edges e JOIN l0 l ON l.node = e.src
+              GROUP BY e.dst, l.community
+            ),
+            n1 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, community ASC) AS rn
+                FROM m1
+              ) WHERE rn = 1
+            ),
+            l1 AS (
+              SELECT nodes.node, coalesce(n1.community, nodes.node) AS community
+              FROM nodes LEFT JOIN n1 USING (node)
+            ),
+            m2 AS (
+              SELECT e.dst AS node, l.community, count(*) AS c
+              FROM edges e JOIN l1 l ON l.node = e.src
+              GROUP BY e.dst, l.community
+            ),
+            n2 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, community ASC) AS rn
+                FROM m2
+              ) WHERE rn = 1
+            )
+            SELECT l1.node, coalesce(n2.community, l1.community) AS community
+            FROM l1 LEFT JOIN n2 ON l1.node = n2.node
+        """,
         "doc_weighted_sample": """
             SELECT doc_id, n_chars,
                    round(pow(
@@ -6578,6 +6706,88 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT dau.d AS day, dau.dau, wau.wau,
                    round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
             FROM dau JOIN wau ON dau.d = wau.d
+        """,
+        "checksum_delta": """
+            WITH v1 AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+            ),
+            v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id = 7 THEN 'tampered' ELSE text END AS text,
+                     lang, source, n_chars
+              FROM documents WHERE doc_id <> 13
+            ),
+            a AS (
+              SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 16) AS shard_id,
+                     count(*)::BIGINT AS n_old,
+                     bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang,
+                                source, n_chars)), 1, 15))::BIGINT) AS checksum_old
+              FROM v1 GROUP BY shard_id
+            ),
+            b AS (
+              SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 16) AS shard_id,
+                     count(*)::BIGINT AS n_new,
+                     bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang,
+                                source, n_chars)), 1, 15))::BIGINT) AS checksum_new
+              FROM v2 GROUP BY shard_id
+            )
+            SELECT coalesce(a.shard_id, b.shard_id) AS shard_id,
+                   coalesce(a.n_old, 0)::BIGINT AS n_old,
+                   coalesce(b.n_new, 0)::BIGINT AS n_new,
+                   coalesce(a.checksum_old, 0)::BIGINT AS checksum_old,
+                   coalesce(b.checksum_new, 0)::BIGINT AS checksum_new,
+                   (coalesce(a.n_old, 0) <> coalesce(b.n_new, 0)
+                    OR coalesce(a.checksum_old, 0) <> coalesce(b.checksum_new, 0))
+                     AS changed
+            FROM a FULL OUTER JOIN b ON a.shard_id = b.shard_id
+        """,
+        "doc_dedup_funnel": f"""
+            WITH keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+            ),
+            held AS (SELECT doc_id FROM keepers WHERE doc_id % 10 <> 0),
+            toksn AS (
+              SELECT doc_id, {_TOKS_NORM} AS t FROM documents
+            ),
+            benchg AS (
+              SELECT DISTINCT gram FROM (
+                SELECT unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                              i -> md5(array_to_string(t[i:i+4], chr(31))))) AS gram
+                FROM toksn WHERE doc_id % 10 = 0 AND len(t) >= 5
+              )
+            ),
+            contam AS (
+              SELECT DISTINCT g.doc_id FROM (
+                SELECT tk.doc_id,
+                       unnest(list_transform(range(1, greatest(len(tk.t) - 4, 0) + 1),
+                              i -> md5(array_to_string(tk.t[i:i+4], chr(31))))) AS gram
+                FROM toksn tk JOIN held h ON tk.doc_id = h.doc_id
+                WHERE len(tk.t) >= 5
+              ) g JOIN benchg b USING (gram)
+            ),
+            decon AS (
+              SELECT doc_id FROM held
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            ),
+            {_QUALITY_CTES},
+            qual AS (
+              SELECT r.doc_id FROM r JOIN decon USING (doc_id)
+              WHERE r.quality >= 0.5
+            ),
+            funnel AS (
+              SELECT 1 AS stage_idx, 'raw' AS stage,
+                     (SELECT count(*) FROM documents) AS n_docs
+              UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM keepers)
+              UNION ALL SELECT 3, 'eval_holdout', (SELECT count(*) FROM held)
+              UNION ALL SELECT 4, 'decontaminated', (SELECT count(*) FROM decon)
+              UNION ALL SELECT 5, 'quality', (SELECT count(*) FROM qual)
+            )
+            SELECT stage_idx, stage, n_docs::BIGINT AS n_docs,
+                   round(n_docs::DOUBLE
+                         / (SELECT count(*) FROM documents), 6) AS retained_pct
+            FROM funnel
         """,
         "events_time_to_convert": """
             WITH c AS (
@@ -7466,6 +7676,10 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter is semantics-transparent (exact verify removes
     # false positives), so its oracle IS the exact decontaminate twin
     d["doc_decontaminate_bloom"] = d["doc_decontaminate"]
+    # the streaming shard-checksum aggregate computes the batch operator's
+    # exact columns (XOR folds micro-batches associatively), so its batch-
+    # fallback oracle IS the shard_checksums twin
+    d["stream_shard_ck"] = d["shard_checksums"]
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
     # IVF-PQ recall: same exact-L2 ground truth, the IVFADC oracle on top

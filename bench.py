@@ -178,6 +178,10 @@ HEADLINE = [
     "shard_checksums",
     "events_dau_wau",
     "events_time_to_convert",
+    "checksum_delta",
+    "doc_dedup_funnel",
+    "events_lpa",
+    "stream_shard_ck",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -98,6 +98,69 @@ def pagerank(
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    -> (node, community).  Every node starts labeled with its own id;
+    each round every node adopts the most frequent label among its
+    in-neighbors (pass a bidirected edge list for undirected semantics),
+    ties broken to the SMALLEST label — the synchronous schedule plus the
+    deterministic tie-break removes the RNG the classic async LPA needs,
+    so results are reproducible and SQL-expressible.  Communities are a
+    coarser, density-driven complement to connected_components: a bridge
+    edge keeps two dense near-dup blobs in one component but LPA keeps
+    their labels apart — the granularity a curation keep-one-per-cluster
+    rule usually wants.
+
+    Scale shape per round (same discipline as :func:`pagerank`): one
+    edges⨝labels equi join on the source id, one (node, label) count
+    aggregate (map-side combined), one argmax-by-struct-min per node —
+    shuffle volume is O(|edges|) message rows of (id, label), never
+    vector or text payloads; ``localCheckpoint`` truncates lineage per
+    round.  A FIXED small ``iters`` keeps the whole computation
+    unrollable by the DuckDB oracle (the kmeans_fit strategy).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iters):
+        msgs = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "community"
+        )
+        counts = msgs.groupBy("node", "community").agg(F.count("*").alias("__c"))
+        new = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("nc"), F.col("community"))
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.community").alias("__new"))
+        )
+        labels = (
+            labels.join(new, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -104,9 +104,27 @@ def shard_checksums(
     (shard_id, n_rows, xor_checksum) — one aggregation, map-side
     combined, |shards| rows out.
     """
+    keyed = df.select(
+        shard_of(id_col, n_shards, salt).alias("shard_id"),
+        row_digest(content_cols).alias("__d"),
+    )
+    return keyed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(__d)").alias("xor_checksum"),
+    )
+
+
+def row_digest(content_cols: list[str]):
+    """First 60 bits of md5 over the columns joined by the 0x1f unit
+    separator — the repo-wide engine-portable row content digest."""
     payload = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
-    digest = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
-    shard = (
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def shard_of(id_col: str, n_shards: int, salt: str = "shard1"):
+    """Deterministic md5(salt|id) shard assignment — content edits move a
+    row's digest but never its shard, so version diffs align."""
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 15
@@ -116,11 +134,58 @@ def shard_checksums(
         ).cast("long")
         % n_shards
     )
+
+
+def checksum_delta(
+    old: DataFrame,
+    new: DataFrame,
+    content_cols: list[str],
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard1",
+) -> DataFrame:
+    """Corpus-version diff at shard granularity — the follow-up question
+    :func:`shard_checksums` exists to answer: given two versions of a
+    corpus, WHICH shards changed?  Because the shard assignment hashes
+    only the row id, an edited row stays in its shard and flips that
+    shard's XOR; an added/dropped row changes one shard's count and XOR.
+    Untouched shards compare equal, so a downstream consumer re-ingests
+    1/``n_shards`` granules instead of 100 TB.
+
+    Returns one row per shard present in either version: (shard_id,
+    n_old, n_new, checksum_old, checksum_new, changed).  Missing shards
+    count 0 with checksum 0 (the XOR identity — an empty shard and a
+    shard whose digests cancel are both "nothing to ship").  Cost: one
+    map-side-combined aggregation per version + a |shards|-row join.
+    """
+    a = shard_checksums(old, content_cols, n_shards, id_col, salt)
+    b = shard_checksums(new, content_cols, n_shards, id_col, salt)
+    zero = F.lit(0).cast("long")
     return (
-        df.select(shard.alias("shard_id"), digest.alias("__d"))
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.expr("bit_xor(__d)").alias("xor_checksum"),
+        a.select(
+            "shard_id",
+            F.col("n_rows").alias("n_old"),
+            F.col("xor_checksum").alias("checksum_old"),
+        )
+        .join(
+            b.select(
+                "shard_id",
+                F.col("n_rows").alias("n_new"),
+                F.col("xor_checksum").alias("checksum_new"),
+            ),
+            "shard_id",
+            "full_outer",
+        )
+        .select(
+            "shard_id",
+            F.coalesce("n_old", zero).alias("n_old"),
+            F.coalesce("n_new", zero).alias("n_new"),
+            F.coalesce("checksum_old", zero).alias("checksum_old"),
+            F.coalesce("checksum_new", zero).alias("checksum_new"),
+        )
+        .withColumn(
+            "changed",
+            (F.col("n_old") != F.col("n_new"))
+            | (F.col("checksum_old") != F.col("checksum_new")),
         )
     )

@@ -804,6 +804,42 @@ def stream_kmv_grouped(
     )
 
 
+# --------------------------------------------------- live shard checksums
+
+
+def stream_shard_checksums(
+    df: DataFrame,
+    content_cols: list[str],
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard1",
+) -> DataFrame:
+    """Live corpus checksums: maintain the per-shard XOR content digests
+    of :func:`~staticql_spark.operators.shards.shard_checksums` over a
+    document STREAM, so every micro-batch leaves the running (n_rows,
+    xor_checksum) per shard equal to what the batch operator would
+    compute over everything ingested so far — an always-current version
+    manifest for :func:`~staticql_spark.operators.shards.checksum_delta`
+    to diff against, with no end-of-day full rescan.
+
+    XOR is what makes this a plain streaming AGGREGATE: the state per
+    shard is one long + one count (bounded, no list of seen rows), and
+    Spark's own bit_xor agg buffer folds each batch in exactly.  Works
+    on a batch frame too (same plan as the batch operator), which is the
+    twin-test / oracle path.
+    """
+    from ..operators.shards import row_digest, shard_of
+
+    keyed = df.select(
+        shard_of(id_col, n_shards, salt).alias("shard_id"),
+        row_digest(content_cols).alias("__d"),
+    )
+    return keyed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(__d)").alias("xor_checksum"),
+    )
+
+
 # ------------------------------------------------------ PQ-code near-dup
 
 

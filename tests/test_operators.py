@@ -2185,3 +2185,76 @@ def test_ngram_coverage_counts(spark):
     assert r["n_bench_grams"] == 2
     assert r["n_covered"] == 1
     assert r["coverage"] == 0.5
+
+
+def test_checksum_delta_localizes_edit_and_delete(spark):
+    from staticql_spark.operators.shards import checksum_delta, shard_checksums
+
+    rows = [(i, f"text {i}", "en", "web", 6) for i in range(100)]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    v1 = spark.createDataFrame(rows, cols)
+    v2 = v1.filter(F.col("doc_id") != 13).withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("edited")).otherwise(F.col("text"))
+    )
+    out = {r["shard_id"]: r for r in checksum_delta(v1, v2, cols[1:]).collect()}
+    # identical versions -> nothing changed
+    same = checksum_delta(v1, v1, cols[1:]).filter(F.col("changed")).count()
+    assert same == 0
+    # the shards holding docs 7 and 13 (and ONLY those) flag changed
+    shard_of = {
+        r["doc_id"]: r["shard_id"]
+        for r in v1.select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("shard1|"), F.col("doc_id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 16
+            ).alias("shard_id"),
+        ).collect()
+    }
+    expect_changed = {shard_of[7], shard_of[13]}
+    assert {s for s, r in out.items() if r["changed"]} == expect_changed
+    # the deleted doc's shard lost exactly one row
+    assert out[shard_of[13]]["n_old"] - out[shard_of[13]]["n_new"] == 1
+
+
+def test_dedup_funnel_is_monotone(spark):
+    # funnel counts must be non-increasing stage over stage on real data
+    import __spark_entry__ as entry
+
+    out = sorted(
+        entry.queries()["doc_dedup_funnel"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    counts = [r["n_docs"] for r in out]
+    assert [r["stage"] for r in out] == [
+        "raw", "exact_dedup", "eval_holdout", "decontaminated", "quality"
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert out[0]["retained_pct"] == 1.0
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    # two 4-cliques joined by a single bridge: connected components sees
+    # ONE component, but 2-round LPA keeps a community per clique — the
+    # density-vs-connectivity distinction the operator exists for
+    from itertools import combinations
+
+    from staticql_spark.operators.graph import label_propagation
+
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    und = list(combinations(a, 2)) + list(combinations(b, 2)) + [("a1", "b1")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], ["src", "dst"]
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, iters=2).collect()}
+    assert {got[n] for n in a} == {"a1"}
+    assert {got[n] for n in b} == {"b1"}

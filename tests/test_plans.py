@@ -557,3 +557,39 @@ def test_ri_report_anti_joins(spark):
     p = plan(entrymod.q_ri_report(spark, SF_SMOKE))
     assert "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_shard_checksums_single_exchange_partial_agg(spark):
+    # the checksum must be one map-side-combined aggregation: partial
+    # HashAggregate before the single shard_id exchange, no join, no sort
+    p = plan(entrymod.q_shard_checksums(spark, SF_SMOKE))
+    assert p.count("Exchange (") == 1, p
+    assert "bit_xor" in p, p
+    assert "Join" not in p and "CartesianProduct" not in p, p
+
+
+def test_ngram_coverage_bench_side_broadcast(spark):
+    # the benchmark gram set rides a broadcast join against the corpus
+    # gram stream — the corpus must never shuffle for the membership test
+    p = plan(entrymod.q_doc_ngram_coverage(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_checksum_delta_joins_shard_frames_only(spark):
+    # the version diff joins two |shards|-row aggregates; both sides are
+    # aggregated before the join so the full-outer join is tiny
+    p = plan(entrymod.q_checksum_delta(spark, SF_SMOKE))
+    assert "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dau_wau_explodes_distinct_frame_not_raw_events(spark):
+    # the 7x explode must sit ABOVE the user-day distinct aggregate:
+    # a Generate whose child contains the dedup aggregate, never a
+    # Generate directly over the scan
+    df = entrymod.q_events_dau_wau(spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    gen_idx = logical.find("Generate explode")
+    agg_below = logical.find("Aggregate", gen_idx)
+    assert gen_idx != -1 and agg_below != -1, logical

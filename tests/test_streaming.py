@@ -626,3 +626,42 @@ def test_stream_pq_neardup_stream_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == want
+
+
+def test_stream_shard_checksums_matches_batch(spark, tmp_path):
+    """Live shard checksums: after a 2-micro-batch document stream drains,
+    the complete-mode table must equal the batch shard_checksums of the
+    whole corpus — XOR state folds micro-batches exactly."""
+    from staticql_spark.operators.shards import shard_checksums
+    from staticql_spark.streaming import stream_shard_checksums
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = ["text", "lang", "source", "n_chars"]
+    want = {
+        r["shard_id"]: (r["n_rows"], r["xor_checksum"])
+        for r in shard_checksums(docs, cols).collect()
+    }
+
+    drops = str(tmp_path / "drops")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(drops)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_shard_checksums(stream, cols)
+        .writeStream.format("memory")
+        .queryName("shard_ck_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["shard_id"]: (r["n_rows"], r["xor_checksum"])
+        for r in spark.sql("select * from shard_ck_stream").collect()
+    }
+    assert got == want
