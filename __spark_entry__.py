@@ -2978,6 +2978,81 @@ def q_events_lpa(spark, sf):
     return label_propagation(edges, iters=2)
 
 
+def q_ann_rnn_pairs(spark, sf):
+    # reciprocal nearest neighbors (mutual top-10): the hub-robust near-
+    # dup criterion — one-directional neighbor lists are asymmetric in
+    # dense regions, mutuality filters the hubs. Exact baseline here;
+    # neighbors= injects ANN lists at scale. r7-window candidate.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.reciprocal_topk_pairs(emb, k=10)
+
+
+def q_quality_gate_report(spark, sf):
+    # per-source Gopher rule kill rates: which rule drops what source —
+    # the gate observability report next to doc_gopher's per-doc flags.
+    # One |sources|-row aggregate over the map-only rule metrics.
+    # r7-window candidate (tail-registered).
+    return text.gopher_gate_report(_t(spark, sf, "documents"), strata_col="source")
+
+
+def q_events_forecast_baseline(spark, sf):
+    # seasonal-naive backtest: per event type, MAE of predicting each
+    # day's total value from 1 day back vs 7 days back — the baseline
+    # pair every forecasting deploy must beat. Daily totals round at 4
+    # (the events_windowed precedent), lags/diffs on the tiny per-type
+    # day frame. r7-window candidate (tail-registered).
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+    ).filter(F.col("v7").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("v1"))), 6).alias("mae_naive1"),
+        F.round(F.avg(F.abs(F.col("v") - F.col("v7"))), 6).alias("mae_seasonal7"),
+    )
+
+
+def q_dedup_minhash_1bit(spark, sf):
+    # b-bit minhash self-eval (Li & König 2010, b=1): for every LSH-
+    # verified pair, exact Jaccard vs the 1-bit-signature estimate
+    # J ~ max(2A-1, 0) — the 64x-smaller-signature accuracy report
+    # (the PQ-recall pattern applied to minhash). A is a multiple of
+    # 1/16, so the estimate is engine-exact. r7-window candidate.
+    docs = _t(spark, sf, "documents")
+    return dedup.minhash_1bit_estimate(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+def q_orders_backlog(spark, sf):
+    # open-orders-per-day via the sweep line: +1 at order date, -1 the
+    # day after the order's last shipment — 2 delta rows per order, the
+    # running sum runs on the per-DAY aggregate (calendar-bounded), never
+    # a per-interval day explode. r7-window candidate (tail-registered).
+    from staticql_spark.operators.asof import interval_concurrency
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    ends = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("__end")
+    )
+    spans = o.select("o_orderkey", F.col("o_orderdate").alias("__start")).join(
+        ends, "o_orderkey"
+    )
+    return interval_concurrency(spans, "__start", "__end")
+
+
 def q_stream_shard_ck(spark, sf):
     # live shard checksums, batch-fallback twin: the same (shard_id,
     # n_rows, xor_checksum) the streaming aggregate maintains; stream-vs-
@@ -3465,6 +3540,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_funnel": q_doc_dedup_funnel,
         "events_lpa": q_events_lpa,
         "stream_shard_ck": q_stream_shard_ck,
+        "dedup_minhash_1bit": q_dedup_minhash_1bit,
+        "orders_backlog": q_orders_backlog,
+        "ann_rnn_pairs": q_ann_rnn_pairs,
+        "quality_gate_report": q_quality_gate_report,
+        "events_forecast_baseline": q_events_forecast_baseline,
     }
 
 
@@ -6312,6 +6392,83 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT node, round(rank, 6) AS rank FROM r2
         """,
+        "ann_rnn_pairs": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM c a CROSS JOIN c b WHERE a.vec_id <> b.vec_id
+            ),
+            topk AS (
+              SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT query_id, neighbor_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            )
+            SELECT f.id_a, f.id_b, f.cosine, f.rank_ab, r.rank_ba FROM
+              (SELECT query_id AS id_a, neighbor_id AS id_b, cosine,
+                      rank AS rank_ab
+               FROM topk WHERE query_id < neighbor_id) f
+              JOIN
+              (SELECT neighbor_id AS id_a, query_id AS id_b, rank AS rank_ba
+               FROM topk WHERE query_id > neighbor_id) r
+              USING (id_a, id_b)
+        """,
+        "events_forecast_baseline": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d, round(sum(value), 4) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+              SELECT event_type, d, v,
+                     lag(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS v1,
+                     lag(v, 7) OVER (PARTITION BY event_type ORDER BY d) AS v7
+              FROM daily
+            )
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   round(avg(abs(v - v1)), 6) AS mae_naive1,
+                   round(avg(abs(v - v7)), 6) AS mae_seasonal7
+            FROM lagged WHERE v7 IS NOT NULL
+            GROUP BY event_type
+        """,
+        "dedup_minhash_1bit": f"""
+            WITH {_LSH_PAIRS_CTES}
+            SELECT id_a, id_b, jaccard,
+                   round(est, 6) AS est_1bit,
+                   round(abs(est - jaccard), 6) AS abs_err
+            FROM (
+              SELECT p.id_a, p.id_b, p.jaccard,
+                     greatest(
+                       2.0 * (({" + ".join(f"(CASE WHEN sa.h{k} % 2 = sb.h{k} % 2 THEN 1 ELSE 0 END)" for k in range(16))})::DOUBLE / 16.0)
+                         - 1.0,
+                       0.0) AS est
+              FROM lsh_pairs p
+              JOIN sig sa ON sa.doc_id = p.id_a
+              JOIN sig sb ON sb.doc_id = p.id_b
+            )
+        """,
+        "orders_backlog": """
+            WITH spans AS (
+              SELECT o.o_orderkey, o.o_orderdate::DATE AS s,
+                     max(l.l_shipdate)::DATE AS e
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey, o.o_orderdate
+            ),
+            deltas AS (
+              SELECT d, sum(delta)::BIGINT AS net FROM (
+                SELECT s AS d, 1 AS delta FROM spans
+                UNION ALL SELECT e + 1, -1 FROM spans
+              ) GROUP BY d
+            )
+            SELECT d, net,
+                   (sum(net) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING))::BIGINT AS open_count
+            FROM deltas
+        """,
         "events_lpa": """
             WITH base AS (
               SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
@@ -7680,6 +7837,29 @@ def oracle_sql() -> dict[str, str]:
     # exact columns (XOR folds micro-batches associatively), so its batch-
     # fallback oracle IS the shard_checksums twin
     d["stream_shard_ck"] = d["shard_checksums"]
+    # the gate report aggregates the doc_gopher oracle's per-doc rows —
+    # composed verbatim so the rule expressions live once
+    d["quality_gate_report"] = f"""
+            WITH g AS ({d["doc_gopher"]}),
+            j AS (SELECT g.*, doc.source FROM g JOIN documents doc USING (doc_id))
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(avg(CASE WHEN n_words < 50 OR n_words > 100000
+                             THEN 1 ELSE 0 END), 6) AS fail_words,
+                   round(avg(CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                             THEN 1 ELSE 0 END), 6) AS fail_word_len,
+                   round(avg(CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END), 6)
+                     AS fail_symbol,
+                   round(avg(CASE WHEN bullet_frac > 0.9 THEN 1 ELSE 0 END), 6)
+                     AS fail_bullet,
+                   round(avg(CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END), 6)
+                     AS fail_ellipsis,
+                   round(avg(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END), 6)
+                     AS fail_alpha,
+                   round(avg(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END), 6)
+                     AS fail_stops,
+                   round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 6) AS keep_rate
+            FROM j GROUP BY source
+        """
     # the media manifest is the canonical-only projection of the two hash
     # oracles — composed verbatim so the fingerprint math lives once
     # IVF-PQ recall: same exact-L2 ground truth, the IVFADC oracle on top

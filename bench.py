@@ -182,6 +182,11 @@ HEADLINE = [
     "doc_dedup_funnel",
     "events_lpa",
     "stream_shard_ck",
+    "dedup_minhash_1bit",
+    "orders_backlog",
+    "ann_rnn_pairs",
+    "quality_gate_report",
+    "events_forecast_baseline",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -286,3 +286,48 @@ def range_join(
 
     out_cols = list(left.columns) + [F.col(f"__rj_r_{c}").alias(c) for c in rcols]
     return joined.select(*out_cols)
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrent-interval counts over DATE intervals — "how
+    many orders are open / items in transit / sessions live on each
+    day".  The classic naive formulation explodes every interval into
+    its covered days (an interval spanning a year costs 365 rows); the
+    sweep line emits exactly TWO delta rows per interval (+1 at start,
+    -1 the day after end), aggregates them per day, and takes a running
+    sum — O(2·|rows|) regardless of interval length.
+
+    Returns (d, net, open_count): per-day net change and the number of
+    intervals covering that day (inclusive of both endpoints).  Days
+    with no boundary are absent — the count is constant between emitted
+    rows, which is what a downstream plot/join interpolates.  Rows with
+    a NULL endpoint are dropped (an open-ended interval never closes —
+    feed a sentinel end date if "still open" should count forever).
+
+    Scale: the running-sum window runs over the per-DAY AGGREGATE
+    (|distinct days| rows — bounded by the calendar, not the data), so
+    the single-partition window that makes global running sums a scale
+    bug elsewhere is harmless here; the raw rows cross one map-side-
+    combined date-keyed shuffle.
+    """
+    # drop half-open rows BEFORE splitting into deltas: a NULL start must
+    # not leave its -1 end delta behind (and vice versa)
+    df = df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+    starts = df.select(
+        F.to_date(F.col(start_col)).alias("d"), F.lit(1).alias("__delta")
+    )
+    ends = df.select(
+        F.date_add(F.to_date(F.col(end_col)), 1).alias("d"),
+        F.lit(-1).alias("__delta"),
+    )
+    deltas = (
+        starts.union(ends)
+        .groupBy("d")
+        .agg(F.sum("__delta").cast("long").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.withColumn("open_count", F.sum("net").over(w).cast("long"))

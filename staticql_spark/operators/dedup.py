@@ -191,6 +191,94 @@ def sig_from_array(num_hashes: int = 16, sh_col: str = "sh") -> Column:
     ).alias("sig")
 
 
+def minhash_1bit_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """b-bit minhash similarity estimation (Li & König 2010, b=1): keep
+    only the LOWEST BIT of each min-hash and estimate Jaccard from the
+    bit-agreement fraction A via J ≈ max(2A − 1, 0) — the storage side of
+    the minhash trade (k bits instead of k longs per doc, a 64× signature
+    shrink) surfaced as a self-evaluation report: for every LSH-verified
+    candidate pair, the exact Jaccard, the 1-bit estimate, and the
+    absolute error.  This is how you decide whether the compressed
+    signature is accurate enough to REPLACE the exact verify at corpus
+    scale (the same eval pattern as ann_pq_recall for PQ codes).
+
+    Returns (id_a, id_b, jaccard, est_1bit, abs_err).  Exactness notes:
+    A is a multiple of 1/num_hashes (binary-exact division), so est_1bit
+    is engine-exact; pair generation and exact Jaccard are verbatim
+    :func:`minhash_lsh_pairs`.
+
+    Scale: the signature join adds two broadcast-sized probes of the
+    |pairs| frame into the per-doc signature aggregate; the bit
+    comparison is one zip_with fold per pair row, map-side.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, n, num_hashes, bands, threshold, max_bucket
+    )
+    # signatures ONLY for pair-participating docs: the 16 interpreted
+    # array_min projections are the expensive map step, so a semi-join
+    # cut bounds that work by pair mass instead of corpus size (measured
+    # 129 s -> pair-proportional at the 500k-doc soak when the full
+    # corpus was signed). sig_from_array == minhash_signatures values.
+    # shuffle_hash hint: Catalyst's post-aggregate size estimate for the
+    # pair-id frame is unreliable (measured: a driver-broadcast OOM at the
+    # 500k-doc soak where the estimate said "small" and the dup-heavy
+    # corpus said otherwise), and pair ids can approach corpus size in
+    # the worst case — a per-partition hash build is the safe plan at
+    # every scale, and the tiny-case cost is one extra small exchange.
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .hint("shuffle_hash")
+    )
+    sigs = doc_shingles(df.join(ids, id_col, "left_semi"), text_col, id_col, n).select(
+        F.col(id_col), sig_from_array(num_hashes)
+    )
+    # same shuffle_hash discipline for the signature probes: a dup-heavy
+    # corpus (the adversarial case dedup exists for) can put MOST docs in
+    # pairs, so the sig frame approaches corpus size while Catalyst's
+    # post-aggregate estimate still says "broadcast me" (measured driver
+    # OOM at the 500k-doc replica soak)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa")).hint(
+        "shuffle_hash"
+    )
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb")).hint(
+        "shuffle_hash"
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: ((x % 2) == (y % 2)).cast("int"),
+        ),
+        F.lit(0).cast("int"),
+        lambda acc, v: acc + v,
+    )
+    est = F.greatest(
+        2.0 * (agree.cast("double") / F.lit(float(num_hashes))) - 1.0, F.lit(0.0)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("est_1bit"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

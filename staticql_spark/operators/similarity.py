@@ -716,6 +716,47 @@ def ivf_cell_balance(
     )
 
 
+def reciprocal_topk_pairs(
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (a, b) such that b is in a's
+    top-k AND a is in b's top-k — the mutual-kNN criterion production
+    image/text dedup uses instead of a raw cosine threshold, because
+    one-directional neighbors are asymmetric in dense regions (a hub
+    vector appears in everyone's top-k without them appearing in its).
+    Returns (id_a, id_b, cosine, rank_ab, rank_ba) with id_a < id_b.
+
+    ``neighbors=`` injects a precomputed (query_id, neighbor_id, cosine,
+    rank) frame — e.g. ivf_query / lsh_topk output — which is the scale
+    path: the default exact :func:`cosine_topk` over the whole corpus is
+    the eval baseline and broadcasts the query side (fine at eval sizes,
+    not at 1e9 vectors).  The mutuality test itself is one equi self-join
+    of the |corpus|·k neighbor list on the (id, id) pair key — never a
+    vector shuffle.
+    """
+    nbrs = (
+        neighbors
+        if neighbors is not None
+        else cosine_topk(corpus, corpus, k=k, vec_col=vec_col, id_col=id_col)
+    )
+    fwd = nbrs.filter(F.col("query_id") < F.col("neighbor_id")).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_ab"),
+    )
+    rev = nbrs.filter(F.col("query_id") > F.col("neighbor_id")).select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return fwd.join(rev, ["id_a", "id_b"])
+
+
 def kmeans_inertia(
     corpus: DataFrame,
     centroids: DataFrame,

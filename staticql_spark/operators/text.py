@@ -632,6 +632,50 @@ def gopher_rules(
     return out.withColumn("keep", keep)
 
 
+def gopher_gate_report(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-stratum rule-level kill rates for the Gopher gate — the "WHY
+    was my data dropped" observability a curation pipeline publishes next
+    to its keep counts: one row per stratum with the fraction of docs
+    failing EACH rule plus the composite keep rate, so a collapsed source
+    points at the specific rule (too-short docs vs symbol spam vs missing
+    stopwords) instead of a single opaque keep number.
+
+    Fail fractions are over all docs of the stratum (rules fire
+    independently; they can sum past 1).  Scale: the map-only
+    :func:`gopher_rules` metrics + one |strata|-row aggregate — the
+    strata join is on the doc id, shuffle volume is metric rows, never
+    text.
+    """
+    r = gopher_rules(df, text_col, id_col, min_words, max_words)
+    j = r.join(df.select(F.col(id_col), F.col(strata_col)), id_col)
+
+    def frac(cond):
+        return F.round(F.avg(cond.cast("int")), 6)
+
+    return j.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        frac(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words)
+        ).alias("fail_words"),
+        frac(
+            (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0)
+        ).alias("fail_word_len"),
+        frac(F.col("symbol_ratio") > 0.1).alias("fail_symbol"),
+        frac(F.col("bullet_frac") > 0.9).alias("fail_bullet"),
+        frac(F.col("ellipsis_frac") > 0.3).alias("fail_ellipsis"),
+        frac(F.col("alpha_frac") < 0.8).alias("fail_alpha"),
+        frac(F.col("stop_hits") < 2).alias("fail_stops"),
+        frac(F.col("keep")).alias("keep_rate"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

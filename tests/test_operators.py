@@ -2258,3 +2258,79 @@ def test_label_propagation_splits_bridged_cliques(spark):
     got = {r["node"]: r["community"] for r in label_propagation(edges, iters=2).collect()}
     assert {got[n] for n in a} == {"a1"}
     assert {got[n] for n in b} == {"b1"}
+
+
+def test_interval_concurrency_sweep(spark):
+    from staticql_spark.operators.asof import interval_concurrency
+
+    rows = [
+        ("2024-01-01", "2024-01-03"),
+        ("2024-01-02", "2024-01-02"),
+        ("2024-01-05", "2024-01-05"),
+        ("2024-01-02", None),  # half-open: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, ["s", "e"]).select(
+        F.to_date("s").alias("s"), F.to_date("e").alias("e")
+    )
+    out = {str(r["d"]): (r["net"], r["open_count"]) for r in
+           interval_concurrency(df, "s", "e").collect()}
+    assert out["2024-01-01"] == (1, 1)
+    assert out["2024-01-02"] == (1, 2)   # second interval opens
+    assert out["2024-01-03"] == (-1, 1)  # day-long interval closed after 01-02
+    assert out["2024-01-04"] == (-1, 0)  # first interval ends 01-03 inclusive
+    assert out["2024-01-05"] == (1, 1)
+    assert out["2024-01-06"] == (-1, 0)
+    assert len(out) == 6  # the NULL-end interval left no +1 behind
+
+
+def test_minhash_1bit_exact_on_identical_docs(spark):
+    # identical docs: every min-hash agrees -> A=1 -> est exactly 1.0,
+    # jaccard exactly 1.0, err 0; estimate always within [0, 1]
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here about other topics x y z")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.minhash_1bit_estimate(df, threshold=0.1).collect()
+    pair = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert (1, 2) in pair
+    r = pair[(1, 2)]
+    assert r["jaccard"] == 1.0 and r["est_1bit"] == 1.0 and r["abs_err"] == 0.0
+    for r in rows:
+        assert 0.0 <= r["est_1bit"] <= 1.0
+
+
+def test_reciprocal_topk_pairs_mutuality(spark, emb):
+    out = similarity.reciprocal_topk_pairs(emb, k=5).collect()
+    assert out, "fixture corpus must yield at least one mutual pair"
+    topk = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity.cosine_topk(emb, emb, k=5).collect()
+    }
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert topk[(r["id_a"], r["id_b"])] == r["rank_ab"]
+        assert topk[(r["id_b"], r["id_a"])] == r["rank_ba"]
+    # completeness: every mutual top-5 relation appears exactly once
+    want = {
+        (a, b) for (a, b) in topk if a < b and (b, a) in topk
+    }
+    assert {(r["id_a"], r["id_b"]) for r in out} == want
+
+
+def test_gopher_gate_report_consistent_with_rules(spark, docs):
+    got = {r["source"]: r for r in
+           text.gopher_gate_report(docs, strata_col="source").collect()}
+    flags = text.gopher_rules(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).groupBy("source").agg(
+        F.count("*").alias("n"), F.avg(F.col("keep").cast("int")).alias("kr")
+    ).collect()
+    for r in flags:
+        g = got[r["source"]]
+        assert g["n_docs"] == r["n"]
+        assert g["keep_rate"] == pytest.approx(round(r["kr"], 6), abs=1e-9)
+        # fail fractions are probabilities
+        for c in ("fail_words", "fail_word_len", "fail_symbol", "fail_bullet",
+                  "fail_ellipsis", "fail_alpha", "fail_stops"):
+            assert 0.0 <= g[c] <= 1.0

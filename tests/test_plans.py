@@ -593,3 +593,11 @@ def test_dau_wau_explodes_distinct_frame_not_raw_events(spark):
     gen_idx = logical.find("Generate explode")
     agg_below = logical.find("Aggregate", gen_idx)
     assert gen_idx != -1 and agg_below != -1, logical
+
+
+def test_orders_backlog_window_on_day_aggregate(spark):
+    # the running sum must sit above the per-day HashAggregate (a window
+    # over the calendar-bounded frame), and no interval-day explode
+    p = plan(entrymod.q_orders_backlog(spark, SF_SMOKE))
+    assert "Window" in p and "HashAggregate" in p, p
+    assert "Generate" not in p, p  # sweep line, not a day explode
