@@ -3053,6 +3053,32 @@ def q_orders_backlog(spark, sf):
     return interval_concurrency(spans, "__start", "__end")
 
 
+def q_events_lpa_incr(spark, sf):
+    # incremental LPA: fold the last-10-days click edges into the first-
+    # 20-days community assignment — the graph member of the incremental
+    # family (cost tracks the batch: messages travel over NEW edges
+    # only, untouched nodes pass through). 1 incr round over a 2-round
+    # prior, both unrolled in the oracle. r7-window candidate.
+    from staticql_spark.operators.graph import label_propagation, label_propagation_incr
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+        F.to_date("ts").alias("d"),
+    )
+    split = F.lit("2024-01-21").cast("date")
+
+    def bidirect(base):
+        b = base.distinct()
+        return b.union(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    old_edges = bidirect(clicks.filter(F.col("d") < split).select("src", "dst"))
+    new_edges = bidirect(clicks.filter(F.col("d") >= split).select("src", "dst"))
+    old = label_propagation(old_edges, iters=2)
+    return label_propagation_incr(old, new_edges, iters=1)
+
+
 def q_stream_shard_ck(spark, sf):
     # live shard checksums, batch-fallback twin: the same (shard_id,
     # n_rows, xor_checksum) the streaming aggregate maintains; stream-vs-
@@ -3545,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rnn_pairs": q_ann_rnn_pairs,
         "quality_gate_report": q_quality_gate_report,
         "events_forecast_baseline": q_events_forecast_baseline,
+        "events_lpa_incr": q_events_lpa_incr,
     }
 
 
@@ -4253,6 +4280,56 @@ def _bpe_encode_sql(merges: int = 4) -> str:
                  (SELECT sum(cnt * {nsyms})::BIGINT AS n_tokens FROM v{merges}) enc
         """
     )
+
+
+def _lpa_ctes(pfx: str, where: str = "") -> str:
+    """CTE block shared by the events_lpa / events_lpa_incr oracles:
+    2-round synchronous LPA (min-label tie-break) over the bidirected
+    click graph restricted by ``where``; yields {pfx}final (node,
+    community) plus the intermediate {pfx}edges/{pfx}nodes."""
+    return f"""{pfx}base AS (
+              SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
+                     'k:' || json_extract_string(props, '$.k') AS dst
+              FROM events WHERE event_type = 'click' {where}
+            ),
+            {pfx}edges AS (SELECT src, dst FROM {pfx}base
+                           UNION SELECT dst, src FROM {pfx}base),
+            {pfx}nodes AS (SELECT DISTINCT src AS node FROM {pfx}edges),
+            {pfx}l0 AS (SELECT node, node AS community FROM {pfx}nodes),
+            {pfx}m1 AS (
+              SELECT e.dst AS node, l.community, count(*) AS c
+              FROM {pfx}edges e JOIN {pfx}l0 l ON l.node = e.src
+              GROUP BY e.dst, l.community
+            ),
+            {pfx}n1 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, community ASC) AS rn
+                FROM {pfx}m1
+              ) WHERE rn = 1
+            ),
+            {pfx}l1 AS (
+              SELECT n.node, coalesce(x.community, n.node) AS community
+              FROM {pfx}nodes n LEFT JOIN {pfx}n1 x USING (node)
+            ),
+            {pfx}m2 AS (
+              SELECT e.dst AS node, l.community, count(*) AS c
+              FROM {pfx}edges e JOIN {pfx}l1 l ON l.node = e.src
+              GROUP BY e.dst, l.community
+            ),
+            {pfx}n2 AS (
+              SELECT node, community FROM (
+                SELECT node, community,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, community ASC) AS rn
+                FROM {pfx}m2
+              ) WHERE rn = 1
+            ),
+            {pfx}final AS (
+              SELECT l.node, coalesce(x.community, l.community) AS community
+              FROM {pfx}l1 l LEFT JOIN {pfx}n2 x ON l.node = x.node
+            )"""
 
 
 def _logreg_sql(lr: float = 4.0) -> str:
@@ -6469,47 +6546,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING))::BIGINT AS open_count
             FROM deltas
         """,
-        "events_lpa": """
-            WITH base AS (
+        "events_lpa": f"""
+            WITH {_lpa_ctes("")}
+            SELECT node, community FROM final
+        """,
+        "events_lpa_incr": f"""
+            WITH {_lpa_ctes("o", "AND ts::DATE < DATE '2024-01-21'")},
+            nbase AS (
               SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
                      'k:' || json_extract_string(props, '$.k') AS dst
-              FROM events WHERE event_type = 'click'
+              FROM events
+              WHERE event_type = 'click' AND ts::DATE >= DATE '2024-01-21'
             ),
-            edges AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
-            nodes AS (SELECT DISTINCT src AS node FROM edges),
-            l0 AS (SELECT node, node AS community FROM nodes),
-            m1 AS (
-              SELECT e.dst AS node, l.community, count(*) AS c
-              FROM edges e JOIN l0 l ON l.node = e.src
-              GROUP BY e.dst, l.community
+            nedges AS (SELECT src, dst FROM nbase UNION SELECT dst, src FROM nbase),
+            touched AS (SELECT DISTINCT src AS node FROM nedges),
+            prior AS (
+              SELECT t.node, coalesce(o.community, t.node) AS community
+              FROM touched t LEFT JOIN ofinal o USING (node)
             ),
-            n1 AS (
+            im AS (
+              SELECT node, community, count(*) AS c FROM (
+                SELECT e.dst AS node, p.community
+                FROM nedges e JOIN prior p ON p.node = e.src
+                UNION ALL
+                SELECT node, community FROM prior
+              ) GROUP BY node, community
+            ),
+            iv AS (
               SELECT node, community FROM (
                 SELECT node, community,
                        row_number() OVER (PARTITION BY node
                                           ORDER BY c DESC, community ASC) AS rn
-                FROM m1
+                FROM im
               ) WHERE rn = 1
             ),
-            l1 AS (
-              SELECT nodes.node, coalesce(n1.community, nodes.node) AS community
-              FROM nodes LEFT JOIN n1 USING (node)
-            ),
-            m2 AS (
-              SELECT e.dst AS node, l.community, count(*) AS c
-              FROM edges e JOIN l1 l ON l.node = e.src
-              GROUP BY e.dst, l.community
-            ),
-            n2 AS (
-              SELECT node, community FROM (
-                SELECT node, community,
-                       row_number() OVER (PARTITION BY node
-                                          ORDER BY c DESC, community ASC) AS rn
-                FROM m2
-              ) WHERE rn = 1
+            inc AS (
+              SELECT p.node, coalesce(iv.community, p.community) AS community
+              FROM prior p LEFT JOIN iv ON p.node = iv.node
             )
-            SELECT l1.node, coalesce(n2.community, l1.community) AS community
-            FROM l1 LEFT JOIN n2 ON l1.node = n2.node
+            SELECT o.node, o.community FROM ofinal o
+            WHERE o.node NOT IN (SELECT node FROM touched)
+            UNION ALL
+            SELECT node, community FROM inc
         """,
         "doc_weighted_sample": """
             SELECT doc_id, n_chars,

@@ -187,6 +187,7 @@ HEADLINE = [
     "ann_rnn_pairs",
     "quality_gate_report",
     "events_forecast_baseline",
+    "events_lpa_incr",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

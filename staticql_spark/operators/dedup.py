@@ -485,9 +485,23 @@ def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> 
     array_intersect — no (pair x shingle) explosion, no aggregation. The
     joined payload is one array per doc (bounded by doc length), so the
     shuffle is O(|pairs| x avg_doc_shingles) exactly once.
+
+    Join strategy is PINNED to shuffled-hash via hints on the shingle
+    sides: the candidate-pair frame sits behind a distinct() whose static
+    size estimate is unreliable, and a dup-heavy corpus makes it
+    unbounded (measured: Catalyst statically planned BroadcastExchange
+    over a ~25M-pair frame at the 500k near-replica soak and the driver
+    died building it — AQE can promote SMJ→broadcast at runtime but
+    cannot DEMOTE a statically planned broadcast, so the initial plan
+    must never hard-commit an unbounded frame to broadcast).  The cost
+    at benign sizes is two extra exchanges of the capped pair frame.
     """
-    a = dsh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = dsh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = dsh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).hint(
+        "shuffle_hash"
+    )
+    b = dsh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
         pairs.join(a, "id_a")

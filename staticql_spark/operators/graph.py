@@ -161,6 +161,83 @@ def label_propagation(
     return labels
 
 
+def label_propagation_incr(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 1,
+) -> DataFrame:
+    """Incremental label propagation: fold a BATCH of new edges into an
+    existing community assignment without re-running LPA over the full
+    graph — the graph member of the repo's incremental family
+    (incremental LSH / SemDeDup / IVF append: daily cost tracks the
+    batch, never the corpus).  Nodes keep their old community as the
+    frozen prior; a node incident to new edges re-votes from its
+    NEW-edge neighbors' labels (most frequent, ties to smallest — the
+    same deterministic rule as :func:`label_propagation`); nodes the
+    batch never touches are passed through untouched, so the only work
+    is O(|new edges|) message rows plus one join against the old
+    assignment.
+
+    Semantics note: this is the standard one-shot fold — labels can lag
+    a full re-run when a batch edge SHOULD cascade relabels deep into
+    the old graph (the same freshness trade the other incremental
+    operators document); re-run :func:`label_propagation` periodically
+    to re-converge.
+    """
+    e = (
+        new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # prior: old community where known, self-label for brand-new nodes
+    prior = (
+        touched.join(old_labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("community"), F.col("node")).alias("community"),
+        )
+    )
+    labels = prior
+    for _ in range(iters):
+        # messages travel over the NEW edges only; senders vote with
+        # their current incremental label (old nodes: frozen prior).
+        # Each node also casts ONE self-vote for its own current label —
+        # without it a node with 50 old-graph edges and 1 new edge would
+        # flip to the lone new neighbor (the new-edge view has no memory
+        # of old support); with it, a single new vote only TIES the
+        # prior and the min-label rule breaks the tie deterministically.
+        msgs = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "community"
+        ).unionByName(labels.select("node", "community"))
+        counts = msgs.groupBy("node", "community").agg(F.count("*").alias("__c"))
+        new = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("__c")).alias("nc"), F.col("community"))
+                ).alias("__m")
+            )
+            .select("node", F.col("__m.community").alias("__new"))
+        )
+        labels = (
+            labels.join(new, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    untouched = old_labels.join(touched, "node", "left_anti")
+    return untouched.unionByName(labels)
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -2334,3 +2334,36 @@ def test_gopher_gate_report_consistent_with_rules(spark, docs):
         for c in ("fail_words", "fail_word_len", "fail_symbol", "fail_bullet",
                   "fail_ellipsis", "fail_alpha", "fail_stops"):
             assert 0.0 <= g[c] <= 1.0
+
+
+def test_label_propagation_incr_self_vote_and_passthrough(spark):
+    # prior: two separate 4-cliques (communities a1 / b1). A new batch
+    # connects fresh node c1 to a2+a3: c1 must adopt community a1; a2/a3
+    # (one new edge each vs a self-vote) must NOT flip to c1 (tie -> min
+    # label a1 wins); every untouched node passes through unchanged.
+    from itertools import combinations
+
+    from staticql_spark.operators.graph import (
+        label_propagation,
+        label_propagation_incr,
+    )
+
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    und = list(combinations(a, 2)) + list(combinations(b, 2))
+    old_edges = spark.createDataFrame(und + [(y, x) for x, y in und], ["src", "dst"])
+    old = label_propagation(old_edges, iters=2)
+    before = {r["node"]: r["community"] for r in old.collect()}
+
+    new_und = [("c1", "a2"), ("c1", "a3")]
+    new_edges = spark.createDataFrame(
+        new_und + [(y, x) for x, y in new_und], ["src", "dst"]
+    )
+    got = {r["node"]: r["community"] for r in
+           label_propagation_incr(old, new_edges, iters=1).collect()}
+    assert got["c1"] == "a1"
+    assert got["a2"] == before["a2"] == "a1"
+    assert got["a3"] == before["a3"] == "a1"
+    for n in b + ["a1", "a4"]:
+        assert got[n] == before[n]
+    assert len(got) == 9
