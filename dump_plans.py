@@ -56,6 +56,14 @@ PICKS = [
     ("exact_percentiles (two-phase counting; hash exchange on bkt, no global sort)", "exact_percentiles"),
     ("dedup_triangles (degree-oriented wedge join over LSH pairs)", "dedup_triangles"),
     ("doc_ccnet_buckets (two-phase per-lang rank; broadcast offsets)", "doc_ccnet_buckets"),
+    ("shard_checksums (one map-side-combined agg; single 16-row exchange)", "shard_checksums"),
+    ("checksum_delta (two checksum aggs + |shards|-row full outer)", "checksum_delta"),
+    ("doc_ngram_coverage (bench grams broadcast; exchange carries <=|bench| rows)", "doc_ngram_coverage"),
+    ("kmeans_inertia (broadcast-argmax assign + |cells|-row DECIMAL agg)", "kmeans_inertia"),
+    ("events_dau_wau (7x explode ABOVE the distinct user-day aggregate)", "events_dau_wau"),
+    ("orders_backlog (sweep line: day-aggregate window, no interval explode)", "orders_backlog"),
+    ("dedup_minhash_1bit (pinned shuffle-hash sig probes; no unbounded broadcast)", "dedup_minhash_1bit"),
+    ("quality_gate_report (map-only rule metrics -> |strata|-row agg)", "quality_gate_report"),
 ]
 
 
