@@ -3079,6 +3079,19 @@ def q_events_lpa_incr(spark, sf):
     return label_propagation_incr(old, new_edges, iters=1)
 
 
+def q_doc_decontaminate_excise(spark, sf):
+    # span-level decontamination: excise the exact character ranges that
+    # share a 20-char gram with the eval tenth, instead of dropping the
+    # whole doc — a page quoting one eval question loses the quote, not
+    # the page. Bench gram hashes broadcast; same islands merge + excise
+    # machinery as substring dedup. r7-window candidate.
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    spans = dedup.contaminated_spans(corpus, bench, k=20)
+    return dedup.excise_spans(corpus, spans)
+
+
 def q_stream_shard_ck(spark, sf):
     # live shard checksums, batch-fallback twin: the same (shard_id,
     # n_rows, xor_checksum) the streaming aggregate maintains; stream-vs-
@@ -3572,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_report": q_quality_gate_report,
         "events_forecast_baseline": q_events_forecast_baseline,
         "events_lpa_incr": q_events_lpa_incr,
+        "doc_decontaminate_excise": q_doc_decontaminate_excise,
     }
 
 
@@ -3665,6 +3679,47 @@ def _dup_spans_ctes(anchor_mod: int = 1, merge_gap: int = 0) -> str:
 
 
 _DUP_SPANS_CTES = _dup_spans_ctes()
+
+# span-level decontamination twin: corpus char-gram stream joined against
+# the eval tenth's DISTINCT gram hashes, then the same islands merge as
+# the dup-spans CTEs (k=20, 1-based inclusive offsets)
+_CONTAM_SPANS_CTES = """g AS (
+              SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            grams AS (
+              SELECT doc_id, s, md5(substr(text, s::INT, 20)) AS h FROM g
+            ),
+            bg AS (
+              SELECT DISTINCT md5(substr(text, s::INT, 20)) AS h FROM (
+                SELECT text,
+                       unnest(range(1, greatest(length(text) - 20 + 1, 0) + 1)) AS s
+                FROM documents WHERE doc_id % 10 = 0
+              )
+            ),
+            hits AS (SELECT g2.doc_id, g2.s FROM grams g2 JOIN bg USING (h)),
+            isl AS (
+              SELECT doc_id, s,
+                     CASE WHEN s > coalesce(max(s + 19) OVER (
+                              PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            -1) + 0
+                          THEN 1 ELSE 0 END AS st
+              FROM hits
+            ),
+            isl2 AS (
+              SELECT doc_id, s,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl
+            ),
+            spansq AS (
+              SELECT doc_id,
+                     min(s)::BIGINT AS span_start,
+                     (max(s) + 19)::BIGINT AS span_end
+              FROM isl2 GROUP BY doc_id, island
+            )"""
 
 _SHINGLES_CTE = f"""
 toks AS (
@@ -6468,6 +6523,41 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM nodes LEFT JOIN s2 USING (node)
             )
             SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "doc_decontaminate_excise": f"""
+            WITH {_CONTAM_SPANS_CTES},
+            stats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(span_end - span_start + 1)::BIGINT AS dup_chars
+              FROM spansq GROUP BY doc_id
+            ),
+            pos AS (
+              SELECT doc_id, unnest(range(1, length(text) + 1)) AS p
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            kept AS (
+              SELECT po.doc_id, po.p FROM pos po
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spansq sp
+                WHERE sp.doc_id = po.doc_id
+                  AND po.p BETWEEN sp.span_start AND sp.span_end
+              )
+            ),
+            cl AS (
+              SELECT kk.doc_id,
+                     string_agg(substr(d.text, kk.p::INT, 1), '' ORDER BY kk.p)
+                       AS cleaned
+              FROM kept kk JOIN documents d USING (doc_id)
+              GROUP BY kk.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
+                   coalesce(cl.cleaned, '') AS cleaned,
+                   length(coalesce(cl.cleaned, ''))::BIGINT AS cleaned_len
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN stats st USING (doc_id)
+            LEFT JOIN cl USING (doc_id)
         """,
         "ann_rnn_pairs": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -188,6 +188,7 @@ HEADLINE = [
     "quality_gate_report",
     "events_forecast_baseline",
     "events_lpa_incr",
+    "doc_decontaminate_excise",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -1041,6 +1041,16 @@ def duplicated_spans(
         .select(id_col, "s")
     )
 
+    return _gram_islands(hits, id_col, k, merge_gap)
+
+
+def _gram_islands(
+    hits: DataFrame, id_col: str, k: int, merge_gap: int
+) -> DataFrame:
+    """Merge flagged k-gram start positions (id, s) into maximal spans —
+    the shared gaps-and-islands tail of duplicated_spans and
+    contaminated_spans: a per-doc ordered window over surviving positions
+    only, bounded by real flagged mass."""
     wd = W.partitionBy(id_col).orderBy("s")
     prev_end = F.max(F.col("s") + F.lit(k - 1)).over(
         wd.rowsBetween(W.unboundedPreceding, -1)
@@ -1060,6 +1070,59 @@ def duplicated_spans(
         )
         .drop("island")
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    k: int = 30,
+    merge_gap: int = 0,
+) -> DataFrame:
+    """Span-level benchmark decontamination: the exact character ranges
+    of each corpus doc that share a k-char gram with ANY benchmark doc —
+    so the leak can be EXCISED (feed the output to :func:`excise_spans`)
+    instead of dropping whole documents the way doc-level decontaminate
+    does.  A long page quoting one eval question loses the quote, not
+    the page — the surgical variant production pipelines prefer when the
+    doc-level filter would cost too much good text.
+
+    Same k-gram window formulation as :func:`duplicated_spans` (any
+    shared substring of length >= k is covered by a shared k-gram) and
+    the same gaps-and-islands merge; the contamination test is a
+    broadcast join of the corpus gram stream against the benchmark's
+    DISTINCT gram hashes (eval sets are tiny, so the corpus never
+    shuffles for it — the decontaminate shape at span granularity).
+    """
+    corpus = ensure_parallelism(corpus)
+    n = F.greatest(F.length(F.col(text_col)) - F.lit(k) + 1, F.lit(0))
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        corpus.select(F.col(id_col), F.col(text_col))
+        .withColumn("s", F.explode(starts))
+        .select(
+            id_col,
+            "s",
+            F.md5(F.substring(F.col(text_col), F.col("s"), k)).alias("h"),
+        )
+    )
+    btc = bench_text_col or text_col
+    bn = F.greatest(F.length(F.col(btc)) - F.lit(k) + 1, F.lit(0))
+    bstarts = F.when(bn >= 1, F.sequence(F.lit(1), bn)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bench_grams = (
+        benchmark.select(F.col(btc))
+        .withColumn("s", F.explode(bstarts))
+        .select(F.md5(F.substring(F.col(btc), F.col("s"), k)).alias("h"))
+        .distinct()
+    )
+    hits = grams.join(F.broadcast(bench_grams), "h").select(id_col, "s")
+    return _gram_islands(hits, id_col, k, merge_gap)
 
 
 def excise_spans(

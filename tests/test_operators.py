@@ -2367,3 +2367,25 @@ def test_label_propagation_incr_self_vote_and_passthrough(spark):
     for n in b + ["a1", "a4"]:
         assert got[n] == before[n]
     assert len(got) == 9
+
+
+def test_contaminated_spans_excises_planted_quote(spark):
+    # a corpus doc quoting a 40-char run of a benchmark doc must lose
+    # exactly that region; an untouched doc passes through whole
+    quote = "the quick brown fox jumps over the lazy dog today"
+    bench = spark.createDataFrame([(100, f"benchmark question: {quote} end")],
+                                  ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, f"some page text before {quote} and after it continues"),
+            (2, "completely unrelated content with no overlap whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = dedup.contaminated_spans(corpus, bench, k=20)
+    out = {r["doc_id"]: r for r in dedup.excise_spans(corpus, spans).collect()}
+    assert out[1]["n_spans"] == 1
+    assert quote not in out[1]["cleaned"]
+    assert out[1]["cleaned"].startswith("some page text befor")
+    assert out[2]["n_spans"] == 0
+    assert out[2]["cleaned"] == "completely unrelated content with no overlap whatsoever"
