@@ -30,6 +30,7 @@ PICKS = [
     "checksum_delta",
     "doc_ngram_coverage",
     "doc_dedup_funnel",
+    "doc_decontaminate_excise",
     # embeddings family (20k vectors, stride-100 -> ~200 trained cells)
     "kmeans_inertia",
     # events family (10M rows)
