@@ -3079,6 +3079,23 @@ def q_events_lpa_incr(spark, sf):
     return label_propagation_incr(old, new_edges, iters=1)
 
 
+def q_pipeline_release_manifest(spark, sf):
+    # corpus-release composition: exact dedup -> quality cut -> per-shard
+    # XOR content checksums of the surviving corpus — the verifiable
+    # release manifest a downstream consumer diffs against (the
+    # checksum_delta input). Each stage keeps its standalone shape; no
+    # stage materializes. r7-window candidate (tail-registered).
+    from staticql_spark.operators.shards import shard_checksums
+
+    docs = _t(spark, sf, "documents")
+    uniq = docs.join(dedup.exact_dedup(docs).select("doc_id"), "doc_id")
+    scored = text.quality_score(uniq, keep_cols=("lang", "source", "n_chars", "text"))
+    kept = scored.filter(F.col("quality") >= 0.5).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    return shard_checksums(kept, ["text", "lang", "source", "n_chars"], n_shards=16)
+
+
 def q_doc_decontaminate_excise(spark, sf):
     # span-level decontamination: excise the exact character ranges that
     # share a 20-char gram with the eval tenth, instead of dropping the
@@ -3586,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_baseline": q_events_forecast_baseline,
         "events_lpa_incr": q_events_lpa_incr,
         "doc_decontaminate_excise": q_doc_decontaminate_excise,
+        "pipeline_release_manifest": q_pipeline_release_manifest,
     }
 
 
@@ -6523,6 +6541,27 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM nodes LEFT JOIN s2 USING (node)
             )
             SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "pipeline_release_manifest": f"""
+            WITH {_QUALITY_CTES},
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+            ),
+            kept AS (
+              SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+              FROM documents d
+              JOIN keepers USING (doc_id)
+              JOIN r ON r.doc_id = d.doc_id
+              WHERE r.quality >= 0.5
+            )
+            SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 16) AS shard_id,
+                   count(*)::BIGINT AS n_rows,
+                   bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang, source,
+                                                         n_chars)), 1, 15))::BIGINT
+                   ) AS xor_checksum
+            FROM kept
+            GROUP BY shard_id
         """,
         "doc_decontaminate_excise": f"""
             WITH {_CONTAM_SPANS_CTES},

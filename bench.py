@@ -189,6 +189,7 @@ HEADLINE = [
     "events_forecast_baseline",
     "events_lpa_incr",
     "doc_decontaminate_excise",
+    "pipeline_release_manifest",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

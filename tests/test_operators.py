@@ -2389,3 +2389,48 @@ def test_contaminated_spans_excises_planted_quote(spark):
     assert out[1]["cleaned"].startswith("some page text befor")
     assert out[2]["n_spans"] == 0
     assert out[2]["cleaned"] == "completely unrelated content with no overlap whatsoever"
+
+
+def test_interval_concurrency_matches_bruteforce_random(spark):
+    # seeded random intervals vs a per-day brute force count
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    base = dt.date(2024, 3, 1)
+    rows = []
+    for _ in range(60):
+        s = base + dt.timedelta(days=rng.randrange(0, 25))
+        e = s + dt.timedelta(days=rng.randrange(0, 6))
+        rows.append((s, e))
+    from staticql_spark.operators.asof import interval_concurrency
+
+    df = spark.createDataFrame(rows, ["s", "e"])
+    got = {r["d"]: r["open_count"] for r in interval_concurrency(df, "s", "e").collect()}
+    for day_off in range(0, 35):
+        d = base + dt.timedelta(days=day_off)
+        want = sum(1 for s, e in rows if s <= d <= e)
+        # emitted rows carry the exact count; between-rows days inherit
+        # the most recent emitted count (constant by construction)
+        have = [got[x] for x in sorted(got) if x <= d]
+        assert (have[-1] if have else 0) == want, d
+
+
+def test_checksum_delta_append_only_touches_one_shard(spark):
+    from staticql_spark.operators.shards import checksum_delta, shard_checksums
+
+    rows = [(i, f"t{i}", "en", "web", 2) for i in range(50)]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    v1 = spark.createDataFrame(rows, cols)
+    v2 = spark.createDataFrame(rows + [(999, "brand new", "en", "web", 9)], cols)
+    out = checksum_delta(v1, v2, cols[1:]).collect()
+    changed = [r for r in out if r["changed"]]
+    assert len(changed) == 1
+    assert changed[0]["n_new"] - changed[0]["n_old"] == 1
+    # XOR self-inverse: removing the row again restores every checksum
+    back = checksum_delta(v2, v2.filter(F.col("doc_id") != 999), cols[1:])
+    restored = {r["shard_id"]: r for r in back.collect()}
+    base = {r["shard_id"]: r["xor_checksum"] for r in
+            shard_checksums(v1, cols[1:]).collect()}
+    for s, ck in base.items():
+        assert restored[s]["checksum_new"] == ck
