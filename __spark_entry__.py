@@ -3367,6 +3367,104 @@ def q_events_cooccurrence(spark, sf):
     )
 
 
+def q_hll_distinct(spark, sf):
+    # deterministic HyperLogLog (Flajolet et al. 2007) on the shared
+    # 60-bit md5 hash: register ranks via exact-integer bit-length, the
+    # harmonic sum kept as a LONG so the estimate is ONE IEEE division —
+    # DuckDB reproduces every register and the estimate bit-for-bit.
+    # Same column as kmv_distinct: the two sketch families side by side
+    # (KMV = k hash rows re-ranked; HLL = 512 registers MAX-merged).
+    # r7-window candidate (tail-registered).
+    orders = _t(spark, sf, "orders")
+    return sketch.hll_distinct(orders, "o_custkey")
+
+
+def q_hll_union(spark, sf):
+    # HLL sketch ALGEBRA: ndv(A ∪ B) by per-register MAX of two
+    # independently-built sketches (halves of lineitem split by order
+    # parity) — constant 4 KB per side no matter the input size; the
+    # exact merge==union-sketch property is locked by
+    # test_hll_merge_equals_union_sketch. r7-window candidate.
+    li = _t(spark, sf, "lineitem")
+    return sketch.hll_union_distinct(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_partkey",
+    )
+
+
+def q_events_seasonality(spark, sf):
+    # day-of-week seasonal index per event type: avg daily count on that
+    # weekday / overall avg daily count — the multiplicative seasonality
+    # table a seasonal-naive forecast (events_forecast_baseline) assumes.
+    # dow is pure date arithmetic (days since a fixed Monday, mod 7) so
+    # both engines agree without locale-dependent weekday functions; the
+    # index is a ratio of two exact-integer averages. r7-window candidate.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    dowd = daily.withColumn(
+        "dow", F.pmod(F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), 7)
+    )
+    per_dow = dowd.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    overall = dowd.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("_tn"), F.count("*").cast("long").alias("_td")
+    )
+    dow_avg = F.col("n_events").cast("double") / F.col("n_days").cast("double")
+    all_avg = F.col("_tn").cast("double") / F.col("_td").cast("double")
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            "n_events",
+            F.round(dow_avg, 6).alias("avg_daily"),
+            F.round(dow_avg / all_avg, 6).alias("seasonal_index"),
+        )
+    )
+
+
+def q_events_ldiversity(spark, sf):
+    # l-diversity audit over the k-anon release cells: per (event_type,
+    # day), distinct sensitive prop values (the homogeneity-attack check
+    # k-anonymity alone misses — Machanavajjhala et al. 2007); ok flags
+    # the cells a release policy may export. r7-window candidate.
+    from staticql_spark.operators.privacy import ldiversity_report
+
+    ev = load_events(spark, f"{sf}/events.parquet").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.get_json_object("props", "$.k").alias("sensitive"),
+    )
+    return ldiversity_report(
+        ev, dims=["event_type", "day"], sensitive_col="sensitive", l=3,
+        subject_col="user_id",
+    )
+
+
+def q_doc_vocab_growth(spark, sf):
+    # Heaps'-law vocabulary growth checkpoints: cumulative tokens vs
+    # cumulative distinct vocabulary at 10 doc-id cutoffs — the
+    # "does the next TB still buy new vocabulary?" curve. Exact integer
+    # rows; one explode + one term-level groupBy + ONE conditional agg
+    # for all checkpoints. r7-window candidate (tail-registered).
+    return text.vocab_growth(_t(spark, sf, "documents"))
+
+
+def q_source_ablation(spark, sf):
+    # leave-one-source-out data valuation (cheapest member): corpus
+    # quality-keep rate with vs without each source, derived entirely
+    # from the per-source aggregate + 1-row totals by subtraction — one
+    # shuffle, never a per-source re-scan. r7-window candidate.
+    return text.source_ablation(_t(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER policy (neutral + auditable, see COVERAGE.md): keys are
     # ordered by driver-signal freshness ascending -- (A) never driver-checked,
@@ -3604,6 +3702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lpa_incr": q_events_lpa_incr,
         "doc_decontaminate_excise": q_doc_decontaminate_excise,
         "pipeline_release_manifest": q_pipeline_release_manifest,
+        "hll_distinct": q_hll_distinct,
+        "hll_union": q_hll_union,
+        "events_seasonality": q_events_seasonality,
+        "events_ldiversity": q_events_ldiversity,
+        "doc_vocab_growth": q_doc_vocab_growth,
+        "source_ablation": q_source_ablation,
     }
 
 
@@ -4552,6 +4656,56 @@ _ANN_LSH_SQL = f"""
               FROM scored
             ) WHERE rank <= 5
         """
+
+
+# HyperLogLog oracle skeleton — the exact SQL twin of sketch.hll_registers
+# + hll_estimate: register index/rank via bit ops + base-2 string length
+# (both exact integers in both engines), harmonic sum as a LONG, and the
+# estimate as ONE IEEE division by the shared python-float numerator.
+_HLL_NUM = repr(
+    sketch._HLL_ALPHA
+    * sketch._HLL_M
+    * sketch._HLL_M
+    * float(1 << (sketch._HLL_WBITS + 1))
+)
+
+
+def _hll_sql(hash_cte: str, exact_sql: str) -> str:
+    m = sketch._HLL_M
+    maxrho = sketch._HLL_WBITS + 1
+    pow52 = 1 << maxrho
+    return f"""
+            WITH h AS ({hash_cte}),
+            regs AS (
+              SELECT h & {m - 1} AS j,
+                     max(CASE WHEN (h >> {sketch._HLL_P}) = 0 THEN {maxrho}
+                         ELSE {maxrho} - length(bin(h >> {sketch._HLL_P})) END)::INT AS m_j
+              FROM h GROUP BY 1
+            ),
+            a AS (
+              SELECT count(*)::BIGINT AS n_regs,
+                     sum((pow(2.0, {maxrho}.0 - m_j))::BIGINT)::BIGINT AS s_present
+              FROM regs
+            ),
+            b AS (
+              SELECT n_regs,
+                     (s_present + ({m} - n_regs) * {pow52})::BIGINT AS sum_inv,
+                     ({m} - n_regs) AS zeros
+              FROM a
+            ),
+            c AS (
+              SELECT n_regs, sum_inv,
+                     round({_HLL_NUM} / sum_inv::DOUBLE, 2) AS est_raw,
+                     round(CASE WHEN zeros > 0
+                           THEN {m}.0 * ln({m}.0 / zeros::DOUBLE) END, 2) AS est_linear
+              FROM b
+            )
+            SELECT n_regs, sum_inv, est_raw, est_linear,
+                   CASE WHEN est_raw <= {2.5 * m} AND est_linear IS NOT NULL
+                        THEN est_linear ELSE est_raw END AS est_ndv,
+                   ({exact_sql})::BIGINT AS exact_ndv
+            FROM c
+    """
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -8031,6 +8185,104 @@ def _oracle_sql_literal() -> dict[str, str]:
                               ELSE 0.0 END * nt, 4)
                      AS effective_tokens
             FROM c, ns
+        """,
+        "hll_distinct": _hll_sql(
+            """
+              SELECT DISTINCT ('0x' || substr(md5('hll1|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+              FROM orders WHERE o_custkey IS NOT NULL
+            """,
+            "SELECT count(DISTINCT o_custkey) FROM orders",
+        ),
+        # register-merge(A, B) == registers(hashes(A) UNION hashes(B)) —
+        # max of maxima — and the parity halves partition lineitem, so the
+        # oracle may hash the whole table in one CTE
+        "hll_union": _hll_sql(
+            """
+              SELECT DISTINCT ('0x' || substr(md5('hll1|' || l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+              FROM lineitem WHERE l_partkey IS NOT NULL
+            """,
+            "SELECT count(DISTINCT l_partkey) FROM lineitem",
+        ),
+        "events_seasonality": """
+            WITH daily AS (
+              SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ),
+            dowd AS (
+              SELECT event_type,
+                     ((date_diff('day', DATE '1970-01-05', d) % 7) + 7) % 7 AS dow,
+                     n
+              FROM daily
+            ),
+            per AS (
+              SELECT event_type, dow,
+                     sum(n)::BIGINT AS n_events, count(*)::BIGINT AS n_days
+              FROM dowd GROUP BY 1, 2
+            ),
+            o AS (
+              SELECT event_type, sum(n)::BIGINT AS tn, count(*)::BIGINT AS td
+              FROM dowd GROUP BY 1
+            )
+            SELECT p.event_type, p.dow::INT AS dow, p.n_days, p.n_events,
+                   round(p.n_events::DOUBLE / p.n_days, 6) AS avg_daily,
+                   round((p.n_events::DOUBLE / p.n_days) / (o.tn::DOUBLE / o.td), 6)
+                     AS seasonal_index
+            FROM per p JOIN o USING (event_type)
+        """,
+        "events_ldiversity": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS n_rows,
+                   count(DISTINCT user_id)::BIGINT AS n_subjects,
+                   count(DISTINCT json_extract_string(props, '$.k'))::BIGINT AS l_div,
+                   count(DISTINCT json_extract_string(props, '$.k')) >= 3 AS ok
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_vocab_growth": f"""
+            WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+            tk AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS_RAW}) AS t FROM documents
+            ),
+            first AS (SELECT t, min(doc_id) AS f FROM tk GROUP BY t),
+            pd AS (SELECT doc_id, len({_TOKS_RAW}) AS n FROM documents),
+            cps AS (
+              SELECT i, (m * i) // 10 AS cutoff
+              FROM mx, unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS u(i)
+            )
+            SELECT i::INT AS checkpoint, cutoff::BIGINT AS cutoff_id,
+                   (SELECT coalesce(sum(n), 0) FROM pd
+                    WHERE doc_id <= cutoff)::BIGINT AS cum_tokens,
+                   (SELECT count(*) FROM first
+                    WHERE f <= cutoff)::BIGINT AS cum_vocab
+            FROM cps
+        """,
+        "source_ablation": f"""
+            WITH {_QUALITY_CTES},
+            q AS (
+              SELECT r.doc_id, r.n_tokens, r.quality, d.source
+              FROM r JOIN documents d USING (doc_id)
+            ),
+            per AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS n_tokens,
+                     sum(CASE WHEN quality >= 0.75 THEN 1 ELSE 0 END)::BIGINT AS n_keep
+              FROM q GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(n_docs)::BIGINT AS td, sum(n_tokens)::BIGINT AS tt,
+                     sum(n_keep)::BIGINT AS tk
+              FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(n_tokens::DOUBLE / tt::DOUBLE, 6) AS token_share,
+                   round(tk::DOUBLE / td::DOUBLE, 6) AS keep_rate_full,
+                   round(CASE WHEN td > n_docs
+                         THEN (tk - n_keep)::DOUBLE / (td - n_docs)::DOUBLE END, 6)
+                     AS keep_rate_excl,
+                   round(CASE WHEN td > n_docs
+                         THEN tk::DOUBLE / td::DOUBLE
+                              - (tk - n_keep)::DOUBLE / (td - n_docs)::DOUBLE END, 6)
+                     AS keep_delta
+            FROM per, tot
         """,
     }
 

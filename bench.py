@@ -190,6 +190,12 @@ HEADLINE = [
     "events_lpa_incr",
     "doc_decontaminate_excise",
     "pipeline_release_manifest",
+    "hll_distinct",
+    "hll_union",
+    "events_seasonality",
+    "events_ldiversity",
+    "doc_vocab_growth",
+    "source_ablation",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -66,3 +66,37 @@ def kanon_release(
         )
     )
     return ok.unionByName(residual)
+
+
+def ldiversity_report(
+    df: DataFrame,
+    dims: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    subject_col: str | None = None,
+) -> DataFrame:
+    """l-diversity audit -> (dims..., n_rows, n_subjects, l_div, ok).
+
+    k-anonymity (:func:`kanon_release`) only bounds GROUP SIZE; a cell
+    can still leak when every subject in it shares one sensitive value
+    (the homogeneity attack — Machanavajjhala et al. 2007). Distinct
+    l-diversity additionally requires every cell to contain at least
+    ``l`` distinct non-null values of ``sensitive_col``. This is the
+    audit half: per-cell row/subject counts plus the cell's diversity
+    ``l_div`` and an ``ok = l_div >= l`` release flag, so a policy layer
+    can suppress / generalize the failing cells before export.
+
+    Scale: one shuffle to the cell aggregate (two count-distincts share
+    the same grouping); output is |cells| rows, never raw data.
+    """
+    df = ensure_parallelism(df)
+    subject = F.count_distinct(F.col(subject_col)) if subject_col else F.count("*")
+    return (
+        df.groupBy(*dims)
+        .agg(
+            F.count("*").alias("n_rows"),
+            subject.cast("long").alias("n_subjects"),
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_div"),
+        )
+        .withColumn("ok", F.col("l_div") >= F.lit(l))
+    )

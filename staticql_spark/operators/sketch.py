@@ -298,3 +298,138 @@ def kmv_join_estimate(
         )
         .crossJoin(exact)
     )
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog — deterministic, oracle-checkable construction
+# ---------------------------------------------------------------------
+#
+# Spark's approx_count_distinct IS HyperLogLog++, but its registers are
+# implementation-private — no cross-engine oracle can verify the
+# estimate. This is the textbook HLL (Flajolet et al. 2007) rebuilt on
+# the repo's shared 60-bit md5 hash so DuckDB reproduces every register
+# and the estimate bit-for-bit:
+#
+#   j   = h mod m            (m = 2^p registers)
+#   w   = h div m            (the remaining 60-p bits)
+#   rho = (60-p) - bitlen(w) + 1   (leading-zero rank; bitlen via the
+#                                   base-2 string length — exact integer
+#                                   in both engines, no floating log2)
+#   M_j = max rho
+#
+# The harmonic mean is kept EXACT: instead of summing 2^-M_j in floats
+# (summation order differs across engines), we sum the integer
+# 2^(maxrho - M_j) — every term and the sum fit in a long — and divide
+# once: Z = S / 2^maxrho. The estimate alpha*m^2/Z is then a single
+# IEEE division of two exactly-agreed numbers, so round(.,2) matches.
+#
+# Scale shape: identical to kmv — one distinct() on 8-byte hashes, then
+# a <=m-row register aggregate; registers merge by per-j MAX (hll_merge),
+# which is what makes it a sketch (per-day/per-partition builds compose
+# without re-reading data). m=512 gives ~1.04/sqrt(512) = 4.6% rel error
+# in 512 longs — 4 KB summarizing any number of rows.
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P           # 512 registers
+_HLL_WBITS = 60 - _HLL_P       # bits left in w after the register index
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_registers(df: DataFrame, col: str, salt: str = "hll1") -> DataFrame:
+    """The HLL sketch itself: (j, m_j) — register index and max
+    leading-zero rank. At most 2^p rows; this is the persistable /
+    mergeable artifact (:func:`hll_merge` composes them, per-j MAX)."""
+    h = kmv_hash(F.col(col), salt)
+    hashes = df.select(h.alias("h")).filter(F.col("h").isNotNull()).distinct()
+    # h div m / h mod m as BIT OPS (m is 2^p): a double-division here
+    # would silently corrupt w — the 60-bit hash exceeds 2^53
+    w = F.shiftright(F.col("h"), _HLL_P)
+    # bitlen via base-2 string length: exact-integer, engine-portable
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        hashes.select(
+            F.col("h").bitwiseAND(F.lit(_HLL_M - 1)).alias("j"), rho.alias("rho")
+        )
+        .groupBy("j")
+        .agg(F.max("rho").cast("int").alias("m_j"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """HLL sketch algebra: merge = per-register MAX. Exactly equals the
+    sketch of the unioned inputs (max of maxima) — the defining property;
+    locked by the property test in tests/test_operators.py."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j").agg(F.max("m_j").cast("int").alias("m_j"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row ndv estimate from an (j, m_j) register frame.
+
+    Columns: n_regs (non-empty registers), sum_inv (the exact-integer
+    harmonic sum S = sum_j 2^(maxrho - m_j), empty registers contributing
+    2^maxrho each — a long, hash-stable across engines), est_raw (the
+    alpha*m^2/Z estimate), est_linear (linear counting m*ln(m/V), the
+    small-range correction, NULL when no register is empty), est_ndv
+    (the standard selection: linear counting when est_raw <= 2.5m and
+    empties exist, else raw).
+    """
+    maxrho = _HLL_WBITS + 1
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_regs"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(float(maxrho)) - F.col("m_j").cast("double"))
+            .cast("long")
+        ).cast("long").alias("s_present"),
+    )
+    # numerator alpha * m^2 * 2^maxrho as ONE python-float literal shared
+    # with the oracle SQL: the estimate is a single IEEE division
+    num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << maxrho)
+    zeros = F.lit(_HLL_M) - F.col("n_regs")
+    s = (F.col("s_present") + zeros * F.lit(1 << maxrho)).alias("sum_inv")
+    est_raw = F.lit(num) / F.col("sum_inv").cast("double")
+    est_lin = F.when(
+        zeros > 0,
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    )
+    sel = F.when(
+        (F.col("est_raw") <= F.lit(2.5 * _HLL_M)) & F.col("est_linear").isNotNull(),
+        F.col("est_linear"),
+    ).otherwise(F.col("est_raw"))
+    return (
+        agg.select("n_regs", s)
+        .withColumn("est_raw", F.round(est_raw, 2))
+        .withColumn("est_linear", F.round(est_lin, 2))
+        .withColumn("est_ndv", F.round(sel, 2))
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, salt: str = "hll1") -> DataFrame:
+    """One-row HLL summary of ndv(col) next to the exact count — the
+    HyperLogLog twin of :func:`kmv_distinct` (same scan shape, constant
+    4 KB state instead of k hash rows; registers merge by MAX where KMV
+    merges by re-rank)."""
+    est = hll_estimate(hll_registers(df, col, salt))
+    exact = df.select(F.countDistinct(col).cast("long").alias("exact_ndv"))
+    return est.crossJoin(exact)
+
+
+def hll_union_distinct(
+    df_a: DataFrame, df_b: DataFrame, col: str, salt: str = "hll1"
+) -> DataFrame:
+    """ndv(A ∪ B) from the two per-table register sketches alone — the
+    HLL union algebra (per-register MAX), next to the exact union count.
+    Merge input is at most 2m register rows."""
+    merged = hll_merge(
+        hll_registers(df_a, col, salt), hll_registers(df_b, col, salt)
+    )
+    exact = (
+        df_a.select(F.col(col).alias("_v"))
+        .union(df_b.select(col))
+        .agg(F.countDistinct("_v").cast("long").alias("exact_ndv"))
+    )
+    return hll_estimate(merged).crossJoin(exact)

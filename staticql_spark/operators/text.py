@@ -1982,3 +1982,144 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: (checkpoint, cutoff_id,
+    cum_tokens, cum_vocab) at ``n_checkpoints`` evenly-spaced id cutoffs.
+
+    The empirical input to Heaps' law V(N) ~ K * N^beta — the curve that
+    answers "how much NEW vocabulary does the next TB of corpus buy?"
+    (sub-linear growth flattening early is the classic staleness signal
+    for a crawl). Emitted as exact integer checkpoint rows rather than a
+    fitted (K, beta): the fit is two sums over 10 points any client can
+    do, while the integers are engine-exact and oracle-checkable.
+
+    Scale shape: one explode to per-doc DISTINCT terms, one groupBy term
+    for its first-occurrence cutoff (min id), then ONE conditional
+    aggregate producing all checkpoints at once — the term frame is never
+    re-scanned per checkpoint and nothing is ordered globally. The
+    cutoffs come from a 1-row max(id) broadcast, so checkpoint placement
+    costs one tiny extra action-free subplan, not a pass over the data.
+    """
+    df = ensure_parallelism(df)
+    cuts = df.agg(F.max(F.col(id_col)).alias("_max_id"))
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    # per-term first occurrence position (min doc id containing it)
+    first = toks.distinct().groupBy("_t").agg(F.min("_id").alias("_first"))
+    # per-doc token counts (duplicates kept — token mass, not vocab)
+    per_doc = df.select(
+        F.col(id_col).alias("_id"), F.size(tokens(F.col(text_col))).alias("_n")
+    )
+    # cutoff_i = (max_id * i) div n — EXACT integer division (a float
+    # max_id * (i/n) floors wrong whenever the true product is an exact
+    # integer, e.g. max_id=6000, i=3: 6000*fl(0.3) = 1799.99.. -> 1799)
+    def cutoff(i: int):
+        return F.expr(f"_max_id * {i} div {n_checkpoints}").cast("long")
+
+    idx = list(range(1, n_checkpoints + 1))
+    vocab = first.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.count(F.when(F.col("_first") <= cutoff(i), 1))
+            .cast("long").alias(f"v{i}")
+            for i in idx
+        ],
+        F.max("_max_id").alias("_max_id"),
+    )
+    toks_cum = per_doc.crossJoin(F.broadcast(cuts)).agg(
+        *[
+            F.sum(
+                F.when(F.col("_id") <= cutoff(i), F.col("_n")).otherwise(F.lit(0))
+            ).cast("long").alias(f"t{i}")
+            for i in idx
+        ]
+    )
+    wide = vocab.crossJoin(toks_cum)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("checkpoint"),
+                cutoff(i).alias("cutoff_id"),
+                F.col(f"t{i}").alias("cum_tokens"),
+                F.col(f"v{i}").alias("cum_vocab"),
+            )
+            for i in idx
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def source_ablation(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Leave-one-source-out corpus impact: per source, its token share
+    and the corpus quality-keep rate WITH vs WITHOUT it.
+
+    The cheapest member of the data-valuation family: before paying for
+    influence functions, a curation pass asks "which source is dragging
+    corpus quality?" — answered exactly by recomputing the corpus keep
+    rate excluding each source. Because the metric is a ratio of sums,
+    every leave-one-out value derives from the per-source aggregate and
+    the 1-row total by subtraction: one shuffle, |sources| output rows,
+    NO per-source re-scan (the naive formulation runs the corpus k
+    times).
+
+    Columns: source, n_docs, n_tokens, token_share, keep_rate_full
+    (corpus-wide, same on every row), keep_rate_excl (corpus without
+    this source), keep_delta = full - excl (positive means the source
+    IMPROVES corpus quality, negative means it drags).
+
+    "Keep" = quality_score >= 0.75 (the 4dp-rounded score, so the cut is
+    engine-exact). One scored pass, one groupBy — quality and token
+    counts aggregate in the SAME shuffle via quality_score(keep_cols=).
+    """
+    df = ensure_parallelism(df)
+    sig = quality_score(df, text_col=text_col, keep_cols=(strata_col,))
+    per = (
+        sig.select(
+            F.col(strata_col).alias("source"),
+            F.col("n_tokens").alias("_nt"),
+            (F.col("quality") >= F.lit(0.75)).cast("long").alias("_k"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum("_k").cast("long").alias("n_keep"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("_td"),
+        F.sum("n_tokens").cast("long").alias("_tt"),
+        F.sum("n_keep").cast("long").alias("_tk"),
+    )
+    full_rate = F.col("_tk").cast("double") / F.col("_td").cast("double")
+    excl_rate = (F.col("_tk") - F.col("n_keep")).cast("double") / (
+        F.col("_td") - F.col("n_docs")
+    ).cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("_tt").cast("double"), 6)
+            .alias("token_share"),
+            F.round(full_rate, 6).alias("keep_rate_full"),
+            F.round(
+                F.when(F.col("_td") > F.col("n_docs"), excl_rate), 6
+            ).alias("keep_rate_excl"),
+            F.round(
+                F.when(F.col("_td") > F.col("n_docs"), full_rate - excl_rate), 6
+            ).alias("keep_delta"),
+        )
+    )

@@ -2434,3 +2434,122 @@ def test_checksum_delta_append_only_touches_one_shard(spark):
             shard_checksums(v1, cols[1:]).collect()}
     for s, ck in base.items():
         assert restored[s]["checksum_new"] == ck
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog (sketch.hll_*)
+# ---------------------------------------------------------------------
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """The defining sketch property, EXACTLY: per-register MAX merge of
+    two independent sketches equals the sketch of the unioned input."""
+    from staticql_spark.operators import sketch
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(2000, 6000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    merged = sketch.hll_merge(
+        sketch.hll_registers(a, "v"), sketch.hll_registers(b, "v")
+    )
+    direct = sketch.hll_registers(a.union(b), "v")
+    m = {r["j"]: r["m_j"] for r in merged.collect()}
+    d = {r["j"]: r["m_j"] for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=512 registers -> ~1.04/sqrt(512) = 4.6% std error; 4 sigma on a
+    deterministic hash is a stable regression bound, not a flaky one."""
+    from staticql_spark.operators import sketch
+
+    df = spark.range(0, 20000).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    row = sketch.hll_distinct(df, "v").collect()[0]
+    assert row["exact_ndv"] == 20000
+    assert abs(row["est_ndv"] - 20000) / 20000 < 0.20
+    # the register frame is the 4KB artifact: never more than m rows
+    assert sketch.hll_registers(df, "v").count() <= sketch._HLL_M
+
+
+def test_hll_register_rank_exact_bits(spark):
+    """rho must be computed on EXACT integers — a double division by m
+    would corrupt hashes above 2^53. Pin one hand-computed register."""
+    from staticql_spark.operators import sketch
+
+    df = spark.createDataFrame([("x",)], ["v"])
+    h = df.select(sketch.kmv_hash(F.col("v"), "hll1").alias("h")).collect()[0]["h"]
+    regs = sketch.hll_registers(df, "v").collect()
+    assert len(regs) == 1
+    j, m_j = regs[0]["j"], regs[0]["m_j"]
+    assert j == h & (sketch._HLL_M - 1)
+    w = h >> sketch._HLL_P
+    expect = (sketch._HLL_WBITS + 1) if w == 0 else (
+        sketch._HLL_WBITS + 1 - w.bit_length()
+    )
+    assert m_j == expect
+
+
+# ---------------------------------------------------------------------
+# privacy.ldiversity_report
+# ---------------------------------------------------------------------
+
+
+def test_ldiversity_flags_homogeneous_cell(spark):
+    from staticql_spark.operators.privacy import ldiversity_report
+
+    rows = [
+        # cell A: 3 rows, all same sensitive value -> l_div 1, not ok
+        ("A", 1, "flu"), ("A", 2, "flu"), ("A", 3, "flu"),
+        # cell B: 3 rows, 3 distinct values (one null ignored) -> ok at l=2
+        ("B", 4, "flu"), ("B", 5, "cold"), ("B", 6, None),
+    ]
+    df = spark.createDataFrame(rows, ["cell", "uid", "diag"])
+    out = {
+        r["cell"]: (r["n_rows"], r["n_subjects"], r["l_div"], r["ok"])
+        for r in ldiversity_report(
+            df, ["cell"], "diag", l=2, subject_col="uid"
+        ).collect()
+    }
+    assert out["A"] == (3, 3, 1, False)
+    assert out["B"] == (3, 3, 2, True)
+
+
+# ---------------------------------------------------------------------
+# text.vocab_growth / text.source_ablation
+# ---------------------------------------------------------------------
+
+
+def test_vocab_growth_monotone_and_totals(spark, docs):
+    out = text.vocab_growth(docs).orderBy("checkpoint").collect()
+    assert [r["checkpoint"] for r in out] == list(range(1, 11))
+    toks = [r["cum_tokens"] for r in out]
+    voc = [r["cum_vocab"] for r in out]
+    assert toks == sorted(toks) and voc == sorted(voc)
+    # final checkpoint covers the whole corpus (cutoff == max id)
+    totals = docs.select(
+        F.sum(F.size(text.tokens(F.col("text")))).alias("t"),
+    ).collect()[0]
+    vocab_total = (
+        docs.select(F.explode(text.tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert toks[-1] == totals["t"]
+    assert voc[-1] == vocab_total
+
+
+def test_source_ablation_leave_one_out_math(spark):
+    # hand corpus: source 'good' all high quality, 'bad' all junk
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog again", "good")
+         for i in range(6)]
+        + [(10 + i, "zzzz", "bad") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in text.source_ablation(df).collect()}
+    assert set(out) == {"good", "bad"}
+    # removing 'bad' must RAISE the keep rate; removing 'good' must zero it
+    assert out["bad"]["keep_rate_excl"] > out["bad"]["keep_rate_full"]
+    assert out["bad"]["keep_delta"] < 0
+    assert out["good"]["keep_rate_excl"] == 0.0
+    # shares sum to 1
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
