@@ -2123,3 +2123,57 @@ def source_ablation(
             ).alias("keep_delta"),
         )
     )
+
+
+def pack_padding_report(
+    df: DataFrame,
+    seq_len: int = 512,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pad-vs-pack cost report: per stratum, what padding to fixed
+    ``seq_len`` sequences wastes versus concatenative packing
+    (:func:`pack_sequences`' layout).
+
+    The sizing decision every tokenize-and-shard job makes once: padding
+    each doc to its own ceil(n/L) sequences burns pad_ratio of the
+    compute budget on pad tokens; packing (concat + split) wastes at
+    most one partial sequence per stratum. Columns: source, n_docs,
+    n_tokens, pad_seqs (sum of per-doc ceil(n/L)), pad_tokens
+    (pad_seqs*L - n_tokens), pad_ratio (share of padded-sequence tokens
+    that are padding), packed_seqs (ceil(stratum_tokens/L)), saved_seqs.
+    All exact integer arithmetic except the one pad_ratio division; one
+    groupBy, map-side combined.
+    """
+    df = ensure_parallelism(df)
+    n = F.size(tokens(F.col(text_col)))
+    # ceil(n / L) in exact integers: (n + L - 1) div L
+    per_doc_seqs = F.expr(f"(__n + {seq_len - 1}) div {seq_len}")
+    per = (
+        df.select(F.col(strata_col).alias("source"), n.alias("__n"))
+        .select("source", "__n", per_doc_seqs.alias("__s"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum("__s").cast("long").alias("pad_seqs"),
+        )
+    )
+    pad_tokens = F.col("pad_seqs") * seq_len - F.col("n_tokens")
+    packed = F.expr(f"(n_tokens + {seq_len - 1}) div {seq_len}")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "pad_seqs",
+        pad_tokens.cast("long").alias("pad_tokens"),
+        F.round(
+            F.when(
+                F.col("pad_seqs") > 0,
+                pad_tokens.cast("double") / (F.col("pad_seqs") * seq_len).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("pad_ratio"),
+        packed.cast("long").alias("packed_seqs"),
+        (F.col("pad_seqs") - packed).cast("long").alias("saved_seqs"),
+    )

@@ -900,3 +900,50 @@ def stream_pq_neardup(
         ),
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------ live HLL registers
+
+
+def stream_hll_registers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    col: str = "user_id",
+    salt: str = "hll1",
+) -> DataFrame:
+    """Live per-group HyperLogLog registers: maintain the (grp, j, m_j)
+    register frame of
+    :func:`~staticql_spark.operators.sketch.hll_grouped` over a STREAM.
+
+    HLL is the sketch that is *streaming-native as a plain aggregate*:
+    the register merge is MAX, so Spark's own max() agg buffer folds
+    every micro-batch exactly — no applyInPandasWithState, no custom
+    state schema (contrast stream_kmv_grouped, whose bottom-k state
+    needs a custom stateful operator). State per group is bounded at m
+    registers x one int; a consumer folds registers to an estimate with
+    sketch.hll_estimate whenever it reads the sink, and register frames
+    from different streams/days merge by the same per-(grp, j) MAX
+    (sketch.hll_merge).
+
+    Works on a batch frame too (identical plan) — the twin-test /
+    oracle path; output columns (grp, j, m_j).
+    """
+    from ..operators.sketch import _HLL_M, _HLL_P, _HLL_WBITS, kmv_hash
+
+    h = kmv_hash(F.col(col), salt)
+    keyed = df.select(F.col(group_col).cast("string").alias("grp"), h.alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    w = F.shiftright(F.col("h"), _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        keyed.select(
+            "grp",
+            F.col("h").bitwiseAND(F.lit(_HLL_M - 1)).alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "j")
+        .agg(F.max("rho").cast("int").alias("m_j"))
+    )
