@@ -3999,13 +3999,21 @@ def _ivf_assign_sql(src: str, cent: str, vcol: str, idcol: str, nprobe: int) -> 
             )"""
 
 
+def _dmean(expr: str) -> str:
+    """SQL twin of similarity.decimal_mean_array's per-element mean:
+    6dp-round, EXACT decimal sum (summation-order-free — a float avg()
+    differs between local[32] Spark and DuckDB's scan order), one double
+    division."""
+    return f"CAST(sum(CAST(round({expr}, 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*)"
+
+
 def _kmeans_ctes(dim: int = 64) -> str:
     """CTE prefix shared by the ann_ivf_trained and dedup_semantic
     oracles: kmeans_fit's two Lloyd iterations unrolled (deterministic
-    stride-100 init, cosine-argmax assign, per-element avg update —
-    similarity.py kmeans_fit); yields `emb` (vec_id, v) and the trained
-    `cent2` (cid, centroid)."""
-    avg_list = "[" + ", ".join(f"avg(v[{i + 1}])" for i in range(dim)) + "]"
+    stride-100 init, cosine-argmax assign, per-element exact-decimal mean
+    update — similarity.py kmeans_fit); yields `emb` (vec_id, v) and the
+    trained `cent2` (cid, centroid)."""
+    avg_list = "[" + ", ".join(_dmean(f"v[{i + 1}]") for i in range(dim)) + "]"
     return f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent0 AS (SELECT vec_id AS cid, v AS centroid FROM emb WHERE vec_id % 100 = 0),
             a1 AS {_ivf_assign_sql("emb", "cent0", "v", "vec_id", 1)},
@@ -4148,7 +4156,7 @@ def _pq_ctes(m: int = 4, dim: int = 64) -> str:
     subspace, sv), the trained `cb2` (subspace, code, centroid) and the
     tall `codes` (vec_id, subspace, code)."""
     dsub = dim // m
-    avg_list = "[" + ", ".join(f"avg(sv[{i + 1}])" for i in range(dsub)) + "]"
+    avg_list = "[" + ", ".join(_dmean(f"sv[{i + 1}]") for i in range(dsub)) + "]"
 
     def assign(src: str, cb: str, keep_sv: bool) -> str:
         sv = ", sv" if keep_sv else ""
@@ -8033,13 +8041,17 @@ def _oracle_sql_literal() -> dict[str, str]:
             WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
                        FROM embeddings),
             dims AS (
-              SELECT label, i, avg(v[i]) AS a
+              SELECT label, i,
+                     CAST(sum(CAST(round(v[i], 6) AS DECIMAL(27,6))) AS DOUBLE)
+                       / count(*) AS a
               FROM v, range(1, 65) t(i) GROUP BY label, i
             ),
             cent AS (SELECT label, list(a ORDER BY i) AS c FROM dims GROUP BY label),
             cnt AS (SELECT label, count(*)::BIGINT AS n FROM v GROUP BY label),
             coh AS (
-              SELECT label, round(avg(cs), 6) AS cohesion FROM (
+              SELECT label,
+                     round(CAST(sum(CAST(cs AS DECIMAL(27,6))) AS DOUBLE)
+                           / count(*), 6) AS cohesion FROM (
                 SELECT v.label,
                        round(list_dot_product(v.v, cent.c)
                              / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.c, cent.c))),

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from . import ensure_parallelism
-from .similarity import as_double, dot
+from .similarity import as_double, decimal_mean_array, dot
 
 
 def sqdist6(a: Column, b: Column) -> Column:
@@ -120,7 +120,7 @@ def pq_train(
         assigned = _assign(sub, codebooks, "vid", carry_sv=True)
         codebooks = (
             assigned.groupBy("subspace", "code")
-            .agg(F.array(*[F.avg(F.col("sv")[i]) for i in range(dsub)]).alias("centroid"))
+            .agg(decimal_mean_array(F.col("sv"), dsub).alias("centroid"))
         )
     return codebooks
 

@@ -80,6 +80,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def decimal_mean_array(vec: Column, dim: int) -> Column:
+    """Summation-order-free per-element mean (aggregate) for centroid
+    updates -> array<double> of length ``dim``.
+
+    Each element is 6dp-rounded, summed EXACTLY in DECIMAL(27,6) — so the
+    aggregate value is independent of partition count and combine order —
+    then divided once in double.  A plain ``F.avg`` over doubles is
+    partition-order sensitive: at local[32] the float summation order
+    differs from DuckDB's single-threaded scan, and a downstream 6dp
+    round can land across a rounding boundary (this flipped
+    embedding_class_sep's label-4 margin by 1e-6 in round 6).  Same
+    exact-decimal pattern as :func:`kmeans_inertia`'s inertia sum.
+
+    Oracle twin: ``CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS
+    DOUBLE) / count(*)``.
+    """
+    return F.array(
+        *[
+            F.sum(F.round(vec[i], 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+            for i in range(dim)
+        ]
+    )
+
+
 def cosine_with_norms(a: Column, b: Column, an: Column, bn: Column) -> Column:
     """Cosine from a precomputed norm per side.
 
@@ -246,7 +271,7 @@ def kmeans_fit(
     for _ in range(iters):
         assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
         centroids = assigned.groupBy("cell").agg(
-            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("centroid")
+            decimal_mean_array(F.col("v"), dim).alias("centroid")
         ).select(F.col("cell").alias("cid"), "centroid")
     return centroids
 
@@ -838,7 +863,7 @@ def class_separation(
         dim = len(vecs.select("v").first()["v"])
     cent = vecs.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c"),
+        decimal_mean_array(F.col("v"), dim).alias("c"),
     )
     cent_n = cent.withColumn("cn", norm(F.col("c")))
     coh = (
@@ -856,7 +881,15 @@ def class_separation(
             ).alias("cs"),
         )
         .groupBy("label")
-        .agg(F.round(F.avg("cs"), 6).alias("cohesion"))
+        # exact-decimal mean of the (already 6dp) member cosines: same
+        # summation-order-free contract as the centroid above
+        .agg(
+            F.round(
+                F.sum(F.col("cs").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cohesion")
+        )
     )
     a = cent_n.select(
         F.col("label"), F.col("c").alias("ca"), F.col("cn").alias("na")

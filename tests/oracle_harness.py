@@ -97,12 +97,19 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     # Vanilla session, non-UTC TZ — adversarial stand-in for the driver's.
+    # Master defaults to local[32] to MATCH the driver: r6's one failure
+    # (embedding_class_sep) passed at local[8] and failed at local[32]
+    # because a float avg's summation order varies with partition count.
     tz = os.environ.get("ORACLE_HARNESS_TZ", "America/New_York")
+    master = os.environ.get("ORACLE_HARNESS_MASTER", "local[32]")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(master)
         .appName("oracle-harness-vanilla")
         .config("spark.sql.session.timeZone", tz)
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("ORACLE_HARNESS_SHUFFLE", "32"),
+        )
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )

@@ -1512,6 +1512,31 @@ def test_class_separation_separable_clusters(spark):
         assert out[lbl]["margin"] > 0.9
 
 
+def _rows_set(df):
+    return sorted(map(str, df.collect()))
+
+
+@pytest.mark.parametrize("nparts", [1, 64])
+def test_avg_centroid_partition_invariance(spark, emb, nparts):
+    # r6's one driver failure (embedding_class_sep): a float F.avg centroid's
+    # summation order varies with partition count, and a downstream 6dp round
+    # flipped at local[32] vs DuckDB.  The decimal_mean_array fix makes every
+    # avg-centroid operator summation-order-free; this asserts each one emits
+    # IDENTICAL rows at repartition(1) vs repartition(nparts) — an invariance
+    # no float-avg formulation satisfies in general.
+    from staticql_spark.operators import pq as pqm
+
+    base = emb.repartition(8)  # the reference output, any fixed layout
+    shuf = emb.repartition(nparts)
+
+    for fn in (
+        lambda d: similarity.class_separation(d, dim=64),
+        lambda d: similarity.kmeans_fit(d, centroid_stride=100, iters=2),
+        lambda d: pqm.pq_train(d, m=4, dim=64, stride=100, iters=2),
+    ):
+        assert _rows_set(fn(base)) == _rows_set(fn(shuf))
+
+
 def test_length_budget_known_values(spark):
     rows = [
         (1, " ".join(["w"] * 10)),   # bin 0, pad 64-10=54
