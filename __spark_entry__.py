@@ -3756,6 +3756,17 @@ _TOKS_RAW = (
 )
 _STOPS = "('the','a','of','and','to','in','is','on','for','with')"
 
+# 60-bit documents row digest — the exact SQL twin of shards.row_digest:
+# per-column md5 (NULL -> the 1-char non-hex sentinel '-'), concatenated,
+# then md5 -> first 60 bits.  Fixed-width tokens make the payload uniquely
+# decodable, so NULL placement and separator-embedded values can't collide.
+_DOC_DIGEST = (
+    "('0x' || substr(md5(concat("
+    "coalesce(md5(text), '-'), coalesce(md5(lang), '-'), "
+    "coalesce(md5(source), '-'), coalesce(md5(n_chars::VARCHAR), '-')"
+    ")), 1, 15))::BIGINT"
+)
+
 # hashed shingles — the exact SQL twin of dedup.shingles: token hashes are
 # 40-bit md5-derived ints, a shingle hash is the mod-P weighted sum of its
 # 3 token hashes (weights = dedup.SHINGLE_WEIGHTS, P = dedup.MINHASH_P)
@@ -6745,9 +6756,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
                     % 16) AS shard_id,
                    count(*)::BIGINT AS n_rows,
-                   bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang, source,
-                                                         n_chars)), 1, 15))::BIGINT
-                   ) AS xor_checksum
+                   bit_xor({_DOC_DIGEST}) AS xor_checksum
             FROM kept
             GROUP BY shard_id
         """,
@@ -6882,19 +6891,28 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM touched t LEFT JOIN ofinal o USING (node)
             ),
             im AS (
+              -- self-vote only for ESTABLISHED nodes (real old prior);
+              -- a brand-new node's self-label is initialization, not
+              -- support (mirrors label_propagation_incr)
               SELECT node, community, count(*) AS c FROM (
                 SELECT e.dst AS node, p.community
                 FROM nedges e JOIN prior p ON p.node = e.src
                 UNION ALL
-                SELECT node, community FROM prior
+                SELECT p.node, p.community FROM prior p
+                WHERE EXISTS (SELECT 1 FROM ofinal o WHERE o.node = p.node)
               ) GROUP BY node, community
             ),
             iv AS (
+              -- ties favor the node's prior label, then min (mirrors
+              -- label_propagation_incr's (count, is_prior, label) vote)
               SELECT node, community FROM (
-                SELECT node, community,
-                       row_number() OVER (PARTITION BY node
-                                          ORDER BY c DESC, community ASC) AS rn
-                FROM im
+                SELECT im.node, im.community,
+                       row_number() OVER (PARTITION BY im.node
+                                          ORDER BY im.c DESC,
+                                          CASE WHEN im.community = p.community
+                                               THEN 0 ELSE 1 END ASC,
+                                          im.community ASC) AS rn
+                FROM im JOIN prior p ON p.node = im.node
               ) WHERE rn = 1
             ),
             inc AS (
@@ -7229,13 +7247,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                          ::DOUBLE
                          / (SELECT count(*) FROM bench), 6) AS coverage
         """,
-        "shard_checksums": """
+        "shard_checksums": f"""
             SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
                     % 16) AS shard_id,
                    count(*)::BIGINT AS n_rows,
-                   bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang, source,
-                                                         n_chars)), 1, 15))::BIGINT
-                   ) AS xor_checksum
+                   bit_xor({_DOC_DIGEST}) AS xor_checksum
             FROM documents
             GROUP BY shard_id
         """,
@@ -7259,7 +7275,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
             FROM dau JOIN wau ON dau.d = wau.d
         """,
-        "checksum_delta": """
+        "checksum_delta": f"""
             WITH v1 AS (
               SELECT doc_id, text, lang, source, n_chars FROM documents
             ),
@@ -7273,16 +7289,14 @@ def _oracle_sql_literal() -> dict[str, str]:
               SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
                       % 16) AS shard_id,
                      count(*)::BIGINT AS n_old,
-                     bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang,
-                                source, n_chars)), 1, 15))::BIGINT) AS checksum_old
+                     bit_xor({_DOC_DIGEST}) AS checksum_old
               FROM v1 GROUP BY shard_id
             ),
             b AS (
               SELECT (('0x' || substr(md5('shard1|' || doc_id::VARCHAR), 1, 15))::BIGINT
                       % 16) AS shard_id,
                      count(*)::BIGINT AS n_new,
-                     bit_xor(('0x' || substr(md5(concat_ws(chr(31), text, lang,
-                                source, n_chars)), 1, 15))::BIGINT) AS checksum_new
+                     bit_xor({_DOC_DIGEST}) AS checksum_new
               FROM v2 GROUP BY shard_id
             )
             SELECT coalesce(a.shard_id, b.shard_id) AS shard_id,

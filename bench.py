@@ -32,6 +32,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from staticql_spark.session import get_spark
 
+# HEADLINE covers 151 of the 221 registered queries.  The ~70 excluded
+# keys are the long-stable set benched to convergence in earlier rounds
+# (r1-r4): the TPC-H group-C shapes and small staticql-parity lookups
+# (where_eq/point_lookup/...), simple set/pivot/window variants, and a
+# few trained-index twins whose cost is the train step already timed via
+# their headline sibling (ann_ivf_trained ~ ann_ivf_pq).  Their per-round
+# numbers stopped moving (BENCH_r1-r4 deltas within host noise) — keeping
+# them out holds the per-round wall-clock near the driver's budget while
+# every operator family keeps at least one headline representative.
 HEADLINE = [
     "where_and",
     "has_one_join",

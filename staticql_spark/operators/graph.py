@@ -174,8 +174,9 @@ def label_propagation_incr(
     (incremental LSH / SemDeDup / IVF append: daily cost tracks the
     batch, never the corpus).  Nodes keep their old community as the
     frozen prior; a node incident to new edges re-votes from its
-    NEW-edge neighbors' labels (most frequent, ties to smallest — the
-    same deterministic rule as :func:`label_propagation`); nodes the
+    NEW-edge neighbors' labels (most frequent; ties favor the node's
+    current label, then smallest — deterministic, and an established
+    node never flips on a 1-1 tie); nodes the
     batch never touches are passed through untouched, so the only work
     is O(|new edges|) message rows plus one join against the old
     assignment.
@@ -208,20 +209,39 @@ def label_propagation_incr(
     for _ in range(iters):
         # messages travel over the NEW edges only; senders vote with
         # their current incremental label (old nodes: frozen prior).
-        # Each node also casts ONE self-vote for its own current label —
-        # without it a node with 50 old-graph edges and 1 new edge would
-        # flip to the lone new neighbor (the new-edge view has no memory
-        # of old support); with it, a single new vote only TIES the
-        # prior and the min-label rule breaks the tie deterministically.
+        # Each ESTABLISHED node (one with a real old-assignment prior)
+        # also casts ONE self-vote for its own current label — without
+        # it a node with 50 old-graph edges and 1 new edge would flip to
+        # the lone new neighbor (the new-edge view has no memory of old
+        # support) — and ties break in FAVOR of the node's current label
+        # (then min): a lone new vote merely ties the self-vote, so an
+        # established node never flips on a 1-1 tie regardless of how
+        # the community ids happen to sort (r6 ADVICE: the old min-label
+        # tie-break still flipped whenever the new id sorted first).
+        # Brand-new nodes get NO self-vote: their self-label is mere
+        # initialization, not support — a single real neighbor vote
+        # should win, so a 1-edge newcomer adopts its neighbor's
+        # community instead of lingering as a singleton.
+        self_votes = labels.join(
+            old_labels.select("node"), "node", "left_semi"
+        ).select("node", "community")
         msgs = e.join(labels, e.src == labels.node).select(
             F.col("dst").alias("node"), "community"
-        ).unionByName(labels.select("node", "community"))
+        ).unionByName(self_votes)
         counts = msgs.groupBy("node", "community").agg(F.count("*").alias("__c"))
+        cur = labels.select("node", F.col("community").alias("__prior"))
         new = (
-            counts.groupBy("node")
+            counts.join(cur, "node")
+            .groupBy("node")
             .agg(
                 F.min(
-                    F.struct((-F.col("__c")).alias("nc"), F.col("community"))
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.when(F.col("community") == F.col("__prior"), 0)
+                        .otherwise(1)
+                        .alias("np"),
+                        F.col("community"),
+                    )
                 ).alias("__m")
             )
             .select("node", F.col("__m.community").alias("__new"))

@@ -88,9 +88,19 @@ def ldiversity_report(
 
     Scale: one shuffle to the cell aggregate (two count-distincts share
     the same grouping); output is |cells| rows, never raw data.
+
+    Without a ``subject_col`` there is no subject identity to count, so
+    ``n_subjects`` is NULL (r6 ADVICE: the old row-count fallback
+    OVERSTATED distinct subjects whenever one subject contributed
+    several rows, weakening the audit the column name implies);
+    ``n_rows`` already carries the row count.
     """
     df = ensure_parallelism(df)
-    subject = F.count_distinct(F.col(subject_col)) if subject_col else F.count("*")
+    subject = (
+        F.count_distinct(F.col(subject_col))
+        if subject_col
+        else F.lit(None)
+    )
     return (
         df.groupBy(*dims)
         .agg(

@@ -115,9 +115,19 @@ def shard_checksums(
 
 
 def row_digest(content_cols: list[str]):
-    """First 60 bits of md5 over the columns joined by the 0x1f unit
-    separator — the repo-wide engine-portable row content digest."""
-    payload = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    """First 60 bits of md5 over the concatenation of PER-COLUMN md5
+    hex digests (NULL column -> the 1-char sentinel ``-``) — the
+    engine-portable row content digest.  Hashing columns individually
+    first makes the payload uniquely decodable: every token is either
+    32 hex chars or the non-hex ``-``, so NULL placement ((a,NULL,b)
+    vs (a,b,NULL)) and separator-embedded values (('x\\x1fy','z') vs
+    ('x','y\\x1fz') under the old concat_ws recipe) cannot collide."""
+    payload = F.concat(
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+            for c in content_cols
+        ]
+    )
     return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
 
 

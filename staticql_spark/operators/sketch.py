@@ -340,21 +340,30 @@ def hll_registers(df: DataFrame, col: str, salt: str = "hll1") -> DataFrame:
     leading-zero rank. At most 2^p rows; this is the persistable /
     mergeable artifact (:func:`hll_merge` composes them, per-j MAX)."""
     h = kmv_hash(F.col(col), salt)
-    hashes = df.select(h.alias("h")).filter(F.col("h").isNotNull()).distinct()
-    # h div m / h mod m as BIT OPS (m is 2^p): a double-division here
-    # would silently corrupt w — the 60-bit hash exceeds 2^53
-    w = F.shiftright(F.col("h"), _HLL_P)
-    # bitlen via base-2 string length: exact-integer, engine-portable
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
+    # No distinct() over the hash stream: per-register MAX is duplicate-
+    # insensitive, so map-side combine reduces every partition to <=m
+    # rows — an O(m) exchange instead of the O(ndv) one a distinct costs
+    # (ADVICE r6; the streaming twin always worked this way and the merge
+    # property test proves identical registers).
+    hashes = df.select(h.alias("h")).filter(F.col("h").isNotNull())
+    j, rho = _hll_j_rho()
     return (
-        hashes.select(
-            F.col("h").bitwiseAND(F.lit(_HLL_M - 1)).alias("j"), rho.alias("rho")
-        )
+        hashes.select(j.alias("j"), rho.alias("rho"))
         .groupBy("j")
         .agg(F.max("rho").cast("int").alias("m_j"))
     )
+
+
+def _hll_j_rho():
+    """(register index, leading-zero rank) expressions over a 60-bit hash
+    column ``h``.  h div m / h mod m as BIT OPS (m is 2^p): a double-
+    division here would silently corrupt w — the 60-bit hash exceeds
+    2^53.  Bitlen via base-2 string length: exact-integer, portable."""
+    w = F.shiftright(F.col("h"), _HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return F.col("h").bitwiseAND(F.lit(_HLL_M - 1)), rho
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -378,14 +387,28 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     (the standard selection: linear counting when est_raw <= 2.5m and
     empties exist, else raw).
     """
+    return _hll_estimate_from_agg(registers.agg(*_hll_agg_exprs()), [])
+
+
+def _hll_agg_exprs():
+    """Register-frame fold: (n_regs, s_present) where s_present is the
+    exact-integer harmonic sum over PRESENT registers (every term a
+    long — hash-stable across engines, summation-order-free)."""
     maxrho = _HLL_WBITS + 1
-    agg = registers.agg(
+    return [
         F.count("*").cast("long").alias("n_regs"),
         F.sum(
             F.pow(F.lit(2.0), F.lit(float(maxrho)) - F.col("m_j").cast("double"))
             .cast("long")
         ).cast("long").alias("s_present"),
-    )
+    ]
+
+
+def _hll_estimate_from_agg(agg: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared estimate tail over an (keys..., n_regs, s_present) frame —
+    the single home of the alpha/linear-counting/selection math (r6
+    ADVICE: hll_grouped previously duplicated it inline)."""
+    maxrho = _HLL_WBITS + 1
     # numerator alpha * m^2 * 2^maxrho as ONE python-float literal shared
     # with the oracle SQL: the estimate is a single IEEE division
     num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << maxrho)
@@ -401,7 +424,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.col("est_linear"),
     ).otherwise(F.col("est_raw"))
     return (
-        agg.select("n_regs", s)
+        agg.select(*keys, "n_regs", s)
         .withColumn("est_raw", F.round(est_raw, 2))
         .withColumn("est_linear", F.round(est_lin, 2))
         .withColumn("est_ndv", F.round(sel, 2))
@@ -451,49 +474,20 @@ def hll_grouped(
     merge by per-(grp, j) MAX, the :func:`hll_merge` algebra.
     """
     h = kmv_hash(F.col(col), salt)
-    hashes = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
-        .filter(F.col("h").isNotNull())
-        .distinct()
+    # No distinct() (ADVICE r6): (grp, j) MAX is duplicate-insensitive —
+    # map-side combine caps the exchange at |groups| x m rows regardless
+    # of input size, where a distinct shuffles every distinct value.
+    hashes = df.select(F.col(group_col).alias("grp"), h.alias("h")).filter(
+        F.col("h").isNotNull()
     )
-    w = F.shiftright(F.col("h"), _HLL_P)
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
+    j, rho = _hll_j_rho()
     regs = (
-        hashes.select(
-            "grp", F.col("h").bitwiseAND(F.lit(_HLL_M - 1)).alias("j"), rho.alias("rho")
-        )
+        hashes.select("grp", j.alias("j"), rho.alias("rho"))
         .groupBy("grp", "j")
         .agg(F.max("rho").cast("int").alias("m_j"))
     )
-    maxrho = _HLL_WBITS + 1
-    agg = regs.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n_regs"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(float(maxrho)) - F.col("m_j").cast("double"))
-            .cast("long")
-        ).cast("long").alias("s_present"),
-    )
-    num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << maxrho)
-    zeros = F.lit(_HLL_M) - F.col("n_regs")
-    s = (F.col("s_present") + zeros * F.lit(1 << maxrho)).alias("sum_inv")
-    est_raw = F.lit(num) / F.col("sum_inv").cast("double")
-    est_lin = F.when(
-        zeros > 0,
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
-    )
-    sel = F.when(
-        (F.col("est_raw") <= F.lit(2.5 * _HLL_M)) & F.col("est_linear").isNotNull(),
-        F.col("est_linear"),
-    ).otherwise(F.col("est_raw"))
+    agg = regs.groupBy("grp").agg(*_hll_agg_exprs())
     exact = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.countDistinct(col).cast("long").alias("exact_ndv")
     )
-    return (
-        agg.select("grp", "n_regs", s)
-        .withColumn("est_raw", F.round(est_raw, 2))
-        .withColumn("est_linear", F.round(est_lin, 2))
-        .withColumn("est_ndv", F.round(sel, 2))
-        .join(exact, "grp")
-    )
+    return _hll_estimate_from_agg(agg, ["grp"]).join(exact, "grp")

@@ -543,6 +543,18 @@ def bpe_encode_stats(
     )
 
 
+# Gopher rule thresholds (Rae et al. 2021) — single home shared by
+# gopher_rules (the keep flag) and gopher_gate_report (per-rule fail
+# fractions), so the report can never drift from the gate (r6 ADVICE).
+GOPHER_MEAN_WL_MIN = 3.0
+GOPHER_MEAN_WL_MAX = 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOPS_MIN = 2
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -621,13 +633,13 @@ def gopher_rules(
     keep = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= 3.0)
-        & (F.col("mean_word_len") <= 10.0)
-        & (F.col("symbol_ratio") <= 0.1)
-        & (F.col("bullet_frac") <= 0.9)
-        & (F.col("ellipsis_frac") <= 0.3)
-        & (F.col("alpha_frac") >= 0.8)
-        & (F.col("stop_hits") >= 2)
+        & (F.col("mean_word_len") >= GOPHER_MEAN_WL_MIN)
+        & (F.col("mean_word_len") <= GOPHER_MEAN_WL_MAX)
+        & (F.col("symbol_ratio") <= GOPHER_SYMBOL_MAX)
+        & (F.col("bullet_frac") <= GOPHER_BULLET_MAX)
+        & (F.col("ellipsis_frac") <= GOPHER_ELLIPSIS_MAX)
+        & (F.col("alpha_frac") >= GOPHER_ALPHA_MIN)
+        & (F.col("stop_hits") >= GOPHER_STOPS_MIN)
     )
     return out.withColumn("keep", keep)
 
@@ -665,13 +677,14 @@ def gopher_gate_report(
             (F.col("n_words") < min_words) | (F.col("n_words") > max_words)
         ).alias("fail_words"),
         frac(
-            (F.col("mean_word_len") < 3.0) | (F.col("mean_word_len") > 10.0)
+            (F.col("mean_word_len") < GOPHER_MEAN_WL_MIN)
+            | (F.col("mean_word_len") > GOPHER_MEAN_WL_MAX)
         ).alias("fail_word_len"),
-        frac(F.col("symbol_ratio") > 0.1).alias("fail_symbol"),
-        frac(F.col("bullet_frac") > 0.9).alias("fail_bullet"),
-        frac(F.col("ellipsis_frac") > 0.3).alias("fail_ellipsis"),
-        frac(F.col("alpha_frac") < 0.8).alias("fail_alpha"),
-        frac(F.col("stop_hits") < 2).alias("fail_stops"),
+        frac(F.col("symbol_ratio") > GOPHER_SYMBOL_MAX).alias("fail_symbol"),
+        frac(F.col("bullet_frac") > GOPHER_BULLET_MAX).alias("fail_bullet"),
+        frac(F.col("ellipsis_frac") > GOPHER_ELLIPSIS_MAX).alias("fail_ellipsis"),
+        frac(F.col("alpha_frac") < GOPHER_ALPHA_MIN).alias("fail_alpha"),
+        frac(F.col("stop_hits") < GOPHER_STOPS_MIN).alias("fail_stops"),
         frac(F.col("keep")).alias("keep_rate"),
     )
 

@@ -2200,6 +2200,27 @@ def test_shard_checksums_order_invariant_and_sensitive(spark):
     assert diff[changed[0]][0] == base[changed[0]][0]  # count unchanged
 
 
+def test_row_digest_null_and_separator_collision_free(spark):
+    # ADVICE r6: the old concat_ws recipe digested ('a', NULL, 'b') and
+    # ('a', 'b', NULL) identically (concat_ws skips NULLs) and could not
+    # distinguish a 0x1f-embedded value from the same content split
+    # across two columns. Per-column md5 + NULL sentinel kills both.
+    from staticql_spark.operators.shards import row_digest
+
+    rows = [
+        ("a", None, "b"),
+        ("a", "b", None),
+        (None, "a", "b"),
+        ("a\x1fb", None, None),
+        ("a", "b", "c"),
+        ("a\x1fb", "c", None),
+        ("a", "b\x1fc", None),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    digests = [r[0] for r in df.select(row_digest(["x", "y", "z"])).collect()]
+    assert len(set(digests)) == len(rows)
+
+
 def test_ngram_coverage_counts(spark):
     bench = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     corpus = spark.createDataFrame(
@@ -2393,6 +2414,18 @@ def test_label_propagation_incr_self_vote_and_passthrough(spark):
         assert got[n] == before[n]
     assert len(got) == 9
 
+    # r6 ADVICE regression: the 1-1 tie must resolve to the PRIOR label
+    # even when the new neighbor's community sorts FIRST ('A0' < 'b1'):
+    # under the old min-label tie-break b2 would flip to A0.
+    low_und = [("A0", "b2")]
+    low_edges = spark.createDataFrame(
+        low_und + [(y, x) for x, y in low_und], ["src", "dst"]
+    )
+    got2 = {r["node"]: r["community"] for r in
+            label_propagation_incr(old, low_edges, iters=1).collect()}
+    assert got2["b2"] == before["b2"] == "b1"   # prior survives the tie
+    assert got2["A0"] == "b1"                   # new node adopts the clique
+
 
 def test_contaminated_spans_excises_planted_quote(spark):
     # a corpus doc quoting a 40-char run of a benchmark doc must lose
@@ -2536,6 +2569,19 @@ def test_ldiversity_flags_homogeneous_cell(spark):
     }
     assert out["A"] == (3, 3, 1, False)
     assert out["B"] == (3, 3, 2, True)
+
+    # one subject contributing several rows must not inflate n_subjects;
+    # without a subject key there is NO subject count (r6 ADVICE: the old
+    # fallback reported row count as a subject count)
+    multi = spark.createDataFrame(
+        [("A", 1, "flu"), ("A", 1, "cold"), ("A", 2, "flu")],
+        ["cell", "uid", "diag"],
+    )
+    with_key = ldiversity_report(multi, ["cell"], "diag", subject_col="uid")
+    r = with_key.collect()[0]
+    assert (r["n_rows"], r["n_subjects"]) == (3, 2)
+    no_key = ldiversity_report(multi, ["cell"], "diag").collect()[0]
+    assert no_key["n_rows"] == 3 and no_key["n_subjects"] is None
 
 
 # ---------------------------------------------------------------------
