@@ -3465,6 +3465,83 @@ def q_source_ablation(spark, sf):
     return text.source_ablation(_t(spark, sf, "documents"))
 
 
+def q_events_retention_curve(spark, sf):
+    # cohort retention triangle WITH rates (the r5 events_retention key
+    # keeps its raw-count matrix shape): one
+    # row per (cohort_day, age) with still-active count + retention vs
+    # the age-0 cohort size. The raw stream reduces to the distinct
+    # (user, day) frame first — one map-side-combined agg — so raw
+    # events never shuffle twice. New in r7.
+    from staticql_spark.operators.behavior import retention_matrix
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return retention_matrix(ev, max_age_days=30)
+
+
+def q_events_transitions(spark, sf):
+    # first-order Markov transition matrix over per-user event chains:
+    # P(next | current), deterministic (ts, event_id) ordering. ONE
+    # user-key window pass + a |types|^2 aggregate. New in r7.
+    from staticql_spark.operators.behavior import event_transitions
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return event_transitions(ev)
+
+
+def q_events_funnel_steps(spark, sf):
+    # ordered 4-step funnel (signup -> view -> click -> purchase), one
+    # report ROW PER STEP with conversion ratios (the r5 events_funnel
+    # key keeps its 1-row click->view->purchase summary shape): step
+    # k counts users with a step-k event at/after their earliest
+    # qualifying step-(k-1) time — a chain of per-user MINs on one user
+    # key, never a per-user event collect. New in r7.
+    from staticql_spark.operators.behavior import funnel_report
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return funnel_report(ev, ["signup", "view", "click", "purchase"])
+
+
+def q_profile_psi(spark, sf):
+    # Population Stability Index of n_chars between the corpus and a
+    # synthetic v2 (drop doc_id%10 + truncate the upper tail) — the
+    # numeric member of the drift family (vocab_drift / embedding_drift
+    # siblings): old-snapshot exact-decile buckets, +0.5-smoothed
+    # shares, per-bucket (p_old-p_new)*ln(p_old/p_new). New in r7.
+    from staticql_spark.operators.profile import numeric_psi
+
+    docs = _t(spark, sf, "documents")
+    v2 = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("n_chars") <= 400))
+    return numeric_psi(docs, v2, "n_chars")
+
+
+def q_ann_semantic_decon(spark, sf):
+    # semantic decontamination: corpus vectors within cosine 0.3 of ANY
+    # benchmark vector (vec_id%10 split, the decontaminate convention) —
+    # catches paraphrased eval leakage the span/ngram decon passes miss.
+    # Sign-pattern blocked cross-set join, per-corpus-doc verdict row
+    # (hit count + max cosine). New in r7.
+    emb = _t(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    # 0.3 sits in the synthetic embeddings' near-orthogonal regime (max
+    # cross-split cosine ~0.4); real text embeddings would use ~0.9
+    pairs = dedup.cross_neardup_pairs(corpus, bench, threshold=0.3)
+    return pairs.groupBy(F.col("id_a").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("n_bench_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def q_hll_grouped_ndv(spark, sf):
+    # per-event-type distinct-user HLL next to its exact twin — the
+    # grouped cousin of hll_distinct: (grp, j) register build with
+    # map-side combine (<= |groups| x 512 rows cross the wire, no
+    # distinct over the hash stream), estimate folded per group. New in
+    # r7 (the operator landed in r6 unregistered).
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return sketch.hll_grouped(ev, "event_type", "user_id")
+
+
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
 # #1 ledger, verbatim): registered in r6 but placed after the 50-key window.
 # r7 rotates them to the head so one round closes the ledger to 221/221
@@ -3479,6 +3556,9 @@ _R7_HEAD = [
     "doc_decontaminate_excise", "pipeline_release_manifest",
     "hll_distinct", "hll_union", "events_seasonality",
     "events_ldiversity", "doc_vocab_growth", "source_ablation",
+    # new in r7 — zero driver signal by definition
+    "events_retention_curve", "events_transitions", "events_funnel_steps",
+    "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
 ]
 
 
@@ -3726,6 +3806,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ldiversity": q_events_ldiversity,
         "doc_vocab_growth": q_doc_vocab_growth,
         "source_ablation": q_source_ablation,
+        # --- new in r7 ---
+        "events_retention_curve": q_events_retention_curve,
+        "events_transitions": q_events_transitions,
+        "events_funnel_steps": q_events_funnel_steps,
+        "profile_psi": q_profile_psi,
+        "ann_semantic_decon": q_ann_semantic_decon,
+        "hll_grouped_ndv": q_hll_grouped_ndv,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -4750,6 +4837,47 @@ def _hll_sql(hash_cte: str, exact_sql: str) -> str:
                         THEN est_linear ELSE est_raw END AS est_ndv,
                    ({exact_sql})::BIGINT AS exact_ndv
             FROM c
+    """
+
+
+def _hll_grouped_sql(hash_cte: str, exact_cte: str) -> str:
+    # grouped twin of _hll_sql: hash_cte yields (grp, h), exact_cte
+    # yields (grp, exact_ndv); registers/estimate fold per group
+    m = sketch._HLL_M
+    maxrho = sketch._HLL_WBITS + 1
+    pow52 = 1 << maxrho
+    return f"""
+            WITH h AS ({hash_cte}),
+            regs AS (
+              SELECT grp, h & {m - 1} AS j,
+                     max(CASE WHEN (h >> {sketch._HLL_P}) = 0 THEN {maxrho}
+                         ELSE {maxrho} - length(bin(h >> {sketch._HLL_P})) END)::INT AS m_j
+              FROM h GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT grp, count(*)::BIGINT AS n_regs,
+                     sum((pow(2.0, {maxrho}.0 - m_j))::BIGINT)::BIGINT AS s_present
+              FROM regs GROUP BY 1
+            ),
+            b AS (
+              SELECT grp, n_regs,
+                     (s_present + ({m} - n_regs) * {pow52})::BIGINT AS sum_inv,
+                     ({m} - n_regs) AS zeros
+              FROM a
+            ),
+            c AS (
+              SELECT grp, n_regs, sum_inv,
+                     round({_HLL_NUM} / sum_inv::DOUBLE, 2) AS est_raw,
+                     round(CASE WHEN zeros > 0
+                           THEN {m}.0 * ln({m}.0 / zeros::DOUBLE) END, 2) AS est_linear
+              FROM b
+            ),
+            e AS ({exact_cte})
+            SELECT c.grp, c.n_regs, c.sum_inv, c.est_raw, c.est_linear,
+                   CASE WHEN c.est_raw <= {2.5 * m} AND c.est_linear IS NOT NULL
+                        THEN c.est_linear ELSE c.est_raw END AS est_ndv,
+                   e.exact_ndv
+            FROM c JOIN e USING (grp)
     """
 
 
@@ -8336,6 +8464,173 @@ def _oracle_sql_literal() -> dict[str, str]:
                      AS keep_delta
             FROM per, tot
         """,
+        "events_retention_curve": """
+            WITH active AS (
+              SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            cohort AS (SELECT u, min(d) AS cohort_day FROM active GROUP BY 1),
+            aged AS (
+              SELECT c.cohort_day,
+                     date_diff('day', c.cohort_day, a.d)::INT AS age
+              FROM active a JOIN cohort c USING (u)
+              WHERE date_diff('day', c.cohort_day, a.d) <= 30
+            ),
+            counts AS (
+              SELECT cohort_day, age, count(*)::BIGINT AS n_active
+              FROM aged GROUP BY 1, 2
+            )
+            SELECT cohort_day, age, n_active,
+                   (max(CASE WHEN age = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort_day))::BIGINT AS cohort_size,
+                   round(n_active::DOUBLE
+                         / max(CASE WHEN age = 0 THEN n_active END)
+                             OVER (PARTITION BY cohort_day), 6) AS retention
+            FROM counts
+        """,
+        "events_transitions": """
+            WITH seq AS (
+              SELECT event_type AS src_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst_type
+              FROM events
+            ),
+            counts AS (
+              SELECT src_type, dst_type, count(*)::BIGINT AS n_pairs
+              FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src_type, dst_type, n_pairs,
+                   round(n_pairs::DOUBLE
+                         / sum(n_pairs) OVER (PARTITION BY src_type), 6) AS p
+            FROM counts
+        """,
+        "events_funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t
+              WHERE e.event_type = 'view' GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s3 ON s3.user_id = e.user_id AND e.ts >= s3.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            ),
+            counts AS (
+              SELECT 1::INT AS step_idx, 'signup' AS step,
+                     (SELECT count(*) FROM s1)::BIGINT AS n_users
+              UNION ALL SELECT 2::INT, 'view', (SELECT count(*) FROM s2)::BIGINT
+              UNION ALL SELECT 3::INT, 'click', (SELECT count(*) FROM s3)::BIGINT
+              UNION ALL SELECT 4::INT, 'purchase', (SELECT count(*) FROM s4)::BIGINT
+            )
+            SELECT step_idx, step, n_users,
+                   CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+                        THEN round(n_users::DOUBLE
+                                   / lag(n_users) OVER (ORDER BY step_idx), 6)
+                   END AS conv_from_prev,
+                   CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                        THEN round(n_users::DOUBLE
+                                   / first_value(n_users) OVER (ORDER BY step_idx), 6)
+                   END AS conv_from_first
+            FROM counts
+        """,
+        "profile_psi": """
+            WITH v AS (
+              SELECT n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                     count(*) OVER () AS n
+              FROM v
+            ),
+            edges AS (
+              SELECT DISTINCT r.x AS e
+              FROM (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                           (0.6), (0.7), (0.8), (0.9)) t(q)
+              JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
+            ),
+            nv AS (
+              SELECT n_chars::DOUBLE AS x FROM documents
+              WHERE doc_id % 10 <> 0 AND n_chars <= 400 AND n_chars IS NOT NULL
+            ),
+            ob AS (SELECT (1 + (SELECT count(*) FROM edges WHERE x > e))::BIGINT
+                     AS bucket FROM v),
+            nb AS (SELECT (1 + (SELECT count(*) FROM edges WHERE x > e))::BIGINT
+                     AS bucket FROM nv),
+            bks AS (
+              SELECT unnest(range(1, (SELECT count(*) FROM edges)::BIGINT + 2))
+                     ::BIGINT AS bucket
+            ),
+            co AS (SELECT bucket, count(*)::BIGINT AS n_old FROM ob GROUP BY 1),
+            cn AS (SELECT bucket, count(*)::BIGINT AS n_new FROM nb GROUP BY 1),
+            cells AS (
+              SELECT b.bucket,
+                     coalesce(co.n_old, 0)::BIGINT AS n_old,
+                     coalesce(cn.n_new, 0)::BIGINT AS n_new
+              FROM bks b LEFT JOIN co USING (bucket) LEFT JOIN cn USING (bucket)
+            ),
+            tot AS (
+              SELECT sum(n_old)::DOUBLE AS t_o, sum(n_new)::DOUBLE AS t_n,
+                     count(*)::DOUBLE AS nbk
+              FROM cells
+            ),
+            p AS (
+              SELECT bucket, n_old, n_new,
+                     (n_old + 0.5) / (t_o + 0.5 * nbk) AS po,
+                     (n_new + 0.5) / (t_n + 0.5 * nbk) AS pn
+              FROM cells, tot
+            )
+            SELECT bucket, n_old, n_new,
+                   round(po, 6) AS p_old, round(pn, 6) AS p_new,
+                   round((po - pn) * ln(po / pn), 6) AS psi_term
+            FROM p
+        """,
+        "ann_semantic_decon": """
+            WITH v_all AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     array_to_string(list_transform(embedding[1:8]::DOUBLE[],
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS blk
+              FROM embeddings
+            ),
+            corpus_all AS (SELECT * FROM v_all WHERE vec_id % 10 <> 0),
+            -- max_bucket=5000 corpus-side cap (cross_neardup_pairs twin)
+            corpus AS (
+              SELECT * FROM corpus_all
+              QUALIFY count(*) OVER (PARTITION BY blk) <= 5000
+            ),
+            bench AS (SELECT * FROM v_all WHERE vec_id % 10 = 0),
+            pairs AS (
+              SELECT c.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(c.v, b.v)
+                           / (sqrt(list_dot_product(c.v, c.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM corpus c JOIN bench b ON c.blk = b.blk
+            )
+            SELECT id_a AS vec_id, count(*)::BIGINT AS n_bench_hits,
+                   max(cosine) AS max_cosine
+            FROM pairs WHERE cosine >= 0.3
+            GROUP BY 1
+        """,
+        "hll_grouped_ndv": _hll_grouped_sql(
+            """
+              SELECT DISTINCT event_type AS grp,
+                     ('0x' || substr(md5('hll1|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events WHERE user_id IS NOT NULL
+            """,
+            """
+              SELECT event_type AS grp,
+                     count(DISTINCT user_id)::BIGINT AS exact_ndv
+              FROM events GROUP BY 1
+            """,
+        ),
     }
 
 

@@ -205,6 +205,13 @@ HEADLINE = [
     "events_ldiversity",
     "doc_vocab_growth",
     "source_ablation",
+    # new in r7
+    "events_retention_curve",
+    "events_transitions",
+    "events_funnel_steps",
+    "profile_psi",
+    "ann_semantic_decon",
+    "hll_grouped_ndv",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -699,6 +699,59 @@ def embedding_neardup_pairs(
     )
 
 
+def cross_neardup_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sign_dims: int = 8,
+    max_bucket: int = 5000,
+) -> DataFrame:
+    """Cross-SET embedding near-dups — the semantic-decontamination
+    primitive: corpus vectors whose cosine to ANY benchmark vector
+    reaches ``threshold`` (span/ngram decontamination catch verbatim
+    leaks; this catches paraphrased eval items that share an embedding
+    neighborhood).  Returns (id_a = corpus id, id_b = bench id, cosine)
+    for every qualifying pair; consumers aggregate a per-corpus-doc
+    verdict or anti-join the flagged ids out.
+
+    Blocking is the :func:`embedding_neardup_pairs` recipe applied to
+    BOTH sides — the sign pattern of the first ``sign_dims`` dims, an
+    equi-join key, so the candidate step is corpus-join-bench on block,
+    never a cross join.  Same recall caveat (a near-pair straddling one
+    hyperplane is missed; raise ``sign_dims`` for finer blocks at scale)
+    and the same ``max_bucket`` backstop, applied to the CORPUS side
+    (bench blocks are small by construction — eval suites are bounded).
+    """
+    from .similarity import cosine_with_norms, norm
+
+    def side(df: DataFrame, ida: str, va: str, na: str) -> DataFrame:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        blk = F.array_join(
+            F.transform(
+                F.slice(v, 1, sign_dims),
+                lambda x: (x >= 0).cast("int").cast("string"),
+            ),
+            "",
+        )
+        out = df.select(F.col(id_col).alias(ida), v.alias(va), blk.alias("blk"))
+        return out.withColumn(na, norm(F.col(va)))
+
+    l = side(ensure_parallelism(corpus), "id_a", "va", "na")
+    l = (
+        l.withColumn("_bc", F.count("*").over(W.partitionBy("blk")))
+        .filter(F.col("_bc") <= max_bucket)
+        .drop("_bc")
+    )
+    r = side(bench, "id_b", "vb", "nb")
+    pairs = l.join(r, "blk")
+    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -422,3 +422,83 @@ def robust_outlier_summary(
         ).alias("n_outliers"),
         F.round(F.coalesce(F.max("rz"), F.lit(0.0)), 6).alias("max_robust_z"),
     )
+
+
+def numeric_psi(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index over a numeric column between two
+    snapshots — the numeric member of the drift family (vocab_drift
+    buckets terms, embedding_drift buckets cells; this buckets VALUES by
+    the OLD snapshot's exact quantiles, the standard scorecard-drift
+    recipe). One row per bucket: (bucket, n_old, n_new, p_old, p_new,
+    psi_term); sum(psi_term) is the headline PSI (< 0.1 stable, > 0.25
+    action).
+
+    Bucket edges are the old frame's exact ``k/n_buckets`` quantiles
+    (rank ceil(q*n) — the :func:`exact_quantiles` definition shared with
+    the oracle), deduplicated, so a skewed column merges buckets rather
+    than emitting empty ones; value x lands in bucket
+    ``1 + |{edges < x}|``.  Shares use the same +0.5 Laplace smoothing
+    as vocab_drift, so empty buckets contribute finite terms.
+
+    Scale: the edge collect is <= n_buckets-1 doubles (bounded, a
+    one-off CONSTRUCT cost like pq codebooks); each snapshot then takes
+    ONE map-side-combined bucket count — the n_buckets-row frames join
+    and smooth driver-free.
+    """
+    qs = [k / n_buckets for k in range(1, n_buckets)]
+    edges = sorted(
+        {r["value"] for r in exact_quantiles(old, col, qs).collect()}
+    )
+    spark = old.sparkSession
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.lit(1)
+        for e in edges:
+            b = b + (x > F.lit(float(e))).cast("int")
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(b.cast("long").alias("bucket"))
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    all_buckets = spark.range(1, len(edges) + 2).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    cells = (
+        all_buckets.join(bucket_counts(old, "n_old"), "bucket", "left")
+        .join(bucket_counts(new, "n_new"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_old").cast("double").alias("__to"),
+        F.sum("n_new").cast("double").alias("__tn"),
+        F.count("*").cast("double").alias("__nb"),
+    )
+    sm = F.lit(0.5)
+    p = cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + sm) / (F.col("__to") + sm * F.col("__nb"))).alias("__po"),
+        ((F.col("n_new") + sm) / (F.col("__tn") + sm * F.col("__nb"))).alias("__pn"),
+    )
+    return p.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(F.col("__po"), 6).alias("p_old"),
+        F.round(F.col("__pn"), 6).alias("p_new"),
+        F.round(
+            (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
+        ).alias("psi_term"),
+    )

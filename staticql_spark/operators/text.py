@@ -561,6 +561,7 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """The Gopher repetition-free quality rules (Rae et al. 2021, publicly
     documented): word-count bounds, mean-word-length in [3, 10], symbol-
@@ -572,7 +573,9 @@ def gopher_rules(
 
     Map-only: every rule is regex/length/array arithmetic on the row, no
     shuffle anywhere; ratios are rounded to 4 before thresholding so both
-    engines cut identically.
+    engines cut identically.  ``extra_cols`` pass through untouched (so a
+    downstream stratum aggregate needs no join back — which also keeps
+    the gate STREAMABLE: map + one agg, no stream-stream join).
     """
     df = ensure_parallelism(df)
     c = F.col(text_col)
@@ -629,6 +632,7 @@ def gopher_rules(
         ellipsis_frac.alias("ellipsis_frac"),
         alpha_frac.alias("alpha_frac"),
         stop_hits.alias("stop_hits"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
     keep = (
         (F.col("n_words") >= min_words)
@@ -661,12 +665,17 @@ def gopher_gate_report(
 
     Fail fractions are over all docs of the stratum (rules fire
     independently; they can sum past 1).  Scale: the map-only
-    :func:`gopher_rules` metrics + one |strata|-row aggregate — the
-    strata join is on the doc id, shuffle volume is metric rows, never
-    text.
+    :func:`gopher_rules` metrics (the stratum rides along as an
+    ``extra_cols`` passthrough — no join back) + one |strata|-row
+    map-side-combined aggregate.  Join-free map + one agg also makes
+    this report STREAMABLE as-is: run it on a ``readStream`` frame in
+    complete output mode and every micro-batch leaves the per-stratum
+    rates equal to the batch report over everything ingested (locked by
+    test_stream_gopher_gate_matches_batch).
     """
-    r = gopher_rules(df, text_col, id_col, min_words, max_words)
-    j = r.join(df.select(F.col(id_col), F.col(strata_col)), id_col)
+    j = gopher_rules(
+        df, text_col, id_col, min_words, max_words, extra_cols=[strata_col]
+    )
 
     def frac(cond):
         return F.round(F.avg(cond.cast("int")), 6)

@@ -2624,3 +2624,119 @@ def test_source_ablation_leave_one_out_math(spark):
     assert out["good"]["keep_rate_excl"] == 0.0
     # shares sum to 1
     assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------
+# behavior.retention_matrix / event_transitions / funnel_report (r7)
+# ---------------------------------------------------------------------
+
+
+def test_retention_matrix_cohorts_and_rates(spark):
+    from staticql_spark.operators.behavior import retention_matrix
+
+    rows = [
+        (1, "2024-01-01 01:00:00"), (1, "2024-01-02 01:00:00"),
+        (1, "2024-01-03 01:00:00"), (1, "2024-01-03 09:00:00"),  # dup day
+        (2, "2024-01-01 02:00:00"), (2, "2024-01-03 02:00:00"),
+        (3, "2024-01-02 03:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s"]).select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort_day"]), r["age"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in retention_matrix(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert got[("2024-01-02", 0)] == (1, 1, 1.0)
+    assert len(got) == 4
+
+
+def test_event_transitions_probabilities(spark):
+    from staticql_spark.operators.behavior import event_transitions
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 1, "a"), (2, 2, "b"),
+        (3, 1, "a"), (3, 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"]).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("event_id") * 60).alias("ts"),
+    )
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_pairs"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_funnel_report_ordered_steps(spark):
+    from staticql_spark.operators.behavior import funnel_report
+
+    rows = [
+        (1, 1, "s1"), (1, 2, "s2"), (1, 3, "s3"),   # full funnel
+        (2, 1, "s1"), (2, 2, "s3"),                 # skips s2 -> stops at 1
+        (3, 1, "s2"),                               # never does s1
+        (4, 5, "s1"), (4, 3, "s2"),                 # s2 BEFORE s1 -> stops at 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"]).select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds(F.col("event_id") * 60).alias("ts"),
+    )
+    out = {r["step_idx"]: r for r in
+           funnel_report(df, ["s1", "s2", "s3"]).collect()}
+    assert (out[1]["n_users"], out[2]["n_users"], out[3]["n_users"]) == (3, 1, 1)
+    assert out[1]["conv_from_prev"] is None
+    assert out[2]["conv_from_prev"] == round(1 / 3, 6)
+    assert out[3]["conv_from_prev"] == 1.0
+    assert out[3]["conv_from_first"] == round(1 / 3, 6)
+    assert [out[i]["step"] for i in (1, 2, 3)] == ["s1", "s2", "s3"]
+
+
+# ---------------------------------------------------------------------
+# profile.numeric_psi (r7)
+# ---------------------------------------------------------------------
+
+
+def test_numeric_psi_zero_on_identical_and_positive_on_drift(spark):
+    from staticql_spark.operators.profile import numeric_psi
+
+    old = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    same = numeric_psi(old, old, "x").collect()
+    assert len(same) == 10          # 9 distinct decile edges -> 10 buckets
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert sum(r["n_old"] for r in same) == 100
+
+    new = spark.range(1, 51).select(F.col("id").cast("double").alias("x"))
+    drift = numeric_psi(old, new, "x").collect()
+    top = [r for r in drift if r["bucket"] >= 6]
+    assert all(r["n_new"] == 0 for r in top)   # upper half emptied
+    assert sum(r["psi_term"] for r in drift) > 0.25
+
+
+# ---------------------------------------------------------------------
+# dedup.cross_neardup_pairs (r7)
+# ---------------------------------------------------------------------
+
+
+def test_cross_neardup_flags_only_matching_corpus_vectors(spark):
+    from staticql_spark.operators.dedup import cross_neardup_pairs
+
+    e1 = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+    e2 = [-1.0, -2.0, -3.0, -4.0, -1.0, -2.0, -3.0, -4.0]
+    near_e1 = [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.2]
+    corpus = spark.createDataFrame(
+        [(10, e1), (11, near_e1), (12, e2)], ["vec_id", "embedding"]
+    )
+    bench = spark.createDataFrame([(90, e1)], ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           cross_neardup_pairs(corpus, bench, threshold=0.95).collect()}
+    assert set(got) == {(10, 90), (11, 90)}
+    assert got[(10, 90)] == 1.0
+    assert got[(11, 90)] > 0.99

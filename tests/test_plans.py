@@ -601,3 +601,48 @@ def test_orders_backlog_window_on_day_aggregate(spark):
     p = plan(entrymod.q_orders_backlog(spark, SF_SMOKE))
     assert "Window" in p and "HashAggregate" in p, p
     assert "Generate" not in p, p  # sweep line, not a day explode
+
+
+def test_retention_matrix_join_free(spark):
+    # the cohort day is a whole-partition window MIN over the distinct
+    # (user, day) frame — no cohort aggregate joined back, no broadcast
+    p = plan(entrymod.q_events_retention_curve(spark, SF_SMOKE))
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert p.count("Window") >= 2, p  # cohort min + age-0 cohort size
+
+
+def test_event_transitions_single_stream_pass(spark):
+    # one user-key window pass over the event stream, then tiny aggs:
+    # exactly one exchange carries raw-event-sized rows (the user key)
+    p = plan(entrymod.q_events_transitions(spark, SF_SMOKE))
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_funnel_steps_reuses_user_key_no_collect(spark):
+    # every stage is a keyed MIN + equi join on the same user key; no
+    # collect_list of per-user event arrays anywhere in the plan
+    p = plan(entrymod.q_events_funnel_steps(spark, SF_SMOKE))
+    assert "collect_list" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_numeric_psi_bucket_counts_are_partial_aggs(spark):
+    # each snapshot reduces to an n_buckets-row frame via map-side
+    # combine; the smoothing total is a broadcast of a 1-row frame
+    p = plan(entrymod.q_profile_psi(spark, SF_SMOKE))
+    assert "partial_count" in p, p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_hll_grouped_no_distinct_exchange(spark):
+    # r6 ADVICE: the register build must NOT shuffle distinct hashes —
+    # the only wide exchanges are the (grp, j) register key and the grp
+    # fold; no Expand/distinct over the raw hash stream
+    p = plan(entrymod.q_hll_grouped_ndv(spark, SF_SMOKE))
+    assert "hashpartitioning(grp" in p, p
+    # exactly 4 exchanges: (grp, j) registers, grp fold, the exact
+    # twin's (grp, user) + grp — NO extra hash-stream distinct exchange
+    import re
+    ex = re.findall(r"Arguments: hashpartitioning[^,]*", p)
+    assert len(ex) == 4, p

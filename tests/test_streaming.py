@@ -665,3 +665,35 @@ def test_stream_shard_checksums_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from shard_ck_stream").collect()
     }
     assert got == want
+
+
+def test_stream_gopher_gate_matches_batch(spark, tmp_path):
+    """The Gopher gate report is join-free map + one agg, so it streams
+    as-is: after a 2-micro-batch document stream drains, the complete-mode
+    table must equal the batch report over the whole corpus."""
+    from staticql_spark.operators.text import gopher_gate_report
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {r["source"]: r.asDict() for r in gopher_gate_report(docs).collect()}
+
+    drops = str(tmp_path / "gdrops")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(drops)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        gopher_gate_report(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_gate_stream")
+        .option("checkpointLocation", str(tmp_path / "gck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["source"]: r.asDict() for r in
+           spark.sql("select * from gopher_gate_stream").collect()}
+    assert got == want
