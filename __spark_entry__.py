@@ -3532,6 +3532,45 @@ def q_ann_semantic_decon(spark, sf):
     )
 
 
+def q_events_attribution_lasttouch(spark, sf):
+    # LAST-touch attribution (the linear multi-touch events_attribution
+    # key keeps its per-click split): every purchase credits the user's latest
+    # PRECEDING non-purchase event (the as-of join family's marketing
+    # shape); per-channel purchase counts + exact revenue. Revenue sums
+    # in integer cents (round(value*100) is exact on 2-dp data), so the
+    # per-channel total is summation-order-free — the r6 class_sep
+    # lesson applied up front. New in r7.
+    ev = load_events(spark, f"{sf}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel"), "event_id"
+    )
+    j = asof.asof_join(
+        purchases, touches, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["channel"], tiebreak="event_id",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+    )
+
+
+def q_stream_transitions(spark, sf):
+    # live per-user transition chaining, batch-fallback twin: the same
+    # (src_type, dst_type, n_pairs) the applyInPandasWithState operator
+    # maintains with ONE state row per user; stream-vs-batch delta
+    # equality is locked by test_stream_event_transitions_matches_batch.
+    # New in r7.
+    from staticql_spark.streaming import stream_event_transitions
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return stream_event_transitions(ev)
+
+
 def q_hll_grouped_ndv(spark, sf):
     # per-event-type distinct-user HLL next to its exact twin — the
     # grouped cousin of hll_distinct: (grp, j) register build with
@@ -3559,6 +3598,7 @@ _R7_HEAD = [
     # new in r7 — zero driver signal by definition
     "events_retention_curve", "events_transitions", "events_funnel_steps",
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
+    "events_attribution_lasttouch", "stream_transitions",
 ]
 
 
@@ -3813,6 +3853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_psi": q_profile_psi,
         "ann_semantic_decon": q_ann_semantic_decon,
         "hll_grouped_ndv": q_hll_grouped_ndv,
+        "events_attribution_lasttouch": q_events_attribution_lasttouch,
+        "stream_transitions": q_stream_transitions,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -8618,6 +8660,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                    max(cosine) AS max_cosine
             FROM pairs WHERE cosine >= 0.3
             GROUP BY 1
+        """,
+        "events_attribution_lasttouch": """
+            WITH purchases AS (
+              SELECT user_id, ts, round(value * 100)::BIGINT AS cents
+              FROM events WHERE event_type = 'purchase'
+            ),
+            touches AS (
+              SELECT user_id, ts, event_type AS channel, event_id
+              FROM events WHERE event_type <> 'purchase'
+            ),
+            -- deterministic "last" at equal (user, ts): keep the max
+            -- event_id row first so ASOF matches asof_join's tiebreak
+            t1 AS (
+              SELECT user_id, ts, channel FROM (
+                SELECT user_id, ts, channel,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM touches
+              ) WHERE rn = 1
+            ),
+            j AS (
+              SELECT p.cents, t.channel
+              FROM purchases p
+              ASOF LEFT JOIN t1 t
+                ON p.user_id = t.user_id AND t.ts <= p.ts
+            )
+            SELECT coalesce(channel, '(none)') AS channel,
+                   count(*)::BIGINT AS n_purchases,
+                   round(sum(cents) / 100.0, 2) AS revenue
+            FROM j GROUP BY 1
+        """,
+        "stream_transitions": """
+            WITH seq AS (
+              SELECT event_type AS src_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS dst_type
+              FROM events
+            )
+            SELECT src_type, dst_type, count(*)::BIGINT AS n_pairs
+            FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

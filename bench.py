@@ -212,6 +212,8 @@ HEADLINE = [
     "profile_psi",
     "ann_semantic_decon",
     "hll_grouped_ndv",
+    "events_attribution_lasttouch",
+    "stream_transitions",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -947,3 +947,96 @@ def stream_hll_registers(
         .groupBy("grp", "j")
         .agg(F.max("rho").cast("int").alias("m_j"))
     )
+
+
+# ------------------------------------------------- live event transitions
+
+TRANSITIONS_SCHEMA = "src_type string, dst_type string, n_pairs long"
+_TRANS_STATE = "last_ts timestamp, last_order long, last_type string"
+
+
+def stream_event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Live first-order transition counts — the streaming twin of
+    :func:`~staticql_spark.operators.behavior.event_transitions`: per
+    user, chain each event to its predecessor and emit (src_type,
+    dst_type, n_pairs) DELTAS per micro-batch; summing a sink's rows per
+    pair reproduces the batch counts over everything ingested.
+
+    The custom-stateful-operator path (applyInPandasWithState): state per
+    user is ONE row — the (ts, order, type) of the user's latest event —
+    so state memory is O(active users), not O(events); each trigger
+    sorts only that user's new rows by (ts, order) and chains them onto
+    the stored tail.  Like every per-key chaining operator this assumes
+    per-user in-order arrival ACROSS micro-batches (the file/kafka
+    source's usual per-key ordering); a late event older than the stored
+    tail extends the chain in arrival order rather than re-sorting
+    history — the standard trade of keeping state bounded (re-sorting
+    would mean buffering per-user history forever).
+
+    Works on a batch frame too (the lead-window formulation, identical
+    counts), which is the twin-test / oracle path.
+    """
+    import pandas as pd
+
+    keyed = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("o"),
+        F.col(type_col).alias("et"),
+    )
+
+    if not keyed.isStreaming:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("u").orderBy("ts", "o")
+        pairs = (
+            keyed.withColumn("dst_type", F.lead("et").over(w))
+            .filter(F.col("dst_type").isNotNull())
+            .select(F.col("et").alias("src_type"), "dst_type")
+        )
+        return pairs.groupBy("src_type", "dst_type").agg(
+            F.count("*").cast("long").alias("n_pairs")
+        )
+
+    def update(key, pdf_iter, state):
+        (u,) = key
+        last = state.get if state.exists else None  # (ts, order, type)
+        counts: dict = {}
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "o"])
+            for ts, o, et in zip(pdf["ts"], pdf["o"], pdf["et"]):
+                if last is not None:
+                    k = (last[2], et)
+                    counts[k] = counts.get(k, 0) + 1
+                last = (ts, int(o), et)
+        if last is not None:
+            state.update((last[0], last[1], last[2]))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "src_type": [k[0] for k in counts],
+                    "dst_type": [k[1] for k in counts],
+                    "n_pairs": list(counts.values()),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # no watermark: NoTimeout state needs none, and load_events yields
+    # TIMESTAMP_NTZ (session-TZ-independent) which event-time watermarks
+    # reject — chaining is arrival-ordered per key, not event-time windowed
+    return keyed.groupBy("u").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_TRANS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

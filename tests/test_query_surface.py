@@ -405,3 +405,21 @@ def test_driver_contract_registry_is_total():
     # the rotation window COVERAGE.md describes (never-checked keys first)
     head = list(q)[:50]
     assert len(head) == 50
+
+
+def test_entry_module_has_no_shadowed_defs_or_keys():
+    """r7 regression guard: a duplicate `def q_*` silently replaces the
+    earlier function and a duplicate dict key silently drops a registry
+    row — both happened (events_retention / events_funnel /
+    events_attribution) when r7 re-used r5 names. Parse the source and
+    fail loudly instead."""
+    import collections
+    import re
+
+    src = open("__spark_entry__.py").read()
+    defs = re.findall(r"^def (q_[a-z0-9_]+)\(", src, re.M)
+    dup_defs = [k for k, c in collections.Counter(defs).items() if c > 1]
+    assert not dup_defs, f"shadowed query defs: {dup_defs}"
+    keys = re.findall(r'^\s+"([a-z0-9_]+)": q_', src, re.M)
+    dup_keys = [k for k, c in collections.Counter(keys).items() if c > 1]
+    assert not dup_keys, f"duplicate registry keys: {dup_keys}"

@@ -697,3 +697,48 @@ def test_stream_gopher_gate_matches_batch(spark, tmp_path):
     got = {r["source"]: r.asDict() for r in
            spark.sql("select * from gopher_gate_stream").collect()}
     assert got == want
+
+
+def test_stream_event_transitions_matches_batch(spark, tmp_path):
+    """Per-user transition chaining with one-row-per-user state: after a
+    2-micro-batch ts-ordered stream drains, summing the update-mode delta
+    rows per (src, dst) must equal the batch lead-window counts."""
+    import time
+
+    from staticql_spark.streaming import load_events, stream_event_transitions
+
+    ev = load_events(spark, f"{SF_SMOKE}/events.parquet")
+    want = {
+        (r["src_type"], r["dst_type"]): r["n_pairs"]
+        for r in stream_event_transitions(ev).collect()
+    }
+
+    drops = str(tmp_path / "tdrops")
+    split = "2024-01-15"
+    first = ev.filter(F.col("ts") <= F.lit(split).cast("timestamp_ntz"))
+    second = ev.filter(F.col("ts") > F.lit(split).cast("timestamp_ntz"))
+    # per-user in-order arrival across micro-batches: write the earlier
+    # half first with a distinct mtime so the file source triggers in order
+    first.coalesce(1).write.mode("append").parquet(drops)
+    time.sleep(1.2)
+    second.coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_event_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("transitions_stream")
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from transitions_stream").collect():
+        k = (r["src_type"], r["dst_type"])
+        got[k] = got.get(k, 0) + r["n_pairs"]
+    assert got == want
