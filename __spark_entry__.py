@@ -3478,15 +3478,6 @@ def q_events_retention_curve(spark, sf):
     return retention_matrix(ev, max_age_days=30)
 
 
-def q_events_transitions(spark, sf):
-    # first-order Markov transition matrix over per-user event chains:
-    # P(next | current), deterministic (ts, event_id) ordering. ONE
-    # user-key window pass + a |types|^2 aggregate. New in r7.
-    from staticql_spark.operators.behavior import event_transitions
-
-    ev = load_events(spark, f"{sf}/events.parquet")
-    return event_transitions(ev)
-
 
 def q_events_funnel_steps(spark, sf):
     # ordered 4-step funnel (signup -> view -> click -> purchase), one
@@ -3596,7 +3587,7 @@ _R7_HEAD = [
     "hll_distinct", "hll_union", "events_seasonality",
     "events_ldiversity", "doc_vocab_growth", "source_ablation",
     # new in r7 — zero driver signal by definition
-    "events_retention_curve", "events_transitions", "events_funnel_steps",
+    "events_retention_curve", "events_funnel_steps",
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
 ]
@@ -3848,7 +3839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_ablation": q_source_ablation,
         # --- new in r7 ---
         "events_retention_curve": q_events_retention_curve,
-        "events_transitions": q_events_transitions,
         "events_funnel_steps": q_events_funnel_steps,
         "profile_psi": q_profile_psi,
         "ann_semantic_decon": q_ann_semantic_decon,
@@ -8528,22 +8518,6 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(n_active::DOUBLE
                          / max(CASE WHEN age = 0 THEN n_active END)
                              OVER (PARTITION BY cohort_day), 6) AS retention
-            FROM counts
-        """,
-        "events_transitions": """
-            WITH seq AS (
-              SELECT event_type AS src_type,
-                     lead(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS dst_type
-              FROM events
-            ),
-            counts AS (
-              SELECT src_type, dst_type, count(*)::BIGINT AS n_pairs
-              FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
-            )
-            SELECT src_type, dst_type, n_pairs,
-                   round(n_pairs::DOUBLE
-                         / sum(n_pairs) OVER (PARTITION BY src_type), 6) AS p
             FROM counts
         """,
         "events_funnel_steps": """

@@ -207,7 +207,6 @@ HEADLINE = [
     "source_ablation",
     # new in r7
     "events_retention_curve",
-    "events_transitions",
     "events_funnel_steps",
     "profile_psi",
     "ann_semantic_decon",

@@ -1,5 +1,7 @@
-"""User-behavior analytics over event logs — cohort retention, event
-transition chains, and ordered funnels.
+"""User-behavior analytics over event logs — cohort retention and
+ordered funnels.  (The first-order transition matrix lives as the
+`events_markov` entry composition and its stateful streaming twin
+`streaming.stream_event_transitions` — not duplicated here.)
 
 The product-analytics layer a training-data pipeline's upstream event
 store answers questions from (parity surface: the reference's events
@@ -69,45 +71,6 @@ def retention_matrix(
         F.round(F.col("n_active") / size, 6).alias("retention"),
     )
 
-
-def event_transitions(
-    df: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    order_col: str = "event_id",
-) -> DataFrame:
-    """First-order Markov transition report over per-user event chains:
-    (src_type, dst_type, n_pairs, p) where ``p`` is the row-normalized
-    transition probability P(next = dst | current = src).
-
-    The behavioral fingerprint layer: bot traffic shows near-degenerate
-    rows (one dominant transition), organic users spread mass — and the
-    matrix is the input to next-event prediction baselines.  Ordering
-    within a user is (ts, order_col) so timestamp ties cannot flip
-    neighbors between engines.
-
-    Scale: ONE user-key window pass over (user, ts, order, type) — the
-    only columns shuffled — then a map-side-combined pair count; output
-    is |types|^2 rows.  The per-source normalizer is a window over that
-    tiny frame, not a second aggregate.
-    """
-    w = W.partitionBy(user_col).orderBy(ts_col, order_col)
-    pairs = (
-        df.select(user_col, ts_col, order_col, F.col(type_col).alias("src_type"))
-        .withColumn("dst_type", F.lead("src_type").over(w))
-        .filter(F.col("dst_type").isNotNull())
-    )
-    counts = pairs.groupBy("src_type", "dst_type").agg(
-        F.count("*").cast("long").alias("n_pairs")
-    )
-    total = F.sum("n_pairs").over(W.partitionBy("src_type"))
-    return counts.select(
-        "src_type",
-        "dst_type",
-        "n_pairs",
-        F.round(F.col("n_pairs") / total, 6).alias("p"),
-    )
 
 
 def funnel_report(

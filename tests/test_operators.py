@@ -2654,27 +2654,6 @@ def test_retention_matrix_cohorts_and_rates(spark):
     assert len(got) == 4
 
 
-def test_event_transitions_probabilities(spark):
-    from staticql_spark.operators.behavior import event_transitions
-
-    rows = [
-        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
-        (2, 1, "a"), (2, 2, "b"),
-        (3, 1, "a"), (3, 2, "c"),
-    ]
-    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"]).select(
-        "user_id", "event_id", "event_type",
-        F.timestamp_seconds(F.col("event_id") * 60).alias("ts"),
-    )
-    got = {
-        (r["src_type"], r["dst_type"]): (r["n_pairs"], r["p"])
-        for r in event_transitions(df).collect()
-    }
-    assert got[("a", "b")] == (2, round(2 / 3, 6))
-    assert got[("a", "c")] == (1, round(1 / 3, 6))
-    assert got[("b", "a")] == (1, 1.0)
-    assert len(got) == 3
-
 
 def test_funnel_report_ordered_steps(spark):
     from staticql_spark.operators.behavior import funnel_report

@@ -611,13 +611,6 @@ def test_retention_matrix_join_free(spark):
     assert p.count("Window") >= 2, p  # cohort min + age-0 cohort size
 
 
-def test_event_transitions_single_stream_pass(spark):
-    # one user-key window pass over the event stream, then tiny aggs:
-    # exactly one exchange carries raw-event-sized rows (the user key)
-    p = plan(entrymod.q_events_transitions(spark, SF_SMOKE))
-    assert "Join" not in p and "CartesianProduct" not in p, p
-    assert p.count("hashpartitioning(user_id") == 1, p
-
 
 def test_funnel_steps_reuses_user_key_no_collect(spark):
     # every stage is a keyed MIN + equi join on the same user key; no
