@@ -3562,6 +3562,15 @@ def q_stream_transitions(spark, sf):
     return stream_event_transitions(ev)
 
 
+def q_embedding_debias(spark, sf):
+    # all-but-the-top post-processing (Mu & Viswanath 2018): center,
+    # remove the dominant principal direction; per-vector (proj,
+    # norm_before, norm_after) audit rows. Exact primitives end-to-end:
+    # decimal corpus mean + decimal-Gram power iteration, per-row math
+    # on the 6dp-rounded pc. New in r7.
+    return similarity.debias_top_pc(_t(spark, sf, "embeddings"), iters=2)
+
+
 def q_hll_grouped_ndv(spark, sf):
     # per-event-type distinct-user HLL next to its exact twin — the
     # grouped cousin of hll_distinct: (grp, j) register build with
@@ -3590,6 +3599,7 @@ _R7_HEAD = [
     "events_retention_curve", "events_funnel_steps",
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
+    "embedding_debias",
 ]
 
 
@@ -3845,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_grouped_ndv": q_hll_grouped_ndv,
         "events_attribution_lasttouch": q_events_attribution_lasttouch,
         "stream_transitions": q_stream_transitions,
+        "embedding_debias": q_embedding_debias,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -4911,6 +4922,37 @@ def _hll_grouped_sql(hash_cte: str, exact_cte: str) -> str:
                    e.exact_ndv
             FROM c JOIN e USING (grp)
     """
+
+
+def _power_pc_ctes(src_cte: str, dim: int, iters: int) -> str:
+    """Unrolled power-iteration CTE chain ending in ``v{iters}`` — the
+    exact SQL twin of similarity.power_iteration_pc: per-dim Gram sums
+    fold 6dp-rounded terms in DECIMAL(27,6) (summation-order-free, the
+    r7 hardening), normalization in double.  ``src_cte`` must yield a
+    column ``x`` (DOUBLE[])."""
+    init = 1.0 / dim ** 0.5
+    init_arr = "[" + ", ".join(repr(init) for _ in range(dim)) + "]::DOUBLE[]"
+    parts = [f"pcemb AS ({src_cte})"]
+    for it in range(1, iters + 1):
+        if it == 1:
+            parts.append(
+                f"p{it} AS (SELECT x, list_dot_product(x, {init_arr}) AS d FROM pcemb)"
+            )
+        else:
+            parts.append(
+                f"p{it} AS (SELECT e.x AS x, list_dot_product(e.x, v{it-1}.v) AS d "
+                f"FROM pcemb e, v{it-1})"
+            )
+        sums = ", ".join(
+            f"CAST(sum(CAST(round(x[{j + 1}] * d, 6) AS DECIMAL(27,6))) AS DOUBLE)"
+            for j in range(dim)
+        )
+        parts.append(f"s{it} AS (SELECT [{sums}] AS s FROM p{it})")
+        parts.append(
+            f"v{it} AS (SELECT list_transform(s, "
+            f"e -> e / sqrt(list_dot_product(s, s))) AS v FROM s{it})"
+        )
+    return ",\n            ".join(parts)
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -6504,14 +6546,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                    cluster_size * count(*) AS n_docs
             FROM csizes GROUP BY cluster_size
         """,
-        "embedding_top_pc": """
-            WITH emb AS (SELECT embedding::DOUBLE[] AS x FROM embeddings),
-            p1 AS (SELECT x, list_dot_product(x, [0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125]::DOUBLE[]) AS d FROM emb),
-            s1 AS (SELECT [sum(x[1] * d), sum(x[2] * d), sum(x[3] * d), sum(x[4] * d), sum(x[5] * d), sum(x[6] * d), sum(x[7] * d), sum(x[8] * d), sum(x[9] * d), sum(x[10] * d), sum(x[11] * d), sum(x[12] * d), sum(x[13] * d), sum(x[14] * d), sum(x[15] * d), sum(x[16] * d), sum(x[17] * d), sum(x[18] * d), sum(x[19] * d), sum(x[20] * d), sum(x[21] * d), sum(x[22] * d), sum(x[23] * d), sum(x[24] * d), sum(x[25] * d), sum(x[26] * d), sum(x[27] * d), sum(x[28] * d), sum(x[29] * d), sum(x[30] * d), sum(x[31] * d), sum(x[32] * d), sum(x[33] * d), sum(x[34] * d), sum(x[35] * d), sum(x[36] * d), sum(x[37] * d), sum(x[38] * d), sum(x[39] * d), sum(x[40] * d), sum(x[41] * d), sum(x[42] * d), sum(x[43] * d), sum(x[44] * d), sum(x[45] * d), sum(x[46] * d), sum(x[47] * d), sum(x[48] * d), sum(x[49] * d), sum(x[50] * d), sum(x[51] * d), sum(x[52] * d), sum(x[53] * d), sum(x[54] * d), sum(x[55] * d), sum(x[56] * d), sum(x[57] * d), sum(x[58] * d), sum(x[59] * d), sum(x[60] * d), sum(x[61] * d), sum(x[62] * d), sum(x[63] * d), sum(x[64] * d)] AS s FROM p1),
-            v1 AS (SELECT list_transform(s, e -> e / sqrt(list_dot_product(s, s))) AS v FROM s1),
-            p2 AS (SELECT e.x, list_dot_product(e.x, v1.v) AS d FROM emb e, v1),
-            s2 AS (SELECT [sum(x[1] * d), sum(x[2] * d), sum(x[3] * d), sum(x[4] * d), sum(x[5] * d), sum(x[6] * d), sum(x[7] * d), sum(x[8] * d), sum(x[9] * d), sum(x[10] * d), sum(x[11] * d), sum(x[12] * d), sum(x[13] * d), sum(x[14] * d), sum(x[15] * d), sum(x[16] * d), sum(x[17] * d), sum(x[18] * d), sum(x[19] * d), sum(x[20] * d), sum(x[21] * d), sum(x[22] * d), sum(x[23] * d), sum(x[24] * d), sum(x[25] * d), sum(x[26] * d), sum(x[27] * d), sum(x[28] * d), sum(x[29] * d), sum(x[30] * d), sum(x[31] * d), sum(x[32] * d), sum(x[33] * d), sum(x[34] * d), sum(x[35] * d), sum(x[36] * d), sum(x[37] * d), sum(x[38] * d), sum(x[39] * d), sum(x[40] * d), sum(x[41] * d), sum(x[42] * d), sum(x[43] * d), sum(x[44] * d), sum(x[45] * d), sum(x[46] * d), sum(x[47] * d), sum(x[48] * d), sum(x[49] * d), sum(x[50] * d), sum(x[51] * d), sum(x[52] * d), sum(x[53] * d), sum(x[54] * d), sum(x[55] * d), sum(x[56] * d), sum(x[57] * d), sum(x[58] * d), sum(x[59] * d), sum(x[60] * d), sum(x[61] * d), sum(x[62] * d), sum(x[63] * d), sum(x[64] * d)] AS s FROM p2),
-            v2 AS (SELECT list_transform(s, e -> e / sqrt(list_dot_product(s, s))) AS v FROM s2)
+        "embedding_top_pc": f"""
+            WITH {_power_pc_ctes("SELECT embedding::DOUBLE[] AS x FROM embeddings", 64, 2)}
             SELECT unnest(range(0, 64))::INT AS dim_idx,
                    round(v[unnest(range(0, 64)) + 1], 6) AS component
             FROM v2
@@ -8674,6 +8710,23 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT src_type, dst_type, count(*)::BIGINT AS n_pairs
             FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "embedding_debias": f"""
+            WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+            mu AS (SELECT [CAST(sum(CAST(round(x[1], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[2], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[3], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[4], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[5], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[6], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[7], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[8], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[9], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[10], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[11], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[12], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[13], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[14], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[15], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[16], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[17], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[18], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[19], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[20], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[21], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[22], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[23], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[24], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[25], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[26], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[27], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[28], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[29], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[30], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[31], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[32], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[33], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[34], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[35], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[36], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[37], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[38], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[39], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[40], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[41], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[42], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[43], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[44], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[45], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[46], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[47], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[48], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[49], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[50], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[51], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[52], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[53], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[54], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[55], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[56], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[57], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[58], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[59], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[60], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[61], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[62], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[63], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*), CAST(sum(CAST(round(x[64], 6) AS DECIMAL(27,6))) AS DOUBLE) / count(*)] AS m FROM emb0),
+            cent AS (SELECT vec_id, [x[1] - m[1], x[2] - m[2], x[3] - m[3], x[4] - m[4], x[5] - m[5], x[6] - m[6], x[7] - m[7], x[8] - m[8], x[9] - m[9], x[10] - m[10], x[11] - m[11], x[12] - m[12], x[13] - m[13], x[14] - m[14], x[15] - m[15], x[16] - m[16], x[17] - m[17], x[18] - m[18], x[19] - m[19], x[20] - m[20], x[21] - m[21], x[22] - m[22], x[23] - m[23], x[24] - m[24], x[25] - m[25], x[26] - m[26], x[27] - m[27], x[28] - m[28], x[29] - m[29], x[30] - m[30], x[31] - m[31], x[32] - m[32], x[33] - m[33], x[34] - m[34], x[35] - m[35], x[36] - m[36], x[37] - m[37], x[38] - m[38], x[39] - m[39], x[40] - m[40], x[41] - m[41], x[42] - m[42], x[43] - m[43], x[44] - m[44], x[45] - m[45], x[46] - m[46], x[47] - m[47], x[48] - m[48], x[49] - m[49], x[50] - m[50], x[51] - m[51], x[52] - m[52], x[53] - m[53], x[54] - m[54], x[55] - m[55], x[56] - m[56], x[57] - m[57], x[58] - m[58], x[59] - m[59], x[60] - m[60], x[61] - m[61], x[62] - m[62], x[63] - m[63], x[64] - m[64]] AS x FROM emb0, mu),
+            {_power_pc_ctes("SELECT x FROM cent", 64, 2)},
+            pcr AS (SELECT list_transform(v, e -> round(e, 6)) AS v FROM v2),
+            j AS (
+              SELECT c.vec_id, c.x AS c, p.v,
+                     round(list_dot_product(c.x, p.v), 6) AS proj
+              FROM cent c, pcr p
+            ),
+            k AS (SELECT vec_id, proj, c, [c[1] - proj * v[1], c[2] - proj * v[2], c[3] - proj * v[3], c[4] - proj * v[4], c[5] - proj * v[5], c[6] - proj * v[6], c[7] - proj * v[7], c[8] - proj * v[8], c[9] - proj * v[9], c[10] - proj * v[10], c[11] - proj * v[11], c[12] - proj * v[12], c[13] - proj * v[13], c[14] - proj * v[14], c[15] - proj * v[15], c[16] - proj * v[16], c[17] - proj * v[17], c[18] - proj * v[18], c[19] - proj * v[19], c[20] - proj * v[20], c[21] - proj * v[21], c[22] - proj * v[22], c[23] - proj * v[23], c[24] - proj * v[24], c[25] - proj * v[25], c[26] - proj * v[26], c[27] - proj * v[27], c[28] - proj * v[28], c[29] - proj * v[29], c[30] - proj * v[30], c[31] - proj * v[31], c[32] - proj * v[32], c[33] - proj * v[33], c[34] - proj * v[34], c[35] - proj * v[35], c[36] - proj * v[36], c[37] - proj * v[37], c[38] - proj * v[38], c[39] - proj * v[39], c[40] - proj * v[40], c[41] - proj * v[41], c[42] - proj * v[42], c[43] - proj * v[43], c[44] - proj * v[44], c[45] - proj * v[45], c[46] - proj * v[46], c[47] - proj * v[47], c[48] - proj * v[48], c[49] - proj * v[49], c[50] - proj * v[50], c[51] - proj * v[51], c[52] - proj * v[52], c[53] - proj * v[53], c[54] - proj * v[54], c[55] - proj * v[55], c[56] - proj * v[56], c[57] - proj * v[57], c[58] - proj * v[58], c[59] - proj * v[59], c[60] - proj * v[60], c[61] - proj * v[61], c[62] - proj * v[62], c[63] - proj * v[63], c[64] - proj * v[64]] AS r FROM j)
+            SELECT vec_id, proj,
+                   round(sqrt(list_dot_product(c, c)), 6) AS norm_before,
+                   round(sqrt(list_dot_product(r, r)), 6) AS norm_after
+            FROM k
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

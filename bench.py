@@ -213,6 +213,7 @@ HEADLINE = [
     "hll_grouped_ndv",
     "events_attribution_lasttouch",
     "stream_transitions",
+    "embedding_debias",
 ]
 
 # CORE: the stable subset whose per-query numbers ride in the compact

@@ -615,6 +615,11 @@ def power_iteration_pc(
     kmeans_fit/pagerank, a FIXED small ``iters`` keeps the whole sweep
     SQL-expressible by unrolling, so the driver query is fully
     oracle-checked.  Returns one row: (pc array rounded 6, iterations).
+
+    The per-dim Gram sums fold in DECIMAL(27,6) over 6dp-rounded terms
+    (r7 hardening) — a plain float sum is partition-order sensitive, the
+    exact latent-hazard class that flipped embedding_class_sep in r6;
+    the per-row term x_j·d stays IEEE (deterministic in-row).
     """
     vecs = ensure_parallelism(corpus).select(as_double(F.col(vec_col)).alias("x"))
     if dim is None:
@@ -628,9 +633,14 @@ def power_iteration_pc(
             "x", dot(F.col("x"), F.col("v")).alias("d")
         )
         s = proj.agg(
-            F.array(*[F.sum(F.col("x")[j] * F.col("d")) for j in range(dim)]).alias(
-                "s"
-            )
+            F.array(
+                *[
+                    F.sum(
+                        F.round(F.col("x")[j] * F.col("d"), 6).cast("decimal(27,6)")
+                    ).cast("double")
+                    for j in range(dim)
+                ]
+            ).alias("s")
         )
         v = s.select(
             F.transform(
@@ -640,6 +650,60 @@ def power_iteration_pc(
     return v.select(
         F.transform(F.col("v"), lambda e: F.round(e, 6)).alias("pc"),
         F.lit(iters).alias("iterations"),
+    )
+
+
+def debias_top_pc(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+    publicly documented): center the corpus, then remove each vector's
+    component along the dominant principal direction — the standard
+    anisotropy fix that makes cosine similarities discriminative again.
+    Returns one row per vector: (id, proj, norm_before, norm_after),
+    all rounded to 6 — proj is the removed component, the norms audit
+    how much mass the top direction carried.
+
+    Composition of the repo's exact primitives: the corpus mean folds
+    in DECIMAL(27,6) (:func:`decimal_mean_array` — summation-order-free)
+    and the direction comes from :func:`power_iteration_pc` over the
+    CENTERED vectors (decimal Gram sums, fixed ``iters`` so the whole
+    sweep unrolls into the oracle).  Per-vector math consumes the
+    6dp-ROUNDED pc and proj, so given the (driver-checked) pc every
+    output value is one deterministic in-row IEEE expression.
+
+    Scale: two corpus passes per iteration plus one scoring pass; the
+    mean, pc, and every intermediate that crosses the wire is a 1-row
+    dim-length array — vectors themselves never shuffle.
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("__vid"), as_double(F.col(vec_col)).alias("x")
+    )
+    if dim is None:
+        dim = len(vecs.select("x").first()["x"])
+    mu = vecs.agg(decimal_mean_array(F.col("x"), dim).alias("m"))
+    centered = vecs.crossJoin(F.broadcast(mu)).select(
+        "__vid", F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b).alias("c")
+    )
+    pc = power_iteration_pc(centered, vec_col="c", id_col="__vid", iters=iters, dim=dim)
+    out = centered.crossJoin(F.broadcast(pc.select("pc"))).select(
+        F.col("__vid").alias(id_col),
+        "c",
+        "pc",
+        F.round(dot(F.col("c"), F.col("pc")), 6).alias("proj"),
+    )
+    resid = F.zip_with(
+        F.col("c"), F.col("pc"), lambda ce, ve: ce - F.col("proj") * ve
+    )
+    return out.select(
+        id_col,
+        "proj",
+        F.round(norm(F.col("c")), 6).alias("norm_before"),
+        F.round(norm(resid), 6).alias("norm_after"),
     )
 
 

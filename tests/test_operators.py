@@ -2719,3 +2719,21 @@ def test_cross_neardup_flags_only_matching_corpus_vectors(spark):
     assert set(got) == {(10, 90), (11, 90)}
     assert got[(10, 90)] == 1.0
     assert got[(11, 90)] > 0.99
+
+
+def test_debias_top_pc_removes_dominant_component(spark):
+    from staticql_spark.operators.similarity import debias_top_pc
+
+    # 3 clusters along dim0 (the dominant direction) + small dim1 noise:
+    # removing the top PC must shrink every centered norm, and the dim0
+    # spread (the proj column) must carry nearly all of it
+    rows = [(i, [float(10 * (i % 3) - 10), float(0.1 * (i % 5))] + [0.0] * 6)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = debias_top_pc(df, iters=2, dim=8).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["norm_after"] <= r["norm_before"] + 1e-9
+    # the dominant direction is ~dim0: after removal almost nothing left
+    assert max(r["norm_after"] for r in out) < 0.3
+    assert max(abs(r["proj"]) for r in out) > 5.0
