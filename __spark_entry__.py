@@ -3562,6 +3562,18 @@ def q_stream_transitions(spark, sf):
     return stream_event_transitions(ev)
 
 
+def q_profile_psi_by_lang(spark, sf):
+    # per-stratum PSI drill-down: WHICH language segment drifted, on the
+    # same global decile grid as profile_psi (shared edges keep strata
+    # comparable; per-stratum smoothing keeps small segments finite).
+    # New in r7.
+    from staticql_spark.operators.profile import grouped_psi
+
+    docs = _t(spark, sf, "documents")
+    v2 = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("n_chars") <= 400))
+    return grouped_psi(docs, v2, "n_chars", "lang")
+
+
 def q_embedding_debias(spark, sf):
     # all-but-the-top post-processing (Mu & Viswanath 2018): center,
     # remove the dominant principal direction; per-vector (proj,
@@ -3599,7 +3611,7 @@ _R7_HEAD = [
     "events_retention_curve", "events_funnel_steps",
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
-    "embedding_debias",
+    "embedding_debias", "profile_psi_by_lang",
 ]
 
 
@@ -3856,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_lasttouch": q_events_attribution_lasttouch,
         "stream_transitions": q_stream_transitions,
         "embedding_debias": q_embedding_debias,
+        "profile_psi_by_lang": q_profile_psi_by_lang,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -8727,6 +8740,67 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sqrt(list_dot_product(c, c)), 6) AS norm_before,
                    round(sqrt(list_dot_product(r, r)), 6) AS norm_after
             FROM k
+        """,
+        "profile_psi_by_lang": """
+            WITH v AS (
+              SELECT n_chars::DOUBLE AS x, lang FROM documents
+              WHERE n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                     count(*) OVER () AS n
+              FROM v
+            ),
+            edges AS (
+              SELECT DISTINCT r.x AS e
+              FROM (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                           (0.6), (0.7), (0.8), (0.9)) t(q)
+              JOIN r ON r.rn = greatest(ceil(q * r.n), 1)
+            ),
+            nv AS (
+              SELECT n_chars::DOUBLE AS x, lang FROM documents
+              WHERE doc_id % 10 <> 0 AND n_chars <= 400 AND n_chars IS NOT NULL
+            ),
+            ob AS (SELECT lang AS stratum,
+                          (1 + (SELECT count(*) FROM edges WHERE x > e))::BIGINT
+                            AS bucket
+                   FROM v WHERE lang IS NOT NULL),
+            nb AS (SELECT lang AS stratum,
+                          (1 + (SELECT count(*) FROM edges WHERE x > e))::BIGINT
+                            AS bucket
+                   FROM nv WHERE lang IS NOT NULL),
+            bks AS (
+              SELECT unnest(range(1, (SELECT count(*) FROM edges)::BIGINT + 2))
+                     ::BIGINT AS bucket
+            ),
+            co AS (SELECT stratum, bucket, count(*)::BIGINT AS n_old
+                   FROM ob GROUP BY 1, 2),
+            cn AS (SELECT stratum, bucket, count(*)::BIGINT AS n_new
+                   FROM nb GROUP BY 1, 2),
+            strata AS (SELECT stratum FROM co UNION SELECT stratum FROM cn),
+            grid AS (SELECT s.stratum, b.bucket FROM strata s, bks b),
+            cells AS (
+              SELECT g.stratum, g.bucket,
+                     coalesce(co.n_old, 0)::BIGINT AS n_old,
+                     coalesce(cn.n_new, 0)::BIGINT AS n_new
+              FROM grid g
+              LEFT JOIN co ON co.stratum = g.stratum AND co.bucket = g.bucket
+              LEFT JOIN cn ON cn.stratum = g.stratum AND cn.bucket = g.bucket
+            ),
+            p AS (
+              SELECT stratum, bucket, n_old, n_new,
+                     (n_old + 0.5) / (sum(n_old) OVER (PARTITION BY stratum)::DOUBLE
+                                      + 0.5 * count(*) OVER (PARTITION BY stratum))
+                       AS po,
+                     (n_new + 0.5) / (sum(n_new) OVER (PARTITION BY stratum)::DOUBLE
+                                      + 0.5 * count(*) OVER (PARTITION BY stratum))
+                       AS pn
+              FROM cells
+            )
+            SELECT stratum, bucket, n_old, n_new,
+                   round(po, 6) AS p_old, round(pn, 6) AS p_new,
+                   round((po - pn) * ln(po / pn), 6) AS psi_term
+            FROM p
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

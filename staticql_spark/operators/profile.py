@@ -502,3 +502,91 @@ def numeric_psi(
             (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
         ).alias("psi_term"),
     )
+
+
+def grouped_psi(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    strata_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-stratum PSI — :func:`numeric_psi` with a stratum key: which
+    SEGMENT drifted, not just whether the corpus did (the per-source /
+    per-language drill-down a drift alert needs before anyone re-trains
+    anything).  Bucket edges stay GLOBAL (the old snapshot's corpus-wide
+    exact quantiles), so strata are comparable: a stratum's psi_term
+    measures its movement against the same grid as every other stratum.
+
+    One row per (stratum, bucket): (stratum, bucket, n_old, n_new,
+    p_old, p_new, psi_term); sum(psi_term) per stratum is that
+    segment's PSI.  Shares are +0.5 Laplace-smoothed within the
+    stratum, so segments of very different sizes still yield finite,
+    comparable terms.
+
+    Scale: identical to numeric_psi — the edge collect is bounded, each
+    snapshot takes one map-side-combined (stratum, bucket) count, and
+    the per-stratum totals are windows over the |strata| x |buckets|
+    cell frame, never a rescan.
+    """
+    qs = [k / n_buckets for k in range(1, n_buckets)]
+    edges = sorted(
+        {r["value"] for r in exact_quantiles(old, col, qs).collect()}
+    )
+    spark = old.sparkSession
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.lit(1)
+        for e in edges:
+            b = b + (x > F.lit(float(e))).cast("int")
+        return (
+            df.filter(x.isNotNull() & F.col(strata_col).isNotNull())
+            .groupBy(
+                F.col(strata_col).alias("stratum"),
+                b.cast("long").alias("bucket"),
+            )
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    co = bucket_counts(old, "n_old")
+    cn = bucket_counts(new, "n_new")
+    strata = co.select("stratum").union(cn.select("stratum")).distinct()
+    all_buckets = spark.range(1, len(edges) + 2).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    grid = strata.crossJoin(all_buckets)
+    cells = (
+        grid.join(co, ["stratum", "bucket"], "left")
+        .join(cn, ["stratum", "bucket"], "left")
+        .select(
+            "stratum",
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    w = Window.partitionBy("stratum")
+    sm = F.lit(0.5)
+    to = F.sum("n_old").over(w).cast("double")
+    tn = F.sum("n_new").over(w).cast("double")
+    nb = F.count("*").over(w).cast("double")
+    p = cells.select(
+        "stratum",
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + sm) / (to + sm * nb)).alias("__po"),
+        ((F.col("n_new") + sm) / (tn + sm * nb)).alias("__pn"),
+    )
+    return p.select(
+        "stratum",
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(F.col("__po"), 6).alias("p_old"),
+        F.round(F.col("__pn"), 6).alias("p_new"),
+        F.round(
+            (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
+        ).alias("psi_term"),
+    )

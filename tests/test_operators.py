@@ -2737,3 +2737,23 @@ def test_debias_top_pc_removes_dominant_component(spark):
     # the dominant direction is ~dim0: after removal almost nothing left
     assert max(r["norm_after"] for r in out) < 0.3
     assert max(abs(r["proj"]) for r in out) > 5.0
+
+
+def test_grouped_psi_shared_edges_and_per_stratum_smoothing(spark):
+    from staticql_spark.operators.profile import grouped_psi, numeric_psi
+
+    old = spark.range(1, 101).select(
+        F.col("id").cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    # stratum a drifts (upper half removed), stratum b unchanged
+    new = old.filter((F.col("g") == "b") | (F.col("x") <= 50))
+    out = grouped_psi(old, new, "x", "g").collect()
+    psi = {}
+    for r in out:
+        psi[r["stratum"]] = psi.get(r["stratum"], 0.0) + r["psi_term"]
+    assert psi["a"] > 0.25          # the drifted segment fires
+    assert abs(psi["b"]) < 0.01     # the stable one stays near zero
+    # global edges: both strata share the same bucket grid
+    assert len({r["bucket"] for r in out}) == 10
+    assert len(out) == 20
