@@ -3562,6 +3562,29 @@ def q_stream_transitions(spark, sf):
     return stream_event_transitions(ev)
 
 
+def q_events_session_paths(spark, sf):
+    # top-20 session paths (first 5 event types per 30-min-gap session)
+    # — the multi-step route report the per-edge markov matrix can't
+    # see; lag-gap sessions in exact integer microseconds, (count desc,
+    # path asc) deterministic rank. New in r7.
+    from staticql_spark.operators.behavior import session_paths
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return session_paths(ev, gap_minutes=30, max_len=5, top_k=20)
+
+
+def q_stream_funnel(spark, sf):
+    # live ordered funnel, batch-fallback twin: per-user greedy stage
+    # automaton (applyInPandasWithState, ONE (stage, t) state row per
+    # user) whose summed deltas equal the batch chain-of-MINs counts;
+    # stream-vs-batch locked by test_stream_funnel_matches_batch. New
+    # in r7.
+    from staticql_spark.streaming import stream_funnel
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return stream_funnel(ev, ["signup", "view", "click", "purchase"])
+
+
 def q_profile_psi_by_lang(spark, sf):
     # per-stratum PSI drill-down: WHICH language segment drifted, on the
     # same global decile grid as profile_psi (shared edges keep strata
@@ -3611,7 +3634,8 @@ _R7_HEAD = [
     "events_retention_curve", "events_funnel_steps",
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
-    "embedding_debias", "profile_psi_by_lang",
+    "embedding_debias", "profile_psi_by_lang", "stream_funnel",
+    "events_session_paths",
 ]
 
 
@@ -3869,6 +3893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transitions": q_stream_transitions,
         "embedding_debias": q_embedding_debias,
         "profile_psi_by_lang": q_profile_psi_by_lang,
+        "stream_funnel": q_stream_funnel,
+        "events_session_paths": q_events_session_paths,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -8801,6 +8827,62 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(po, 6) AS p_old, round(pn, 6) AS p_new,
                    round((po - pn) * ln(po / pn), 6) AS psi_term
             FROM p
+        """,
+        "stream_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t
+              WHERE e.event_type = 'view' GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s3 ON s3.user_id = e.user_id AND e.ts >= s3.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 1::INT AS step_idx, (SELECT count(*) FROM s1)::BIGINT AS n_advanced
+            UNION ALL SELECT 2::INT, (SELECT count(*) FROM s2)::BIGINT
+            UNION ALL SELECT 3::INT, (SELECT count(*) FROM s3)::BIGINT
+            UNION ALL SELECT 4::INT, (SELECT count(*) FROM s4)::BIGINT
+        """,
+        "events_session_paths": """
+            WITH seq AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('microsecond', lag(ts) OVER w, ts)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM seq
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                           ORDER BY ts, event_id) AS rn
+              FROM sess
+            ),
+            paths AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+            )
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM paths GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC
+            LIMIT 20
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

@@ -141,3 +141,65 @@ def funnel_report(
             "conv_from_first"
         ),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session paths: gap-sessionize each user's stream, take each
+    session's first ``max_len`` event types in (ts, order) order as a
+    ``a>b>c`` path string, count sessions per path — the "how do users
+    actually move" report next to the per-edge transition matrix
+    (events_markov), which can't see multi-step routes.
+
+    Session boundaries are the lag-gap rule (new session when the gap to
+    the previous event exceeds ``gap_minutes``), computed in exact
+    integer microseconds so both engines cut identically.  The per-
+    session event collect is bounded by the session itself (gap-bounded,
+    inherently short) TIMES nothing — only (ts, order, type) triples are
+    collected, and the path truncates at ``max_len``.  Ranking is
+    (count desc, path asc) — deterministic at the top_k boundary.
+
+    Scale: one user-key window pass (two window functions share the
+    frame), one (user, session) aggregate, one path count — all
+    map-side combined; output is ``top_k`` rows.
+    """
+    from .asof import epoch_us
+
+    w = W.partitionBy(user_col).orderBy(ts_col, order_col)
+    us = epoch_us(df, ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    seq = df.select(
+        F.col(user_col).alias("u"),
+        us.alias("e"),
+        F.col(order_col).alias("o"),
+        F.col(type_col).alias("et"),
+    )
+    w = W.partitionBy("u").orderBy("e", "o")
+    seq = seq.withColumn(
+        "ns",
+        F.when(
+            F.lag("e").over(w).isNull()
+            | ((F.col("e") - F.lag("e").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    sessions = seq.groupBy("u", "sid").agg(
+        F.sort_array(F.collect_list(F.struct("e", "o", "et"))).alias("evs")
+    )
+    path = F.concat_ws(
+        ">", F.transform(F.slice(F.col("evs"), 1, max_len), lambda s: s["et"])
+    )
+    counts = sessions.select(path.alias("path")).groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)

@@ -1040,3 +1040,92 @@ def stream_event_transitions(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- live funnel stages
+
+FUNNEL_SCHEMA = "step_idx int, n_advanced long"
+_FUNNEL_STATE = "stage int, t timestamp"
+
+
+def stream_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Live ordered-funnel counts — the streaming twin of
+    :func:`~staticql_spark.operators.behavior.funnel_report`: per user a
+    greedy stage automaton advances when the next expected step type
+    arrives at/after the previous stage's time; each micro-batch emits
+    (step_idx, n_advanced) DELTAS, so summing a sink's rows per step
+    reproduces the batch n_users over everything ingested.
+
+    Scanning a user's events in (ts, order) ascending and advancing on
+    the FIRST qualifying event is exactly the batch chain of per-user
+    MINs (t_k = min ts of step-k events >= t_{k-1}) — equivalence holds
+    whenever a user's (ts, order) pairs are unique, which the event-id
+    tiebreak guarantees.  State per user is ONE (stage, t) row; like
+    :func:`stream_event_transitions` it assumes per-user in-order
+    arrival across micro-batches (a late event older than the stored
+    stage time is considered in arrival order — bounded state, the
+    standard trade).
+
+    Works on a batch frame too: the fallback returns the same
+    (step_idx, n_advanced) totals via :func:`behavior.funnel_report`,
+    which is the twin-test / oracle path.
+    """
+    import pandas as pd
+
+    keyed = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("o"),
+        F.col(type_col).alias("et"),
+    )
+
+    if not keyed.isStreaming:
+        from ..operators.behavior import funnel_report
+
+        rep = funnel_report(keyed, steps, user_col="u", ts_col="ts", type_col="et")
+        return rep.select(
+            "step_idx", F.col("n_users").alias("n_advanced")
+        )
+
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdf_iter, state):
+        stage, t = state.get if state.exists else (0, None)
+        advanced: dict = {}
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "o"])
+            for ts, et in zip(pdf["ts"], pdf["et"]):
+                if stage >= len(steps):
+                    break
+                if step_of.get(et) == stage and (stage == 0 or ts >= t):
+                    stage += 1
+                    t = ts
+                    advanced[stage] = advanced.get(stage, 0) + 1
+        state.update((stage, t))
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "step_idx": list(advanced.keys()),
+                    "n_advanced": list(advanced.values()),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # no watermark (NoTimeout state; load_events yields TIMESTAMP_NTZ)
+    return keyed.groupBy("u").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2757,3 +2757,29 @@ def test_grouped_psi_shared_edges_and_per_stratum_smoothing(spark):
     # global edges: both strata share the same bucket grid
     assert len({r["bucket"] for r in out}) == 10
     assert len(out) == 20
+
+
+def test_session_paths_gap_split_and_truncation(spark):
+    from staticql_spark.operators.behavior import session_paths
+
+    base = "2024-01-01 00:00:00"
+    rows = [
+        # user 1: one session a>b>c, then a 2h gap, new session b>a
+        (1, 1, "a", 0), (1, 2, "b", 5), (1, 3, "c", 10),
+        (1, 4, "b", 150), (1, 5, "a", 155),
+        # user 2: same first path a>b>c
+        (2, 6, "a", 0), (2, 7, "b", 3), (2, 8, "c", 7),
+        # user 3: 7 events -> path truncates at 5
+        (3, 9, "a", 0), (3, 10, "a", 1), (3, 11, "a", 2), (3, 12, "a", 3),
+        (3, 13, "a", 4), (3, 14, "a", 5), (3, 15, "a", 6),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "mins"]).select(
+        "user_id", "event_id", "event_type",
+        (F.lit(base).cast("timestamp") + F.make_interval(mins=F.col("mins"))).alias("ts"),
+    )
+    got = {r["path"]: r["n_sessions"] for r in
+           session_paths(df, gap_minutes=30, max_len=5).collect()}
+    assert got["a>b>c"] == 2
+    assert got["b>a"] == 1
+    assert got["a>a>a>a>a"] == 1       # truncated at max_len
+    assert sum(got.values()) == 4

@@ -742,3 +742,47 @@ def test_stream_event_transitions_matches_batch(spark, tmp_path):
         k = (r["src_type"], r["dst_type"])
         got[k] = got.get(k, 0) + r["n_pairs"]
     assert got == want
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Greedy per-user stage automaton vs the batch chain-of-MINs: after
+    a 2-micro-batch ts-ordered stream drains, summing the delta rows per
+    step must equal funnel_report's n_users."""
+    import time
+
+    from staticql_spark.streaming import load_events, stream_funnel
+
+    steps = ["signup", "view", "click", "purchase"]
+    ev = load_events(spark, f"{SF_SMOKE}/events.parquet")
+    want = {
+        r["step_idx"]: r["n_advanced"]
+        for r in stream_funnel(ev, steps).collect()
+    }
+
+    drops = str(tmp_path / "fdrops")
+    split = "2024-01-15"
+    ev.filter(F.col("ts") <= F.lit(split).cast("timestamp_ntz")).coalesce(1)\
+        .write.mode("append").parquet(drops)
+    time.sleep(1.2)
+    ev.filter(F.col("ts") > F.lit(split).cast("timestamp_ntz")).coalesce(1)\
+        .write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "fck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from funnel_stream").collect():
+        got[r["step_idx"]] = got.get(r["step_idx"], 0) + r["n_advanced"]
+    # batch keeps zero-count steps as rows; the stream emits no delta
+    assert {k: v for k, v in want.items() if v > 0} == got
