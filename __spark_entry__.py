@@ -3562,6 +3562,21 @@ def q_stream_transitions(spark, sf):
     return stream_event_transitions(ev)
 
 
+def q_doc_calibration(spark, sf):
+    # reliability diagram: is the CHEAP per-doc quality score calibrated
+    # against the EXPENSIVE Gopher gate? p = quality_score, y = gopher
+    # keep; 10 fixed-width bins, decimal mean_p (order-free), integer
+    # frac_pos — the audit behind any score-thresholded filter. New in
+    # r7.
+    docs = _t(spark, sf, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    g = text.gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("y")
+    )
+    scored = q.join(g, "doc_id")
+    return classify.calibration_report(scored, p_col="quality", label_col="y")
+
+
 def q_events_session_paths(spark, sf):
     # top-20 session paths (first 5 event types per 30-min-gap session)
     # — the multi-step route report the per-edge markov matrix can't
@@ -3635,7 +3650,7 @@ _R7_HEAD = [
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
     "embedding_debias", "profile_psi_by_lang", "stream_funnel",
-    "events_session_paths",
+    "events_session_paths", "doc_calibration",
 ]
 
 
@@ -3895,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_psi_by_lang": q_profile_psi_by_lang,
         "stream_funnel": q_stream_funnel,
         "events_session_paths": q_events_session_paths,
+        "doc_calibration": q_doc_calibration,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -4741,8 +4757,26 @@ def _logreg_sql(lr: float = 4.0) -> str:
         f"SELECT '{n}' AS feature, round(wc{idx[n]}, 6) AS weight FROM w2"
         for n in names
     )
+    ctes = _logreg_w2_ctes(lr)
     return f"""
-            WITH base AS (
+            WITH {ctes}
+            SELECT * FROM (
+              {unions}
+            ) ORDER BY feature
+        """
+
+
+def _logreg_w2_ctes(lr: float = 4.0) -> str:
+    """The base..w2 CTE chain of _logreg_sql, shared with the
+    doc_calibration oracle (which scores the corpus with the final
+    6dp-rounded weights instead of emitting them)."""
+    xs = ["x0", "x1", "x2", "x3"]
+    g1 = ", ".join(f"round(avg((0.5 - y) * {x}), 9) AS g{i}" for i, x in enumerate(xs))
+    w1 = ", ".join(f"0.0 - {lr} * g{i} AS wc{i}" for i in range(len(xs)))
+    margin = " + ".join(f"wc{i} * {x}" for i, x in enumerate(xs))
+    g2 = ", ".join(f"round(avg((p - y) * {x}), 9) AS g{i}" for i, x in enumerate(xs))
+    w2 = ", ".join(f"wc{i} - {lr} * g{i} AS wc{i}" for i in range(len(xs)))
+    return f"""base AS (
               SELECT text, lang, length(text)::DOUBLE AS n, {_TOKS_RAW} AS toks
               FROM documents
             ),
@@ -4764,11 +4798,7 @@ def _logreg_sql(lr: float = 4.0) -> str:
               FROM (SELECT f.*, {margin} AS m FROM f, w1) f
             ),
             g2 AS (SELECT {g2} FROM p2),
-            w2 AS (SELECT {w2} FROM w1, g2)
-            SELECT * FROM (
-              {unions}
-            ) ORDER BY feature
-        """
+            w2 AS (SELECT {w2} FROM w1, g2)"""
 
 
 _DOC_LANG_SQL = f"""
@@ -4992,6 +5022,7 @@ def _power_pc_ctes(src_cte: str, dim: int, iters: int) -> str:
             f"e -> e / sqrt(list_dot_product(s, s))) AS v FROM s{it})"
         )
     return ",\n            ".join(parts)
+
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -8908,6 +8939,26 @@ def oracle_sql() -> dict[str, str]:
     # exact columns (XOR folds micro-batches associatively), so its batch-
     # fallback oracle IS the shard_checksums twin
     d["stream_shard_ck"] = d["shard_checksums"]
+    # calibration joins the quality-score CTEs to the doc_gopher per-doc
+    # keep flag — both composed verbatim so each expression lives once
+    d["doc_calibration"] = f"""
+            WITH {_QUALITY_CTES},
+            g AS ({d["doc_gopher"]}),
+            sc AS (
+              SELECT r.quality AS p,
+                     CASE WHEN g.keep THEN 1 ELSE 0 END AS y
+              FROM r JOIN g USING (doc_id)
+            ),
+            bins AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin, y, p FROM sc)
+            SELECT bin, count(*)::BIGINT AS n,
+                   round(CAST(sum(CAST(round(p, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                         / count(*), 6) AS mean_p,
+                   round(sum(y::BIGINT)::DOUBLE / count(*), 6) AS frac_pos,
+                   round(sum(y::BIGINT)::DOUBLE / count(*)
+                         - CAST(sum(CAST(round(p, 6) AS DECIMAL(27,6))) AS DOUBLE)
+                           / count(*), 6) AS gap
+            FROM bins GROUP BY 1
+        """
     # the gate report aggregates the doc_gopher oracle's per-doc rows —
     # composed verbatim so the rule expressions live once
     d["quality_gate_report"] = f"""

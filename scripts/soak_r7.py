@@ -30,9 +30,12 @@ PICKS = [
     "events_funnel_steps",
     "events_attribution_lasttouch",
     "stream_transitions",
+    "stream_funnel",
+    "events_session_paths",
     "hll_grouped_ndv",
     # docs family (500k docs)
     "profile_psi",
+    "profile_psi_by_lang",
     # embeddings family (20k vectors)
     "ann_semantic_decon",
     "embedding_debias",

@@ -277,3 +277,49 @@ def label_noise_report(
             F.sum((~F.col("correct")).cast("int")) / F.count("*"), 6
         ).alias("noise_rate"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    p_col: str = "p",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: bucket the
+    predicted probability into ``n_bins`` fixed-width bins and compare
+    each bin's mean prediction to its actual positive rate — the
+    calibration audit that decides whether a quality/language filter's
+    threshold means what it says (a well-calibrated 0.8 bin keeps ~80%
+    true positives; a miscalibrated one silently shifts the corpus mix).
+
+    One row per non-empty bin: (bin, n, mean_p, frac_pos, gap) with
+    gap = frac_pos - mean_p (positive: model under-confident).  mean_p
+    folds 6dp-rounded predictions in DECIMAL(27,6) — summation-order-
+    free, the repo's exact-mean idiom — and frac_pos is an integer sum
+    over the 0/1 labels, so every output is deterministic across
+    partition layouts and engines.
+
+    Scale: ONE map-side-combined aggregate over the scored frame;
+    output is <= n_bins rows.
+    """
+    b = F.least(
+        F.floor(F.col(p_col) * n_bins), F.lit(n_bins - 1).cast("long")
+    ).cast("long")
+    agg = df.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col(p_col), 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__mp"),
+        (
+            F.sum(F.col(label_col).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__fp"),
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.round("__mp", 6).alias("mean_p"),
+        F.round("__fp", 6).alias("frac_pos"),
+        F.round(F.col("__fp") - F.col("__mp"), 6).alias("gap"),
+    )

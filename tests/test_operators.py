@@ -2783,3 +2783,21 @@ def test_session_paths_gap_split_and_truncation(spark):
     assert got["b>a"] == 1
     assert got["a>a>a>a>a"] == 1       # truncated at max_len
     assert sum(got.values()) == 4
+
+
+def test_calibration_report_bins_and_gap(spark):
+    from staticql_spark.operators.classify import calibration_report
+
+    rows = (
+        # bin 2 (p in [0.2, 0.3)): 4 rows, 1 positive -> frac 0.25
+        [(0.21, 0), (0.22, 0), (0.28, 1), (0.25, 0)]
+        # bin 9 catches p == 1.0 via the least() clamp: 2 rows, both pos
+        + [(1.0, 1), (0.95, 1)]
+    )
+    df = spark.createDataFrame(rows, ["p", "y"])
+    got = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(got) == {2, 9}
+    assert got[2]["n"] == 4 and got[2]["frac_pos"] == 0.25
+    assert got[2]["mean_p"] == 0.24
+    assert got[2]["gap"] == round(0.25 - 0.24, 6)
+    assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0
