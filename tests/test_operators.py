@@ -1029,7 +1029,15 @@ def test_power_iteration_pc_matches_numpy(spark, emb):
     X = np.array([r["embedding"] for r in emb.collect()], dtype=float)
     v = np.full(X.shape[1], 1.0 / np.sqrt(X.shape[1]))
     for _ in range(2):
-        s = X.T @ (X @ v)
+        # mirror the r7 decimal hardening: Gram sums fold 6dp-rounded
+        # terms exactly (order-free); fsum == the DECIMAL(27,6) fold
+        # within double precision
+        import math
+
+        d = X @ v
+        s = np.array(
+            [math.fsum(np.round(X[:, j] * d, 6)) for j in range(X.shape[1])]
+        )
         v = s / np.linalg.norm(s)
     assert got == pytest.approx(list(np.round(v, 6)), abs=2e-6)
     # unit norm (within rounding)
