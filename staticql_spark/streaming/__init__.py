@@ -961,6 +961,7 @@ def stream_event_transitions(
     ts_col: str = "ts",
     type_col: str = "event_type",
     order_col: str = "event_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Live first-order transition counts — the streaming twin of
     :func:`~staticql_spark.operators.behavior.event_transitions`: per
@@ -978,6 +979,13 @@ def stream_event_transitions(
     tail extends the chain in arrival order rather than re-sorting
     history — the standard trade of keeping state bounded (re-sorting
     would mean buffering per-user history forever).
+
+    ``state_ttl_ms`` bounds state for UNBOUNDED user populations (the
+    forever-running ingest): a processing-time timeout evicts users idle
+    longer than the TTL, so state tracks the active working set; the
+    documented trade is that a returning user's first event after
+    eviction starts a fresh chain (one lost transition per eviction).
+    Without a TTL (default), state is exact forever.
 
     Works on a batch frame too (the lead-window formulation, identical
     counts), which is the twin-test / oracle path.
@@ -1006,6 +1014,9 @@ def stream_event_transitions(
 
     def update(key, pdf_iter, state):
         (u,) = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         last = state.get if state.exists else None  # (ts, order, type)
         counts: dict = {}
         for pdf in pdf_iter:
@@ -1019,6 +1030,8 @@ def stream_event_transitions(
                 last = (ts, int(o), et)
         if last is not None:
             state.update((last[0], last[1], last[2]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if counts:
             yield pd.DataFrame(
                 {
@@ -1030,15 +1043,20 @@ def stream_event_transitions(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # no watermark: NoTimeout state needs none, and load_events yields
-    # TIMESTAMP_NTZ (session-TZ-independent) which event-time watermarks
-    # reject — chaining is arrival-ordered per key, not event-time windowed
+    # no watermark: processing-time/no timeout needs none, and load_events
+    # yields TIMESTAMP_NTZ (session-TZ-independent) which event-time
+    # watermarks reject — chaining is arrival-ordered per key
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy("u").applyInPandasWithState(
         update,
         outputStructType=TRANSITIONS_SCHEMA,
         stateStructType=_TRANS_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -1055,6 +1073,7 @@ def stream_funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     order_col: str = "event_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Live ordered-funnel counts — the streaming twin of
     :func:`~staticql_spark.operators.behavior.funnel_report`: per user a
@@ -1072,6 +1091,11 @@ def stream_funnel(
     arrival across micro-batches (a late event older than the stored
     stage time is considered in arrival order — bounded state, the
     standard trade).
+
+    ``state_ttl_ms`` bounds state for unbounded user populations (same
+    processing-time eviction trade as :func:`stream_event_transitions`:
+    an evicted user restarts the funnel at stage 0).  Without a TTL
+    (default), state is exact forever.
 
     Works on a batch frame too: the fallback returns the same
     (step_idx, n_advanced) totals via :func:`behavior.funnel_report`,
@@ -1097,6 +1121,9 @@ def stream_funnel(
     step_of = {s: i for i, s in enumerate(steps)}
 
     def update(key, pdf_iter, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         stage, t = state.get if state.exists else (0, None)
         advanced: dict = {}
         for pdf in pdf_iter:
@@ -1111,6 +1138,8 @@ def stream_funnel(
                     t = ts
                     advanced[stage] = advanced.get(stage, 0) + 1
         state.update((stage, t))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if advanced:
             yield pd.DataFrame(
                 {
@@ -1121,11 +1150,16 @@ def stream_funnel(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # no watermark (NoTimeout state; load_events yields TIMESTAMP_NTZ)
+    # no watermark (processing-time/no timeout; load_events yields NTZ)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.groupBy("u").applyInPandasWithState(
         update,
         outputStructType=FUNNEL_SCHEMA,
         stateStructType=_FUNNEL_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
