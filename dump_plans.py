@@ -63,7 +63,14 @@ PICKS = [
     ("events_dau_wau (7x explode ABOVE the distinct user-day aggregate)", "events_dau_wau"),
     ("orders_backlog (sweep line: day-aggregate window, no interval explode)", "orders_backlog"),
     ("dedup_minhash_1bit (pinned shuffle-hash sig probes; no unbounded broadcast)", "dedup_minhash_1bit"),
-    ("quality_gate_report (map-only rule metrics -> |strata|-row agg)", "quality_gate_report"),
+    ("quality_gate_report (map-only rule metrics -> |strata|-row agg, join-free r7)", "quality_gate_report"),
+    # r7 operators
+    ("events_retention_curve (join-free: distinct user-day -> window cohort MIN)", "events_retention_curve"),
+    ("events_attribution_lasttouch (as-of union+window; no join operator)", "events_attribution_lasttouch"),
+    ("profile_psi (two map-side bucket counts + 1-row broadcast total)", "profile_psi"),
+    ("hll_grouped_ndv (register build WITHOUT hash-stream distinct)", "hll_grouped_ndv"),
+    ("embedding_debias (decimal mean + decimal-Gram pc, broadcast back)", "embedding_debias"),
+    ("events_session_paths (one user-key window pass -> session agg -> top-k)", "events_session_paths"),
 ]
 
 
@@ -87,8 +94,16 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         out += [f"## {title}", "", "```", plan.rstrip(), "```", ""]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md"), "w") as f:
-        f.write("\n".join(out))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    # preserve the hand-written roadmap footer (next-round candidates)
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("<!-- ROADMAP -->")
+        if i != -1:
+            tail = old[i:]
+    with open(path, "w") as f:
+        f.write("\n".join(out) + ("\n" + tail if tail else ""))
     print("wrote PLANS.md")
 
 
