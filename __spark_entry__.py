@@ -3562,6 +3562,17 @@ def q_stream_transitions(spark, sf):
     return stream_event_transitions(ev)
 
 
+def q_ann_pq_quant_error(spark, sf):
+    # PQ index-quality audit: per-subspace mean/max L2² between each
+    # subvector and its assigned codeword — the quantization-loss report
+    # behind the ADC recall numbers (a lopsided subspace needs more
+    # codes or an OPQ rotation). Same 6dp-rounded distances the encoder
+    # minimizes, folded in decimal. New in r7.
+    emb = _t(spark, sf, "embeddings")
+    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
+    return pq.pq_quant_error(emb, cbs, m=4, dim=64)
+
+
 def q_doc_calibration(spark, sf):
     # reliability diagram: is the CHEAP per-doc quality score calibrated
     # against the EXPENSIVE Gopher gate? p = quality_score, y = gopher
@@ -3650,7 +3661,7 @@ _R7_HEAD = [
     "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
     "events_attribution_lasttouch", "stream_transitions",
     "embedding_debias", "profile_psi_by_lang", "stream_funnel",
-    "events_session_paths", "doc_calibration",
+    "events_session_paths", "doc_calibration", "ann_pq_quant_error",
 ]
 
 
@@ -3911,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": q_stream_funnel,
         "events_session_paths": q_events_session_paths,
         "doc_calibration": q_doc_calibration,
+        "ann_pq_quant_error": q_ann_pq_quant_error,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -9036,6 +9048,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 3 * lang_rank <= 2 * lang_n THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM ranked
+        """
+    # PQ quantization error: the shared train CTEs + a final kept-distance
+    # assignment against cb2, folded with the exact decimal mean
+    d["ann_pq_quant_error"] = f"""
+            WITH {_pq_ctes(4, 64)},
+            af AS (
+              SELECT vec_id, subspace, code, d FROM (
+                SELECT s.vec_id, s.subspace, c.code,
+                       {_pq_d2("s.sv", "c.centroid")} AS d,
+                       row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                         ORDER BY {_pq_d2("s.sv", "c.centroid")} ASC,
+                                  c.code ASC) AS rn
+                FROM sub s JOIN cb2 c USING (subspace)
+              ) WHERE rn = 1
+            )
+            SELECT subspace::INT AS subspace, count(*)::BIGINT AS n,
+                   round({_dmean("d")}, 6) AS mse,
+                   round(max(d), 6) AS max_d2
+            FROM af GROUP BY 1
         """
     # PQ recall: the ADC oracle composed against an exact-L2 ground truth
     d["ann_pq_recall"] = f"""

@@ -67,7 +67,13 @@ def subvectors(
     )
 
 
-def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str, carry_sv: bool) -> DataFrame:
+def _assign(
+    sub: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    carry_sv: bool,
+    carry_d: bool = False,
+) -> DataFrame:
     """Argmin-L2 code per (id, subspace): broadcast join on subspace, then
     min(struct(rounded dist, code)) — the map-side-combine shape from
     similarity.ivf_assign nprobe=1 (the |K| scored copies of a subvector
@@ -87,6 +93,8 @@ def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str, carry_sv: bool) -
     cols = [id_col, "subspace", F.col("_m.code").alias("code")]
     if carry_sv:
         cols.append("sv")
+    if carry_d:
+        cols.append(F.col("_m.d").alias("d"))
     return out.select(*cols)
 
 
@@ -330,3 +338,44 @@ def l2_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_quant_error(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace quantization-error report — the index-quality audit
+    behind every ADC number: (subspace, n, mse, max_d2) where mse is the
+    mean L2² between each subvector and its assigned codeword and max_d2
+    the worst row.  A subspace whose mse dwarfs the others needs more
+    codes (or an OPQ-style rotation); tracking mse per index build
+    catches codebook drift before recall regresses.
+
+    The distances are the SAME 6dp-rounded L2² the encoder minimizes
+    (``_assign`` carries the argmin distance out), folded in
+    DECIMAL(27,6) — summation-order-free, so the report hash-matches the
+    oracle at any partition count.
+
+    Scale: one encode pass (broadcast codebooks, map-side argmin
+    combine) + an m-row aggregate; no vector shuffles.
+    """
+    dsub = dim // m
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = _assign(
+        subvectors(vecs, m, dsub), codebooks, "vid", carry_sv=False, carry_d=True
+    )
+    return assigned.groupBy(F.col("subspace").cast("int").alias("subspace")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("d"), 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+        F.round(F.max("d"), 6).alias("max_d2"),
+    )

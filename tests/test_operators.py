@@ -2809,3 +2809,25 @@ def test_calibration_report_bins_and_gap(spark):
     assert got[2]["mean_p"] == 0.24
     assert got[2]["gap"] == round(0.25 - 0.24, 6)
     assert got[9]["n"] == 2 and got[9]["frac_pos"] == 1.0
+
+
+def test_pq_quant_error_zero_on_codebook_members(spark):
+    from staticql_spark.operators import pq as pqm
+
+    # corpus = exactly the stride-init vectors themselves, 1 Lloyd round:
+    # every subvector IS its own codeword, so quantization error is 0
+    rows = [(i * 100, [float(i), float(-i)] * 4) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cbs = pqm.pq_train(df, m=4, dim=8, stride=100, iters=1)
+    out = pqm.pq_quant_error(df, cbs, m=4, dim=8).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n"] == 4 and r["mse"] == 0.0 and r["max_d2"] == 0.0
+
+    # perturb one vector away from every codeword: its subspace errors
+    # turn positive, max >= mse
+    rows2 = rows + [(7, [100.0, -100.0] * 4)]
+    df2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    out2 = pqm.pq_quant_error(df2, cbs, m=4, dim=8).collect()
+    for r in out2:
+        assert r["n"] == 5 and r["mse"] > 0.0 and r["max_d2"] >= r["mse"]
