@@ -3109,6 +3109,41 @@ def q_doc_decontaminate_excise(spark, sf):
     return dedup.excise_spans(corpus, spans)
 
 
+def q_doc_contamination_by_source(spark, sf):
+    # WHICH source leaks eval content: per-source contaminated-doc rate
+    # + duplicated character mass over the span-decon machinery — the
+    # drill-down that turns "0.4% contaminated" into "crawl batch X is
+    # the problem". Left join keeps clean sources as zero rows. New in
+    # r7.
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    spans = dedup.contaminated_spans(corpus, bench, k=20)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("__dup_chars")
+    )
+    j = corpus.select("doc_id", "source", "n_chars").join(per_doc, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("__dup_chars").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.sum(F.col("__dup_chars").isNotNull().cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("contaminated_rate"),
+        F.coalesce(F.sum("__dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        F.round(
+            F.coalesce(F.sum("__dup_chars"), F.lit(0))
+            / F.sum("n_chars"),
+            6,
+        ).alias("dup_char_share"),
+    )
+
+
 def q_stream_shard_ck(spark, sf):
     # live shard checksums, batch-fallback twin: the same (shard_id,
     # n_rows, xor_checksum) the streaming aggregate maintains; stream-vs-
@@ -3662,6 +3697,7 @@ _R7_HEAD = [
     "events_attribution_lasttouch", "stream_transitions",
     "embedding_debias", "profile_psi_by_lang", "stream_funnel",
     "events_session_paths", "doc_calibration", "ann_pq_quant_error",
+    "doc_contamination_by_source",
 ]
 
 
@@ -3923,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "doc_calibration": q_doc_calibration,
         "ann_pq_quant_error": q_ann_pq_quant_error,
+        "doc_contamination_by_source": q_doc_contamination_by_source,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -8926,6 +8963,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM paths GROUP BY 1
             ORDER BY n_sessions DESC, path ASC
             LIMIT 20
+        """,
+        "doc_contamination_by_source": f"""
+            WITH {_CONTAM_SPANS_CTES},
+            per_doc AS (
+              SELECT doc_id,
+                     sum(span_end - span_start + 1)::BIGINT AS dup_chars
+              FROM spansq GROUP BY doc_id
+            ),
+            j AS (
+              SELECT d.source, d.n_chars, p.dup_chars
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+              WHERE d.doc_id % 10 <> 0
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN dup_chars IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   round(sum(CASE WHEN dup_chars IS NOT NULL THEN 1 ELSE 0 END)
+                         ::DOUBLE / count(*), 6) AS contaminated_rate,
+                   coalesce(sum(dup_chars), 0)::BIGINT AS dup_chars,
+                   round(coalesce(sum(dup_chars), 0)::DOUBLE / sum(n_chars), 6)
+                     AS dup_char_share
+            FROM j GROUP BY 1
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

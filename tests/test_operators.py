@@ -2831,3 +2831,21 @@ def test_pq_quant_error_zero_on_codebook_members(spark):
     out2 = pqm.pq_quant_error(df2, cbs, m=4, dim=8).collect()
     for r in out2:
         assert r["n"] == 5 and r["mse"] > 0.0 and r["max_d2"] >= r["mse"]
+
+
+def test_contamination_by_source_rates(spark):
+    import __spark_entry__ as entrymod
+
+    # drive the registered composition at smoke scale and check algebra:
+    # rates in [0,1], clean sources report zeros, totals consistent
+    out = entrymod.q_doc_contamination_by_source(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r["contaminated_rate"] <= 1.0
+        assert r["n_contaminated"] <= r["n_docs"]
+        if r["n_contaminated"] == 0:
+            assert r["dup_chars"] == 0 and r["dup_char_share"] == 0.0
+        else:
+            assert r["dup_chars"] > 0
