@@ -1,0 +1,137 @@
+"""Property tests: behavior operators vs brute-force Python definitions —
+for ANY event stream (duplicate days, single-event users, sessions at the
+gap boundary), retention/funnel/session-paths must equal the per-user
+reference computation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from staticql_spark.operators.behavior import (
+    funnel_report,
+    retention_matrix,
+    session_paths,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 4),                 # user
+        st.integers(0, 2000),              # minutes offset
+        st.sampled_from(["a", "b", "c"]),  # type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _df(spark, events):
+    rows = [
+        (u, i, et, BASE + dt.timedelta(minutes=m))
+        for i, (u, m, et) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retention_matches_bruteforce(spark, events):
+    got = {
+        (str(r["cohort_day"]), r["age"]): (
+            r["n_active"],
+            r["cohort_size"],
+        )
+        for r in retention_matrix(_df(spark, events), max_age_days=30).collect()
+    }
+
+    # brute force: distinct (user, day), cohort = min day per user
+    active = {(u, (BASE + dt.timedelta(minutes=m)).date()) for u, m, _ in events}
+    cohort = {}
+    for u, d in active:
+        cohort[u] = min(cohort.get(u, d), d)
+    counts: dict = {}
+    for u, d in active:
+        age = (d - cohort[u]).days
+        if age <= 30:
+            counts[(str(cohort[u]), age)] = counts.get((str(cohort[u]), age), 0) + 1
+    sizes = {}
+    for (cd, age), n in counts.items():
+        if age == 0:
+            sizes[cd] = n
+    want = {k: (n, sizes[k[0]]) for k, n in counts.items()}
+    assert got == want
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_bruteforce(spark, events):
+    steps = ["a", "b", "c"]
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_report(_df(spark, events), steps).collect()
+    }
+
+    # brute force: per user, chained min-qualifying timestamps.  The
+    # event_id tiebreak never matters for the COUNTS (>= on ts only).
+    per_user: dict = {}
+    for i, (u, m, et) in enumerate(events):
+        per_user.setdefault(u, []).append((BASE + dt.timedelta(minutes=m), i, et))
+    reached = {1: 0, 2: 0, 3: 0}
+    for u, evs in per_user.items():
+        t_prev = None
+        for k, s in enumerate(steps, start=1):
+            cand = [
+                t for (t, _, et) in evs
+                if et == s and (t_prev is None or t >= t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            reached[k] += 1
+    assert got == reached
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_paths_match_bruteforce(spark, events):
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            _df(spark, events), gap_minutes=30, max_len=5, top_k=1000
+        ).collect()
+    }
+
+    per_user: dict = {}
+    for i, (u, m, et) in enumerate(events):
+        per_user.setdefault(u, []).append((m, i, et))
+    paths: dict = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sessions: list = []
+        for m, i, et in evs:
+            if not sessions or m - sessions[-1][-1][0] > 30:
+                sessions.append([])
+            sessions[-1].append((m, i, et))
+        for sess in sessions:
+            path = ">".join(et for _, _, et in sess[:5])
+            paths[path] = paths.get(path, 0) + 1
+    assert got == paths
