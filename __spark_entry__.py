@@ -3109,6 +3109,29 @@ def q_doc_decontaminate_excise(spark, sf):
     return dedup.excise_spans(corpus, spans)
 
 
+def q_stream_psi(spark, sf):
+    # live drift monitor, batch-fallback twin: freeze the old snapshot's
+    # decile grid + counts at construct (bounded collects — the deploy
+    # step), then the streaming aggregate maintains only the <= n_buckets
+    # new-side counts; batch path emits the full report, which equals
+    # profile_psi exactly (shared oracle). Stream-vs-batch equality is
+    # locked by test_stream_numeric_psi_matches_batch. New in r7.
+    from staticql_spark.operators.profile import exact_quantiles, numeric_psi
+    from staticql_spark.streaming import stream_numeric_psi
+
+    docs = _t(spark, sf, "documents")
+    v2 = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("n_chars") <= 400))
+    qs = [k / 10 for k in range(1, 10)]
+    edges = sorted(
+        {r["value"] for r in exact_quantiles(docs, "n_chars", qs).collect()}
+    )
+    old_counts = [
+        r["n_old"]
+        for r in numeric_psi(docs, v2, "n_chars").orderBy("bucket").collect()
+    ]
+    return stream_numeric_psi(v2, edges, old_counts, "n_chars")
+
+
 def q_doc_contamination_by_source(spark, sf):
     # WHICH source leaks eval content: per-source contaminated-doc rate
     # + duplicated character mass over the span-decon machinery — the
@@ -3697,7 +3720,7 @@ _R7_HEAD = [
     "events_attribution_lasttouch", "stream_transitions",
     "embedding_debias", "profile_psi_by_lang", "stream_funnel",
     "events_session_paths", "doc_calibration", "ann_pq_quant_error",
-    "doc_contamination_by_source",
+    "doc_contamination_by_source", "stream_psi",
 ]
 
 
@@ -3960,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_calibration": q_doc_calibration,
         "ann_pq_quant_error": q_ann_pq_quant_error,
         "doc_contamination_by_source": q_doc_contamination_by_source,
+        "stream_psi": q_stream_psi,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -9010,6 +9034,9 @@ def oracle_sql() -> dict[str, str]:
     # exact columns (XOR folds micro-batches associatively), so its batch-
     # fallback oracle IS the shard_checksums twin
     d["stream_shard_ck"] = d["shard_checksums"]
+    # the streaming PSI twin's batch path emits exactly the numeric_psi
+    # report on the same frozen grid, so its oracle IS the profile_psi twin
+    d["stream_psi"] = d["profile_psi"]
     # calibration joins the quality-score CTEs to the doc_gopher per-doc
     # keep flag — both composed verbatim so each expression lives once
     d["doc_calibration"] = f"""

@@ -1163,3 +1163,108 @@ def stream_funnel(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------- live PSI drift
+
+def stream_numeric_psi(
+    new_df: DataFrame,
+    edges: list[float],
+    old_counts: list[int],
+    col: str,
+) -> DataFrame:
+    """Live drift monitor — the streaming twin of
+    :func:`~staticql_spark.operators.profile.numeric_psi`: the OLD
+    snapshot's bucket grid (``edges``, deduplicated ascending) and bucket
+    counts are frozen at deploy time (both driver-side literals, <=
+    n_buckets values); the STREAM maintains the new-side bucket counts as
+    a plain complete-mode aggregate, and every micro-batch leaves the
+    per-bucket (n_old, n_new, p_old, p_new, psi_term) equal to what the
+    batch operator computes over everything ingested — drift pages the
+    moment sum(psi_term) crosses the alert threshold, no nightly rescan.
+
+    State is one count per bucket (<= n_buckets longs).  Smoothing and
+    rounding mirror numeric_psi exactly, so the batch fallback (which is
+    also the oracle path) hash-matches it.
+    """
+    k = len(edges)
+    if len(old_counts) != k + 1:
+        raise ValueError(
+            f"old_counts must have {k + 1} entries (one per bucket), "
+            f"got {len(old_counts)}"
+        )
+    x = F.col(col).cast("double")
+    b = F.lit(1)
+    for e in edges:
+        b = b + (x > F.lit(float(e))).cast("int")
+    counts = (
+        new_df.filter(x.isNotNull())
+        .groupBy(b.cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    if new_df.isStreaming:
+        # the maintained state IS the report's only moving part: the
+        # <= n_buckets (bucket, n_new) counts, a plain complete-mode
+        # aggregate.  The frozen old side + smoothing arithmetic are
+        # <= n_buckets-row driver math the sink applies per trigger
+        # (psi_from_counts below) — chaining a stream-static join and a
+        # global-total window AFTER a streaming aggregate is exactly the
+        # plan shape Structured Streaming disallows, and it buys nothing
+        # at this cardinality.
+        return counts
+    spark = new_df.sparkSession
+    oldf = spark.createDataFrame(
+        [(i + 1, int(c)) for i, c in enumerate(old_counts)],
+        "bucket long, n_old long",
+    )
+    cells = oldf.join(counts, "bucket", "left").select(
+        "bucket",
+        "n_old",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    to = float(sum(old_counts))
+    nb = float(k + 1)
+    sm = F.lit(0.5)
+    tn = F.sum("n_new").over(Window.partitionBy())
+    po = (F.col("n_old") + sm) / (F.lit(to) + sm * F.lit(nb))
+    pn = (F.col("n_new") + sm) / (tn.cast("double") + sm * F.lit(nb))
+    return cells.select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(po, 6).alias("p_old"),
+        F.round(pn, 6).alias("p_new"),
+        F.round((po - pn) * F.log(po / pn), 6).alias("psi_term"),
+    )
+
+
+def psi_from_counts(
+    new_counts: dict[int, int], edges: list[float], old_counts: list[int]
+) -> list[tuple[int, int, int, float, float, float]]:
+    """Driver-side finisher for :func:`stream_numeric_psi`'s streaming
+    path: fold the sink's (bucket -> n_new) map against the frozen old
+    side with the SAME smoothing/rounding as the batch report.  Returns
+    (bucket, n_old, n_new, p_old, p_new, psi_term) tuples."""
+    import math
+
+    k = len(edges)
+    nb = float(k + 1)
+    to = float(sum(old_counts))
+    tn = float(sum(new_counts.values()))
+    out = []
+    for i, n_old in enumerate(old_counts):
+        bucket = i + 1
+        n_new = int(new_counts.get(bucket, 0))
+        po = (n_old + 0.5) / (to + 0.5 * nb)
+        pn = (n_new + 0.5) / (tn + 0.5 * nb)
+        out.append(
+            (
+                bucket,
+                int(n_old),
+                n_new,
+                round(po, 6),
+                round(pn, 6),
+                round((po - pn) * math.log(po / pn), 6),
+            )
+        )
+    return out

@@ -786,3 +786,51 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
         got[r["step_idx"]] = got.get(r["step_idx"], 0) + r["n_advanced"]
     # batch keeps zero-count steps as rows; the stream emits no delta
     assert {k: v for k, v in want.items() if v > 0} == got
+
+
+def test_stream_numeric_psi_matches_batch(spark, tmp_path):
+    """Live drift monitor: after a 2-micro-batch document stream drains,
+    the complete-mode bucket counts + the driver-side finisher must equal
+    the batch numeric_psi report on the same frozen old grid."""
+    from staticql_spark.operators.profile import exact_quantiles, numeric_psi
+    from staticql_spark.streaming import psi_from_counts, stream_numeric_psi
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = docs.filter("doc_id % 10 <> 0 AND n_chars <= 400")
+    # frozen old side: the batch operator's own grid and counts
+    qs = [k / 10 for k in range(1, 10)]
+    edges = sorted({r["value"] for r in exact_quantiles(docs, "n_chars", qs).collect()})
+    want_rows = numeric_psi(docs, new, "n_chars").collect()
+    want = {
+        r["bucket"]: (r["n_old"], r["n_new"], r["p_old"], r["p_new"], r["psi_term"])
+        for r in want_rows
+    }
+    old_counts = [want[b][0] for b in sorted(want)]
+
+    drops = str(tmp_path / "pdrops")
+    new.filter("doc_id % 2 = 0").coalesce(1).write.mode("append").parquet(drops)
+    new.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = (
+        stream_numeric_psi(stream, edges, old_counts, "n_chars")
+        .writeStream.format("memory")
+        .queryName("psi_stream")
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_counts = {
+        r["bucket"]: r["n_new"]
+        for r in spark.sql("select * from psi_stream").collect()
+    }
+    got = {
+        b: (no, nn, po, pn, term)
+        for b, no, nn, po, pn, term in psi_from_counts(got_counts, edges, old_counts)
+    }
+    assert got == want
