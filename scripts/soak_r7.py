@@ -36,9 +36,13 @@ PICKS = [
     # docs family (500k docs)
     "profile_psi",
     "profile_psi_by_lang",
+    "stream_psi",
+    "doc_calibration",
+    "doc_contamination_by_source",
     # embeddings family (20k vectors)
     "ann_semantic_decon",
     "embedding_debias",
+    "ann_pq_quant_error",
 ]
 
 
