@@ -3702,7 +3702,7 @@ def q_hll_grouped_ndv(spark, sf):
 
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
 # #1 ledger, verbatim): registered in r6 but placed after the 50-key window.
-# r7 rotates them to the head so one round closes the ledger to 221/221
+# r7 rotates them to the head so one round closes the ever-checked ledger
 # ever-driver-checked.  New-in-r7 keys are appended here as they land.
 _R7_HEAD = [
     "grouped_percentiles", "robust_outliers", "kmeans_inertia",
