@@ -3109,6 +3109,19 @@ def q_doc_decontaminate_excise(spark, sf):
     return dedup.excise_spans(corpus, spans)
 
 
+def q_events_funnel_windowed(spark, sf):
+    # conversion-window funnel: each step must land within 45 minutes of
+    # the previous step's time (the constraint real funnels use) — same
+    # chained keyed-MIN plan as events_funnel_steps with one extra
+    # inclusive bound per stage. New in r7.
+    from staticql_spark.operators.behavior import funnel_report
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return funnel_report(
+        ev, ["signup", "view", "click", "purchase"], max_gap_minutes=45
+    )
+
+
 def q_stream_psi(spark, sf):
     # live drift monitor, batch-fallback twin: freeze the old snapshot's
     # decile grid + counts at construct (bounded collects — the deploy
@@ -3720,7 +3733,7 @@ _R7_HEAD = [
     "events_attribution_lasttouch", "stream_transitions",
     "embedding_debias", "profile_psi_by_lang", "stream_funnel",
     "events_session_paths", "doc_calibration", "ann_pq_quant_error",
-    "doc_contamination_by_source", "stream_psi",
+    "doc_contamination_by_source", "stream_psi", "events_funnel_windowed",
 ]
 
 
@@ -3984,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_quant_error": q_ann_pq_quant_error,
         "doc_contamination_by_source": q_doc_contamination_by_source,
         "stream_psi": q_stream_psi,
+        "events_funnel_windowed": q_events_funnel_windowed,
     }
     # r7 rotation: never-driver-checked keys first, then everything else in
     # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
@@ -9009,6 +9023,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(coalesce(sum(dup_chars), 0)::DOUBLE / sum(n_chars), 6)
                      AS dup_char_share
             FROM j GROUP BY 1
+        """,
+        "events_funnel_windowed": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t
+                     AND e.ts <= s1.t + INTERVAL 45 MINUTE
+              WHERE e.event_type = 'view' GROUP BY 1
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s2 ON s2.user_id = e.user_id AND e.ts >= s2.t
+                     AND e.ts <= s2.t + INTERVAL 45 MINUTE
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN s3 ON s3.user_id = e.user_id AND e.ts >= s3.t
+                     AND e.ts <= s3.t + INTERVAL 45 MINUTE
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            ),
+            counts AS (
+              SELECT 1::INT AS step_idx, 'signup' AS step,
+                     (SELECT count(*) FROM s1)::BIGINT AS n_users
+              UNION ALL SELECT 2::INT, 'view', (SELECT count(*) FROM s2)::BIGINT
+              UNION ALL SELECT 3::INT, 'click', (SELECT count(*) FROM s3)::BIGINT
+              UNION ALL SELECT 4::INT, 'purchase', (SELECT count(*) FROM s4)::BIGINT
+            )
+            SELECT step_idx, step, n_users,
+                   CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+                        THEN round(n_users::DOUBLE
+                                   / lag(n_users) OVER (ORDER BY step_idx), 6)
+                   END AS conv_from_prev,
+                   CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                        THEN round(n_users::DOUBLE
+                                   / first_value(n_users) OVER (ORDER BY step_idx), 6)
+                   END AS conv_from_first
+            FROM counts
         """,
         "hll_grouped_ndv": _hll_grouped_sql(
             """

@@ -79,13 +79,19 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_minutes: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: per step, how many users reached it IN ORDER —
     step k counts users with an event of type ``steps[k]`` at or after
     their earliest qualifying step-(k-1) time (the same >= convention at
     every stage, mirrored in the oracle).  Returns one row per step:
     (step_idx, step, n_users, conv_from_prev, conv_from_first), ratios
-    rounded to 6.
+    rounded to 6.  ``max_gap_minutes`` adds the conversion-window
+    constraint real funnels use: step k must land within the gap of the
+    step-(k-1) time (both bounds inclusive, mirrored in the oracle) —
+    note the windowed chain is still greedy on the earliest qualifying
+    time, so like all windowed funnels it can miss a conversion a later
+    anchor would have caught (the industry-standard trade).
 
     The sequential constraint is computed as a chain of per-user MIN
     timestamps: t_k = min ts of step-k events with ts >= t_{k-1} — the
@@ -105,10 +111,16 @@ def funnel_report(
         F.lit(1).alias("step_idx"), F.col(user_col).alias("u")
     )
     for i, s in enumerate(steps[1:], start=2):
+        within = F.col(ts_col) >= F.col("t")
+        if max_gap_minutes is not None:
+            within = within & (
+                F.col(ts_col)
+                <= F.col("t") + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+            )
         stage = (
             df.filter(F.col(type_col) == s)
             .join(stage, user_col)
-            .filter(F.col(ts_col) >= F.col("t"))
+            .filter(within)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("t"))
         )

@@ -2849,3 +2849,24 @@ def test_contamination_by_source_rates(spark):
             assert r["dup_chars"] == 0 and r["dup_char_share"] == 0.0
         else:
             assert r["dup_chars"] > 0
+
+
+def test_funnel_windowed_enforces_gap(spark):
+    from staticql_spark.operators.behavior import funnel_report
+
+    rows = [
+        (1, 1, "s1", 0), (1, 2, "s2", 10),    # inside 30-min gap
+        (2, 3, "s1", 0), (2, 4, "s2", 100),   # outside -> stops at step 1
+        (3, 5, "s1", 0), (3, 6, "s2", 30),    # exactly at the bound: inclusive
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "mins"]).select(
+        "user_id", "event_id", "event_type",
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(mins=F.col("mins"))).alias("ts"),
+    )
+    out = {r["step_idx"]: r["n_users"] for r in
+           funnel_report(df, ["s1", "s2"], max_gap_minutes=30).collect()}
+    assert out == {1: 3, 2: 2}
+    # without the window all three convert
+    full = {r["step_idx"]: r["n_users"] for r in
+            funnel_report(df, ["s1", "s2"]).collect()}
+    assert full == {1: 3, 2: 3}
