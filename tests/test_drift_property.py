@@ -1,0 +1,105 @@
+"""Property tests: numeric PSI and calibration vs brute-force Python
+references — for ANY pair of small integer samples (ties on the decile
+edges, empty-after-filter strata, constant columns) the reports must
+equal the direct definition."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from staticql_spark.operators.classify import calibration_report
+from staticql_spark.operators.profile import numeric_psi
+
+
+def r6(x: float) -> float:
+    """Spark's round(col, 6): HALF_UP on the shortest decimal repr —
+    Python's built-in round() is banker's and disagrees on exact ties
+    (0.6640625 -> 0.664062 vs Spark's 0.664063)."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+samples = st.lists(st.integers(0, 40), min_size=5, max_size=40)
+
+
+@given(old=samples, new=samples)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_numeric_psi_matches_bruteforce(spark, old, new):
+    odf = spark.createDataFrame([(float(x),) for x in old], "x double")
+    ndf = spark.createDataFrame([(float(x),) for x in new], "x double")
+    got = {
+        r["bucket"]: (r["n_old"], r["n_new"], r["p_old"], r["p_new"], r["psi_term"])
+        for r in numeric_psi(odf, ndf, "x").collect()
+    }
+
+    # brute force: rank-ceil deciles of old, dedup, bucket = 1 + |edges < x|
+    so = sorted(old)
+    n = len(so)
+    edges = sorted({so[max(math.ceil(q * n / 10), 1) - 1] for q in range(1, 10)})
+    nb = len(edges) + 1
+
+    def bucket(x):
+        return 1 + sum(x > e for e in edges)
+
+    co = {b: 0 for b in range(1, nb + 1)}
+    cn = {b: 0 for b in range(1, nb + 1)}
+    for x in old:
+        co[bucket(x)] += 1
+    for x in new:
+        cn[bucket(x)] += 1
+    to, tn = float(len(old)), float(len(new))
+    want = {}
+    for b in range(1, nb + 1):
+        po = (co[b] + 0.5) / (to + 0.5 * nb)
+        pn = (cn[b] + 0.5) / (tn + 0.5 * nb)
+        want[b] = (
+            co[b],
+            cn[b],
+            r6(po),
+            r6(pn),
+            r6((po - pn) * math.log(po / pn)),
+        )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.floats(0.0, 1.0, allow_nan=False), st.booleans()),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_calibration_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        [(float(p), int(y)) for p, y in rows], "p double, y int"
+    )
+    got = {
+        r["bin"]: (r["n"], r["mean_p"], r["frac_pos"], r["gap"])
+        for r in calibration_report(df).collect()
+    }
+
+    bins: dict = {}
+    for p, y in rows:
+        b = min(int(p * 10), 9)
+        bins.setdefault(b, []).append((p, int(y)))
+    want = {}
+    for b, members in bins.items():
+        n = len(members)
+        # the exact decimal fold == sum of 6dp-rounded values
+        mp = sum(r6(p) for p, _ in members) / n
+        fp = sum(y for _, y in members) / n
+        want[b] = (n, r6(mp), r6(fp), r6(fp - mp))
+    assert got == want
