@@ -9102,7 +9102,12 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN g.keep THEN 1 ELSE 0 END AS y
               FROM r JOIN g USING (doc_id)
             ),
-            bins AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin, y, p FROM sc)
+            -- mirror calibration_report's input hygiene: drop NULL p/y
+            -- and p < 0 before bucketing (no-op on this corpus, kept so
+            -- oracle and operator share one contract)
+            bins AS (SELECT least(floor(p * 10), 9)::BIGINT AS bin, y, p
+                     FROM sc
+                     WHERE p IS NOT NULL AND y IS NOT NULL AND p >= 0)
             SELECT bin, count(*)::BIGINT AS n,
                    round(CAST(sum(CAST(round(p, 6) AS DECIMAL(27,6))) AS DOUBLE)
                          / count(*), 6) AS mean_p,

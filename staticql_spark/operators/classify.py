@@ -301,7 +301,19 @@ def calibration_report(
 
     Scale: ONE map-side-combined aggregate over the scored frame;
     output is <= n_bins rows.
+
+    Input contract (enforced, not assumed): rows with a NULL prediction
+    or NULL label are dropped, and so are predictions < 0 — otherwise a
+    null bin / negative bin row appears looking plausible while meaning
+    nothing, and null labels would count in ``n`` but not in
+    ``frac_pos``'s numerator (silently deflating the positive rate).
+    The top end is already clamped into bin n_bins-1 by the ``least``.
     """
+    df = df.filter(
+        F.col(p_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & (F.col(p_col) >= 0)
+    )
     b = F.least(
         F.floor(F.col(p_col) * n_bins), F.lit(n_bins - 1).cast("long")
     ).cast("long")

@@ -1019,10 +1019,13 @@ def stream_event_transitions(
             return
         last = state.get if state.exists else None  # (ts, order, type)
         counts: dict = {}
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "o"])
+        # applyInPandasWithState may hand a key's trigger rows as SEVERAL
+        # Arrow chunks; sorting each chunk independently would chain a
+        # large user out of (ts, order) order, so concatenate first and
+        # sort the trigger's rows ONCE (the docstring's contract).
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values(["ts", "o"])
             for ts, o, et in zip(pdf["ts"], pdf["o"], pdf["et"]):
                 if last is not None:
                     k = (last[2], et)
@@ -1082,11 +1085,15 @@ def stream_funnel(
     (step_idx, n_advanced) DELTAS, so summing a sink's rows per step
     reproduces the batch n_users over everything ingested.
 
-    Scanning a user's events in (ts, order) ascending and advancing on
-    the FIRST qualifying event is exactly the batch chain of per-user
-    MINs (t_k = min ts of step-k events >= t_{k-1}) — equivalence holds
-    whenever a user's (ts, order) pairs are unique, which the event-id
-    tiebreak guarantees.  State per user is ONE (stage, t) row; like
+    Scanning a user's events in ts ascending, with each EQUAL-TIMESTAMP
+    group processed atomically (re-scanned after every stage advance,
+    since qualifying ties share ts >= t), is exactly the batch chain of
+    per-user MINs (t_k = min ts of step-k events >= t_{k-1}): within one
+    timestamp the batch formulation admits advances in any event order,
+    so a step-k event that sorts before the same-ts event advancing
+    stage k-1 still counts.  Equivalence with the batch report holds
+    whenever a user's events arrive across micro-batches in ts order.
+    State per user is ONE (stage, t) row; like
     :func:`stream_event_transitions` it assumes per-user in-order
     arrival across micro-batches (a late event older than the stored
     stage time is considered in arrival order — bounded state, the
@@ -1126,17 +1133,38 @@ def stream_funnel(
             return
         stage, t = state.get if state.exists else (0, None)
         advanced: dict = {}
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "o"])
-            for ts, et in zip(pdf["ts"], pdf["et"]):
+        # Concatenate ALL Arrow chunks for the key and sort once (a
+        # per-chunk sort would break (ts, order) ordering for users
+        # larger than one Arrow batch), then process EQUAL-TIMESTAMP
+        # groups atomically: the batch chain-of-MINs admits several
+        # stage advances at one timestamp regardless of event order
+        # within it (condition is ts >= t with t == that ts), so after
+        # any advance the group is re-scanned until a full pass adds
+        # nothing — at most len(steps) passes, each over one ts-group.
+        # A single greedy forward scan would skip a step-k event that
+        # sorts BEFORE the same-ts event advancing stage k-1.
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values(["ts", "o"])
+            for ts, grp in pdf.groupby("ts", sort=True):
                 if stage >= len(steps):
                     break
-                if step_of.get(et) == stage and (stage == 0 or ts >= t):
-                    stage += 1
-                    t = ts
-                    advanced[stage] = advanced.get(stage, 0) + 1
+                if stage > 0 and ts < t:
+                    continue  # whole group precedes the stage threshold
+                types = list(grp["et"])
+                progressed = True
+                while progressed and stage < len(steps):
+                    progressed = False
+                    for et in types:
+                        if stage >= len(steps):
+                            break
+                        if step_of.get(et) == stage and (
+                            stage == 0 or ts >= t
+                        ):
+                            stage += 1
+                            t = ts
+                            advanced[stage] = advanced.get(stage, 0) + 1
+                            progressed = True
         state.update((stage, t))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -1244,8 +1272,22 @@ def psi_from_counts(
     """Driver-side finisher for :func:`stream_numeric_psi`'s streaming
     path: fold the sink's (bucket -> n_new) map against the frozen old
     side with the SAME smoothing/rounding as the batch report.  Returns
-    (bucket, n_old, n_new, p_old, p_new, psi_term) tuples."""
+    (bucket, n_old, n_new, p_old, p_new, psi_term) tuples.
+
+    Rounding matches Spark's ``F.round`` (HALF_UP via Decimal), NOT
+    Python's ``round`` (banker's half-even) — the two disagree on exact
+    6dp ties (see tests/test_drift_property.py), and this finisher's
+    contract is hash-equality with the batch ``numeric_psi`` report.
+    """
     import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
 
     k = len(edges)
     nb = float(k + 1)
@@ -1262,9 +1304,9 @@ def psi_from_counts(
                 bucket,
                 int(n_old),
                 n_new,
-                round(po, 6),
-                round(pn, 6),
-                round((po - pn) * math.log(po / pn), 6),
+                r6(po),
+                r6(pn),
+                r6((po - pn) * math.log(po / pn)),
             )
         )
     return out

@@ -2870,3 +2870,22 @@ def test_funnel_windowed_enforces_gap(spark):
     full = {r["step_idx"]: r["n_users"] for r in
             funnel_report(df, ["s1", "s2"]).collect()}
     assert full == {1: 3, 2: 3}
+
+
+def test_calibration_report_input_hygiene(spark):
+    """r8 ADVICE regression: NULL predictions/labels and negative
+    predictions are dropped before bucketing — previously they produced
+    a null bin row, negative bins, and a frac_pos whose numerator
+    skipped null labels while n counted them."""
+    from staticql_spark.operators.classify import calibration_report
+
+    rows = [
+        (0.25, 1), (0.25, 0),          # the only in-contract rows
+        (None, 1),                     # null p: was a null-bin row
+        (0.25, None),                  # null y: was n=3, frac deflated
+        (-0.5, 1),                     # p < 0: was bin -5
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(got) == {2}
+    assert got[2]["n"] == 2 and got[2]["frac_pos"] == 0.5

@@ -834,3 +834,120 @@ def test_stream_numeric_psi_matches_batch(spark, tmp_path):
         for b, no, nn, po, pn, term in psi_from_counts(got_counts, edges, old_counts)
     }
     assert got == want
+
+
+def test_stream_funnel_same_ts_group_atomic(spark, tmp_path):
+    """r8 ADVICE regression: a step-B event that sorts BEFORE the same-ts
+    step-A event (smaller event_id) must still advance stage 2 — the
+    batch chain-of-MINs counts it (B@10 >= t_A=10), so the stream
+    re-scans equal-ts groups after each advance instead of one greedy
+    pass.  An EARLIER-ts B stays uncounted (user 3)."""
+    from staticql_spark.streaming import stream_funnel
+
+    steps = ["A", "B"]
+    rows = [
+        # user 1: B sorts before the same-ts A -> batch reaches stage 2
+        (1, "2024-01-01 00:00:10", 1, "B"),
+        (1, "2024-01-01 00:00:10", 2, "A"),
+        # user 2: plain in-order pair at distinct ts -> stage 2
+        (2, "2024-01-01 00:00:05", 3, "A"),
+        (2, "2024-01-01 00:00:06", 4, "B"),
+        # user 3: B strictly earlier than A -> stage 1 only
+        (3, "2024-01-01 00:00:09", 5, "B"),
+        (3, "2024-01-01 00:00:10", 6, "A"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    # batch ground truth first (chain-of-MINs): 3 users at step 1, 2 at 2
+    want = {
+        r["step_idx"]: r["n_advanced"]
+        for r in stream_funnel(ev, steps).collect()
+    }
+    assert want == {1: 3, 2: 2}
+
+    drops = str(tmp_path / "fts")
+    ev.coalesce(1).write.mode("append").parquet(drops)
+    stream = spark.readStream.schema(ev.schema).parquet(drops)
+    q = (
+        stream_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_ts_stream")
+        .option("checkpointLocation", str(tmp_path / "ftsck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got: dict = {}
+    for r in spark.sql("select * from funnel_ts_stream").collect():
+        got[r["step_idx"]] = got.get(r["step_idx"], 0) + r["n_advanced"]
+    assert got == want
+
+
+def test_stream_transitions_multi_chunk_single_sort(spark, tmp_path):
+    """r8 ADVICE regression: applyInPandasWithState may hand one key's
+    trigger rows as several Arrow chunks (forced here with
+    maxRecordsPerBatch=2); chaining must concat + sort ONCE, not sort
+    each chunk independently.  One user, 7 events written in DESCENDING
+    ts order so any per-chunk sort chains out of order."""
+    import time
+
+    from staticql_spark.streaming import stream_event_transitions
+
+    types = ["a", "b", "c", "d", "e", "f", "g"]
+    rows = [
+        (1, f"2024-01-01 00:00:{10 + i:02d}", i, t)
+        for i, t in enumerate(types)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts string, event_id int, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    want = {
+        (r["src_type"], r["dst_type"]): r["n_pairs"]
+        for r in stream_event_transitions(ev).collect()
+    }
+    assert len(want) == 6  # a>b ... f>g, each once
+
+    drops = str(tmp_path / "chunks")
+    ev.orderBy(F.col("ts").desc()).coalesce(1).write.mode("append").parquet(
+        drops
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(drops)
+        q = (
+            stream_event_transitions(stream)
+            .writeStream.format("memory")
+            .queryName("chunk_stream")
+            .option("checkpointLocation", str(tmp_path / "cck"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got: dict = {}
+    for r in spark.sql("select * from chunk_stream").collect():
+        k = (r["src_type"], r["dst_type"])
+        got[k] = got.get(k, 0) + r["n_pairs"]
+    assert got == want
+
+
+def test_psi_from_counts_rounds_half_up():
+    """r8 ADVICE regression: the driver-side finisher must round like
+    Spark's F.round (HALF_UP), not Python round() (half-even) — they
+    disagree on exact 6dp ties.  old bucket 1 count 0 of 63 gives
+    p_old = 0.5/64 = 0.0078125 exactly: half-up 0.007813, half-even
+    0.007812."""
+    from staticql_spark.streaming import psi_from_counts
+
+    assert round(0.0078125, 6) == 0.007812  # the trap this guards
+    edges = [100.0]
+    old_counts = [0, 63]
+    rows = psi_from_counts({1: 5, 2: 5}, edges, old_counts)
+    by_bucket = {r[0]: r for r in rows}
+    assert by_bucket[1][3] == 0.007813
