@@ -1152,34 +1152,65 @@ def q_ann_ivf_trained(spark, sf):
     return similarity.ivf_topk(queries, emb, k=5, nprobe=3, centroids=cents)
 
 
+_PQ_INDEX_CACHE: dict = {}
+
+
+def _pq_index(spark, sf, subset="all"):
+    """Shared PERSISTED PQ index (pq.pq_build/pq_load): training an index
+    is a job, not a query prefix, so the five PQ consumers (ann_pq_adc,
+    ann_ivf_pq, ann_pq_recall, ann_ivfpq_recall, ann_pq_quant_error —
+    plus stream_pq_neardup on the old-corpus subset) share ONE build per
+    (sf, subset) and pay parquet-load cost afterwards.  The build goes to
+    a per-process tempdir, so a fresh process (fresh code) always
+    rebuilds — no cross-run staleness; the append-equals-rebuild /
+    load-equals-inline contract is test_pq_append_equals_full_rebuild.
+    subset="old" is stream_pq_neardup's frozen snapshot (vec_id % 5 != 3,
+    the residue class that avoids the stride-100 init ids)."""
+    key = (sf, subset)
+    path = _PQ_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"staticql_pq_{subset}_")
+        emb = _t(spark, sf, "embeddings")
+        corpus = emb if subset == "all" else emb.filter(F.col("vec_id") % 5 != 3)
+        pq.pq_build(corpus, path, m=4, dim=64, stride=100, iters=2)
+        _PQ_INDEX_CACHE[key] = path
+    return pq.pq_load(spark, path)
+
+
 def q_ann_pq_adc(spark, sf):
     # Product quantization (Jégou et al. 2011): per-subspace Lloyd
     # codebooks (m=4 x 16 dims, 2 unrolled rounds, deterministic stride
     # init), corpus stored as 4 small codes per vector (the 64x storage
     # cut that makes 1e11-vector ANN feasible), queries scored by ADC —
     # a broadcast per-query distance table + one map-side-combinable sum.
-    # The oracle (_pq_adc_sql) replays train+encode+ADC at the documented
-    # rounding boundaries (subvector dots and the ADC sum, both @6).
+    # r8: codes/codebooks come from the shared PERSISTED index
+    # (_pq_index -> pq.pq_build/pq_load) — the train is a one-off build
+    # job, not per-query construct. The oracle (_pq_adc_sql) replays
+    # train+encode+ADC at the documented rounding boundaries (subvector
+    # dots and the ADC sum, both @6); parquet round-trips doubles
+    # bit-exactly, so loaded == inline (test_pq_append_equals_full_rebuild).
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
-    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
-    return pq.pq_adc_topk(queries, codes, cbs, k=5, m=4, dim=64)
+    idx = _pq_index(spark, sf)
+    return pq.pq_adc_topk(queries, idx.codes, idx.codebooks, k=5, m=4, dim=64)
 
 
 def q_ann_ivf_pq(spark, sf):
     # IVF-PQ (FAISS's IVFADC): stride-sampled coarse cells prune the
     # candidate set to nprobe/|cells| of the corpus; PQ-ADC scores the
-    # survivors off the broadcast distance table. The cell-tagged codes
-    # frame is the persisted serving index at scale (PARTITIONED BY cell
-    # — probe = partition-pruned read). Oracle: _ivf_pq_sql composes the
-    # shared PQ CTEs with the ann_ivf coarse-quantizer SQL.
+    # survivors off the broadcast distance table. r8: the codes frame is
+    # the shared persisted index (at scale you'd persist it PARTITIONED
+    # BY cell — probe = partition-pruned read; ivf_build models that
+    # layout). Oracle: _ivf_pq_sql composes the shared PQ CTEs with the
+    # ann_ivf coarse-quantizer SQL.
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
-    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    idx = _pq_index(spark, sf)
     return pq.ivfpq_topk(
-        queries, emb, codes, cbs, k=5, m=4, dim=64, coarse_stride=100, nprobe=3
+        queries, emb, idx.codes, idx.codebooks,
+        k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
     )
 
 
@@ -1191,13 +1222,16 @@ def q_stream_pq_neardup(spark, sf):
     # init ids) is encoded IN-ROW from literal centroids and probed by
     # exact code-tuple match, then cosine-verified against the old floats.
     # Stream-vs-batch equality: test_stream_pq_neardup_stream_matches_batch.
+    # r8: the frozen snapshot side (codebooks + code keys) is the
+    # persisted old-corpus PQ index (_pq_index subset="old") — the
+    # streaming consumer now loads the index it probes instead of
+    # retraining codebooks at every query construction.
     emb = _t(spark, sf, "embeddings")
     old = emb.filter(F.col("vec_id") % 5 != 3)
     new = emb.filter(F.col("vec_id") % 5 == 3)
-    cbs = pq.pq_train(old, m=4, dim=64, stride=100, iters=2)
-    keys = pq.code_keys(pq.pq_encode(old, cbs, m=4, dim=64))
+    idx = _pq_index(spark, sf, subset="old")
     return streaming_mod.stream_pq_neardup(
-        new, cbs, keys, old, m=4, dim=64, threshold=0.35
+        new, idx.codebooks, idx.keys, old, m=4, dim=64, threshold=0.35
     )
 
 
@@ -2670,11 +2704,10 @@ def q_ann_pq_recall(spark, sf):
     # much ranking quality the 64x compression costs on THIS corpus.
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
-    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
-    approx = pq.pq_adc_topk(queries, codes, cbs, k=5, m=4, dim=64).select(
-        "query_id", "neighbor_id"
-    )
+    idx = _pq_index(spark, sf)  # r8: shared persisted index, no retrain
+    approx = pq.pq_adc_topk(
+        queries, idx.codes, idx.codebooks, k=5, m=4, dim=64
+    ).select("query_id", "neighbor_id")
     exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
     return (
@@ -2740,10 +2773,10 @@ def q_ann_ivfpq_recall(spark, sf):
     # pruning loss from ann_pq_recall's pure quantization loss.
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
-    codes = pq.pq_encode(emb, cbs, m=4, dim=64)
+    idx = _pq_index(spark, sf)  # r8: shared persisted index, no retrain
     approx = pq.ivfpq_topk(
-        queries, emb, codes, cbs, k=5, m=4, dim=64, coarse_stride=100, nprobe=3
+        queries, emb, idx.codes, idx.codebooks,
+        k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
     ).select("query_id", "neighbor_id")
     exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
@@ -3640,8 +3673,8 @@ def q_ann_pq_quant_error(spark, sf):
     # codes or an OPQ rotation). Same 6dp-rounded distances the encoder
     # minimizes, folded in decimal. New in r7.
     emb = _t(spark, sf, "embeddings")
-    cbs = pq.pq_train(emb, m=4, dim=64, stride=100, iters=2)
-    return pq.pq_quant_error(emb, cbs, m=4, dim=64)
+    idx = _pq_index(spark, sf)  # r8: shared persisted index, no retrain
+    return pq.pq_quant_error(emb, idx.codebooks, m=4, dim=64)
 
 
 def q_doc_calibration(spark, sf):

@@ -379,3 +379,103 @@ def pq_quant_error(
         ).alias("mse"),
         F.round(F.max("d"), 6).alias("max_d2"),
     )
+
+
+# --------------------------------------------------------- persisted index
+
+class PQIndex:
+    """Handle over a persisted PQ index directory (see :func:`pq_build`):
+    ``codebooks`` (subspace, code, centroid), ``codes`` (vid, subspace,
+    code) and ``keys`` (vid, code_key) as lazily-read DataFrames."""
+
+    def __init__(self, codebooks: DataFrame, codes: DataFrame, keys: DataFrame):
+        self.codebooks = codebooks
+        self.codes = codes
+        self.keys = keys
+
+
+def pq_build(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+    stride: int = 100,
+    iters: int = 2,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Persist the PQ index: ``path/codebooks`` + ``path/codes`` +
+    ``path/keys``.
+
+    Training an index is a JOB, not a query prefix: every consumer that
+    previously ran ``pq_train`` + ``pq_encode`` inline (the ADC/IVFADC
+    query family, :func:`~staticql_spark.streaming.stream_pq_neardup`'s
+    snapshot side) instead loads this directory and pays read cost only
+    — the PQ twin of :func:`~staticql_spark.operators.similarity.ivf_build`.
+
+    The codebooks are written FIRST and read back before encoding, so
+    the persisted codes are encoded against exactly the persisted
+    centroids (not a recomputation that could drift); doubles round-trip
+    parquet bit-exactly, so a loaded index reproduces the inline
+    pipeline hash-for-hash.  ``keys`` is the :func:`code_keys` collapse
+    — the exact-match blocking frame PQ-code dedup probes, persisted so
+    the streaming consumer skips even that one groupBy.
+
+    At 100 TB the codes frame is the serving artifact (64x smaller than
+    the floats); for IVFADC compose with :func:`ivf_build`'s
+    cell-partitioned layout — cells prune partitions, these codes score
+    survivors.  Pass ``codebooks`` (e.g. from a previous build) to
+    re-encode under frozen centroids.
+    """
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(corpus, vec_col, id_col, m, dim, stride, iters)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    codes = pq_encode(corpus, cb, vec_col, id_col, m, dim)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    code_keys(spark.read.parquet(f"{path}/codes")).write.mode("overwrite").parquet(
+        f"{path}/keys"
+    )
+
+
+def pq_load(spark, path: str) -> PQIndex:
+    """Open a :func:`pq_build` directory.  Pure metadata cost — the three
+    frames are lazy parquet scans; nothing is trained or collected."""
+    return PQIndex(
+        codebooks=spark.read.parquet(f"{path}/codebooks"),
+        codes=spark.read.parquet(f"{path}/codes"),
+        keys=spark.read.parquet(f"{path}/keys"),
+    )
+
+
+def pq_append(
+    batch: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a NEW vector batch to a persisted PQ index — the
+    daily-embedding cadence (twin of ``similarity.ivf_append``): encode
+    ONLY the batch against the codebooks persisted at build time and
+    append into ``path/codes`` / ``path/keys``.  Cost tracks the batch,
+    never the accumulated corpus; existing files are untouched.
+
+    Codebooks are deliberately loaded FROM THE INDEX rather than
+    accepted as an argument: encoding a batch under retrained centroids
+    would silently mix two code spaces in one index (the recall-corruption
+    hazard ivf_append documents) — here the frozen-codebook contract is
+    structural.  ``m``/``dim`` are derived from the persisted codebooks
+    (subspace count x centroid width), so the caller can't mismatch them
+    either."""
+    spark = batch.sparkSession
+    cb = spark.read.parquet(f"{path}/codebooks")
+    meta = cb.agg(
+        (F.max("subspace") + 1).alias("m"),
+        F.max(F.size("centroid")).alias("dsub"),
+    ).collect()[0]
+    m, dsub = int(meta["m"]), int(meta["dsub"])
+    codes = pq_encode(batch, cb, vec_col, id_col, m, m * dsub)
+    codes.write.mode("append").parquet(f"{path}/codes")
+    code_keys(codes).write.mode("append").parquet(f"{path}/keys")

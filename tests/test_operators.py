@@ -2889,3 +2889,43 @@ def test_calibration_report_input_hygiene(spark):
     got = {r["bin"]: r for r in calibration_report(df).collect()}
     assert set(got) == {2}
     assert got[2]["n"] == 2 and got[2]["frac_pos"] == 0.5
+
+
+def test_pq_append_equals_full_rebuild(spark, emb, tmp_path):
+    # r8: persisted PQ index. Build on the old corpus, append the new
+    # batch (codebooks loaded FROM the index — the frozen-code-space
+    # contract is structural): codes and keys must equal a full-corpus
+    # rebuild under the same codebooks, and the loaded index must serve
+    # ADC identically to the inline train+encode pipeline.
+    from staticql_spark.operators import pq as pqm
+
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+
+    inc_path = str(tmp_path / "pq_inc")
+    pqm.pq_build(old, inc_path, m=4, dim=64, stride=100, iters=2)
+    pqm.pq_append(new, inc_path)
+    idx = pqm.pq_load(spark, inc_path)
+
+    full_path = str(tmp_path / "pq_full")
+    pqm.pq_build(emb, full_path, codebooks=idx.codebooks)
+    fidx = pqm.pq_load(spark, full_path)
+
+    codes = lambda df: sorted(
+        (r["vid"], r["subspace"], r["code"]) for r in df.collect()
+    )
+    inc_codes = codes(idx.codes)
+    assert inc_codes == codes(fidx.codes) and len(inc_codes) > 0
+    keys = lambda df: sorted((r["vid"], r["code_key"]) for r in df.collect())
+    assert keys(idx.keys) == keys(fidx.keys)
+
+    # loaded index == inline pipeline, hash-for-hash, on the ADC surface
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    inline_codes = pqm.pq_encode(emb, idx.codebooks, m=4, dim=64)
+    key5 = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+        for r in df.collect()
+    )
+    served = key5(pqm.pq_adc_topk(queries, idx.codes, idx.codebooks, k=5))
+    inline = key5(pqm.pq_adc_topk(queries, inline_codes, idx.codebooks, k=5))
+    assert served == inline and len(served) > 0
