@@ -144,7 +144,12 @@ def load_index(spark, out_dir: str, source: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir.rstrip('/')}/{source}")
 
 
-def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) -> None:
+def export_jsonl_index(
+    staticql,
+    out_dir: str,
+    fields: list[str] | None = None,
+    gzip_shards: bool = True,
+) -> None:
     """Reference-layout JSONL index artifacts: for each source and indexed
     field, ``index/{source}.{field}/{prefix dirs}/_index.jsonl`` (lines
     ``{v, vs, ref}`` sorted by (v, vs) — src/IndexBuilder.ts:645-652,
@@ -167,9 +172,25 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
     site* deployment format, bounded by site size (it writes one JSONL line
     per record per field via Node fs). The cluster-scale covering index is
     the parquet layout (save_indexes); this exporter is the bridge out.
+
+    ``gzip_shards`` (default ON — the reference CLI gzips every ``.jsonl``
+    by default, cli/generate-index.ts:175-196) writes a ``.gz`` twin
+    beside each plain shard, which is what the gzip-first readers
+    (reference FetchRepository.readFile:41-57 and this repo's
+    sources/http.py) fetch from a CDN; gzip mtime is pinned to 0 so the
+    artifact bytes are deterministic across rebuilds.
     """
+    import gzip as _gzip
     import json as _json
     import os
+
+    def _emit(path: str, text: str) -> None:
+        data = text.encode("utf-8")
+        with open(path, "wb") as f:
+            f.write(data)
+        if gzip_shards:
+            with open(path + ".gz", "wb") as f:
+                f.write(_gzip.compress(data, mtime=0))
 
     dfs = {name: staticql.df(name) for name in staticql.configs}
     root = out_dir.rstrip("/")
@@ -194,15 +215,16 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
         for (fld, prefix), frows in by_field_prefix.items():
             leaf = f"{root}/index/{name}.{fld}/{prefix}"
             os.makedirs(leaf, exist_ok=True)
-            with open(f"{leaf}/_index.jsonl", "w", encoding="utf-8") as f:
-                for r in frows:
-                    ref = {
-                        r["slug"]: {
-                            fl: sorted(ps) for fl, ps in ref_map[r["slug"]].items()
-                        }
+            lines = []
+            for r in frows:
+                ref = {
+                    r["slug"]: {
+                        fl: sorted(ps) for fl, ps in ref_map[r["slug"]].items()
                     }
-                    line = {"v": r["v"], "vs": r["vs"], "ref": ref}
-                    f.write(_json.dumps(line, ensure_ascii=False) + "\n")
+                }
+                line = {"v": r["v"], "vs": r["vs"], "ref": ref}
+                lines.append(_json.dumps(line, ensure_ascii=False) + "\n")
+            _emit(f"{leaf}/_index.jsonl", "".join(lines))
             dirs_per_field.setdefault(fld, set()).add(prefix)
         # _prefixes.jsonl per directory level: immediate children only
         for fld, prefixes in dirs_per_field.items():
@@ -215,6 +237,7 @@ def export_jsonl_index(staticql, out_dir: str, fields: list[str] | None = None) 
             for parent, kids in children.items():
                 d = f"{root}/index/{name}.{fld}" + (f"/{parent}" if parent else "")
                 os.makedirs(d, exist_ok=True)
-                with open(f"{d}/_prefixes.jsonl", "w", encoding="utf-8") as f:
-                    for kid in sorted(kids):
-                        f.write(kid + "\n")
+                _emit(
+                    f"{d}/_prefixes.jsonl",
+                    "".join(kid + "\n" for kid in sorted(kids)),
+                )

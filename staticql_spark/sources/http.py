@@ -69,15 +69,26 @@ def fetch_text(
 
 
 def read_prefix_tree(
-    base_url: str, dir_path: str, timeout: float = DEFAULT_TIMEOUT
+    base_url: str,
+    dir_path: str,
+    timeout: float = DEFAULT_TIMEOUT,
+    prefer_gzip: bool = True,
 ) -> list[dict]:
     """Recursive remote prefix-tree walk (readAllIndexesRemote:165-199):
     read ``{dir}/_index.jsonl`` if present, then descend into every prefix
     named by ``{dir}/_prefixes.jsonl``. Missing files end the branch (the
-    reference swallows fetch errors the same way)."""
+    reference swallows fetch errors the same way).  Index shards are
+    fetched gzip-first by default (``.jsonl.gz`` then plain — the
+    reference FetchRepository.readFile:41-57 order; export_jsonl_index
+    writes the ``.gz`` twins), so a gz-only CDN deployment is readable."""
     results: list[dict] = []
     try:
-        text = fetch_text(base_url, f"{dir_path}/_index.jsonl", timeout=timeout)
+        text = fetch_text(
+            base_url,
+            f"{dir_path}/_index.jsonl",
+            timeout=timeout,
+            prefer_gzip=prefer_gzip,
+        )
         for line in text.splitlines():
             line = line.strip()
             if line:
@@ -85,12 +96,19 @@ def read_prefix_tree(
     except (urllib.error.URLError, OSError, ValueError):
         pass
     try:
-        text = fetch_text(base_url, f"{dir_path}/_prefixes.jsonl", timeout=timeout)
+        text = fetch_text(
+            base_url,
+            f"{dir_path}/_prefixes.jsonl",
+            timeout=timeout,
+            prefer_gzip=prefer_gzip,
+        )
         prefixes = [p.strip() for p in text.splitlines() if p.strip()]
     except (urllib.error.URLError, OSError):
         prefixes = []
     for prefix in prefixes:
-        results.extend(read_prefix_tree(base_url, f"{dir_path}/{prefix}", timeout))
+        results.extend(
+            read_prefix_tree(base_url, f"{dir_path}/{prefix}", timeout, prefer_gzip)
+        )
     return results
 
 

@@ -181,10 +181,15 @@ def test_jsonl_index_export_golden_layout(served):
     _, site = served
     idx = site / "index" / "herbs.slug"
     files = sorted(str(p.relative_to(idx)) for p in idx.rglob("*") if p.is_file())
+    # r8: each shard also gets a .gz twin by default (reference
+    # cli/generate-index.ts gzips every .jsonl)
     assert files == [
         "0061/_index.jsonl",
+        "0061/_index.jsonl.gz",
         "0063/_index.jsonl",
+        "0063/_index.jsonl.gz",
         "_prefixes.jsonl",
+        "_prefixes.jsonl.gz",
     ]
     assert (idx / "_prefixes.jsonl").read_text() == "0061\n0063\n"
     # ref = the reference client's payload shape {slug: {field: [prefix
@@ -206,3 +211,44 @@ def test_jsonl_index_export_golden_layout(served):
         '{"compoundSlugs": ["0063", "0067"], "name": ["30ec"], "slug": ["0063"], '
         '"tagSlugs": ["0061", "0072"]}}}',
     ]
+
+
+def test_gz_only_index_site_e2e(spark, content_dir, tmp_path):
+    """r8: export_jsonl_index writes .gz twins by default (reference
+    cli/generate-index.ts:175-196); a CDN deployment that serves ONLY the
+    gzipped shards must still be walkable — read_prefix_tree fetches
+    gzip-first (FetchRepository.readFile:41-57 order)."""
+    site = tmp_path / "gzsite"
+    site.mkdir()
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    export_jsonl_index(local, str(site))
+
+    # every shard got a deterministic .gz twin (mtime pinned to 0)
+    plain = sorted(p for p in site.rglob("*.jsonl"))
+    assert plain, "exporter wrote no shards"
+    for p in plain:
+        gz = Path(str(p) + ".gz")
+        assert gz.exists()
+        assert gzip.decompress(gz.read_bytes()) == p.read_bytes()
+        p.unlink()  # gz-only deployment
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), partial(_QuietHandler, directory=str(site))
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base_url = f"http://127.0.0.1:{port}"
+        lines = read_prefix_tree(base_url, "index/herbs.slug")
+        slugs = {l["v"] for l in lines}
+        assert slugs == {
+            "arctium-lappa", "centella-asiatica", "cymbopogon-citratus"
+        }
+        cfgs = define(CONFIG)(base_dir="unused").configs
+        herbs = sorted(list_source_files(base_url, cfgs["herbs"]))
+        assert len(herbs) == 3
+    finally:
+        server.shutdown()
