@@ -224,6 +224,39 @@ HEADLINE = [
     "events_funnel_windowed",
 ]
 
+# BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —
+# the long-stable set benched to convergence in r1-r4 (rationale in the
+# HEADLINE comment above: TPC-H group-C shapes, small staticql-parity
+# lookups, simple set/pivot/window variants, trained-index twins whose
+# cost is already timed via a headline sibling).  This list is EXPLICIT so
+# tests/test_bench_contract.py can enforce that a newly registered query
+# can never silently fall into the un-benched gap: every queries() key
+# must be in HEADLINE or placed here deliberately (with the r-note below).
+BENCH_EXEMPT = [
+    # r1-r4 convergence set (70 keys, frozen r8)
+    "ann_ivf_trained", "ann_lsh", "ann_quantized", "anti_join",
+    "brand_supplier_count", "cheapest_supplier", "cm_heavy_hitters",
+    "conditional_pivot", "corpus_report", "cube_rollup", "cursor_before",
+    "dedup_components", "dedup_jaccard_hist", "dedup_keep",
+    "dedup_minhash_sig", "dedup_ngram_jaccard", "disjunctive_filter_revenue",
+    "doc_bm25", "doc_fingerprint", "doc_normalize", "doc_quality_filter",
+    "doc_repetition", "doc_split", "doc_term_df", "doc_tokens", "doc_winnow",
+    "dominant_supplier", "embedding_neardup", "embedding_quantize",
+    "events_lag_gap", "events_props_json", "events_range_window",
+    "events_sliding", "events_trending", "exists_subquery",
+    "forecast_revenue", "full_outer_activity", "grouping_sets_agg",
+    "has_many_collect", "idle_customer_balance", "important_part_value",
+    "large_volume_customer", "late_shipment_priority", "latest_per_user",
+    "multimodal_features", "nation_profit", "nation_volume_shipping",
+    "order_page1", "order_priority_check", "order_value_percentiles",
+    "pivot_priority", "point_lookup", "projection_prune", "promo_revenue",
+    "returned_item_revenue", "rollup_agg", "salted_hot_key_agg",
+    "scalar_subquery", "set_except", "set_intersect", "simhash_pairs",
+    "small_qty_avg_yearly", "stratified_sample", "through_rows",
+    "top_supplier", "union_distinct", "unpivot_metrics", "where_eq",
+    "where_in", "where_startswith",
+]
+
 # CORE: the stable subset whose per-query numbers ride in the compact
 # stdout line every round (cross-round comparable since r1-r3) plus the
 # perf-watch queries named by round verdicts.  The FULL set's numbers are
