@@ -1140,15 +1140,69 @@ def q_asof_hotkey_bucketed(spark, sf):
     )
 
 
+_ARTIFACT_CACHE: dict = {}
+
+
+def _artifact(spark, key: tuple, build):
+    """Build-once-per-process materialized frame (parquet in a tempdir):
+    the shared-index idiom behind _pq_index, generalized — training a
+    model / deriving a heavy frame is a JOB, not a query prefix, so
+    queries that consume the same derivation share one evaluation and
+    pay parquet-load cost afterwards.  A fresh process always rebuilds
+    (no cross-run staleness); every artifact here is longs/doubles (or
+    6dp-rounded doubles), so the parquet hop is value-exact and the
+    oracle twins, which replay the derivation inline, still hash-match
+    (locked for the PQ case by test_pq_append_equals_full_rebuild)."""
+    path = _ARTIFACT_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"staticql_{key[0]}_")
+        build().write.mode("overwrite").parquet(path)
+        _ARTIFACT_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def _kmeans_centroids(spark, sf):
+    """The shared full-corpus k-means fit (stride-100 init, 2 Lloyd
+    iterations) — consumed by ann_ivf_trained, embedding_prototypes,
+    kmeans_inertia, dedup_semantic and dedup_semantic_keep (r7 verdict
+    #4: the train was re-run at every consumer's construct)."""
+    return _artifact(
+        spark,
+        ("kmeans", sf),
+        lambda: similarity.kmeans_fit(
+            _t(spark, sf, "embeddings"), centroid_stride=100, iters=2
+        ),
+    )
+
+
+def _semantic_pairs_cached(spark, sf):
+    """ONE SemDeDup pairs evaluation (threshold 0.35 over the shared
+    trained cells) feeding dedup_semantic AND dedup_semantic_keep —
+    the keep query's construct was the single biggest item (6.19 s at
+    sf0.1) because it re-ran train + assign + self-join."""
+    return _artifact(
+        spark,
+        ("sempairs", sf),
+        lambda: dedup.semantic_dedup_pairs(
+            _t(spark, sf, "embeddings"),
+            threshold=0.35,
+            centroids=_kmeans_centroids(spark, sf),
+        ),
+    )
+
+
 def q_ann_ivf_trained(spark, sf):
     # IVF over kmeans_fit-trained centroids (2 Lloyd iterations, assign =
     # broadcast cosine argmax, update = one map-side-combined aggregation
     # per iteration). The fixed iteration count makes the whole fit
     # SQL-expressible: the oracle (_ivf_trained_sql) unrolls both Lloyd
     # steps in DuckDB; the NumPy Lloyd twin test stays as a second check.
+    # r8: centroids come from the shared persisted fit (_kmeans_centroids).
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    cents = _kmeans_centroids(spark, sf)
     return similarity.ivf_topk(queries, emb, k=5, nprobe=3, centroids=cents)
 
 
@@ -1242,7 +1296,7 @@ def q_embedding_prototypes(spark, sf):
     # removes after SemDeDup. Same trained cells as dedup_semantic /
     # ann_ivf_trained (oracle reuses the unrolled-Lloyd CTEs).
     emb = _t(spark, sf, "embeddings")
-    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    cents = _kmeans_centroids(spark, sf)  # r8: shared persisted fit
     return similarity.cell_prototypicality(emb, centroids=cents, drop_frac=0.25)
 
 
@@ -2401,19 +2455,19 @@ def q_dedup_semantic(spark, sf):
     # SemDeDup: k-means cells (trained, 2 Lloyd iterations) as the
     # blocking key, within-cell cosine pairs — never a corpus cross join.
     # Same 0.35 threshold rationale as embedding_neardup (synthetic
-    # embeddings top out near 0.43).
-    return dedup.semantic_dedup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.35, centroid_stride=100, iters=2
-    )
+    # embeddings top out near 0.43). r8: the pairs frame is the shared
+    # materialized evaluation (_semantic_pairs_cached) it co-owns with
+    # dedup_semantic_keep.
+    return _semantic_pairs_cached(spark, sf)
 
 
 def q_dedup_semantic_keep(spark, sf):
     # full SemDeDup: cluster-blocked cosine pairs -> connected components
-    # -> keep cluster representatives + untouched vectors
+    # -> keep cluster representatives + untouched vectors. r8: consumes
+    # the shared materialized pairs frame instead of re-running
+    # train + assign + within-cell self-join at construct.
     emb = _t(spark, sf, "embeddings")
-    pairs = dedup.semantic_dedup_pairs(
-        emb, threshold=0.35, centroid_stride=100, iters=2
-    )
+    pairs = _semantic_pairs_cached(spark, sf)
     return dedup.dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
 
 
@@ -2864,7 +2918,7 @@ def q_kmeans_inertia(spark, sf):
     # of ann_cell_balance. d2 from 6dp-rounded dots, exact DECIMAL sum.
     # r7-window candidate (tail-registered).
     emb = _t(spark, sf, "embeddings")
-    cents = similarity.kmeans_fit(emb, centroid_stride=100, iters=2)
+    cents = _kmeans_centroids(spark, sf)  # r8: shared persisted fit
     return similarity.kmeans_inertia(emb, cents)
 
 
@@ -3129,16 +3183,34 @@ def q_pipeline_release_manifest(spark, sf):
     return shard_checksums(kept, ["text", "lang", "source", "n_chars"], n_shards=16)
 
 
+def _contaminated_spans_cached(spark, sf):
+    """ONE contaminated_spans evaluation feeding BOTH span-decon keys
+    (doc_contamination_by_source + doc_decontaminate_excise — r7 verdict
+    #6): the char-gram islands machinery is the heaviest soak operator
+    (24.8 s exec at 500k docs), and both keys consume the identical
+    (corpus % 10 != 0) x (bench % 10 == 0, k=20) spans frame.  Spans are
+    pure longs, so the parquet hop is value-exact."""
+
+    def build():
+        docs = _t(spark, sf, "documents")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        return dedup.contaminated_spans(corpus, bench, k=20)
+
+    return _artifact(spark, ("spans", sf), build)
+
+
 def q_doc_decontaminate_excise(spark, sf):
     # span-level decontamination: excise the exact character ranges that
     # share a 20-char gram with the eval tenth, instead of dropping the
     # whole doc — a page quoting one eval question loses the quote, not
     # the page. Bench gram hashes broadcast; same islands merge + excise
-    # machinery as substring dedup. r7-window candidate.
+    # machinery as substring dedup. r8: the spans frame is the shared
+    # materialized evaluation (_contaminated_spans_cached) it co-owns
+    # with doc_contamination_by_source.
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    bench = docs.filter(F.col("doc_id") % 10 == 0)
-    spans = dedup.contaminated_spans(corpus, bench, k=20)
+    spans = _contaminated_spans_cached(spark, sf)
     return dedup.excise_spans(corpus, spans)
 
 
@@ -3182,12 +3254,13 @@ def q_doc_contamination_by_source(spark, sf):
     # WHICH source leaks eval content: per-source contaminated-doc rate
     # + duplicated character mass over the span-decon machinery — the
     # drill-down that turns "0.4% contaminated" into "crawl batch X is
-    # the problem". Left join keeps clean sources as zero rows. New in
-    # r7.
+    # the problem". Left join keeps clean sources as zero rows. r8: the
+    # spans frame is the shared materialized evaluation
+    # (_contaminated_spans_cached) it co-owns with
+    # doc_decontaminate_excise.
     docs = _t(spark, sf, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    bench = docs.filter(F.col("doc_id") % 10 == 0)
-    spans = dedup.contaminated_spans(corpus, bench, k=20)
+    spans = _contaminated_spans_cached(spark, sf)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1)
         .cast("long")
