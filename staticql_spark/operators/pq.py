@@ -276,36 +276,71 @@ def encode_inrow(
 ) -> Column:
     """code_key computed entirely IN-ROW from literal codebooks — the
     streaming-side encoder.  ``codebook_rows`` is the collected
-    (subspace, code, centroid) list (m x K rows — bounded by
+    (subspace, code, centroid[, cc]) list (m x K rows — bounded by
     construction; the logreg broadcast-weights precedent).  Per subspace
     the argmin is array_min over struct(rounded d, code) — bit-identical
     to _assign's min(struct(d, code)), same tiebreak — so a vector
     encodes to the SAME codes whether it flows through the distributed
     pq_encode or this map-only path (locked by
     test_stream_pq_encode_matches_batch).  No shuffle, no state:
-    append-mode streaming friendly."""
+    append-mode streaming friendly.
+
+    Expression-tree economy (r8 — construct-time Column building
+    dominated stream_pq_neardup's bench construct at ~3.6 s): instead of
+    materializing K per-codeword subtrees (each with 16 F.lit calls for
+    the centroid plus three dot folds — thousands of py4j round trips),
+    each subspace ships THREE literals total (codes array, nested
+    centroid array, self-dot array — one py4j call each) and the K
+    entries come from ONE indexed ``transform`` whose lambda computes
+    d = round(s2 - 2*round(sv·c_i, 6) + cc_i, 6) with c_i =
+    element_at(centroids, i+1).  Term-for-term this is exactly
+    round(sqdist6, 6): sv·sv is bound once per subspace as s2 (the
+    single-element transform trick), cc_i is either the JVM-computed
+    ``cc`` field from the collect or an in-lambda c_i·c_i fold —
+    identical doubles either way, so codes are unchanged."""
     per_sub: dict[int, list] = {}
     for r in codebook_rows:
-        per_sub.setdefault(r["subspace"], []).append((r["code"], list(r["centroid"])))
+        d = r.asDict()
+        per_sub.setdefault(d["subspace"], []).append(
+            (d["code"], list(d["centroid"]), d.get("cc"))
+        )
     keys = []
     dvec = as_double(vec)
     for j in range(m):
+        entries = sorted(per_sub.get(j, []))
+        if not entries:
+            keys.append(F.lit(None).cast("string"))
+            continue
         sv = F.slice(dvec, j * dsub + 1, dsub)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        sqdist6(
-                            sv, F.array(*[F.lit(float(x)) for x in cent])
-                        ),
-                        6,
-                    ).alias("d"),
-                    F.lit(code).cast("long").alias("code"),
-                )
-                for code, cent in sorted(per_sub.get(j, []))
-            ]
+        codes_lit = F.lit([int(c) for c, _, _ in entries])
+        cents_lit = F.lit([[float(x) for x in cent] for _, cent, _ in entries])
+        have_cc = all(cc is not None for _, _, cc in entries)
+        ccs_lit = (
+            F.lit([float(cc) for _, _, cc in entries]) if have_cc else None
         )
-        keys.append(F.array_min(entries)["code"].cast("string"))
+
+        def scored(s2, codes=codes_lit, cents=cents_lit, ccs=ccs_lit, sv=sv):
+            def entry(c, i):
+                ci = F.element_at(cents, i + 1)
+                cc_i = (
+                    F.element_at(ccs, i + 1)
+                    if ccs is not None
+                    else F.round(dot(ci, ci), 6)
+                )
+                return F.struct(
+                    F.round(s2 - 2 * F.round(dot(sv, ci), 6) + cc_i, 6).alias(
+                        "d"
+                    ),
+                    c.alias("code"),
+                )
+
+            return F.transform(codes, entry)
+
+        best = F.transform(
+            F.array(F.round(dot(sv, sv), 6)),
+            lambda s2: F.array_min(scored(s2))["code"],
+        )[0]
+        keys.append(best.cast("string"))
     return F.concat_ws("_", *keys)
 
 
