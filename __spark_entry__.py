@@ -1193,6 +1193,53 @@ def _semantic_pairs_cached(spark, sf):
     )
 
 
+def _lsh_pairs_cached(spark, sf):
+    """ONE MinHash-LSH pairs evaluation (full documents corpus, the
+    n=3 / 16-hash / 4-band / 0.2 recipe) feeding the SEVEN pure pair
+    consumers (components, keep, triangles, canonical_meta,
+    cluster_stats, jaccard_hist, split_leakfree).  dedup_minhash_lsh
+    itself and the flagship compositions (pipeline_clean_corpus,
+    doc_training_manifest) deliberately KEEP computing inline: the
+    former is the cross-round LSH-throughput benchmark, the latter two
+    demonstrate the one-declarative-program composition their oracles
+    replay.  Pairs are (long, long, double) — parquet hop value-exact."""
+    return _artifact(
+        spark,
+        ("lshpairs", sf),
+        lambda: dedup.minhash_lsh_pairs(
+            _t(spark, sf, "documents"),
+            n=3, num_hashes=16, bands=4, threshold=0.2,
+        ),
+    )
+
+
+def build_artifacts(spark, sf) -> dict:
+    """Force-build every shared persisted artifact, returning per-artifact
+    build seconds.  bench.py calls this BEFORE its query loop so the
+    one-off index-build jobs are timed explicitly (the
+    ``artifact_build_sec`` map in BENCH_FULL.json) instead of landing in
+    the first consumer's construct and then vanishing from min-of-reps —
+    the honesty rule for the "index build is a job" pattern: consumers
+    are benched at probe cost, and the build cost stays a visible,
+    attributable number."""
+    import time as _time
+
+    steps = [
+        ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf)),
+        ("semantic_pairs", lambda: _semantic_pairs_cached(spark, sf)),
+        ("lsh_pairs", lambda: _lsh_pairs_cached(spark, sf)),
+        ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
+        ("pq_index", lambda: _pq_index(spark, sf)),
+        ("pq_index_old", lambda: _pq_index(spark, sf, subset="old")),
+    ]
+    out = {}
+    for name, fn in steps:
+        t0 = _time.perf_counter()
+        fn()
+        out[name] = round(_time.perf_counter() - t0, 3)
+    return out
+
+
 def q_ann_ivf_trained(spark, sf):
     # IVF over kmeans_fit-trained centroids (2 Lloyd iterations, assign =
     # broadcast cosine argmax, update = one map-side-combined aggregation
@@ -1607,7 +1654,7 @@ def q_doc_split_leakfree(spark, sf):
     # component representative, so a near-dup pair can never straddle
     # train/eval (the leakage a per-doc hash split allows)
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     return dedup.leakfree_split(docs, pairs).select("doc_id", "rep", "split")
 
 
@@ -1808,7 +1855,7 @@ def q_dedup_cluster_stats(spark, sf):
     # duplicate-cluster size distribution (new r5): how much of the corpus
     # sits in near-dup clusters of each size -- the dedup health report
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
     return (
@@ -2370,9 +2417,7 @@ def q_dedup_jaccard_hist(spark, sf):
     # similarity-distribution report over the near-dup pairs: decile bins
     # of exact Jaccard — the table a dedup-threshold owner reads before
     # picking the cut; one extra tiny aggregate over the pair output
-    pairs = dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
-    )
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     bin_ = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
     return pairs.groupBy(bin_.alias("bin")).agg(
         F.count("*").alias("n_pairs"),
@@ -2400,9 +2445,7 @@ def q_dedup_components(spark, sf):
     # duplicate CLUSTERS from near-dup pairs: min-label propagation over
     # the LSH pair graph (the step that turns pairwise evidence into a
     # keep-one-per-cluster decision)
-    pairs = dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
-    )
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     return dedup.connected_components(pairs)
 
 
@@ -2410,7 +2453,7 @@ def q_dedup_keep(spark, sf):
     # end-to-end near-dup dedup: the kept document set (cluster
     # representatives + untouched docs) after LSH pairing + clustering
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     return dedup.dedup_keep(docs, pairs).select("doc_id", "lang", "source")
 
 
@@ -2721,9 +2764,7 @@ def q_dedup_triangles(spark, sf):
     # the dedup_minhash_lsh pair SQL verbatim (see oracle_sql()).
     from staticql_spark.operators.graph import triangle_counts
 
-    pairs = dedup.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
-    )
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     return triangle_counts(pairs, src="id_a", dst="id_b")
 
 
@@ -3465,7 +3506,7 @@ def q_dedup_canonical_meta(spark, sf):
     # pass must KEEP when it drops members (provenance, license,
     # mixture accounting all live here)
     docs = _t(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, threshold=0.2)
+    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
     comp = dedup.connected_components(pairs).select(
         F.col("member_id").alias("doc_id"), "component_id"
     )
@@ -3819,10 +3860,47 @@ def q_hll_grouped_ndv(spark, sf):
     return sketch.hll_grouped(ev, "event_type", "user_id")
 
 
+# r8 window (r7 verdict #1 + #8).  ROTATION POLICY, amended per the r7
+# verdict: (1) keys whose code or consumed artifact changed since their
+# last driver-green row outrank EVERYTHING — a stale-green key runs
+# yesterday's verified code, a changed key runs unverified code; (2) the
+# remaining slots backfill with the stalest-green keys (registry order);
+# (3) new keys rank with changed keys.  The r8 head below: 27 changed
+# keys (3 changed in r7 after the window closed — embedding_class_sep is
+# r6's wrong answer, fixed but never driver-rechecked; 4 r8 ADVICE fixes;
+# 20 artifact-consumer rewires whose parquet hop the driver should
+# value-check) + 23 of the 50 r3-vintage keys.  The 27 r3 keys that
+# don't fit this 50-key window are the COMMITTED r9 backfill head (see
+# COVERAGE.md freshness ledger).
+_R8_HEAD = [
+    # -- changed in r7, never driver-checked since (r7 verdict #1) --
+    "embedding_class_sep", "embedding_top_pc", "doc_logreg",
+    # -- r8 ADVICE fixes --
+    "doc_calibration", "stream_funnel", "stream_transitions", "stream_psi",
+    # -- r8 persisted-PQ-index consumers --
+    "ann_pq_adc", "ann_ivf_pq", "ann_pq_recall", "ann_ivfpq_recall",
+    "ann_pq_quant_error", "stream_pq_neardup",
+    # -- r8 shared kmeans / semantic-pairs / spans artifact consumers --
+    "ann_ivf_trained", "embedding_prototypes", "kmeans_inertia",
+    "dedup_semantic", "dedup_semantic_keep",
+    "doc_contamination_by_source", "doc_decontaminate_excise",
+    # -- r8 shared LSH-pairs artifact consumers --
+    "doc_split_leakfree", "dedup_cluster_stats", "dedup_jaccard_hist",
+    "dedup_components", "dedup_keep", "dedup_triangles",
+    "dedup_canonical_meta",
+    # -- stalest-green backfill (newest signal r3; registry order) --
+    "where_eq", "where_startswith", "where_in", "where_and",
+    "point_lookup", "projection_prune", "has_one_join", "has_many_agg",
+    "has_many_collect", "belongs_to_join", "through_count", "through_rows",
+    "order_page1", "cursor_after", "cursor_before", "set_intersect",
+    "ship_priority", "forecast_revenue", "latest_per_user",
+    "returned_item_revenue", "promo_revenue", "top_supplier",
+    "brand_supplier_count",
+]
+
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
 # #1 ledger, verbatim): registered in r6 but placed after the 50-key window.
-# r7 rotates them to the head so one round closes the ever-checked ledger
-# ever-driver-checked.  New-in-r7 keys are appended here as they land.
+# r7 rotated them to the head; kept for the r8 tail's relative order.
 _R7_HEAD = [
     "grouped_percentiles", "robust_outliers", "kmeans_inertia",
     "doc_ngram_coverage", "shard_checksums", "events_dau_wau",
@@ -4105,14 +4183,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi": q_stream_psi,
         "events_funnel_windowed": q_events_funnel_windowed,
     }
-    # r7 rotation: never-driver-checked keys first, then everything else in
-    # its r6 relative order.  _R7_HEAD keys are asserted present so a typo
-    # in the ledger fails loudly rather than silently shrinking the head.
-    missing = [k for k in _R7_HEAD if k not in q]
-    assert not missing, f"_R7_HEAD keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R7_HEAD}
-    tail = {k: v for k, v in q.items() if k not in head}
-    return {**head, **tail}
+    # r8 rotation: changed-code keys first (they run unverified code),
+    # then stalest-green backfill (_R8_HEAD, see the policy comment
+    # there), then the r7 ordering for the tail.  Keys are asserted
+    # present so a typo fails loudly rather than silently shrinking the
+    # head.
+    for ledger in (_R8_HEAD, _R7_HEAD):
+        missing = [k for k in ledger if k not in q]
+        assert not missing, f"rotation keys absent from registry: {missing}"
+    head = {k: q[k] for k in _R8_HEAD}
+    mid = {k: q[k] for k in _R7_HEAD if k not in head}
+    tail = {k: v for k, v in q.items() if k not in head and k not in mid}
+    return {**head, **mid, **tail}
 
 
 # =====================================================================

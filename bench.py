@@ -289,6 +289,19 @@ def main() -> None:
     for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
         spark.read.parquet(p).count()
 
+    # r8: build the shared persisted artifacts (k-means fit, LSH /
+    # SemDeDup pairs, contaminated spans, PQ indexes) UP FRONT and time
+    # each build explicitly — these are one-off index-build jobs whose
+    # consumers are benched at probe cost; timing them here keeps the
+    # build cost a visible, attributable number instead of letting it
+    # land in some first consumer's construct and vanish in min-of-reps.
+    artifact_build = (
+        entry.build_artifacts(spark, sf_dir)
+        if hasattr(entry, "build_artifacts")
+        else {}
+    )
+    artifact_build_total = round(sum(artifact_build.values()), 3)
+
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     construct: dict[str, float] = {}
@@ -334,6 +347,8 @@ def main() -> None:
         "reps": reps,
         "construct_sec": construct,
         "construct_total": construct_total,
+        "artifact_build_sec": artifact_build,
+        "artifact_build_total": artifact_build_total,
         "sf": sf_num,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -362,6 +377,7 @@ def main() -> None:
         "sf": sf_num,
         "n_queries": len(timings),
         "construct_total": construct_total,
+        "artifact_build_total": artifact_build_total,
         "spread": {
             "max_ratio": rvals[-1],
             "median_ratio": rvals[len(rvals) // 2],
