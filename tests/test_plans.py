@@ -448,10 +448,27 @@ def test_bigram_counts_broadcast_back(spark):
 
 
 def test_pq_codebooks_and_dtable_are_broadcast(spark):
-    # PQ ADC: codebooks and the per-query distance table must reach the
-    # codes frame as broadcasts; the tall codes frame never shuffles for
-    # scoring, and the argmin assigns are map-side-combined partial aggs
+    # PQ ADC serving plan (r8: probes the PERSISTED index, so no encode
+    # in the query): codebooks and the per-query distance table reach the
+    # codes scan as broadcasts; the tall codes frame never shuffles for
+    # scoring beyond the final (query_id, vid) partial-agg sum; and the
+    # codes side is a parquet SCAN, not a re-derivation
     p = plan(entrymod.q_ann_pq_adc(spark, SF_SMOKE))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "partial_sum" in p, p  # map-side-combined ADC fold
+    assert p.count("Scan parquet") >= 2, p  # codes + codebooks from the index
+
+
+def test_pq_encode_argmin_is_map_side_combined(spark):
+    # the BUILD pipeline's argmin assign (now inside pq_build, no longer
+    # in any query plan) stays a map-side-combined partial agg over a
+    # broadcast codebook join
+    from staticql_spark.operators import pq as pqm
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cbs = pqm.pq_train(emb, m=4, dim=64, stride=100, iters=1)
+    p = plan(pqm.pq_encode(emb, cbs, m=4, dim=64))
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "partial_min" in p, p
