@@ -1213,6 +1213,30 @@ def _lsh_pairs_cached(spark, sf):
     )
 
 
+def _lsh_components_cached(spark, sf):
+    """ONE connected-components evaluation over the shared LSH pairs —
+    the iterative min-label propagation (localCheckpoint rounds = real
+    distributed work at CONSTRUCT) cost 14-20 s PER consumer at the
+    500k-doc soak even with pairs shared; clustering the pair graph is
+    a job, so its result is an artifact too.  (member_id, component_id)
+    longs — parquet hop value-exact."""
+    return _artifact(
+        spark,
+        ("lshcc", sf),
+        lambda: dedup.connected_components(_lsh_pairs_cached(spark, sf)),
+    )
+
+
+def _semantic_components_cached(spark, sf):
+    """CC over the shared SemDeDup pairs — dedup_semantic_keep's
+    remaining construct cost (3.9 s at soak) was exactly this."""
+    return _artifact(
+        spark,
+        ("semcc", sf),
+        lambda: dedup.connected_components(_semantic_pairs_cached(spark, sf)),
+    )
+
+
 def build_artifacts(spark, sf) -> dict:
     """Force-build every shared persisted artifact, returning per-artifact
     build seconds.  bench.py calls this BEFORE its query loop so the
@@ -1227,7 +1251,9 @@ def build_artifacts(spark, sf) -> dict:
     steps = [
         ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf)),
         ("semantic_pairs", lambda: _semantic_pairs_cached(spark, sf)),
+        ("semantic_components", lambda: _semantic_components_cached(spark, sf)),
         ("lsh_pairs", lambda: _lsh_pairs_cached(spark, sf)),
+        ("lsh_components", lambda: _lsh_components_cached(spark, sf)),
         ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
         ("pq_index", lambda: _pq_index(spark, sf)),
         ("pq_index_old", lambda: _pq_index(spark, sf, subset="old")),
@@ -1654,8 +1680,10 @@ def q_doc_split_leakfree(spark, sf):
     # component representative, so a near-dup pair can never straddle
     # train/eval (the leakage a per-doc hash split allows)
     docs = _t(spark, sf, "documents")
-    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
-    return dedup.leakfree_split(docs, pairs).select("doc_id", "rep", "split")
+    comp = _lsh_components_cached(spark, sf)  # r8: shared CC artifact
+    return dedup.leakfree_split(docs, None, components=comp).select(
+        "doc_id", "rep", "split"
+    )
 
 
 def q_bpe_pair_counts(spark, sf):
@@ -1855,8 +1883,7 @@ def q_dedup_cluster_stats(spark, sf):
     # duplicate-cluster size distribution (new r5): how much of the corpus
     # sits in near-dup clusters of each size -- the dedup health report
     docs = _t(spark, sf, "documents")
-    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
-    comp = dedup.connected_components(pairs)
+    comp = _lsh_components_cached(spark, sf)  # r8: shared CC artifact
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -2445,16 +2472,18 @@ def q_dedup_components(spark, sf):
     # duplicate CLUSTERS from near-dup pairs: min-label propagation over
     # the LSH pair graph (the step that turns pairwise evidence into a
     # keep-one-per-cluster decision)
-    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
-    return dedup.connected_components(pairs)
+    # r8: the CC frame is itself a shared artifact (iterative job)
+    return _lsh_components_cached(spark, sf)
 
 
 def q_dedup_keep(spark, sf):
     # end-to-end near-dup dedup: the kept document set (cluster
     # representatives + untouched docs) after LSH pairing + clustering
     docs = _t(spark, sf, "documents")
-    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
-    return dedup.dedup_keep(docs, pairs).select("doc_id", "lang", "source")
+    comp = _lsh_components_cached(spark, sf)  # r8: shared CC artifact
+    return dedup.dedup_keep(docs, None, components=comp).select(
+        "doc_id", "lang", "source"
+    )
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -2510,8 +2539,10 @@ def q_dedup_semantic_keep(spark, sf):
     # the shared materialized pairs frame instead of re-running
     # train + assign + within-cell self-join at construct.
     emb = _t(spark, sf, "embeddings")
-    pairs = _semantic_pairs_cached(spark, sf)
-    return dedup.dedup_keep(emb, pairs, id_col="vec_id").select("vec_id")
+    comp = _semantic_components_cached(spark, sf)  # r8: shared CC artifact
+    return dedup.dedup_keep(emb, None, id_col="vec_id", components=comp).select(
+        "vec_id"
+    )
 
 
 def q_dedup_semantic_incr(spark, sf):
@@ -3506,8 +3537,7 @@ def q_dedup_canonical_meta(spark, sf):
     # pass must KEEP when it drops members (provenance, license,
     # mixture accounting all live here)
     docs = _t(spark, sf, "documents")
-    pairs = _lsh_pairs_cached(spark, sf)  # r8: shared pairs artifact
-    comp = dedup.connected_components(pairs).select(
+    comp = _lsh_components_cached(spark, sf).select(  # r8: shared CC
         F.col("member_id").alias("doc_id"), "component_id"
     )
     rep = docs.join(comp, "doc_id", "left").withColumn(

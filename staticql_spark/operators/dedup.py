@@ -967,6 +967,7 @@ def leakfree_split(
     train_pct: int = 80,
     val_pct: int = 10,
     broadcast_max_rows: int = 4_000_000,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-aware train/val/test split: near-dup CLUSTERS stay whole.
 
@@ -978,8 +979,17 @@ def leakfree_split(
     cost over it is exactly the component computation on the pair graph
     plus one join back.
     Returns df columns + (rep, split).
+
+    ``components`` injects a precomputed / persisted (member_id,
+    component_id) frame (the shared-artifact pattern — the iterative CC
+    derivation is a job, not a query prefix); when given, ``pairs`` is
+    ignored.
     """
-    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, id_a="id_a", id_b="id_b")
+    )
     # comp has one row per PAIRED doc — usually tiny relative to the corpus,
     # but it comes out of localCheckpoint (no stats), so Spark would pick a
     # sort-merge join that shuffles the whole corpus.  Broadcast explicitly
@@ -1017,12 +1027,17 @@ def leakfree_split(
 
 
 def dedup_keep(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """The kept set after near-dup clustering: every doc not in any pair,
     plus the min-id representative of each component. One anti join against
-    the non-representative members."""
-    comp = connected_components(pairs)
+    the non-representative members.  ``components`` injects a precomputed
+    (member_id, component_id) frame (persisted-artifact pattern); when
+    given, ``pairs`` is ignored."""
+    comp = components if components is not None else connected_components(pairs)
     drop = comp.filter(F.col("member_id") != F.col("component_id")).select(
         F.col("member_id").alias(id_col)
     )
