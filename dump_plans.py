@@ -40,14 +40,16 @@ PICKS = [
     ("bpe_train (vocab-collapse shuffle; per-round pair agg + 1-row argmax broadcast)", "bpe_train"),
     ("doc_logreg (per-iteration k-double gradient agg + broadcast weight row)", "doc_logreg"),
     ("doc_decontaminate_bloom (fixed-size bitmap word-table broadcast probes)", "doc_decontaminate_bloom"),
-    ("dedup_semantic (trained cells as blocking key; within-cell equi self-join)", "dedup_semantic"),
+    ("dedup_semantic (r8: persisted pairs artifact — the scan IS the query)", "dedup_semantic"),
     ("customer_rfm (exact quartile thresholds broadcast back; no global ntile)", "customer_rfm"),
     ("doc_dup_spans (gram-hash window dup test + per-doc island merge; 2 exchanges)", "doc_dup_spans"),
     ("doc_dup_excise (span cut via higher-order aggregate; groupBy+join co-keyed on doc)", "doc_dup_excise"),
     ("doc_dsir (two |bucket|-row LM aggs -> broadcast log-ratio table; one groupBy(doc))", "doc_dsir"),
     ("ann_knn_classify (exact top-k + broadcast pair table; corpus never shuffles)", "ann_knn_classify"),
     ("events_attribution (bucketed range join + per-purchase window + per-click agg)", "events_attribution"),
-    ("ann_pq_adc (PQ codebooks + ADC: broadcast distance table, map-side-combined sum)", "ann_pq_adc"),
+    ("ann_pq_adc (r8: persisted-index probe — codes scan + broadcast dtable + map-side sum)", "ann_pq_adc"),
+    ("stream_pq_neardup (r8: in-row encode vs persisted key index, batch twin)", "stream_pq_neardup"),
+    ("dedup_keep (r8: anti join against the persisted CC artifact)", "dedup_keep"),
     ("ann_ivf_pq (IVFADC: coarse-cell pruning joins ahead of the ADC sum)", "ann_ivf_pq"),
     ("doc_chunk_dedup (chunk DF count on md5 keys; text crosses one doc-keyed join)", "doc_chunk_dedup"),
     ("doc_shuffle_shards (two-phase bucketed rank + broadcast base offsets)", "doc_shuffle_shards"),
