@@ -1293,6 +1293,16 @@ def _pq_index(spark, sf, subset="all"):
     load-equals-inline contract is test_pq_append_equals_full_rebuild.
     subset="old" is stream_pq_neardup's frozen snapshot (vec_id % 5 != 3,
     the residue class that avoids the stride-100 init ids)."""
+    return pq.pq_load(spark, _pq_index_path(spark, sf, subset))
+
+
+def _pq_index_path(spark, sf, subset="all"):
+    """Path of the shared persisted PQ index, building on first use.
+    The "all" index is CELL-PARTITIONED (pq_build coarse_centroids= the
+    same stride-100 coarse sample the IVFADC queries probe), so
+    ann_ivfpq_persisted's probe is a partition-pruned read; the "old"
+    snapshot index stays flat (its consumer probes by code key, not
+    cell)."""
     key = (sf, subset)
     path = _PQ_INDEX_CACHE.get(key)
     if path is None:
@@ -1300,10 +1310,17 @@ def _pq_index(spark, sf, subset="all"):
 
         path = tempfile.mkdtemp(prefix=f"staticql_pq_{subset}_")
         emb = _t(spark, sf, "embeddings")
-        corpus = emb if subset == "all" else emb.filter(F.col("vec_id") % 5 != 3)
-        pq.pq_build(corpus, path, m=4, dim=64, stride=100, iters=2)
+        if subset == "all":
+            coarse = similarity.centroid_sample(emb, "embedding", "vec_id", 100)
+            pq.pq_build(
+                emb, path, m=4, dim=64, stride=100, iters=2,
+                coarse_centroids=coarse,
+            )
+        else:
+            corpus = emb.filter(F.col("vec_id") % 5 != 3)
+            pq.pq_build(corpus, path, m=4, dim=64, stride=100, iters=2)
         _PQ_INDEX_CACHE[key] = path
-    return pq.pq_load(spark, path)
+    return path
 
 
 def q_ann_pq_adc(spark, sf):
@@ -1336,9 +1353,23 @@ def q_ann_ivf_pq(spark, sf):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = _pq_index(spark, sf)
     return pq.ivfpq_topk(
-        queries, emb, idx.codes, idx.codebooks,
+        queries, emb, idx.codes.drop("cell"), idx.codebooks,
         k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
     )
+
+
+def q_ann_ivfpq_persisted(spark, sf):
+    # IVFADC against the PERSISTED cell-partitioned PQ index: probe cells
+    # computed driver-side from the tiny persisted coarse set and pushed
+    # as a PARTITION FILTER — the codes scan reads nprobe directories,
+    # not the corpus (the disk-level skip list ivf_query pioneered, now
+    # on the composed index). Output-identical to ann_ivf_pq (same
+    # coarse, codebooks, rounding, tiebreak), so the oracle is the same
+    # _ivf_pq_sql; plan contract: test_ivfpq_query_partition_pruning.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = _pq_index_path(spark, sf)
+    return pq.ivfpq_query(spark, path, queries, k=5, nprobe=3)
 
 
 def q_stream_pq_neardup(spark, sf):
@@ -2901,7 +2932,7 @@ def q_ann_ivfpq_recall(spark, sf):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     idx = _pq_index(spark, sf)  # r8: shared persisted index, no retrain
     approx = pq.ivfpq_topk(
-        queries, emb, idx.codes, idx.codebooks,
+        queries, emb, idx.codes.drop("cell"), idx.codebooks,
         k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
     ).select("query_id", "neighbor_id")
     exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
@@ -3910,6 +3941,8 @@ _R8_HEAD = [
     # -- r8 persisted-PQ-index consumers --
     "ann_pq_adc", "ann_ivf_pq", "ann_pq_recall", "ann_ivfpq_recall",
     "ann_pq_quant_error", "stream_pq_neardup",
+    # -- new in r8: partition-pruned probe of the persisted IVFADC index --
+    "ann_ivfpq_persisted",
     # -- r8 shared kmeans / semantic-pairs / spans artifact consumers --
     "ann_ivf_trained", "embedding_prototypes", "kmeans_inertia",
     "dedup_semantic", "dedup_semantic_keep",
@@ -3925,7 +3958,6 @@ _R8_HEAD = [
     "order_page1", "cursor_after", "cursor_before", "set_intersect",
     "ship_priority", "forecast_revenue", "latest_per_user",
     "returned_item_revenue", "promo_revenue", "top_supplier",
-    "brand_supplier_count",
 ]
 
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
@@ -3990,6 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- group A3: late-r6 operators (never driver-checked) ---
         "ann_pq_adc": q_ann_pq_adc,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
         "stream_pq_neardup": q_stream_pq_neardup,
         "embedding_prototypes": q_embedding_prototypes,
         "doc_training_order": q_doc_training_order,
@@ -7547,6 +7580,11 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ann_ivf_trained": _ivf_trained_sql(),
         "ann_pq_adc": _pq_adc_sql(),
         "ann_ivf_pq": _ivf_pq_sql(),
+        # the persisted-index probe is output-identical to the in-memory
+        # IVFADC composition (same coarse/codebooks/rounding/tiebreak;
+        # locked by test_ivfpq_query_partition_pruning), so the oracle
+        # is shared verbatim
+        "ann_ivfpq_persisted": _ivf_pq_sql(),
         "stream_pq_neardup": _stream_pq_sql(),
         "embedding_prototypes": _prototypes_sql(),
         "doc_chunk_dedup": f"""

@@ -176,6 +176,8 @@ HEADLINE = [
     "supplier_pareto",
     "doc_ccnet_buckets",
     "ann_ivfpq_recall",
+    # new in r8: partition-pruned probe of the persisted IVFADC index
+    "ann_ivfpq_persisted",
     "events_cohort_ltv",
     "grouped_percentiles",
     "robust_outliers",

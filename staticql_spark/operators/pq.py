@@ -439,6 +439,7 @@ def pq_build(
     stride: int = 100,
     iters: int = 2,
     codebooks: DataFrame | None = None,
+    coarse_centroids: DataFrame | None = None,
 ) -> None:
     """Persist the PQ index: ``path/codebooks`` + ``path/codes`` +
     ``path/keys``.
@@ -458,10 +459,14 @@ def pq_build(
     the streaming consumer skips even that one groupBy.
 
     At 100 TB the codes frame is the serving artifact (64x smaller than
-    the floats); for IVFADC compose with :func:`ivf_build`'s
-    cell-partitioned layout — cells prune partitions, these codes score
-    survivors.  Pass ``codebooks`` (e.g. from a previous build) to
-    re-encode under frozen centroids.
+    the floats).  Pass ``coarse_centroids`` (a tiny trained/sampled
+    frame, persisted alongside at ``path/coarse``) to write the codes
+    PARTITIONED BY the IVF cell — the full IVFADC layout: a query
+    probing nprobe cells reads only those partition directories
+    (:func:`ivfpq_query`; Spark partition pruning turns the coarse
+    quantizer into a disk-level skip list, the same contract as
+    ``similarity.ivf_build``).  Pass ``codebooks`` (e.g. from a previous
+    build) to re-encode under frozen centroids.
     """
     spark = corpus.sparkSession
     if codebooks is None:
@@ -469,7 +474,26 @@ def pq_build(
     codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     cb = spark.read.parquet(f"{path}/codebooks")
     codes = pq_encode(corpus, cb, vec_col, id_col, m, dim)
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    if coarse_centroids is not None:
+        from .similarity import ivf_assign
+
+        coarse_centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/coarse"
+        )
+        coarse = spark.read.parquet(f"{path}/coarse")
+        c = corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv")
+        )
+        cells = ivf_assign(c, coarse, vec_alias="cv", id_alias="vid", nprobe=1)
+        (
+            codes.join(cells.select("vid", "cell"), "vid")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
     code_keys(spark.read.parquet(f"{path}/codes")).write.mode("overwrite").parquet(
         f"{path}/keys"
     )
@@ -503,7 +527,11 @@ def pq_append(
     hazard ivf_append documents) — here the frozen-codebook contract is
     structural.  ``m``/``dim`` are derived from the persisted codebooks
     (subspace count x centroid width), so the caller can't mismatch them
-    either."""
+    either.  A cell-partitioned index (built with ``coarse_centroids``)
+    appends into the matching cell partition directories, assigning the
+    batch against the SAME persisted coarse centroids."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     cb = spark.read.parquet(f"{path}/codebooks")
     meta = cb.agg(
@@ -512,5 +540,91 @@ def pq_append(
     ).collect()[0]
     m, dsub = int(meta["m"]), int(meta["dsub"])
     codes = pq_encode(batch, cb, vec_col, id_col, m, m * dsub)
-    codes.write.mode("append").parquet(f"{path}/codes")
+    try:
+        coarse = spark.read.parquet(f"{path}/coarse")
+    except AnalysisException:
+        coarse = None
+    if coarse is not None:
+        from .similarity import ivf_assign
+
+        b = batch.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("cv")
+        )
+        cells = ivf_assign(b, coarse, vec_alias="cv", id_alias="vid", nprobe=1)
+        (
+            codes.join(cells.select("vid", "cell"), "vid")
+            .repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        codes.write.mode("append").parquet(f"{path}/codes")
     code_keys(codes).write.mode("append").parquet(f"{path}/keys")
+
+
+def ivfpq_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVFADC top-k against a PERSISTED cell-partitioned PQ index
+    (:func:`pq_build` with ``coarse_centroids``), reading only the probed
+    cells' partition directories — the serving path of the composed
+    index: coarse cells prune at the DISK level (the probe cells are
+    computed driver-side from the tiny persisted coarse set and pushed
+    as a partition filter; ``.explain`` shows PartitionFilters on
+    ``cell``), PQ-ADC scores the survivors off a broadcast distance
+    table.  Output-identical to the in-memory :func:`ivfpq_topk` under
+    the same coarse centroids and codebooks (same rounding boundaries,
+    same (adc, neighbor_id) tiebreak) — the append-vs-rebuild /
+    load-vs-inline contracts of pq_build extend here by composition.
+
+    m/dim derive from the persisted codebooks, so a caller cannot probe
+    with mismatched geometry.
+    """
+    from .similarity import ivf_assign
+
+    cb = spark.read.parquet(f"{path}/codebooks")
+    meta = cb.agg(
+        (F.max("subspace") + 1).alias("m"),
+        F.max(F.size("centroid")).alias("dsub"),
+    ).collect()[0]
+    m, dsub = int(meta["m"]), int(meta["dsub"])
+    coarse = spark.read.parquet(f"{path}/coarse")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    probes = ivf_assign(
+        F.broadcast(q), coarse, vec_alias="qv", id_alias="query_id", nprobe=nprobe
+    ).select("query_id", "cell")
+    probe_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    qsub = subvectors(q, m, dsub, vec_col="qv", id_col="query_id")
+    dtable = qsub.join(F.broadcast(cb), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+    )
+    cands = codes.join(F.broadcast(probes), "cell")
+    scored = (
+        cands.join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

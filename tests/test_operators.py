@@ -2929,3 +2929,36 @@ def test_pq_append_equals_full_rebuild(spark, emb, tmp_path):
     served = key5(pqm.pq_adc_topk(queries, idx.codes, idx.codebooks, k=5))
     inline = key5(pqm.pq_adc_topk(queries, inline_codes, idx.codebooks, k=5))
     assert served == inline and len(served) > 0
+
+
+def test_pq_append_into_cell_partitioned_index(spark, emb, tmp_path):
+    # r8: appending a batch into a coarse-partitioned index assigns the
+    # batch against the PERSISTED coarse centroids and lands in the
+    # matching cell directories; probing the appended index equals a
+    # full-corpus rebuild under the same codebooks + coarse
+    from staticql_spark.operators import pq as pqm
+    from staticql_spark.operators.similarity import centroid_sample
+
+    coarse = centroid_sample(emb, "embedding", "vec_id", 100).localCheckpoint(
+        eager=True
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 3)
+    new = emb.filter(F.col("vec_id") % 5 == 3)
+
+    inc = str(tmp_path / "inc")
+    pqm.pq_build(old, inc, m=4, dim=64, stride=100, iters=1,
+                 coarse_centroids=coarse)
+    pqm.pq_append(new, inc)
+
+    full = str(tmp_path / "full")
+    pqm.pq_build(emb, full, codebooks=pqm.pq_load(spark, inc).codebooks,
+                 coarse_centroids=coarse)
+
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    key = lambda d: sorted(
+        (r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+        for r in d.collect()
+    )
+    got = key(pqm.ivfpq_query(spark, inc, queries, k=5, nprobe=3))
+    want = key(pqm.ivfpq_query(spark, full, queries, k=5, nprobe=3))
+    assert got == want and len(got) > 0

@@ -656,3 +656,34 @@ def test_hll_grouped_no_distinct_exchange(spark):
     import re
     ex = re.findall(r"Arguments: hashpartitioning[^,]*", p)
     assert len(ex) == 4, p
+
+
+def test_ivfpq_query_partition_pruning(spark, tmp_path_factory):
+    # r8: persisted cell-partitioned PQ index — the IVFADC probe must scan
+    # only the probed cell partitions AND match the in-memory ivfpq_topk
+    # under the same coarse centroids + codebooks
+    from staticql_spark.operators import pq as pqm
+    from staticql_spark.operators.similarity import centroid_sample
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    coarse = centroid_sample(emb, "embedding", "vec_id", 100)
+    idx = str(tmp_path_factory.mktemp("ivfpq")) + "/index"
+    pqm.pq_build(emb, idx, m=4, dim=64, stride=100, iters=1,
+                 coarse_centroids=coarse)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    df = pqm.ivfpq_query(spark, idx, queries, k=5, nprobe=3)
+    p = plan(df)
+    assert re.search(r"PartitionFilters: \[.*cell", p), p
+
+    loaded = pqm.pq_load(spark, idx)
+    want = pqm.ivfpq_topk(
+        queries, emb, loaded.codes.drop("cell"), loaded.codebooks,
+        k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
+    )
+    key = lambda d: sorted(
+        (r["query_id"], r["neighbor_id"], r["adc"], r["rank"])
+        for r in d.collect()
+    )
+    got = key(df)
+    assert got == key(want) and len(got) > 0
