@@ -308,15 +308,23 @@ def calibration_report(
     nothing, and null labels would count in ``n`` but not in
     ``frac_pos``'s numerator (silently deflating the positive rate).
     The top end is already clamped into bin n_bins-1 by the ``least``.
+
+    The guard lives INSIDE the grouping expression (out-of-contract rows
+    get a NULL bin, dropped from the <= n_bins+1-row aggregate), NOT as
+    a row filter: when ``p_col`` is an expensive derived column (the
+    quality-score case), a filter on it is pushed below the projection
+    and the whole derivation inlines into the Filter condition — the
+    optimizer-substitution hazard this repo documents; measured +0.3 s
+    on doc_calibration at sf0.1 before this form.
     """
-    df = df.filter(
+    b = F.when(
         F.col(p_col).isNotNull()
         & F.col(label_col).isNotNull()
-        & (F.col(p_col) >= 0)
+        & (F.col(p_col) >= 0),
+        F.least(
+            F.floor(F.col(p_col) * n_bins), F.lit(n_bins - 1).cast("long")
+        ).cast("long"),
     )
-    b = F.least(
-        F.floor(F.col(p_col) * n_bins), F.lit(n_bins - 1).cast("long")
-    ).cast("long")
     agg = df.groupBy(b.alias("bin")).agg(
         F.count("*").cast("long").alias("n"),
         (
@@ -328,7 +336,7 @@ def calibration_report(
             / F.count(F.lit(1))
         ).alias("__fp"),
     )
-    return agg.select(
+    return agg.filter(F.col("bin").isNotNull()).select(
         "bin",
         "n",
         F.round("__mp", 6).alias("mean_p"),
