@@ -304,6 +304,17 @@ def encode_inrow(
         per_sub.setdefault(d["subspace"], []).append(
             (d["code"], list(d["centroid"]), d.get("cc"))
         )
+
+    # Literals ship as ONE parsed SQL expression per array, not as
+    # element-wise py4j conversions: F.lit of a nested K x dsub list pays
+    # a JVM round trip PER ELEMENT (~1 s per 1.3k doubles — this was the
+    # residual construct cost), while the parser ingests the same array
+    # in one call.  CAST('<repr>' AS DOUBLE) is bit-exact: Python repr is
+    # the shortest round-trip decimal and Java parseDouble returns the
+    # identical IEEE-754 double (verified incl. -0.0 and denormals).
+    def dlit(xs):
+        return "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs) + ")"
+
     keys = []
     dvec = as_double(vec)
     for j in range(m):
@@ -312,11 +323,15 @@ def encode_inrow(
             keys.append(F.lit(None).cast("string"))
             continue
         sv = F.slice(dvec, j * dsub + 1, dsub)
-        codes_lit = F.lit([int(c) for c, _, _ in entries])
-        cents_lit = F.lit([[float(x) for x in cent] for _, cent, _ in entries])
+        codes_lit = F.expr(
+            "array(" + ",".join(f"{int(c)}L" for c, _, _ in entries) + ")"
+        )
+        cents_lit = F.expr(
+            "array(" + ",".join(dlit(cent) for _, cent, _ in entries) + ")"
+        )
         have_cc = all(cc is not None for _, _, cc in entries)
         ccs_lit = (
-            F.lit([float(cc) for _, _, cc in entries]) if have_cc else None
+            F.expr(dlit([cc for _, _, cc in entries])) if have_cc else None
         )
 
         def scored(s2, codes=codes_lit, cents=cents_lit, ccs=ccs_lit, sv=sv):
