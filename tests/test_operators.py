@@ -2962,3 +2962,27 @@ def test_pq_append_into_cell_partitioned_index(spark, emb, tmp_path):
     got = key(pqm.ivfpq_query(spark, inc, queries, k=5, nprobe=3))
     want = key(pqm.ivfpq_query(spark, full, queries, k=5, nprobe=3))
     assert got == want and len(got) > 0
+
+
+def test_shared_artifact_cache_contract(spark):
+    # r8: shared artifacts are memoized PER PROCESS into tempdirs — same
+    # key reuses the build, distinct keys get distinct dirs, and nothing
+    # lands at a fixed path a later run (with changed code) could
+    # accidentally reuse.
+    import tempfile
+
+    import __spark_entry__ as entry
+    from tests.conftest import SF_SMOKE
+
+    p_old = entry._pq_index_path(spark, SF_SMOKE, "old")
+    assert p_old.startswith(tempfile.gettempdir())
+    assert entry._pq_index_path(spark, SF_SMOKE, "old") == p_old  # memoized
+    p_all = entry._pq_index_path(spark, SF_SMOKE, "all")
+    assert p_all != p_old  # subsets never share an index dir
+
+    spans = entry._contaminated_spans_cached(spark, SF_SMOKE)
+    path1 = entry._ARTIFACT_CACHE[("spans", SF_SMOKE)]
+    assert path1.startswith(tempfile.gettempdir())
+    entry._contaminated_spans_cached(spark, SF_SMOKE)
+    assert entry._ARTIFACT_CACHE[("spans", SF_SMOKE)] == path1  # one build
+    assert spans.count() >= 0  # readable frame
