@@ -951,3 +951,51 @@ def test_psi_from_counts_rounds_half_up():
     rows = psi_from_counts({1: 5, 2: 5}, edges, old_counts)
     by_bucket = {r[0]: r for r in rows}
     assert by_bucket[1][3] == 0.007813
+
+
+def test_encode_inrow_property_matches_distributed(spark):
+    """r8 property lock on the SQL-literal in-row encoder: over
+    adversarial floats (tiny/huge magnitudes, negative zero, exact ties
+    from duplicated vectors) the map-only encoder must produce the SAME
+    codes as the distributed pq_encode under the same codebooks — the
+    literal plumbing changed twice in r8 (cc precompute, CAST('repr')
+    arrays), and this is the contract that keeps the streaming path
+    hash-compatible with the persisted index."""
+    import random
+
+    from staticql_spark.operators import pq
+
+    rnd = random.Random(8)
+    m, dim, dsub = 2, 8, 4
+    vecs = []
+    for i in range(60):
+        scale = 10.0 ** rnd.randint(-6, 6)
+        vecs.append(
+            (i, [rnd.uniform(-1, 1) * scale for _ in range(dim)])
+        )
+    vecs.append((60, [-0.0] * dim))
+    vecs.append((61, [0.0] * dim))
+    vecs.append((62, vecs[0][1]))  # exact duplicate -> argmin tie paths
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    cbs = pq.pq_train(df, m=m, dim=dim, stride=10, iters=2)
+    dist = {
+        r["vid"]: r["code_key"]
+        for r in pq.code_keys(pq.pq_encode(df, cbs, m=m, dim=dim)).collect()
+    }
+    # both collect flavors: with and without the precomputed cc field
+    from staticql_spark.operators.similarity import as_double, dot
+
+    cvec = as_double(F.col("centroid"))
+    with_cc = cbs.select(
+        "subspace", "code", "centroid", F.round(dot(cvec, cvec), 6).alias("cc")
+    ).collect()
+    for rows in (cbs.collect(), with_cc):
+        inrow = {
+            r["vec_id"]: r["ck"]
+            for r in df.select(
+                "vec_id",
+                pq.encode_inrow(F.col("embedding"), rows, m, dsub).alias("ck"),
+            ).collect()
+        }
+        assert inrow == dist and len(inrow) == 63
