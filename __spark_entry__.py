@@ -1237,6 +1237,27 @@ def _semantic_components_cached(spark, sf):
     )
 
 
+def _lsh_index_old(spark, sf):
+    """Persisted old-corpus LSH index (dedup.lsh_build, doc_id % 5 != 0
+    snapshot) for the incremental dedup key — per-process tempdir like
+    every shared artifact, but the BUILD goes through the package's
+    named index API so the driver exercises lsh_build/lsh_load, not just
+    the in-memory minhash_index pair."""
+    key = ("lshidx_old", sf)
+    path = _ARTIFACT_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="staticql_lshidx_")
+        docs = _t(spark, sf, "documents")
+        dedup.lsh_build(
+            docs.filter(F.col("doc_id") % 5 != 0), path,
+            n=3, num_hashes=16, bands=4,
+        )
+        _ARTIFACT_CACHE[key] = path
+    return dedup.lsh_load(spark, path)
+
+
 def build_artifacts(spark, sf) -> dict:
     """Force-build every shared persisted artifact, returning per-artifact
     build seconds.  bench.py calls this BEFORE its query loop so the
@@ -1269,6 +1290,7 @@ def build_artifacts(spark, sf) -> dict:
         ("lsh_pairs", lambda: _lsh_pairs_cached(spark, sf)),
         ("lsh_components", lambda: _lsh_components_cached(spark, sf)),
         ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
+        ("lsh_index_old", lambda: _lsh_index_old(spark, sf)),
         ("pq_index", lambda: _pq_index(spark, sf)),
         ("pq_index_old", lambda: _pq_index(spark, sf, subset="old")),
     ]
@@ -2476,12 +2498,15 @@ def q_dedup_incremental(spark, sf):
     # doc — old x old never re-pairs (cost tracks the batch, not the
     # accumulated corpus). Oracle: full-corpus LSH pipeline restricted to
     # new-touching pairs.
+    # r8: the old side is a PERSISTED LSH index (dedup.lsh_build/lsh_load
+    # — the named job minhash_index's docstring promised), so the query
+    # pays index-read cost, not a re-shingle of the accumulated corpus.
     docs = _t(spark, sf, "documents")
-    old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    old_bands, old_sh = dedup.minhash_index(old, n=3, num_hashes=16, bands=4)
+    idx = _lsh_index_old(spark, sf)
     return dedup.incremental_lsh_pairs(
-        new, old_bands, old_sh, n=3, num_hashes=16, bands=4, threshold=0.2
+        new, idx.bands, idx.shingles,
+        n=3, num_hashes=16, bands=4, threshold=0.2,
     )
 
 
@@ -3973,14 +3998,14 @@ _R8_HEAD = [
     # -- r8 shared LSH-pairs artifact consumers --
     "doc_split_leakfree", "dedup_cluster_stats", "dedup_jaccard_hist",
     "dedup_components", "dedup_keep", "dedup_triangles",
-    "dedup_canonical_meta",
+    "dedup_canonical_meta", "dedup_incremental",
     # -- stalest-green backfill (newest signal r3; registry order) --
     "where_eq", "where_startswith", "where_in", "where_and",
     "point_lookup", "projection_prune", "has_one_join", "has_many_agg",
     "has_many_collect", "belongs_to_join", "through_count", "through_rows",
     "order_page1", "cursor_after", "cursor_before", "set_intersect",
     "ship_priority", "forecast_revenue", "latest_per_user",
-    "returned_item_revenue", "promo_revenue",
+    "returned_item_revenue",
 ]
 
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"

@@ -1483,3 +1483,85 @@ def incremental_chunk_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------------- persisted LSH index
+
+class LSHIndex:
+    """Handle over a persisted MinHash-LSH index directory
+    (:func:`lsh_build`): ``bands`` (id, band, key), ``shingles``
+    (id, sh) as lazy DataFrames, plus the frozen recipe parameters
+    (``n``, ``num_hashes``, ``n_bands``) the index was built with."""
+
+    def __init__(self, bands: DataFrame, shingles: DataFrame,
+                 n: int, num_hashes: int, n_bands: int):
+        self.bands = bands
+        self.shingles = shingles
+        self.n = n
+        self.num_hashes = num_hashes
+        self.n_bands = n_bands
+
+
+def lsh_build(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Persist the MinHash-LSH corpus index — the named build job
+    :func:`minhash_index`'s docstring promised ("write both as parquet
+    once per corpus snapshot"), completing the persisted-index family
+    (``pq_build``, ``ivf_build``): ``path/bands`` + ``path/shingles`` +
+    ``path/meta`` (the shingle/hash/band recipe, frozen so readers and
+    appenders cannot drift from the index's code space — the same
+    contract pq_append enforces by loading codebooks from the index).
+
+    Per-doc signatures depend only on the doc's own text, so appends
+    compose exactly: build(old) + append(new) is row-identical to
+    build(old ∪ new) (locked by test_lsh_append_equals_full_rebuild)."""
+    spark = df.sparkSession
+    b, sh = minhash_index(df, text_col, id_col, n, num_hashes, bands)
+    b.write.mode("overwrite").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    spark.createDataFrame(
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lsh_load(spark, path: str) -> LSHIndex:
+    """Open a :func:`lsh_build` directory; frames are lazy parquet scans,
+    only the 1-row meta is read eagerly."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return LSHIndex(
+        bands=spark.read.parquet(f"{path}/bands"),
+        shingles=spark.read.parquet(f"{path}/shingles"),
+        n=int(meta["n"]),
+        num_hashes=int(meta["num_hashes"]),
+        n_bands=int(meta["bands"]),
+    )
+
+
+def lsh_append(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append a NEW document batch to a persisted LSH index: shingle and
+    sign ONLY the batch under the recipe frozen in ``path/meta`` (the
+    parameters are deliberately not caller-suppliable — mixing recipes in
+    one index silently breaks candidate recall) and append into bands +
+    shingles.  Cost tracks the batch; existing files are untouched."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    b, sh = minhash_index(
+        batch, text_col, id_col,
+        n=int(meta["n"]),
+        num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]),
+    )
+    b.write.mode("append").parquet(f"{path}/bands")
+    sh.write.mode("append").parquet(f"{path}/shingles")

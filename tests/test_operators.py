@@ -2986,3 +2986,45 @@ def test_shared_artifact_cache_contract(spark):
     entry._contaminated_spans_cached(spark, SF_SMOKE)
     assert entry._ARTIFACT_CACHE[("spans", SF_SMOKE)] == path1  # one build
     assert spans.count() >= 0  # readable frame
+
+
+def test_lsh_append_equals_full_rebuild(spark, docs, tmp_path):
+    # r8: persisted LSH index. Per-doc signatures depend only on the doc
+    # itself, so build(old)+append(new) must be ROW-identical to a
+    # full-corpus build; incremental pairs over the loaded index must
+    # equal the inline minhash_index path.
+    inc = str(tmp_path / "lsh_inc")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    dedup.lsh_build(old, inc, n=3, num_hashes=16, bands=4)
+    dedup.lsh_append(new, inc)
+    idx = dedup.lsh_load(spark, inc)
+    assert (idx.n, idx.num_hashes, idx.n_bands) == (3, 16, 4)
+
+    full = str(tmp_path / "lsh_full")
+    dedup.lsh_build(docs, full, n=3, num_hashes=16, bands=4)
+    fidx = dedup.lsh_load(spark, full)
+    bkey = lambda df: sorted(
+        (r["doc_id"], r["band"], r["key"]) for r in df.collect()
+    )
+    got = bkey(idx.bands)
+    assert got == bkey(fidx.bands) and len(got) > 0
+    assert idx.shingles.count() == fidx.shingles.count()
+
+    # incremental pairs from the LOADED old index == from inline indexing
+    old_b, old_sh = dedup.minhash_index(old, n=3, num_hashes=16, bands=4)
+    oidx = dedup.lsh_load(spark, inc)  # contains old+new; rebuild old-only
+    oldpath = str(tmp_path / "lsh_old")
+    dedup.lsh_build(old, oldpath, n=3, num_hashes=16, bands=4)
+    loaded = dedup.lsh_load(spark, oldpath)
+    pkey = lambda df: sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+    via_loaded = pkey(dedup.incremental_lsh_pairs(
+        new, loaded.bands, loaded.shingles,
+        n=3, num_hashes=16, bands=4, threshold=0.2,
+    ))
+    inline = pkey(dedup.incremental_lsh_pairs(
+        new, old_b, old_sh, n=3, num_hashes=16, bands=4, threshold=0.2,
+    ))
+    assert via_loaded == inline and len(via_loaded) > 0
