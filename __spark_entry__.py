@@ -1291,6 +1291,20 @@ def build_artifacts(spark, sf) -> dict:
         ("lsh_components", lambda: _lsh_components_cached(spark, sf)),
         ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
         ("lsh_index_old", lambda: _lsh_index_old(spark, sf)),
+        ("lpa_prior", lambda: _lpa_prior(spark, sf)),
+        (
+            "chunk_index_old",
+            lambda: _artifact(
+                spark,
+                ("chunkidx_old", sf),
+                lambda: dedup.chunk_index(
+                    _t(spark, sf, "documents").filter(
+                        F.col("doc_id") % 5 != 0
+                    ),
+                    width=8,
+                ),
+            ),
+        ),
         ("pq_index", lambda: _pq_index(spark, sf)),
         ("pq_index_old", lambda: _pq_index(spark, sf, subset="old")),
     ]
@@ -2772,10 +2786,17 @@ def q_dedup_chunk_incremental(spark, sf):
     # corpus — a chunk drops when old+batch distinct-doc frequency hits
     # 2, so boilerplate the corpus has seen once is cut immediately.
     # Cost tracks the batch; the old corpus contributes (h, nd) rows only.
+    # r8: the old-corpus chunk-frequency index is a shared persisted
+    # artifact ((h, nd) longs — the snapshot a daily job would load)
     docs = _t(spark, sf, "documents")
-    old = docs.filter(F.col("doc_id") % 5 != 0)
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    idx = dedup.chunk_index(old, width=8)
+    idx = _artifact(
+        spark,
+        ("chunkidx_old", sf),
+        lambda: dedup.chunk_index(
+            docs.filter(F.col("doc_id") % 5 != 0), width=8
+        ),
+    )
     return dedup.incremental_chunk_dedup(new, idx, width=8, min_docs=2)
 
 
@@ -3291,13 +3312,10 @@ def q_orders_backlog(spark, sf):
     return interval_concurrency(spans, "__start", "__end")
 
 
-def q_events_lpa_incr(spark, sf):
-    # incremental LPA: fold the last-10-days click edges into the first-
-    # 20-days community assignment — the graph member of the incremental
-    # family (cost tracks the batch: messages travel over NEW edges
-    # only, untouched nodes pass through). 1 incr round over a 2-round
-    # prior, both unrolled in the oracle. r7-window candidate.
-    from staticql_spark.operators.graph import label_propagation, label_propagation_incr
+def _lpa_clicks_edges(spark, sf):
+    """Bidirected user<->item click edges split at 2024-01-21 — shared by
+    events_lpa_incr and the lpa_prior artifact build."""
+    from staticql_spark.operators.graph import label_propagation  # noqa: F401
 
     ev = load_events(spark, f"{sf}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -3309,12 +3327,39 @@ def q_events_lpa_incr(spark, sf):
 
     def bidirect(base):
         b = base.distinct()
-        return b.union(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        return b.union(
+            b.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
 
     old_edges = bidirect(clicks.filter(F.col("d") < split).select("src", "dst"))
     new_edges = bidirect(clicks.filter(F.col("d") >= split).select("src", "dst"))
-    old = label_propagation(old_edges, iters=2)
-    return label_propagation_incr(old, new_edges, iters=1)
+    return old_edges, new_edges
+
+
+def _lpa_prior(spark, sf):
+    """Persisted prior community assignment (2-round LPA over the first
+    20 days) — the snapshot a daily incremental fold loads; build timed
+    by build_artifacts."""
+    from staticql_spark.operators.graph import label_propagation
+
+    old_edges, _ = _lpa_clicks_edges(spark, sf)
+    return _artifact(
+        spark, ("lpa_prior", sf), lambda: label_propagation(old_edges, iters=2)
+    )
+
+
+def q_events_lpa_incr(spark, sf):
+    # incremental LPA: fold the last-10-days click edges into the first-
+    # 20-days community assignment — the graph member of the incremental
+    # family (cost tracks the batch: messages travel over NEW edges
+    # only, untouched nodes pass through). 1 incr round over a 2-round
+    # prior, both unrolled in the oracle. r7-window candidate.
+    from staticql_spark.operators.graph import label_propagation_incr
+
+    _, new_edges = _lpa_clicks_edges(spark, sf)
+    # r8: the prior assignment is the persisted community snapshot a
+    # daily fold would load (iterative LPA = construct-time work)
+    return label_propagation_incr(_lpa_prior(spark, sf), new_edges, iters=1)
 
 
 def q_pipeline_release_manifest(spark, sf):
@@ -3999,13 +4044,13 @@ _R8_HEAD = [
     "doc_split_leakfree", "dedup_cluster_stats", "dedup_jaccard_hist",
     "dedup_components", "dedup_keep", "dedup_triangles",
     "dedup_canonical_meta", "dedup_incremental",
+    "dedup_chunk_incremental", "events_lpa_incr",
     # -- stalest-green backfill (newest signal r3; registry order) --
     "where_eq", "where_startswith", "where_in", "where_and",
     "point_lookup", "projection_prune", "has_one_join", "has_many_agg",
     "has_many_collect", "belongs_to_join", "through_count", "through_rows",
     "order_page1", "cursor_after", "cursor_before", "set_intersect",
-    "ship_priority", "forecast_revenue", "latest_per_user",
-    "returned_item_revenue",
+    "ship_priority", "forecast_revenue",
 ]
 
 # The 25 keys with ZERO driver signal after r6 (verdict r6 "What's missing"
