@@ -39,6 +39,10 @@ CONSUMERS = [
     "ann_ivf_pq",
     "stream_pq_neardup",
     "kmeans_inertia",
+    # incremental family over persisted snapshots (late r8)
+    "dedup_incremental",
+    "dedup_chunk_incremental",
+    "dedup_semantic_incr",
 ]
 
 
