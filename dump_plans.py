@@ -49,6 +49,7 @@ PICKS = [
     ("events_attribution (bucketed range join + per-purchase window + per-click agg)", "events_attribution"),
     ("ann_pq_adc (r8: persisted-index probe — codes scan + broadcast dtable + map-side sum)", "ann_pq_adc"),
     ("stream_pq_neardup (r8: in-row encode vs persisted key index, batch twin)", "stream_pq_neardup"),
+    ("ann_ivfpq_persisted (r8: partition-pruned IVFADC probe of the persisted index)", "ann_ivfpq_persisted"),
     ("dedup_keep (r8: anti join against the persisted CC artifact)", "dedup_keep"),
     ("ann_ivf_pq (IVFADC: coarse-cell pruning joins ahead of the ADC sum)", "ann_ivf_pq"),
     ("doc_chunk_dedup (chunk DF count on md5 keys; text crosses one doc-keyed join)", "doc_chunk_dedup"),
