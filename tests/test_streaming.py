@@ -999,3 +999,34 @@ def test_encode_inrow_property_matches_distributed(spark):
             ).collect()
         }
         assert inrow == dist and len(inrow) == 63
+
+
+def test_stream_lsh_dedup_over_persisted_index(spark, tmp_path):
+    """r8 composition lock: the streaming near-dup probe consuming a
+    dedup.lsh_build/lsh_load index (with its frozen meta recipe) must
+    emit exactly the pairs it emits over in-memory minhash_index frames
+    — the persisted index IS the deployment shape the docstring
+    promises ('static persisted MinHash index read back')."""
+    from staticql_spark.operators import dedup as dd
+    from staticql_spark.streaming import stream_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter("doc_id % 5 != 0")
+    new = docs.filter("doc_id % 5 = 0")
+
+    path = str(tmp_path / "lshidx")
+    dd.lsh_build(old, path, n=3, num_hashes=16, bands=4)
+    idx = dd.lsh_load(spark, path)
+
+    key = lambda df: sorted(
+        (r[0], r[1], r[2]) for r in df.collect()
+    )
+    via_loaded = key(stream_lsh_dedup(
+        new, idx.bands, idx.shingles,
+        n=idx.n, num_hashes=idx.num_hashes, bands=idx.n_bands, threshold=0.2,
+    ))
+    b, sh = dd.minhash_index(old, n=3, num_hashes=16, bands=4)
+    inline = key(stream_lsh_dedup(
+        new, b, sh, n=3, num_hashes=16, bands=4, threshold=0.2,
+    ))
+    assert via_loaded == inline and len(via_loaded) > 0
