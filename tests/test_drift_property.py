@@ -8,7 +8,7 @@ from __future__ import annotations
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from staticql_spark.operators.classify import calibration_report
@@ -77,6 +77,7 @@ def test_numeric_psi_matches_bruteforce(spark, old, new):
         max_size=30,
     )
 )
+@example(rows=[(1.0, False), (0.9053909437505672, False)])
 @settings(
     max_examples=8,
     deadline=None,
@@ -98,8 +99,22 @@ def test_calibration_matches_bruteforce(spark, rows):
     want = {}
     for b, members in bins.items():
         n = len(members)
-        # the exact decimal fold == sum of 6dp-rounded values
-        mp = sum(r6(p) for p, _ in members) / n
+        # Fold the 6dp-rounded values in Decimal EXACTLY like the
+        # operator (sum as DECIMAL(27,6), cast to double, divide) — a
+        # binary-float fold can land one ulp off the exact sum and flip
+        # the final HALF_UP digit (r8 verdict: rows
+        # [(1.0, False), (0.9053909437505672, False)] — float fold gives
+        # 0.952695, the Decimal fold and DuckDB both give 0.952696).
+        sd = sum(
+            (
+                Decimal(repr(float(p))).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+                for p, _ in members
+            ),
+            Decimal(0),
+        )
+        mp = float(sd) / n
         fp = sum(y for _, y in members) / n
         want[b] = (n, r6(mp), r6(fp), r6(fp - mp))
     assert got == want
