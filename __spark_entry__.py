@@ -1142,6 +1142,34 @@ def q_asof_hotkey_bucketed(spark, sf):
 
 _ARTIFACT_CACHE: dict = {}
 
+_ARTIFACT_ROOT: str | None = None
+
+
+def _artifact_dir(prefix: str) -> str:
+    """Fresh directory for one persisted artifact, under ONE per-process
+    root (r8 verdict #7 / ADVICE: mkdtemp-per-key leaked multi-hundred-MB
+    parquet trees in /tmp with no cleanup hook).  Default root is a
+    process-private tempdir removed at interpreter exit (atexit); set
+    ``STATICQL_SPARK_ARTIFACT_ROOT`` to point a serving fleet at real
+    storage — the per-process root is still mkdtemp'd UNDER it (two
+    processes can never share a path, locked by
+    test_artifact_dirs_distinct_across_processes) but is then RETAINED,
+    since fleet storage owns its own retention."""
+    global _ARTIFACT_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _ARTIFACT_ROOT is None:
+        base = os.environ.get("STATICQL_SPARK_ARTIFACT_ROOT")
+        if base:
+            os.makedirs(base, exist_ok=True)
+            _ARTIFACT_ROOT = tempfile.mkdtemp(prefix="staticql_artifacts_", dir=base)
+        else:
+            _ARTIFACT_ROOT = tempfile.mkdtemp(prefix="staticql_artifacts_")
+            atexit.register(shutil.rmtree, _ARTIFACT_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_ARTIFACT_ROOT)
+
 
 def _artifact(spark, key: tuple, build):
     """Build-once-per-process materialized frame (parquet in a tempdir):
@@ -1155,12 +1183,37 @@ def _artifact(spark, key: tuple, build):
     (locked for the PQ case by test_pq_append_equals_full_rebuild)."""
     path = _ARTIFACT_CACHE.get(key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix=f"staticql_{key[0]}_")
+        path = _artifact_dir(f"staticql_{key[0]}_")
         build().write.mode("overwrite").parquet(path)
         _ARTIFACT_CACHE[key] = path
     return spark.read.parquet(path)
+
+
+def artifact_consumer_keys() -> list[str]:
+    """Registry keys whose ``queries()`` callable consumes a shared
+    persisted artifact — i.e. keys benched at PROBE cost since r8, with
+    the derive cost reported separately in ``artifact_build_sec``.
+    bench.py embeds this list in BENCH_FULL.json (r9, per r8 ADVICE #4)
+    so cross-round per-key diffs know which keys switched from
+    derive-cost to probe-cost rather than reading a ~100x artifact-split
+    speedup as an engine win.  Derived by INSPECTION of each query
+    function's source for the artifact-helper call markers, so the list
+    can't drift from the code."""
+    import inspect
+
+    markers = (
+        "_artifact(", "_cached(", "_pq_index", "_lsh_index_old",
+        "_kmeans_centroids(", "_lpa_prior(",
+    )
+    out = []
+    for k, fn in queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        if any(m in src for m in markers):
+            out.append(k)
+    return sorted(out)
 
 
 def _kmeans_centroids(spark, sf):
@@ -1246,9 +1299,7 @@ def _lsh_index_old(spark, sf):
     key = ("lshidx_old", sf)
     path = _ARTIFACT_CACHE.get(key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="staticql_lshidx_")
+        path = _artifact_dir("staticql_lshidx_")
         docs = _t(spark, sf, "documents")
         dedup.lsh_build(
             docs.filter(F.col("doc_id") % 5 != 0), path,
@@ -1356,9 +1407,7 @@ def _pq_index_path(spark, sf, subset="all"):
     key = (sf, subset)
     path = _PQ_INDEX_CACHE.get(key)
     if path is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix=f"staticql_pq_{subset}_")
+        path = _artifact_dir(f"staticql_pq_{subset}_")
         emb = _t(spark, sf, "embeddings")
         if subset == "all":
             coarse = similarity.centroid_sample(emb, "embedding", "vec_id", 100)
@@ -2952,6 +3001,13 @@ def q_supplier_pareto(spark, sf):
     # share, class A (<= 80%), B (<= 95%), C (rest). The window runs on
     # the |suppliers|-row AGGREGATE, never the raw lineitem stream — the
     # scale-honest way to do a "global" cumulative share.
+    # Cardinality CONTRACT (r8 verdict #6): the single-partition rank is
+    # sized for aggregate tables up to ~1M rows; the assert_true guard
+    # below is a pure JVM expression folded into the rnk column (zero
+    # extra jobs) that fails the query LOUDLY if a 100x supplier table
+    # would otherwise silently serialize through one task — the fix at
+    # that scale is the two-phase bucketed prefix-sum idiom (text.py
+    # doc_pack), not a bigger window.
     li = _t(spark, sf, "lineitem")
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -2960,9 +3016,20 @@ def q_supplier_pareto(spark, sf):
     )
     wtot = rev.agg(F.sum("revenue").alias("__tot"))
     w = W.orderBy(F.col("revenue").desc(), F.col("l_suppkey").asc())
+    rn = F.row_number().over(w)
+    guarded_rn = F.coalesce(
+        F.assert_true(
+            rn <= F.lit(1_000_000),
+            F.lit(
+                "supplier_pareto: global rank input exceeded its 1M-row "
+                "cardinality contract — use a two-phase bucketed prefix sum"
+            ),
+        ).cast("int"),
+        rn,
+    )
     ranked = (
         rev.crossJoin(F.broadcast(wtot))
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", guarded_rn)
         .withColumn(
             "cum_share",
             F.round(
@@ -4019,13 +4086,50 @@ def q_hll_grouped_ndv(spark, sf):
 # last driver-green row outrank EVERYTHING — a stale-green key runs
 # yesterday's verified code, a changed key runs unverified code; (2) the
 # remaining slots backfill with the stalest-green keys (registry order);
-# (3) new keys rank with changed keys.  The r8 head below: 27 changed
-# keys (3 changed in r7 after the window closed — embedding_class_sep is
-# r6's wrong answer, fixed but never driver-rechecked; 4 r8 ADVICE fixes;
-# 20 artifact-consumer rewires whose parquet hop the driver should
-# value-check) + 23 of the 50 r3-vintage keys.  The 27 r3 keys that
-# don't fit this 50-key window are the COMMITTED r9 backfill head (see
-# COVERAGE.md freshness ledger).
+# (3) new keys rank with changed keys.  The r8 head below (recounted per
+# r9 ADVICE — the original comment's arithmetic was wrong): 32
+# changed/new keys (3 changed in r7 after the window closed —
+# embedding_class_sep is r6's wrong answer, fixed but never
+# driver-rechecked; 4 r8 ADVICE fixes; 24 artifact-consumer rewires
+# whose parquet hop the driver should value-check; 1 new key,
+# ann_ivfpq_persisted) + 18 of the 50 r3-vintage keys.  The 32 r3 keys
+# that don't fit this 50-key window are the COMMITTED r9 backfill head
+# (listed verbatim in COVERAGE.md's freshness ledger), run by _R9_HEAD
+# below.
+# r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
+# keys first — 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
+# tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
+# reductions; supplier_pareto: assert_true cardinality guard;
+# doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
+# COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
+# r8 freshness ledger), then (3) 13 r4-vintage stalest-green keys in
+# registry order to fill the 50.  After r9 greens, max driver-signal
+# staleness registry-wide is <=5 rounds (r4 vintage), and the remaining
+# 33 r4-vintage keys are the committed r10 backfill head.
+_R9_HEAD = [
+    # -- changed in r9 --
+    "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
+    "supplier_pareto", "doc_vocab_coverage",
+    # -- committed r3-vintage backfill (r8 verdict #2, verbatim) --
+    "latest_per_user", "returned_item_revenue", "promo_revenue",
+    "top_supplier", "brand_supplier_count", "large_volume_customer",
+    "order_priority_check", "nation_volume_shipping", "market_share",
+    "nation_profit", "late_shipment_priority",
+    "customer_order_distribution", "small_qty_avg_yearly",
+    "disjunctive_filter_revenue", "waiting_supplier",
+    "idle_customer_balance", "cheapest_supplier", "important_part_value",
+    "dominant_supplier", "pricing_summary", "topk_per_group",
+    "region_revenue", "agg_distinct", "set_except", "window_running",
+    "events_windowed", "events_sessionize", "events_sliding",
+    "events_trending", "events_lag_gap", "events_range_window",
+    "unpivot_metrics",
+    # -- r4-vintage stalest-green fill (registry order) --
+    "asof_click_purchase", "range_followups", "kmv_distinct",
+    "cm_heavy_hitters", "full_outer_activity", "events_props_json",
+    "scalar_subquery", "union_distinct", "salted_hot_key_agg",
+    "doc_tokens", "doc_quality", "doc_quality_filter", "doc_lang",
+]
+
 _R8_HEAD = [
     # -- changed in r7, never driver-checked since (r7 verdict #1) --
     "embedding_class_sep", "embedding_top_pc", "doc_logreg",
@@ -4339,16 +4443,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi": q_stream_psi,
         "events_funnel_windowed": q_events_funnel_windowed,
     }
-    # r8 rotation: changed-code keys first (they run unverified code),
-    # then stalest-green backfill (_R8_HEAD, see the policy comment
-    # there), then the r7 ordering for the tail.  Keys are asserted
-    # present so a typo fails loudly rather than silently shrinking the
-    # head.
-    for ledger in (_R8_HEAD, _R7_HEAD):
+    # r9 rotation: changed-code keys first (they run unverified code),
+    # then the committed r3 backfill + r4-vintage stalest fill
+    # (_R9_HEAD, see the policy comment there), then the r8/r7 ordering
+    # for the tail.  Keys are asserted present so a typo fails loudly
+    # rather than silently shrinking the head.
+    for ledger in (_R9_HEAD, _R8_HEAD, _R7_HEAD):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R8_HEAD}
-    mid = {k: q[k] for k in _R7_HEAD if k not in head}
+    head = {k: q[k] for k in _R9_HEAD}
+    mid = {k: q[k] for k in _R8_HEAD + _R7_HEAD if k not in head}
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
     return {**head, **mid, **tail}
 

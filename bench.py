@@ -351,6 +351,18 @@ def main() -> None:
         "construct_total": construct_total,
         "artifact_build_sec": artifact_build,
         "artifact_build_total": artifact_build_total,
+        # keys benched at probe cost over a shared persisted artifact
+        # (r8 rewires): cross-round per-key diffs must not read their
+        # derive->probe switch as an engine speedup (r8 ADVICE #4)
+        "artifact_consumers": [
+            k
+            for k in (
+                entry.artifact_consumer_keys()
+                if hasattr(entry, "artifact_consumer_keys")
+                else []
+            )
+            if k in timings
+        ],
         "sf": sf_num,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

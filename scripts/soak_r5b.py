@@ -1,5 +1,5 @@
 """Soak the late-r5b operators at the sf10-equivalent corpus (500k docs,
-20k vectors). Rebuilds the gitignored .scale_sf10/ corpus if missing
+8k vectors — r9 ADVICE correction: the x4 multiplier over the sf0.001 base yields 8,000, not 20k). Rebuilds the gitignored .scale_sf10/ corpus if missing
 (same recipe as SCALE.md §9: sf0.1 documents cross-joined with 100
 distinct one-token suffixes; embeddings replicated 4x with id offsets).
 

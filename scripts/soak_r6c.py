@@ -31,7 +31,7 @@ PICKS = [
     "doc_ngram_coverage",
     "doc_dedup_funnel",
     "doc_decontaminate_excise",
-    # embeddings family (20k vectors, stride-100 -> ~200 trained cells)
+    # embeddings family (8k vectors, stride-100 -> ~80 trained cells)
     "kmeans_inertia",
     # events family (10M rows)
     "events_dau_wau",

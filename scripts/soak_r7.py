@@ -39,7 +39,7 @@ PICKS = [
     "stream_psi",
     "doc_calibration",
     "doc_contamination_by_source",
-    # embeddings family (20k vectors)
+    # embeddings family (8k vectors)
     "ann_semantic_decon",
     "embedding_debias",
     "ann_pq_quant_error",

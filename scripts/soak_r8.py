@@ -1,5 +1,5 @@
 """Soak the r8 shared-artifact story at the sf10-equivalent corpora
-(500k docs / 20k vectors — the deterministic soak_r5b build): time each
+(500k docs / 8k vectors — the deterministic soak_r5b build; r9 ADVICE correction: the embeddings multiplier yields 8,000 vectors, not 20k): time each
 one-off artifact BUILD (entry.build_artifacts — k-means fit, SemDeDup
 pairs, LSH pairs, contaminated spans, PQ indexes), then the consumers at
 probe cost.  This is the honesty artifact for the "index build is a job,

@@ -10,9 +10,15 @@ reference's ``staticql-gen-index`` (cli/generate-index.ts:19-41):
   result without the delete).
 - incremental mode reads a DiffEntry JSON array [{status, source, slug}]
   and refreshes only affected (field, prefix) partitions (§2.9 T2).
-- --manifest writes staticql-manifest.json listing the index files
-  (:202-214). Gzip flags are intentionally absent: Parquet compression
-  replaces per-shard gzip (S8).
+- --export-jsonl additionally writes the reference-layout JSONL index
+  tree (+ .gz twins) beside the parquet sink — the artifact a browser /
+  CDN client walks (export_jsonl_index).
+- --manifest writes staticql-manifest.json listing every prefetchable
+  index artifact (:202-214): parquet shards AND the JSONL tree's plain
+  logical paths, so a FetchRepository-style client can warm its cache
+  from the manifest alone. Parquet-level gzip flags are intentionally
+  absent (Parquet compression replaces per-shard gzip, S8); the JSONL
+  export gzips its shards itself.
 """
 
 from __future__ import annotations
@@ -24,11 +30,24 @@ import sys
 
 
 def _build_manifest(out_dir: str) -> dict:
-    files = []
+    """Manifest of every prefetchable index artifact under ``out_dir``:
+    the parquet covering index (the Spark-side sink) AND the exported
+    JSONL index tree (the artifact a FetchRepository-style browser/CDN
+    client actually prefetches — reference cli/generate-index.ts:202-214
+    lists exactly the ``.jsonl`` paths, excluding ``.gz``: the client's
+    gzip-first readFile resolves ``path.gz`` per entry itself, so a
+    gz-only deployment needs no ``.gz`` rows).  A shard present only as
+    its ``.gz`` twin still manifests under its plain logical path."""
+    files = set()
     for root, _dirs, names in os.walk(out_dir):
         for n in names:
+            rel = os.path.relpath(os.path.join(root, n), out_dir)
             if n.endswith(".parquet"):
-                files.append(os.path.relpath(os.path.join(root, n), out_dir))
+                files.add(rel)
+            elif n.endswith(".jsonl"):
+                files.add(rel)
+            elif n.endswith(".jsonl.gz"):
+                files.add(rel[: -len(".gz")])
     return {"files": sorted(files)}
 
 
@@ -42,6 +61,11 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--incremental", action="store_true")
     gen.add_argument("--diff-file", help="DiffEntry JSON (required with --incremental)")
     gen.add_argument("--manifest", action="store_true")
+    gen.add_argument(
+        "--export-jsonl",
+        action="store_true",
+        help="also write the reference-layout JSONL index tree (+ .gz twins)",
+    )
     dif = sub.add_parser(
         "diff", help="git refs -> DiffEntry JSON for --incremental (§2.9 T1)"
     )
@@ -187,6 +211,11 @@ def main(argv: list[str] | None = None) -> int:
             refresh_index_partitions(sql, source, diff, args.output)
     else:
         sql.save_indexes(args.output)
+
+    if args.export_jsonl:
+        from .indexing import export_jsonl_index
+
+        export_jsonl_index(sql, args.output)
 
     if args.manifest:
         manifest = _build_manifest(args.output)

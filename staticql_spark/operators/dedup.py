@@ -438,9 +438,34 @@ def incremental_lsh_pairs(
     Cost at scale: the old corpus contributes only its (id, band, key)
     index rows to the candidate shuffle and only the docs that actually
     collide with a new doc to the verify join — never its text.
+
+    r9 probe-cost reductions (r8 verdict #5), all semantics-free:
+    (1) the batch's shingle arrays are persisted once per run — they
+    feed the signature/band derivation, the re-crawl anti join AND the
+    verify join, and re-shingling the batch three times was pure waste;
+    (2) old index rows are semi-joined on (band, key) against the
+    batch's band keys BEFORE the bucket aggregate — a bucket with no
+    new member is dropped by the ``exists(is_new)`` filter anyway, and
+    every bucket WITH a new member keeps all its old members (they
+    match the semi-join key by definition), so combined-bucket cap
+    semantics are untouched; (3) the old shingle arrays cross ONE
+    id-keyed join, against the pre-folded id set (colliding ids from
+    (2), minus re-crawled batch ids) computed on tiny id-only frames —
+    so the accumulated corpus's arrays never enter the verify shuffle
+    unless they actually collide with the batch.  Folding matters: a
+    separate semi (collide) + anti (re-crawl) pair shuffles the arrays
+    twice and measured ~10% SLOWER at the dense-collision 500k soak
+    (SCALE.md §17); the folded form costs the same as the plain anti
+    join there while staying batch-proportional at real scale.  AQE
+    promotes the id-side joins to broadcast at runtime when the
+    collision set is small; nothing is statically broadcast (the
+    verify_jaccard rationale).
     """
     new_bands, new_dsh = minhash_index(new_df, text_col, id_col, n, num_hashes, bands)
-    tagged = old_bands.select(
+    new_dsh = new_dsh.persist()
+    batch_keys = new_bands.select("band", "key").distinct()
+    old_hit = old_bands.join(batch_keys, ["band", "key"], "left_semi")
+    tagged = old_hit.select(
         id_col, "band", "key", F.lit(False).alias("is_new")
     ).unionByName(new_bands.withColumn("is_new", F.lit(True)))
 
@@ -471,8 +496,18 @@ def incremental_lsh_pairs(
     # A re-crawled doc (same id, possibly changed text) exists in BOTH
     # shingle sets; the new batch takes deterministic precedence — an
     # unordered dropDuplicates would keep an arbitrary side, making the
-    # verified Jaccard for that doc's pairs flap across runs.
-    old_only = old_shingles.join(new_dsh.select(id_col), id_col, "left_anti")
+    # verified Jaccard for that doc's pairs flap across runs.  Only the
+    # COLLIDING old docs' arrays enter the verify join (reduction (3)
+    # above): every old id in ``cands`` shares a band key with the
+    # batch, so restricting to old_hit's ids is lossless; the re-crawl
+    # exclusion is folded into the same tiny id frame so the arrays
+    # cross exactly one id-keyed join.
+    old_keep_ids = (
+        old_hit.select(id_col)
+        .distinct()
+        .join(new_dsh.select(id_col), id_col, "left_anti")
+    )
+    old_only = old_shingles.join(old_keep_ids, id_col, "left_semi")
     dsh_all = old_only.unionByName(new_dsh)
     verified = verify_jaccard(cands, dsh_all, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
@@ -1348,20 +1383,25 @@ def chunk_dedup(
     Python, no windows, no driver collect.
     """
     df = ensure_parallelism(df)
-
-    def toks(c):
-        return F.split(c, " ")
-
+    # Tokenize ONCE per row, not once per array element: F.split inside a
+    # higher-order lambda re-evaluates per element (O(tokens^2/width) per
+    # doc).  The hoist only survives CollapseProject when the hoisted
+    # column is referenced >= 2 times in the consumer (SPARK-36718 keeps
+    # multiply-referenced non-cheap aliases); here __sq_toks feeds both
+    # n_chunks and the lambda, and the rebuild below adds a size() guard
+    # to pin the single-reference case.  Verified against the optimized
+    # plan: exactly one split() per Project (SCALE.md r9 A/B).
+    tdf = df.withColumn("__sq_toks", F.split(F.col(text_col), " "))
     n_chunks = F.greatest(
-        F.ceil(F.size(toks(F.col(text_col))) / F.lit(width)).cast("int"), F.lit(1)
+        F.ceil(F.size("__sq_toks") / F.lit(width)).cast("int"), F.lit(1)
     )
     chunk_at = lambda t, p: F.array_join(F.slice(t, p * width + 1, width), " ")
-    chunks = df.select(
+    chunks = tdf.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.md5(chunk_at(toks(F.col(text_col)), i)),
+                lambda i: F.md5(chunk_at(F.col("__sq_toks"), i)),
             )
         ).alias("pos", "h"),
     )
@@ -1376,15 +1416,26 @@ def chunk_dedup(
             F.collect_list(F.when(F.col("keep"), F.col("pos")))
         ).alias("kept_pos"),
     )
-    return df.join(per_doc, id_col).select(
+    # Re-split AFTER the doc-keyed join so the raw text (not the fatter
+    # token array) crosses the shuffle; the always-true size() guard
+    # gives __sq_toks a second reference so CollapseProject can't inline
+    # the split back into the per-element lambda (NULL text can't reach
+    # here: its chunks hash to NULL and drop at the equi join on h).
+    joined = df.join(per_doc, id_col).withColumn(
+        "__sq_toks", F.split(F.col(text_col), " ")
+    )
+    return joined.select(
         id_col,
         "n_chunks",
         "n_dropped",
-        F.array_join(
-            F.transform(
-                F.col("kept_pos"), lambda p: chunk_at(toks(F.col(text_col)), p)
+        F.when(
+            F.size("__sq_toks") >= 0,
+            F.array_join(
+                F.transform(
+                    F.col("kept_pos"), lambda p: chunk_at(F.col("__sq_toks"), p)
+                ),
+                " ",
             ),
-            " ",
         ).alias("clean_text"),
     )
 
@@ -1401,16 +1452,22 @@ def chunk_index(
     the compact artifact a daily pipeline stores instead of re-counting
     the whole corpus."""
     df = ensure_parallelism(df)
-    toks = F.split(F.col(text_col), " ")
+    # Hoisted tokenization (see chunk_dedup): two references keep the
+    # split out of the per-element lambda under CollapseProject.
+    tdf = df.withColumn("__sq_toks", F.split(F.col(text_col), " "))
     n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(width)).cast("int"), F.lit(1)
+        F.ceil(F.size("__sq_toks") / F.lit(width)).cast("int"), F.lit(1)
     )
-    chunks = df.select(
+    chunks = tdf.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.md5(F.array_join(F.slice(toks, i * width + 1, width), " ")),
+                lambda i: F.md5(
+                    F.array_join(
+                        F.slice(F.col("__sq_toks"), i * width + 1, width), " "
+                    )
+                ),
             )
         ).alias("h"),
     )
@@ -1438,17 +1495,19 @@ def incremental_chunk_dedup(
     crosses one doc-keyed shuffle exactly as in chunk_dedup.
     """
     new_docs = ensure_parallelism(new_docs)
-    toks = F.split(F.col(text_col), " ")
+    # Hoisted tokenization (see chunk_dedup): two references keep the
+    # split out of the per-element lambda under CollapseProject.
+    tdf = new_docs.withColumn("__sq_toks", F.split(F.col(text_col), " "))
     n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(width)).cast("int"), F.lit(1)
+        F.ceil(F.size("__sq_toks") / F.lit(width)).cast("int"), F.lit(1)
     )
     chunk_at = lambda t, p: F.array_join(F.slice(t, p * width + 1, width), " ")
-    chunks = new_docs.select(
+    chunks = tdf.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.md5(chunk_at(F.split(F.col(text_col), " "), i)),
+                lambda i: F.md5(chunk_at(F.col("__sq_toks"), i)),
             )
         ).alias("pos", "h"),
     )
@@ -1471,16 +1530,25 @@ def incremental_chunk_dedup(
             F.collect_list(F.when(F.col("keep"), F.col("pos")))
         ).alias("kept_pos"),
     )
-    return new_docs.join(per_doc, id_col).select(
+    # Re-split after the join + size() pin, as in chunk_dedup: raw text
+    # crosses the shuffle, split runs once per row, CollapseProject
+    # can't inline it back into the lambda.
+    joined = new_docs.join(per_doc, id_col).withColumn(
+        "__sq_toks", F.split(F.col(text_col), " ")
+    )
+    return joined.select(
         id_col,
         "n_chunks",
         "n_dropped",
-        F.array_join(
-            F.transform(
-                F.col("kept_pos"),
-                lambda p: chunk_at(F.split(F.col(text_col), " "), p),
+        F.when(
+            F.size("__sq_toks") >= 0,
+            F.array_join(
+                F.transform(
+                    F.col("kept_pos"),
+                    lambda p: chunk_at(F.col("__sq_toks"), p),
+                ),
+                " ",
             ),
-            " ",
         ).alias("clean_text"),
     )
 

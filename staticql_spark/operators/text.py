@@ -1493,6 +1493,16 @@ def vocab_coverage(
     N (the per-N union-of-limits formulation re-ran it |sizes| times).
     """
     sizes = sorted(int(n) for n in vocab_sizes)
+    # Cardinality contract (r8 verdict #6): the rank window below is
+    # bounded by max(vocab_sizes) BY CONSTRUCTION (the limit() feeds it
+    # <= sizes[-1] rows via a distributed TakeOrdered), so the only way
+    # to serialize a huge frame through it is to ASK for a huge N —
+    # refuse that loudly at construct time instead.
+    if sizes[-1] > 1_000_000:
+        raise ValueError(
+            f"vocab_coverage: max vocab_size {sizes[-1]} exceeds the "
+            "1M-row single-task rank contract; shard the request"
+        )
     d = ensure_parallelism(df).select(
         F.explode(tokens(F.col(text_col))).alias("term")
     )

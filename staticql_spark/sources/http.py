@@ -68,11 +68,51 @@ def fetch_text(
     return fetch_bytes(_url(base_url, path), timeout).decode("utf-8")
 
 
+MANIFEST_NAME = "staticql-manifest.json"
+
+
+def read_manifest(
+    base_url: str, timeout: float = DEFAULT_TIMEOUT
+) -> list[str]:
+    """Fetch ``staticql-manifest.json`` and return the listed index
+    paths.  Accepts both manifest shapes: the reference's bare JSON
+    array of relative paths (cli/generate-index.ts:202-214) and this
+    repo's CLI ``{"files": [...]}`` envelope; parquet entries (the
+    Spark-side sink, meaningless to an HTTP client) are filtered out so
+    the result is exactly the prefetchable JSONL tree."""
+    doc = json.loads(fetch_bytes(_url(base_url, MANIFEST_NAME), timeout))
+    paths = doc["files"] if isinstance(doc, dict) else doc
+    return [p for p in paths if p.endswith(".jsonl")]
+
+
+def prefetch_index(
+    base_url: str,
+    paths: list[str] | None = None,
+    timeout: float = DEFAULT_TIMEOUT,
+    prefer_gzip: bool = True,
+) -> dict[str, str]:
+    """Warm a path->text cache of the whole JSONL index tree from the
+    manifest — the reference manifest's stated purpose ('prefetching or
+    cache warming', cli/generate-index.ts:199-201).  Each path fetches
+    gzip-first like readFile; the returned dict plugs into
+    ``read_prefix_tree(..., cache=)`` / ``list_source_files(...,
+    cache=)`` so every subsequent index walk is memory-only — the
+    request pattern a CDN client wants (one manifest GET + N parallel
+    shard GETs, then zero per-query index traffic)."""
+    if paths is None:
+        paths = read_manifest(base_url, timeout)
+    return {
+        p: fetch_text(base_url, p, prefer_gzip=prefer_gzip, timeout=timeout)
+        for p in paths
+    }
+
+
 def read_prefix_tree(
     base_url: str,
     dir_path: str,
     timeout: float = DEFAULT_TIMEOUT,
     prefer_gzip: bool = True,
+    cache: dict[str, str] | None = None,
 ) -> list[dict]:
     """Recursive remote prefix-tree walk (readAllIndexesRemote:165-199):
     read ``{dir}/_index.jsonl`` if present, then descend into every prefix
@@ -80,15 +120,23 @@ def read_prefix_tree(
     reference swallows fetch errors the same way).  Index shards are
     fetched gzip-first by default (``.jsonl.gz`` then plain — the
     reference FetchRepository.readFile:41-57 order; export_jsonl_index
-    writes the ``.gz`` twins), so a gz-only CDN deployment is readable."""
+    writes the ``.gz`` twins), so a gz-only CDN deployment is readable.
+    With ``cache`` (a :func:`prefetch_index` result) a cached path is
+    served from memory and a cache MISS ends the branch without an HTTP
+    fall-through — the manifest is the complete file list, so a path
+    absent from it does not exist remotely either."""
+
+    def _get(path: str) -> str:
+        if cache is not None:
+            text = cache.get(path)
+            if text is None:
+                raise OSError(f"not in prefetched index cache: {path}")
+            return text
+        return fetch_text(base_url, path, timeout=timeout, prefer_gzip=prefer_gzip)
+
     results: list[dict] = []
     try:
-        text = fetch_text(
-            base_url,
-            f"{dir_path}/_index.jsonl",
-            timeout=timeout,
-            prefer_gzip=prefer_gzip,
-        )
+        text = _get(f"{dir_path}/_index.jsonl")
         for line in text.splitlines():
             line = line.strip()
             if line:
@@ -96,30 +144,31 @@ def read_prefix_tree(
     except (urllib.error.URLError, OSError, ValueError):
         pass
     try:
-        text = fetch_text(
-            base_url,
-            f"{dir_path}/_prefixes.jsonl",
-            timeout=timeout,
-            prefer_gzip=prefer_gzip,
-        )
+        text = _get(f"{dir_path}/_prefixes.jsonl")
         prefixes = [p.strip() for p in text.splitlines() if p.strip()]
     except (urllib.error.URLError, OSError):
         prefixes = []
     for prefix in prefixes:
         results.extend(
-            read_prefix_tree(base_url, f"{dir_path}/{prefix}", timeout, prefer_gzip)
+            read_prefix_tree(
+                base_url, f"{dir_path}/{prefix}", timeout, prefer_gzip, cache
+            )
         )
     return results
 
 
 def list_source_files(
-    base_url: str, cfg: SourceConfig, timeout: float = DEFAULT_TIMEOUT
+    base_url: str,
+    cfg: SourceConfig,
+    timeout: float = DEFAULT_TIMEOUT,
+    cache: dict[str, str] | None = None,
 ) -> list[str]:
     """Relative content paths for one source, via its slug index
     (FetchRepository.listFiles:82-99): slugs are the ``v`` of each index
     line; paths come from substituting the slug into the source pattern.
-    Deduplicated, listing order preserved."""
-    lines = read_prefix_tree(base_url, f"index/{cfg.name}.slug", timeout)
+    Deduplicated, listing order preserved.  ``cache`` (a
+    :func:`prefetch_index` result) makes the listing memory-only."""
+    lines = read_prefix_tree(base_url, f"index/{cfg.name}.slug", timeout, cache=cache)
     seen: set[str] = set()
     slugs = []
     for line in lines:

@@ -252,3 +252,69 @@ def test_gz_only_index_site_e2e(spark, content_dir, tmp_path):
         assert len(herbs) == 3
     finally:
         server.shutdown()
+
+
+def test_manifest_driven_prefetch_gz_only_e2e(spark, content_dir, tmp_path):
+    """r9 (r8 verdict #3): the manifest lists the JSONL index tree, and a
+    FetchRepository-style client can warm its cache from the manifest
+    alone — listing then runs with ZERO further HTTP (proven by shutting
+    the server down before the walk).  The site is gz-only, so both the
+    manifest's plain logical paths and the gzip-first prefetch are
+    exercised together."""
+    import json as _json
+
+    from staticql_spark.cli import _build_manifest
+    from staticql_spark.sources.http import prefetch_index, read_manifest
+
+    site = tmp_path / "gzsite"
+    site.mkdir()
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    export_jsonl_index(local, str(site))
+
+    # generate-index --manifest over the export: every shard manifests
+    # under its plain logical path, .gz twins collapse into it
+    manifest = _build_manifest(str(site))
+    (site / "staticql-manifest.json").write_text(_json.dumps(manifest))
+    jsonl = [f for f in manifest["files"] if f.endswith(".jsonl")]
+    assert "index/herbs.slug/_prefixes.jsonl" in jsonl
+    assert "index/herbs.slug/0061/_index.jsonl" in jsonl
+    assert not any(f.endswith(".gz") for f in manifest["files"])
+
+    # gz-only deployment: drop every plain shard AFTER the manifest build
+    for p in list(site.rglob("*.jsonl")):
+        p.unlink()
+
+    with socket.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), partial(_QuietHandler, directory=str(site))
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base_url = f"http://127.0.0.1:{port}"
+    try:
+        paths = read_manifest(base_url)
+        assert sorted(paths) == sorted(jsonl)
+        cache = prefetch_index(base_url, paths)
+        assert set(cache) == set(jsonl)
+    finally:
+        server.shutdown()
+
+    # server is DOWN: the whole listing surface must run from the cache
+    cfgs = define(CONFIG)(base_dir="unused").configs
+    lines = read_prefix_tree(base_url, "index/herbs.slug", cache=cache)
+    assert {l["v"] for l in lines} == {
+        "arctium-lappa", "centella-asiatica", "cymbopogon-citratus"
+    }
+    herbs = sorted(list_source_files(base_url, cfgs["herbs"], cache=cache))
+    assert herbs == [
+        "content/herbs/arctium-lappa.md",
+        "content/herbs/centella-asiatica.md",
+        "content/herbs/cymbopogon-citratus.md",
+    ]
+    recipes = sorted(list_source_files(base_url, cfgs["recipes"], cache=cache))
+    assert recipes == [
+        "content/recipes/recipeGroup001/001.md",
+        "content/recipes/recipeGroup002/001.md",
+    ]

@@ -2986,6 +2986,42 @@ def test_shared_artifact_cache_contract(spark):
     entry._contaminated_spans_cached(spark, SF_SMOKE)
     assert entry._ARTIFACT_CACHE[("spans", SF_SMOKE)] == path1  # one build
     assert spans.count() >= 0  # readable frame
+    # r9 lifecycle (r8 verdict #7): every artifact dir lives under ONE
+    # per-process root that is atexit-removed (no /tmp accumulation)
+    assert p_old.startswith(entry._ARTIFACT_ROOT + "/")
+    assert path1.startswith(entry._ARTIFACT_ROOT + "/")
+
+
+def test_artifact_dirs_distinct_across_processes(tmp_path):
+    # r9 (r8 verdict #7): with STATICQL_SPARK_ARTIFACT_ROOT pointing two
+    # processes at the SAME fleet storage, each still mkdtemps its own
+    # per-process root underneath — they can never share an artifact
+    # path.  No SparkSession needed: _artifact_dir is pure filesystem.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import json, __spark_entry__ as e;"
+        "print(json.dumps([e._artifact_dir('x_'), e._ARTIFACT_ROOT]))"
+    )
+    env = dict(os.environ, STATICQL_SPARK_ARTIFACT_ROOT=str(tmp_path))
+    outs = [
+        json.loads(
+            subprocess.run(
+                [sys.executable, "-c", prog], env=env, cwd="/root/repo",
+                capture_output=True, text=True, timeout=120, check=True,
+            ).stdout
+        )
+        for _ in range(2)
+    ]
+    (dir_a, root_a), (dir_b, root_b) = outs
+    assert root_a != root_b and dir_a != dir_b
+    for d, r in outs:
+        assert d.startswith(str(tmp_path) + "/") and r.startswith(str(tmp_path) + "/")
+        # env-rooted artifacts are RETAINED (fleet storage owns retention)
+        assert os.path.isdir(d)
 
 
 def test_lsh_append_equals_full_rebuild(spark, docs, tmp_path):
