@@ -4096,17 +4096,43 @@ def q_hll_grouped_ndv(spark, sf):
 # that don't fit this 50-key window are the COMMITTED r9 backfill head
 # (listed verbatim in COVERAGE.md's freshness ledger), run by _R9_HEAD
 # below.
+def q_embedding_mrl_recall(spark, sf):
+    # Matryoshka truncation audit (new r9): recall@5 of prefix-truncated
+    # (re-normalized) cosine top-k vs the full 64-dim exact top-k, for
+    # d in {8, 16, 32} — the table that decides how many dims a serving
+    # index can shed. Deterministic query sample (vec_id % 50 == 0),
+    # 6dp-rounded scores + id tiebreaks (the ann_recall conventions).
+    return similarity.mrl_recall(
+        _t(spark, sf, "embeddings"), dims=(8, 16, 32), k=5, query_stride=50
+    )
+
+
+def q_events_ab_cuped(spark, sf):
+    # A/B readout with CUPED variance reduction (new r9, Deng et al.
+    # WSDM 2013): variant = user_id % 2, pre/post split at the exact
+    # midpoint of the event-time span (integer microseconds), per-user
+    # purchase spend as metric, pre-period spend as covariate; pooled
+    # theta, ITT frame (all users, zero-filled). One summary row.
+    from staticql_spark.operators import behavior
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return behavior.ab_cuped(ev)
+
+
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
-# tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
-# reductions; supplier_pareto: assert_true cardinality guard;
-# doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
-# COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
-# r8 freshness ledger), then (3) 13 r4-vintage stalest-green keys in
-# registry order to fill the 50.  After r9 greens, max driver-signal
-# staleness registry-wide is <=5 rounds (r4 vintage), and the remaining
-# 33 r4-vintage keys are the committed r10 backfill head.
+# keys first — 2 new (embedding_mrl_recall, events_ab_cuped) + 5 changed
+# in r9 (doc_chunk_dedup + dedup_chunk_incremental: tokenize-once hoist
+# in dedup.py; dedup_incremental: probe-cost reductions;
+# supplier_pareto: assert_true cardinality guard; doc_vocab_coverage:
+# construct-time vocab_sizes guard) — then (2) the COMMITTED 32-key
+# r3-vintage backfill head (verbatim from COVERAGE.md's r8 freshness
+# ledger), then (3) 11 r4-vintage stalest-green keys in registry order
+# to fill the 50.  After r9 greens, max driver-signal staleness
+# registry-wide is <=5 rounds (r4 vintage), and the remaining 35
+# r4-vintage keys are the committed r10 backfill head.
 _R9_HEAD = [
+    # -- new in r9 (rank with changed keys) --
+    "embedding_mrl_recall", "events_ab_cuped",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4123,11 +4149,12 @@ _R9_HEAD = [
     "events_windowed", "events_sessionize", "events_sliding",
     "events_trending", "events_lag_gap", "events_range_window",
     "unpivot_metrics",
-    # -- r4-vintage stalest-green fill (registry order) --
+    # -- r4-vintage stalest-green fill (registry order; 11 fit after the
+    # -- two new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
     "cm_heavy_hitters", "full_outer_activity", "events_props_json",
     "scalar_subquery", "union_distinct", "salted_hot_key_agg",
-    "doc_tokens", "doc_quality", "doc_quality_filter", "doc_lang",
+    "doc_tokens", "doc_quality",
 ]
 
 _R8_HEAD = [
@@ -4442,6 +4469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination_by_source": q_doc_contamination_by_source,
         "stream_psi": q_stream_psi,
         "events_funnel_windowed": q_events_funnel_windowed,
+        # new in r9
+        "embedding_mrl_recall": q_embedding_mrl_recall,
+        "events_ab_cuped": q_events_ab_cuped,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9530,6 +9560,125 @@ def _oracle_sql_literal() -> dict[str, str]:
               FROM events GROUP BY 1
             """,
         ),
+        # new r9: Matryoshka truncation recall — brute top-5 on prefix
+        # slices vs the full-dim brute, same 6dp/tiebreak conventions as
+        # ann_recall
+        "embedding_mrl_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            brute AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         round(list_dot_product(qv, cv)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                               6) DESC, neighbor_id ASC) AS rank
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+              ) WHERE rank <= 5
+            ),
+            dims AS (SELECT unnest([8, 16, 32]) AS d),
+            trunc AS (
+              SELECT d, query_id, neighbor_id FROM (
+                SELECT dims.d AS d, query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY dims.d, query_id ORDER BY
+                         round(list_dot_product(list_slice(qv, 1, dims.d), list_slice(cv, 1, dims.d))
+                               / (sqrt(list_dot_product(list_slice(qv, 1, dims.d), list_slice(qv, 1, dims.d)))
+                                  * sqrt(list_dot_product(list_slice(cv, 1, dims.d), list_slice(cv, 1, dims.d)))),
+                               6) DESC, neighbor_id ASC) AS rank
+                FROM dims CROSS JOIN q CROSS JOIN c WHERE query_id <> neighbor_id
+              ) WHERE rank <= 5
+            ),
+            hits AS (
+              SELECT d, count(*)::BIGINT AS n_hits
+              FROM trunc t JOIN brute b USING (query_id, neighbor_id)
+              GROUP BY d
+            )
+            SELECT dims.d::INT AS dim,
+                   (SELECT count(*) FROM brute)::BIGINT AS n_exact_pairs,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n_hits, 0)::DOUBLE
+                         / (SELECT count(*) FROM brute), 4) AS recall_at_k
+            FROM dims LEFT JOIN hits h ON h.d = dims.d
+        """,
+        # new r9: CUPED A/B readout — per-user pre/post spend folded in
+        # DECIMAL(27,4), second moments in DECIMAL(38,6), every division
+        # once in double (mirrors behavior.ab_cuped exactly)
+        "events_ab_cuped": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_type, value FROM events
+            ),
+            span AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM ev),
+            pu AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN tus < mid THEN
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value, 4) AS DECIMAL(27,4))
+                       ELSE CAST(0 AS DECIMAL(27,4)) END
+                  ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE) AS pre,
+                CAST(sum(CASE WHEN tus >= mid THEN
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value, 4) AS DECIMAL(27,4))
+                       ELSE CAST(0 AS DECIMAL(27,4)) END
+                  ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE) AS post
+              FROM ev CROSS JOIN span GROUP BY user_id
+            ),
+            bv AS (
+              SELECT (user_id % 2)::INT AS variant, count(*)::BIGINT AS n,
+                sum(CAST(round(pre, 6) AS DECIMAL(38,6))) AS s_pre,
+                sum(CAST(round(post, 6) AS DECIMAL(38,6))) AS s_post,
+                sum(CAST(round(pre * post, 6) AS DECIMAL(38,6))) AS s_xy,
+                sum(CAST(round(pre * pre, 6) AS DECIMAL(38,6))) AS s_xx,
+                sum(CAST(round(post * post, 6) AS DECIMAL(38,6))) AS s_yy
+              FROM pu GROUP BY 1
+            ),
+            p AS (
+              SELECT
+                sum(CASE WHEN variant = 0 THEN n END)::BIGINT AS n_a,
+                sum(CASE WHEN variant = 1 THEN n END)::BIGINT AS n_b,
+                CAST(sum(CASE WHEN variant = 0 THEN s_post END) AS DOUBLE)
+                  / sum(CASE WHEN variant = 0 THEN n END) AS mpost_a,
+                CAST(sum(CASE WHEN variant = 1 THEN s_post END) AS DOUBLE)
+                  / sum(CASE WHEN variant = 1 THEN n END) AS mpost_b,
+                CAST(sum(CASE WHEN variant = 0 THEN s_pre END) AS DOUBLE)
+                  / sum(CASE WHEN variant = 0 THEN n END) AS mpre_a,
+                CAST(sum(CASE WHEN variant = 1 THEN s_pre END) AS DOUBLE)
+                  / sum(CASE WHEN variant = 1 THEN n END) AS mpre_b,
+                sum(n)::BIGINT AS nn,
+                CAST(sum(s_pre) AS DOUBLE) AS sx,
+                CAST(sum(s_post) AS DOUBLE) AS sy,
+                CAST(sum(s_xy) AS DOUBLE) AS sxy,
+                CAST(sum(s_xx) AS DOUBLE) AS sxx,
+                CAST(sum(s_yy) AS DOUBLE) AS syy
+              FROM bv
+            ),
+            calc AS (
+              SELECT n_a, n_b, mpost_a, mpost_b, mpre_a, mpre_b,
+                     sx / nn AS mx,
+                     sxy / nn - (sx / nn) * (sy / nn) AS cov,
+                     sxx / nn - (sx / nn) * (sx / nn) AS var_pre,
+                     syy / nn - (sy / nn) * (sy / nn) AS var_post
+              FROM p
+            ),
+            calc2 AS (
+              SELECT *,
+                     CASE WHEN var_pre > 0 THEN cov / var_pre ELSE 0.0 END AS theta,
+                     CASE WHEN var_pre > 0 AND var_post > 0
+                          THEN cov * cov / (var_pre * var_post) ELSE 0.0 END AS var_red
+              FROM calc
+            )
+            SELECT n_a, n_b,
+                   round(mpost_a, 6) AS mean_post_a,
+                   round(mpost_b, 6) AS mean_post_b,
+                   round(theta, 6) AS theta,
+                   round(mpost_b - mpost_a, 6) AS diff_raw,
+                   round((mpost_b - theta * (mpre_b - mx))
+                         - (mpost_a - theta * (mpre_a - mx)), 6) AS diff_cuped,
+                   round(var_red, 6) AS var_reduction
+            FROM calc2
+        """,
     }
 
 

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from staticql_spark.session import get_spark
 
-# HEADLINE covers 168 of the 238 registered queries (r8).  The 70 excluded
+# HEADLINE covers 170 of the 240 registered queries (r9).  The 70 excluded
 # keys are the long-stable set benched to convergence in earlier rounds
 # (r1-r4): the TPC-H group-C shapes and small staticql-parity lookups
 # (where_eq/point_lookup/...), simple set/pivot/window variants, and a
@@ -224,6 +224,9 @@ HEADLINE = [
     "doc_contamination_by_source",
     "stream_psi",
     "events_funnel_windowed",
+    # new in r9
+    "embedding_mrl_recall",
+    "events_ab_cuped",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —
@@ -274,6 +277,9 @@ CORE = HEADLINE[:35] + [
     "events_pagerank",
     "bpe_train",
     "doc_logreg",
+    # new in r9
+    "embedding_mrl_recall",
+    "events_ab_cuped",
 ]
 
 

@@ -215,3 +215,118 @@ def session_paths(
         F.count("*").cast("long").alias("n_sessions")
     )
     return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_k)
+
+
+def ab_cuped(
+    events: DataFrame,
+    value_event: str = "purchase",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng,
+    Xu, Kohavi & Walker, WSDM 2013): per-user post-period metric
+    adjusted by the pre-period covariate, ``adj = post - theta *
+    (pre - mean(pre))`` with the pooled ``theta = cov(pre, post) /
+    var(pre)`` — the standard trick that cuts experiment runtime by the
+    pre/post correlation squared.  Deterministic harness framing:
+    variant = ``user_id % 2`` and the pre/post boundary is the exact
+    midpoint of the event-time span in integer microseconds (no RNG, no
+    config).
+
+    One summary row: (n_a, n_b, mean_post_a, mean_post_b, theta,
+    diff_raw, diff_cuped, var_reduction) — diff_* are B minus A,
+    var_reduction is the realized ``1 - var(adj)/var(post)`` pooled.
+
+    Determinism contract (the repo's exact-mean idiom): per-user pre and
+    post fold 4dp-rounded values in DECIMAL(27,4) (summation-order-free,
+    engine-identical); the second-moment sums fold 6dp-rounded products
+    in DECIMAL(38,6); every division happens once, in double, at the
+    end.  The ITT frame is ALL users seen in the event log (a user with
+    no qualifying events counts as 0 spend — dropping them would bias
+    both arms toward active users).  var(pre) == 0 degrades theta to 0
+    (CUPED falls back to the raw diff) instead of dividing by zero.
+
+    Scale: events cross ONE user-keyed shuffle into the per-user frame;
+    the variant aggregate is map-side combinable to 2 rows; the final
+    row is pure arithmetic.  The ts-span bounds come from one map-side
+    min/max aggregate, broadcast as a 1-row cross join.
+    """
+    from . import asof
+
+    ts_us = asof.epoch_us(events, ts_col)
+    span = events.agg(
+        F.min(ts_us).alias("__t0"), F.max(ts_us).alias("__t1")
+    ).select(
+        # integer `div`, not `/`: float division of ~1e15 sums truncates
+        # differently across engines on odd sums
+        F.expr("(__t0 + __t1) div 2").cast("long").alias("__mid")
+    )
+    ev = events.crossJoin(F.broadcast(span))
+    val = F.when(
+        F.col(type_col) == value_event, F.round(F.col(value_col), 4)
+    ).otherwise(F.lit(0.0))
+    per_user = ev.groupBy(id_col).agg(
+        F.sum(
+            F.when(ts_us < F.col("__mid"), val).otherwise(F.lit(0.0)).cast(
+                "decimal(27,4)"
+            )
+        )
+        .cast("double")
+        .alias("pre"),
+        F.sum(
+            F.when(ts_us >= F.col("__mid"), val).otherwise(F.lit(0.0)).cast(
+                "decimal(27,4)"
+            )
+        )
+        .cast("double")
+        .alias("post"),
+    )
+    d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")
+    by_variant = per_user.groupBy(
+        (F.col(id_col) % 2).cast("int").alias("variant")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d6(F.col("pre"))).alias("s_pre"),
+        F.sum(d6(F.col("post"))).alias("s_post"),
+        F.sum(d6(F.col("pre") * F.col("post"))).alias("s_xy"),
+        F.sum(d6(F.col("pre") * F.col("pre"))).alias("s_xx"),
+        F.sum(d6(F.col("post") * F.col("post"))).alias("s_yy"),
+    )
+    pick = lambda v, c: F.sum(F.when(F.col("variant") == v, F.col(c)))
+    pooled = by_variant.agg(
+        pick(0, "n").alias("n_a"),
+        pick(1, "n").alias("n_b"),
+        (pick(0, "s_post").cast("double") / pick(0, "n")).alias("__mpost_a"),
+        (pick(1, "s_post").cast("double") / pick(1, "n")).alias("__mpost_b"),
+        (pick(0, "s_pre").cast("double") / pick(0, "n")).alias("__mpre_a"),
+        (pick(1, "s_pre").cast("double") / pick(1, "n")).alias("__mpre_b"),
+        F.sum("n").cast("long").alias("__n"),
+        F.sum("s_pre").cast("double").alias("__sx"),
+        F.sum("s_post").cast("double").alias("__sy"),
+        F.sum("s_xy").cast("double").alias("__sxy"),
+        F.sum("s_xx").cast("double").alias("__sxx"),
+        F.sum("s_yy").cast("double").alias("__syy"),
+    )
+    mx = F.col("__sx") / F.col("__n")
+    my = F.col("__sy") / F.col("__n")
+    cov = F.col("__sxy") / F.col("__n") - mx * my
+    var_pre = F.col("__sxx") / F.col("__n") - mx * mx
+    var_post = F.col("__syy") / F.col("__n") - my * my
+    theta = F.when(var_pre > 0, cov / var_pre).otherwise(F.lit(0.0))
+    adj_a = F.col("__mpost_a") - theta * (F.col("__mpre_a") - mx)
+    adj_b = F.col("__mpost_b") - theta * (F.col("__mpre_b") - mx)
+    var_red = F.when(
+        (var_pre > 0) & (var_post > 0), cov * cov / (var_pre * var_post)
+    ).otherwise(F.lit(0.0))
+    return pooled.select(
+        "n_a",
+        "n_b",
+        F.round("__mpost_a", 6).alias("mean_post_a"),
+        F.round("__mpost_b", 6).alias("mean_post_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("__mpost_b") - F.col("__mpost_a"), 6).alias("diff_raw"),
+        F.round(adj_b - adj_a, 6).alias("diff_cuped"),
+        F.round(var_red, 6).alias("var_reduction"),
+    )

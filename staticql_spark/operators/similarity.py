@@ -1120,3 +1120,61 @@ def embedding_drift(
             (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
         ).alias("psi_term"),
     )
+
+
+def mrl_recall(
+    emb: DataFrame,
+    dims: list[int] | tuple[int, ...] = (8, 16, 32),
+    k: int = 5,
+    query_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): recall@k of exact cosine top-k computed on
+    only the FIRST ``d`` dimensions (re-normalized, as MRL serving does)
+    against the full-dimension exact top-k, for each candidate truncation
+    ``d`` — the table that decides how many dims a serving fleet can shed
+    (a 64→16 truncation is a 4× index-size and bandwidth cut IF recall
+    holds).  One row per d: (dim, n_exact_pairs, n_hits, recall_at_k),
+    ordered by dim.
+
+    Queries are the deterministic ``id % query_stride == 0`` sample (the
+    ann_recall convention).  Truncated vectors are ``slice(vec, 1, d)``
+    — prefix truncation is the MRL contract; no re-projection.  Ties
+    break on 6dp-rounded cosine then neighbor id (engine-stable ranking,
+    the bm25 idiom), identical to :func:`cosine_topk` because each
+    per-dim pass IS cosine_topk on the sliced frame.
+
+    Scale: |dims| brute-force passes, each a broadcast of the query
+    sample against one corpus scan — embarrassingly parallel, no
+    corpus-side shuffle (cosine_topk's per-query top-k window partitions
+    by query).  At 1e9 vectors you'd swap the exact passes for the IVF
+    probe (ivf_topk) per dim; the comparison logic is unchanged.
+    """
+    queries = emb.filter(F.col(id_col) % query_stride == 0)
+    exact = cosine_topk(queries, emb, k=k, vec_col=vec_col, id_col=id_col).select(
+        "query_id", "neighbor_id"
+    )
+    out = None
+    for d in sorted(int(d) for d in dims):
+        qd = queries.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
+        cd = emb.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
+        trunc = cosine_topk(qd, cd, k=k, vec_col=vec_col, id_col=id_col).select(
+            "query_id", "neighbor_id"
+        )
+        hits = trunc.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+            .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hits")))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_exact_pairs",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_exact_pairs"), 4).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3064,3 +3064,98 @@ def test_lsh_append_equals_full_rebuild(spark, docs, tmp_path):
         new, old_b, old_sh, n=3, num_hashes=16, bands=4, threshold=0.2,
     ))
     assert via_loaded == inline and len(via_loaded) > 0
+
+
+def test_mrl_recall_full_dim_is_perfect(spark):
+    # truncation at the FULL dimension is the identity -> recall 1.0;
+    # lower dims are <= 1 and the exact-pair denominator is shared
+    from staticql_spark.operators.similarity import mrl_recall
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(4)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["dim"]: r for r in mrl_recall(
+        emb, dims=(2, 4), k=2, query_stride=2
+    ).collect()}
+    assert set(out) == {2, 4}
+    full = out[4]
+    assert full["n_hits"] == full["n_exact_pairs"]
+    assert full["recall_at_k"] == 1.0
+    assert 0.0 <= out[2]["recall_at_k"] <= 1.0
+    # 4 queries (vec_id % 2 == 0) x k=2
+    assert full["n_exact_pairs"] == 8
+
+
+def test_ab_cuped_matches_bruteforce(spark):
+    # hand-checkable frame: 4 users, ts span [0us, 100us] -> mid = 50us;
+    # user_id % 2 assigns variants; non-purchase rows count 0
+    from decimal import Decimal
+
+    from staticql_spark.operators.behavior import ab_cuped
+
+    rows = [
+        # (event_id, user_id, ts_us, type, value)
+        (1, 0, 0,   "purchase", 10.0),
+        (2, 0, 60,  "purchase", 12.0),
+        (3, 1, 10,  "purchase", 20.0),
+        (4, 1, 70,  "purchase", 30.0),
+        (5, 2, 20,  "purchase", 5.0),
+        (6, 2, 80,  "purchase", 6.0),
+        (7, 3, 30,  "click",    99.0),   # ignored: not the value event
+        (8, 3, 100, "purchase", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    got = ab_cuped(ev).collect()[0].asDict()
+
+    # brute force in python (decimal folds are exact at these magnitudes)
+    pre = {0: 10.0, 1: 20.0, 2: 5.0, 3: 0.0}
+    post = {0: 12.0, 1: 30.0, 2: 6.0, 3: 40.0}
+    users = sorted(pre)
+    n = len(users)
+    mx = sum(pre.values()) / n
+    my = sum(post.values()) / n
+    cov = sum(pre[u] * post[u] for u in users) / n - mx * my
+    var_pre = sum(pre[u] ** 2 for u in users) / n - mx * mx
+    var_post = sum(post[u] ** 2 for u in users) / n - my * my
+    theta = cov / var_pre
+    a = [u for u in users if u % 2 == 0]
+    b = [u for u in users if u % 2 == 1]
+    mpost_a = sum(post[u] for u in a) / len(a)
+    mpost_b = sum(post[u] for u in b) / len(b)
+    mpre_a = sum(pre[u] for u in a) / len(a)
+    mpre_b = sum(pre[u] for u in b) / len(b)
+    exp_diff_cuped = round(
+        (mpost_b - theta * (mpre_b - mx)) - (mpost_a - theta * (mpre_a - mx)), 6
+    )
+    assert got["n_a"] == 2 and got["n_b"] == 2
+    assert got["mean_post_a"] == round(mpost_a, 6)
+    assert got["mean_post_b"] == round(mpost_b, 6)
+    assert got["theta"] == round(theta, 6)
+    assert got["diff_raw"] == round(mpost_b - mpost_a, 6)
+    assert got["diff_cuped"] == exp_diff_cuped
+    assert got["var_reduction"] == round(cov * cov / (var_pre * var_post), 6)
+
+
+def test_ab_cuped_zero_pre_variance_falls_back(spark):
+    # identical pre spend for every user -> var(pre)=0 -> theta=0, CUPED
+    # degrades to the raw diff instead of dividing by zero
+    from staticql_spark.operators.behavior import ab_cuped
+
+    rows = []
+    eid = 0
+    for u in range(4):
+        eid += 1
+        rows.append((eid, u, 0, "purchase", 7.0))
+        eid += 1
+        rows.append((eid, u, 100, "purchase", float(u)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    got = ab_cuped(ev).collect()[0].asDict()
+    assert got["theta"] == 0.0
+    assert got["diff_cuped"] == got["diff_raw"]
+    assert got["var_reduction"] == 0.0
