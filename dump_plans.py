@@ -74,6 +74,9 @@ PICKS = [
     ("hll_grouped_ndv (register build WITHOUT hash-stream distinct)", "hll_grouped_ndv"),
     ("embedding_debias (decimal mean + decimal-Gram pc, broadcast back)", "embedding_debias"),
     ("events_session_paths (one user-key window pass -> session agg -> top-k)", "events_session_paths"),
+    # r9 operators
+    ("embedding_mrl_recall (per-dim broadcast brute passes; per-query top-k windows)", "embedding_mrl_recall"),
+    ("events_ab_cuped (one user-keyed shuffle -> 2-row variant agg -> 1-row arithmetic)", "events_ab_cuped"),
 ]
 
 

@@ -687,3 +687,33 @@ def test_ivfpq_query_partition_pruning(spark, tmp_path_factory):
     )
     got = key(df)
     assert got == key(want) and len(got) > 0
+
+
+def test_ab_cuped_single_user_shuffle_no_cartesian(spark):
+    # r9: CUPED readout — the event stream crosses ONE user-keyed
+    # exchange into the per-user frame; the ts-span bound rides in as a
+    # 1-row broadcast (BroadcastNestedLoopJoin over one row, the stat-
+    # join idiom), never a CartesianProduct; aggregates collapse 2 rows
+    # -> 1 row without another wide shuffle
+    p = plan(entrymod.q_events_ab_cuped(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row span bound
+    # one hash-partitioned exchange carries the raw events (the user
+    # groupBy); the only other hash exchange is the 2-row variant
+    # aggregate over the per-user frame (map-side combined)
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1, p
+    assert len(re.findall(r"hashpartitioning\(", p)) <= 2, p
+
+
+def test_mrl_recall_broadcasts_queries_no_corpus_shuffle(spark):
+    # r9: every per-dim brute pass broadcasts the query sample against a
+    # corpus scan (BroadcastNestedLoopJoin by construction of the exact
+    # top-k); the corpus itself is never hash-exchanged — the only wide
+    # exchanges partition by query_id for the per-query top-k windows
+    from staticql_spark.operators.similarity import mrl_recall
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p = plan(mrl_recall(emb, dims=(8, 16), k=3, query_stride=50))
+    assert "CartesianProduct" not in p, p
+    assert re.findall(r"BroadcastNestedLoopJoin", p), p
+    assert not re.findall(r"Exchange hashpartitioning\(vec_id", p), p
