@@ -244,3 +244,64 @@ def test_cli_export_shards_jsonl(spark, content_dir, tmp_path, capsys):
         with open(p) as fh:
             lines += [json.loads(ln) for ln in fh if ln.strip()]
     assert len(lines) == 3 and all("slug" in r and "raw" not in r for r in lines)
+
+
+def test_snapshot_facade_roundtrip_and_integrity(spark, tmp_path):
+    # r9 (PLANS.md roadmap #2): one build/load/verify surface for every
+    # persisted index kind, with an XOR-digest manifest that catches a
+    # mutated frame
+    import pyspark.sql.functions as F
+
+    from staticql_spark import snapshots
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 3) + f"tail{i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "lsh_snap")
+    manifest = snapshots.snapshot_build(docs, p, "lsh", n=3, num_hashes=16, bands=4)
+    assert manifest["kind"] == "lsh"
+    assert manifest["recipe"] == {"n": 3, "num_hashes": 16, "bands": 4}
+    assert set(manifest["frames"]) == {"bands", "shingles", "meta"}
+    assert manifest["frames"]["bands"]["rows"] == 24 * 4
+
+    idx = snapshots.snapshot_load(spark, p, verify=True)
+    assert idx.n == 3 and idx.n_bands == 4
+    assert snapshots.snapshot_verify(spark, p)["ok"]
+
+    # chunk kind: plain frame loader
+    pc = str(tmp_path / "chunk_snap")
+    snapshots.snapshot_build(docs, pc, "chunk", width=8)
+    chunk = snapshots.snapshot_load(spark, pc, verify=True)
+    assert set(chunk.columns) == {"h", "nd"}
+
+    # integrity: drop one row from shingles and overwrite -> verify fails,
+    # load(verify=True) refuses
+    sh = spark.read.parquet(f"{p}/shingles")
+    sh.filter(F.col("doc_id") != 0).write.mode("overwrite").parquet(
+        str(tmp_path / "sh2")
+    )
+    spark.read.parquet(str(tmp_path / "sh2")).write.mode("overwrite").parquet(
+        f"{p}/shingles"
+    )
+    report = snapshots.snapshot_verify(spark, p)
+    assert not report["ok"] and "shingles" in report["mismatches"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integrity"):
+        snapshots.snapshot_load(spark, p, verify=True)
+
+    # append + re-stamp equals a fresh manifest of the same content
+    snapshots.snapshot_build(docs.filter(F.col("doc_id") < 12), p, "lsh",
+                             n=3, num_hashes=16, bands=4)
+    from staticql_spark.operators.dedup import lsh_append
+
+    lsh_append(docs.filter(F.col("doc_id") >= 12), p)
+    restamped = snapshots.snapshot_stamp(
+        spark, p, "lsh", {"n": 3, "num_hashes": 16, "bands": 4}
+    )
+    full = snapshots.snapshot_build(
+        docs, str(tmp_path / "lsh_full"), "lsh", n=3, num_hashes=16, bands=4
+    )
+    assert restamped["frames"]["bands"] == full["frames"]["bands"]
+    assert restamped["frames"]["shingles"] == full["frames"]["shingles"]
