@@ -38,6 +38,16 @@ table = "\n".join(rows) + "\n"
 
 cov = open("COVERAGE.md").read()
 start = cov.index("| # | query key |")
-cov = cov[:start] + table
+# Replace only the contiguous table block; keep every section after it.
+end = start
+while end < len(cov):
+    nl = cov.find("\n", end)
+    if nl == -1:
+        end = len(cov)
+        break
+    if not cov[end:nl].startswith("|"):
+        break
+    end = nl + 1
+cov = cov[:start] + table + cov[end:]
 open("COVERAGE.md", "w").write(cov)
 print(f"ledger regenerated: {len(keys)} keys, rounds {rounds}")
