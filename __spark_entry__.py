@@ -4119,20 +4119,82 @@ def q_events_ab_cuped(spark, sf):
     return behavior.ab_cuped(ev)
 
 
+def _pref_comparisons(events):
+    """Deterministic pairwise-comparison derivation for the preference
+    family: items a = event_id % 24 and b = (event_id div 24) % 24
+    (a != b), with a winning iff t % (a + b + 2) <= a for the cycling
+    counter t = event_id div 576 — so P(a wins) converges to EXACTLY
+    (a + 1) / (a + b + 2), i.e. the comparisons follow a true
+    Bradley-Terry model with latent strengths 1..24 and bt_ratings
+    should recover a monotone rating curve.  Pure integer arithmetic,
+    mirrored verbatim in the DuckDB oracles.
+    """
+    c = events.select(
+        (F.col("event_id") % 24).alias("a"),
+        F.expr("(event_id div 24) % 24").alias("b"),
+        F.expr("event_id div 576").alias("t"),
+    ).filter(F.col("a") != F.col("b"))
+    a_wins = (F.col("t") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+    return c.select(
+        F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+
+
+def q_events_bt_ratings(spark, sf):
+    # Bradley-Terry strengths from pairwise comparisons (new r9):
+    # Hunter-2004 MM iterations over the aggregated pair-count table,
+    # mean-1 normalization, 9dp per-iteration determinism barriers.
+    # Comparisons derive from events via _pref_comparisons (an exact
+    # BT ground truth, so ratings are monotone in item id).
+    from staticql_spark.operators import preference
+
+    return preference.bt_ratings(
+        _pref_comparisons(_t(spark, sf, "events")), iters=5, alpha=0.5
+    )
+
+
+def q_events_win_matrix(spark, sf):
+    # Arena win matrix (new r9): per unordered item pair, comparison
+    # count, directional wins, lower-id win rate and its Wilson 95%
+    # lower bound (rational ops + one IEEE-exact sqrt).
+    from staticql_spark.operators import preference
+
+    return preference.win_matrix(_pref_comparisons(_t(spark, sf, "events")))
+
+
+def q_events_rater_agreement(spark, sf):
+    # Fleiss' kappa label-quality gate (new r9): item = user_id (do a
+    # user's observations agree with each other), category =
+    # event_type, generalized to varying ratings-per-item (items with
+    # n_i < 2 excluded from both the mean and the chance marginals).
+    from staticql_spark.operators import preference
+
+    ev = _t(spark, sf, "events")
+    return preference.fleiss_kappa(
+        ev.select(F.col("user_id").alias("item"), F.col("event_type").alias("cat"))
+    )
+
+
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 2 new (embedding_mrl_recall, events_ab_cuped) + 5 changed
-# in r9 (doc_chunk_dedup + dedup_chunk_incremental: tokenize-once hoist
-# in dedup.py; dedup_incremental: probe-cost reductions;
-# supplier_pareto: assert_true cardinality guard; doc_vocab_coverage:
-# construct-time vocab_sizes guard) — then (2) the COMMITTED 32-key
-# r3-vintage backfill head (verbatim from COVERAGE.md's r8 freshness
-# ledger), then (3) 11 r4-vintage stalest-green keys in registry order
-# to fill the 50.  After r9 greens, max driver-signal staleness
-# registry-wide is <=5 rounds (r4 vintage), and the remaining 35
+# keys first — 5 new (embedding_mrl_recall, events_ab_cuped, and the
+# preference family events_bt_ratings / events_win_matrix /
+# events_rater_agreement) + 5 changed in r9 (doc_chunk_dedup +
+# dedup_chunk_incremental: tokenize-once hoist in dedup.py;
+# dedup_incremental: probe-cost reductions; supplier_pareto:
+# assert_true cardinality guard; doc_vocab_coverage: construct-time
+# vocab_sizes guard) — then (2) the COMMITTED 32-key r3-vintage
+# backfill head (verbatim from COVERAGE.md's r8 freshness ledger),
+# then (3) 8 r4-vintage stalest-green keys in registry order to fill
+# the 50 (the three r4 keys the new preference keys displaced —
+# salted_hot_key_agg, doc_tokens, doc_quality — re-enter the r10
+# backfill queue).  After r9 greens, max driver-signal staleness
+# registry-wide is <=5 rounds (r4 vintage), and the remaining 38
 # r4-vintage keys are the committed r10 backfill head.
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
+    "events_bt_ratings", "events_win_matrix", "events_rater_agreement",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4149,12 +4211,11 @@ _R9_HEAD = [
     "events_windowed", "events_sessionize", "events_sliding",
     "events_trending", "events_lag_gap", "events_range_window",
     "unpivot_metrics",
-    # -- r4-vintage stalest-green fill (registry order; 11 fit after the
-    # -- two new-key slots) --
+    # -- r4-vintage stalest-green fill (registry order; 8 fit after the
+    # -- five new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
     "cm_heavy_hitters", "full_outer_activity", "events_props_json",
-    "scalar_subquery", "union_distinct", "salted_hot_key_agg",
-    "doc_tokens", "doc_quality",
+    "scalar_subquery", "union_distinct",
 ]
 
 _R8_HEAD = [
@@ -4472,6 +4533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9
         "embedding_mrl_recall": q_embedding_mrl_recall,
         "events_ab_cuped": q_events_ab_cuped,
+        "events_bt_ratings": q_events_bt_ratings,
+        "events_win_matrix": q_events_win_matrix,
+        "events_rater_agreement": q_events_rater_agreement,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9679,7 +9743,151 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(var_red, 6) AS var_reduction
             FROM calc2
         """,
+        # new r9 preference family: comparisons derive via _PREF_CW
+        # (integer-exact Bradley-Terry ground truth, see
+        # _pref_comparisons); BT twin unrolled by _bt_sql.
+        "events_bt_ratings": _bt_sql(5, 0.5),
+        "events_win_matrix": f"""
+            WITH {_PREF_CW},
+            agg AS (
+              SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN w < l THEN 1 ELSE 0 END)::BIGINT AS wins_a
+              FROM cw GROUP BY 1, 2
+            ),
+            calc AS (
+              SELECT *, CAST(n AS DOUBLE) AS nn,
+                     CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p
+              FROM agg
+            )
+            SELECT item_a, item_b, n, wins_a, n - wins_a AS wins_b,
+                   round(p, 6) AS win_rate_a,
+                   round((p + (1.96 * 1.96) / (2.0 * nn)
+                          - 1.96 * sqrt((p * (1.0 - p)
+                                         + (1.96 * 1.96) / (4.0 * nn)) / nn))
+                         / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
+            FROM calc
+        """,
+        # Fleiss' kappa, generalized to varying n_i (items with n_i < 2
+        # excluded from BOTH the mean and the chance marginals); P_i and
+        # p_j^2 are single divisions of exact integer counts, folded as
+        # 9dp DECIMAL(38,9) — mirrors preference.fleiss_kappa exactly
+        "events_rater_agreement": """
+            WITH cnt AS (
+              SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT item, sum(c)::BIGINT AS n_i, sum(c * c)::BIGINT AS s_i
+              FROM cnt GROUP BY item
+            ),
+            kept AS (SELECT * FROM per WHERE n_i >= 2),
+            pbar AS (
+              SELECT count(*)::BIGINT AS n_items, sum(n_i)::BIGINT AS n_ratings,
+                     CAST(sum(CAST(round(
+                         CAST(s_i - n_i AS DOUBLE)
+                         / CAST(n_i * (n_i - 1) AS DOUBLE), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS p_bar
+              FROM kept
+            ),
+            catp AS (
+              SELECT cat, sum(c)::BIGINT AS cj
+              FROM cnt JOIN kept USING (item) GROUP BY cat
+            ),
+            tot AS (SELECT sum(cj)::BIGINT AS tot FROM catp),
+            pe AS (
+              SELECT CAST(sum(CAST(round(
+                         (CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE))
+                         * (CAST(cj AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS p_e
+              FROM catp, tot
+            )
+            SELECT n_items, n_ratings,
+                   round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+                   round(CASE WHEN p_e < 1.0
+                              THEN (p_bar - p_e) / (1.0 - p_e)
+                              ELSE 0.0 END, 6) AS kappa
+            FROM pbar, pe
+        """,
     }
+
+
+# Deterministic comparison derivation shared by the preference oracles —
+# mirrors __spark_entry__._pref_comparisons verbatim (integer-only).
+_PREF_CW = """comps AS (
+              SELECT event_id % 24 AS a, (event_id // 24) % 24 AS b,
+                     event_id // 576 AS t
+              FROM events
+              WHERE event_id % 24 <> (event_id // 24) % 24
+            ),
+            cw AS (
+              SELECT CASE WHEN t % (a + b + 2) <= a THEN a ELSE b END AS w,
+                     CASE WHEN t % (a + b + 2) <= a THEN b ELSE a END AS l
+              FROM comps
+            )"""
+
+
+def _bt_sql(iters: int = 5, alpha: float = 0.5) -> str:
+    """SQL twin of q_events_bt_ratings: preference.bt_ratings' MM
+    iterations unrolled (Hunter 2004).  Same pair-count smoothing, same
+    9dp DECIMAL(38,9) denominator/normalization folds, same mean-1
+    rescale and per-iteration round(·, 9) barrier, so both engines walk
+    the identical rating trajectory."""
+    ctes = [
+        _PREF_CW,
+        f"""und AS MATERIALIZED (
+              SELECT least(w, l) AS lo, greatest(w, l) AS hi,
+                     sum(CASE WHEN w < l THEN 1 ELSE 0 END)::DOUBLE + {alpha} AS wlo,
+                     sum(CASE WHEN w > l THEN 1 ELSE 0 END)::DOUBLE + {alpha} AS whi
+              FROM cw GROUP BY 1, 2
+            )""",
+        """dir AS MATERIALIZED (
+              SELECT lo AS i, hi AS j, wlo AS wij, wlo + whi AS n FROM und
+              UNION ALL
+              SELECT hi AS i, lo AS j, whi AS wij, wlo + whi AS n FROM und
+            )""",
+        f"""wins AS MATERIALIZED (
+              SELECT i, sum(wij) AS w,
+                     CAST(sum(wij - {alpha}) AS BIGINT) AS wins_raw,
+                     CAST(sum(n - {2 * alpha}) AS BIGINT) AS n_comps
+              FROM dir GROUP BY i
+            )""",
+        "pi0 AS MATERIALIZED (SELECT i, 1.0 AS pi FROM wins)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""den{k} AS MATERIALIZED (
+              SELECT d.i AS i,
+                     CAST(sum(CAST(round(d.n / (pa.pi + pb.pi), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS den
+              FROM dir d
+              JOIN pi{k - 1} pa ON d.i = pa.i
+              JOIN pi{k - 1} pb ON d.j = pb.i
+              GROUP BY d.i
+            )"""
+        )
+        ctes.append(
+            f"raw{k} AS MATERIALIZED (SELECT wins.i, wins.w / den{k}.den AS praw "
+            f"FROM wins JOIN den{k} ON wins.i = den{k}.i)"
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+              SELECT CAST(sum(CAST(round(praw, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s,
+                     count(*)::BIGINT AS n_items
+              FROM raw{k}
+            )"""
+        )
+        ctes.append(
+            f"pi{k} AS MATERIALIZED (SELECT i, round(praw * n_items / s, 9) AS pi "
+            f"FROM raw{k}, s{k})"
+        )
+    body = ",\n            ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT pi{iters}.i::BIGINT AS item, wins.n_comps,
+                   wins.wins_raw AS wins, round(pi{iters}.pi, 6) AS rating
+            FROM pi{iters} JOIN wins ON pi{iters}.i = wins.i
+        """
 
 
 def oracle_sql() -> dict[str, str]:

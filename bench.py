@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from staticql_spark.session import get_spark
 
-# HEADLINE covers 170 of the 240 registered queries (r9).  The 70 excluded
+# HEADLINE covers 173 of the 243 registered queries (r9).  The 70 excluded
 # keys are the long-stable set benched to convergence in earlier rounds
 # (r1-r4): the TPC-H group-C shapes and small staticql-parity lookups
 # (where_eq/point_lookup/...), simple set/pivot/window variants, and a
@@ -227,6 +227,9 @@ HEADLINE = [
     # new in r9
     "embedding_mrl_recall",
     "events_ab_cuped",
+    "events_bt_ratings",
+    "events_win_matrix",
+    "events_rater_agreement",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —
@@ -280,6 +283,8 @@ CORE = HEADLINE[:35] + [
     # new in r9
     "embedding_mrl_recall",
     "events_ab_cuped",
+    "events_bt_ratings",
+    "events_rater_agreement",
 ]
 
 

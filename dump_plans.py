@@ -77,6 +77,8 @@ PICKS = [
     # r9 operators
     ("embedding_mrl_recall (per-dim broadcast brute passes; per-query top-k windows)", "embedding_mrl_recall"),
     ("events_ab_cuped (one user-keyed shuffle -> 2-row variant agg -> 1-row arithmetic)", "events_ab_cuped"),
+    ("events_bt_ratings (one pair-count shuffle; MM iterations broadcast the rating vector)", "events_bt_ratings"),
+    ("events_rater_agreement (one (item,cat) count shuffle; two scalar folds cross-joined)", "events_rater_agreement"),
 ]
 
 

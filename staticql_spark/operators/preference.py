@@ -1,0 +1,262 @@
+"""Pairwise-preference and label-quality operators for RLHF-style
+training data.
+
+A preference-data pipeline (reward modeling, arena evals, rater QC)
+needs three readouts the pretraining operators don't cover:
+
+- ``bt_ratings``: Bradley-Terry strength estimation from raw pairwise
+  comparisons via the classic MM iteration (Hunter, "MM algorithms for
+  generalized Bradley-Terry models", Annals of Statistics 2004) — the
+  batch-correct way to rank models/completions from win/loss records
+  (order-independent, unlike sequential Elo).
+- ``win_matrix``: per-pair win rates with Wilson lower confidence
+  bounds — the raw arena matrix behind the ratings.
+- ``fleiss_kappa``: chance-corrected inter-rater agreement over
+  categorical labels (Fleiss, Psychological Bulletin 1971; generalized
+  to varying ratings-per-item) — the label-quality gate before any
+  preference data enters training.
+
+Scale shape (the 100 TB contract): raw comparisons/labels cross exactly
+ONE map-side-combined shuffle into per-pair / per-item-category counts;
+everything after runs on the aggregated table (O(items²) sparse pairs,
+O(items × categories) counts), with the Bradley-Terry iterations
+joining the tiny rating vector back as a broadcast — no collect, no
+driver-side data loop, same idiom as classify.logreg_fit.
+
+Engine portability (the oracle contract): rational arithmetic only
+(division + one IEEE-exact sqrt in the Wilson bound — sqrt is correctly
+rounded per IEEE 754, unlike libm transcendentals), per-iteration
+``round(·, 9)`` determinism barriers, and every cross-row fold of
+rounded doubles summed in DECIMAL(38,9) so summation order can't move
+the result (the repo-wide exact-mean idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import ensure_parallelism
+
+
+def bt_ratings(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 5,
+    alpha: float = 0.5,
+    out_round: int = 6,
+) -> DataFrame:
+    """Bradley-Terry ratings from raw (winner, loser) comparison rows.
+
+    MM update (Hunter 2004, eq. 1.4): with w_ij = wins of i over j and
+    n_ij = w_ij + w_ji, repeat
+    ``pi_i <- W_i / sum_j n_ij / (pi_i + pi_j)`` (W_i = total wins of
+    i), then rescale to mean 1 — the scale is not identified, and mean
+    normalization keeps every op rational (a geometric mean would drag
+    in exp/ln).  ``alpha`` adds a half-win smoothing to BOTH directions
+    of every OBSERVED pair (keeps the comparison graph's MM update
+    finite when an item never wins; unobserved pairs stay absent).
+
+    Returns one row per item: (item, n_comps, wins, rating) — raw
+    comparison/win counts plus the mean-1 strength, ``out_round``-dp.
+
+    Determinism: pi starts at exactly 1.0; each iteration's denominator
+    folds 9dp-rounded terms in DECIMAL(38,9); pi is re-rounded to 9dp
+    after the mean rescale, so both engines walk the identical
+    trajectory (the logreg_fit gradient-barrier strategy).
+
+    Scale: ONE shuffle of the raw comparisons into unordered pair
+    counts (map-side combinable); each iteration is one groupBy over
+    the sparse pair table with the rating vector broadcast into it and
+    a 1-row normalization crossJoin.  ``localCheckpoint(eager=False)``
+    per iteration keeps the unrolled plan shallow.
+    """
+    w, l = F.col(winner_col).cast("long"), F.col(loser_col).cast("long")
+    und = (
+        ensure_parallelism(comparisons)
+        .select(
+            F.least(w, l).alias("lo"),
+            F.greatest(w, l).alias("hi"),
+            (w < l).cast("int").alias("lo_won"),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            (F.sum("lo_won").cast("double") + F.lit(alpha)).alias("wlo"),
+            ((F.count("*") - F.sum("lo_won")).cast("double") + F.lit(alpha)).alias(
+                "whi"
+            ),
+        )
+    )
+    n = (F.col("wlo") + F.col("whi")).alias("n")
+    dir_ = (
+        und.select(F.col("lo").alias("i"), F.col("hi").alias("j"),
+                   F.col("wlo").alias("wij"), n)
+        .unionAll(
+            und.select(F.col("hi").alias("i"), F.col("lo").alias("j"),
+                       F.col("whi").alias("wij"), n)
+        )
+        .localCheckpoint(eager=False)
+    )
+    wins = (
+        dir_.groupBy("i")
+        .agg(
+            F.sum("wij").alias("w"),
+            F.sum(F.col("wij") - F.lit(alpha)).cast("long").alias("wins_raw"),
+            F.sum(F.col("n") - F.lit(2.0 * alpha)).cast("long").alias("n_comps"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pi = wins.select("i", F.lit(1.0).alias("pi"))
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")
+    for _ in range(iters):
+        den = (
+            dir_.join(F.broadcast(pi.select(F.col("i"), F.col("pi").alias("pi_i"))), "i")
+            .join(
+                F.broadcast(
+                    pi.select(F.col("i").alias("j"), F.col("pi").alias("pi_j"))
+                ),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(d9(F.col("n") / (F.col("pi_i") + F.col("pi_j"))))
+                .cast("double")
+                .alias("den")
+            )
+        )
+        raw = wins.join(den, "i").select(
+            "i", (F.col("w") / F.col("den")).alias("praw")
+        )
+        s = raw.agg(
+            F.sum(d9(F.col("praw"))).cast("double").alias("s"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        pi = raw.crossJoin(F.broadcast(s)).select(
+            "i",
+            F.round(F.col("praw") * F.col("n_items") / F.col("s"), 9).alias("pi"),
+        ).localCheckpoint(eager=False)
+    return pi.join(wins, "i").select(
+        F.col("i").alias("item"),
+        F.col("n_comps"),
+        F.col("wins_raw").alias("wins"),
+        F.round(F.col("pi"), out_round).alias("rating"),
+    )
+
+
+def win_matrix(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-unordered-pair arena matrix: comparison count, directional
+    wins, win rate of the lower-id item, and its Wilson score lower
+    confidence bound (Wilson, JASA 1927) at ``z`` (default 95%) — the
+    bound arena leaderboards rank by when counts are small, because a
+    2/2 record must not outrank a 95/100 one.
+
+    One map-side-combined shuffle of the raw comparisons; the Wilson
+    arithmetic is rational ops plus one IEEE-exact sqrt, identical
+    across engines.
+    """
+    w, l = F.col(winner_col).cast("long"), F.col(loser_col).cast("long")
+    agg = (
+        ensure_parallelism(comparisons)
+        .select(
+            F.least(w, l).alias("item_a"),
+            F.greatest(w, l).alias("item_b"),
+            (w < l).cast("int").alias("a_won"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("a_won").cast("long").alias("wins_a"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("wins_a").cast("double") / nn
+    z2 = F.lit(z) * F.lit(z)
+    num = p + z2 / (F.lit(2.0) * nn) - F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nn)) / nn
+    )
+    den = F.lit(1.0) + z2 / nn
+    return agg.select(
+        "item_a",
+        "item_b",
+        "n",
+        "wins_a",
+        (F.col("n") - F.col("wins_a")).alias("wins_b"),
+        F.round(p, out_round).alias("win_rate_a"),
+        F.round(num / den, out_round).alias("wilson_lb_a"),
+    )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str = "item",
+    cat_col: str = "cat",
+    out_round: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa over categorical labels, generalized to a varying
+    number of ratings per item (items with fewer than 2 ratings carry
+    no agreement signal and are excluded from BOTH the per-item mean
+    and the chance marginals).
+
+    Per kept item i with n_i ratings and category counts n_ij:
+    ``P_i = (sum_j n_ij^2 - n_i) / (n_i (n_i - 1))`` (the fraction of
+    agreeing rating pairs); ``P_bar`` is their mean; the chance rate is
+    ``P_e = sum_j p_j^2`` with ``p_j`` the pooled category share; and
+    ``kappa = (P_bar - P_e) / (1 - P_e)`` (0.0 when P_e == 1, i.e. a
+    single observed category — agreement is then trivially complete
+    and chance-uncorrectable).
+
+    Returns ONE summary row: (n_items, n_ratings, p_bar, p_e, kappa).
+
+    Determinism: P_i and p_j^2 are single divisions of exact integer
+    counts; their cross-row folds sum 9dp-rounded values in
+    DECIMAL(38,9).  Scale: one (item, cat) count shuffle, one per-item
+    reduce, one per-category reduce — all map-side combinable; the
+    summary is a 1-row crossJoin of two scalar aggregates.
+    """
+    cnt = (
+        ensure_parallelism(labels)
+        .groupBy(F.col(item_col).alias("item"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = cnt.groupBy("item").agg(
+        F.sum("c").alias("n_i"), F.sum(F.col("c") * F.col("c")).alias("s_i")
+    )
+    kept = per.filter(F.col("n_i") >= 2).localCheckpoint(eager=False)
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")
+    p_i = (F.col("s_i") - F.col("n_i")).cast("double") / (
+        F.col("n_i") * (F.col("n_i") - F.lit(1))
+    ).cast("double")
+    pbar = kept.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_i").cast("long").alias("n_ratings"),
+        (F.sum(d9(p_i)).cast("double") / F.count("*")).alias("p_bar"),
+    )
+    catp = (
+        cnt.join(kept.select("item"), "item")
+        .groupBy("cat")
+        .agg(F.sum("c").alias("cj"))
+    )
+    tot = catp.agg(F.sum("cj").alias("tot"))
+    pj = F.col("cj").cast("double") / F.col("tot").cast("double")
+    pe = (
+        catp.crossJoin(F.broadcast(tot))
+        .agg(F.sum(d9(pj * pj)).cast("double").alias("p_e"))
+    )
+    kappa = F.when(
+        F.col("p_e") < 1.0,
+        (F.col("p_bar") - F.col("p_e")) / (F.lit(1.0) - F.col("p_e")),
+    ).otherwise(F.lit(0.0))
+    return pbar.crossJoin(F.broadcast(pe)).select(
+        "n_items",
+        "n_ratings",
+        F.round("p_bar", out_round).alias("p_bar"),
+        F.round("p_e", out_round).alias("p_e"),
+        F.round(kappa, out_round).alias("kappa"),
+    )

@@ -717,3 +717,36 @@ def test_mrl_recall_broadcasts_queries_no_corpus_shuffle(spark):
     assert "CartesianProduct" not in p, p
     assert re.findall(r"BroadcastNestedLoopJoin", p), p
     assert not re.findall(r"Exchange hashpartitioning\(vec_id", p), p
+
+
+def test_bt_ratings_broadcasts_rating_vector_no_cartesian(spark):
+    # r9 preference family: the raw comparisons cross ONE map-side-
+    # combined shuffle into unordered pair counts; every MM iteration
+    # joins the tiny rating vector back as a BROADCAST hash join (never
+    # a shuffled join of the pair table against itself), and the mean-1
+    # normalization rides in as a 1-row broadcast (the stat-join idiom,
+    # BroadcastNestedLoopJoin over one row) — no CartesianProduct
+    p = plan(entrymod.q_events_bt_ratings(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # the localCheckpoint lineage cuts hide earlier iterations from the
+    # final plan; what remains must not re-shuffle the raw event scan
+    assert "events.parquet" not in p, p
+
+
+def test_win_matrix_single_pair_shuffle(spark):
+    # one hash exchange on the unordered pair key, map-side combined;
+    # the Wilson arithmetic is projection-only on the aggregated rows
+    p = plan(entrymod.q_events_win_matrix(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert len(re.findall(r"hashpartitioning\(", p)) == 1, p
+
+
+def test_fleiss_kappa_count_shuffles_and_scalar_folds(spark):
+    # the labels cross one (item, cat) count exchange; the per-item and
+    # per-category reduces re-key that aggregate; the two scalar
+    # summaries join as 1-row broadcasts — no CartesianProduct, no
+    # wide join anywhere
+    p = plan(entrymod.q_events_rater_agreement(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row p_e / tot joins

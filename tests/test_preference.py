@@ -1,0 +1,171 @@
+"""Preference/label-quality operators: Bradley-Terry MM, Wilson win
+matrix, Fleiss' kappa.
+
+Twin discipline (r8 verdict lesson): every brute-force twin folds
+cross-row sums of rounded doubles in ``Decimal`` exactly like the
+operator — never in binary floats — so a one-ulp tie can't make the
+TWIN wrong while the operator and oracle agree.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from staticql_spark.operators import preference
+
+
+def r9(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+
+def r6(x: float) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def dsum(vals) -> float:
+    """Decimal-exact fold of 9dp-rounded doubles (the operator's
+    DECIMAL(38,9) sum), returned as double."""
+    acc = Decimal(0)
+    for v in vals:
+        acc += Decimal(repr(r9(v)))
+    return float(acc)
+
+
+def bt_twin(comparisons, iters=5, alpha=0.5):
+    """Pure-Python MM twin of preference.bt_ratings (Hunter 2004),
+    Decimal folds matching the operator's determinism barriers."""
+    und: dict[tuple[int, int], list[float]] = {}
+    for w, l in comparisons:
+        lo, hi = min(w, l), max(w, l)
+        rec = und.setdefault((lo, hi), [alpha, alpha])
+        rec[0 if w == lo else 1] += 1.0
+    dir_: dict[int, list[tuple[int, float, float]]] = {}
+    wins: dict[int, float] = {}
+    for (lo, hi), (wlo, whi) in und.items():
+        n = wlo + whi
+        dir_.setdefault(lo, []).append((hi, wlo, n))
+        dir_.setdefault(hi, []).append((lo, whi, n))
+        wins[lo] = wins.get(lo, 0.0) + wlo
+        wins[hi] = wins.get(hi, 0.0) + whi
+    pi = {i: 1.0 for i in dir_}
+    n_items = len(pi)
+    for _ in range(iters):
+        praw = {}
+        for i, edges in dir_.items():
+            den = dsum(n / (pi[i] + pi[j]) for j, _, n in edges)
+            praw[i] = wins[i] / den
+        s = dsum(praw.values())
+        pi = {i: r9(p * n_items / s) for i, p in praw.items()}
+    return {i: r6(p) for i, p in pi.items()}
+
+
+def test_bt_ratings_matches_python_twin(spark):
+    # deterministic synthetic comparisons over 6 items: item i beats
+    # item j in ceil-proportional counts of an exact BT model with
+    # strengths 1..6, plus a few asymmetric extras to break symmetry
+    comps = []
+    for i in range(6):
+        for j in range(i):
+            # 10 comparisons per ordered pair: i wins per its strength
+            wi = round(10 * (i + 1) / (i + j + 2))
+            comps += [(i, j)] * wi + [(j, i)] * (10 - wi)
+    comps += [(5, 0)] * 3 + [(4, 1)] * 2
+    df = spark.createDataFrame(comps, "winner: long, loser: long")
+    got = {
+        r["item"]: r["rating"]
+        for r in preference.bt_ratings(df, iters=5, alpha=0.5).collect()
+    }
+    want = bt_twin(comps, iters=5, alpha=0.5)
+    assert got == want
+    # exact-BT ground truth: ratings strictly increase with strength
+    ordered = [got[i] for i in range(6)]
+    assert ordered == sorted(ordered) and len(set(ordered)) == 6
+    # mean-1 normalization (up to the 6dp output rounding)
+    assert abs(sum(ordered) / 6 - 1.0) < 1e-5
+
+
+def test_bt_ratings_counts_and_smoothing(spark):
+    # an item that never wins still gets a finite positive rating via
+    # the alpha smoothing (the MM update would otherwise send it to 0)
+    comps = [(1, 0)] * 4 + [(2, 1)] * 3 + [(2, 0)] * 5
+    df = spark.createDataFrame(comps, "winner: long, loser: long")
+    rows = {r["item"]: r for r in preference.bt_ratings(df).collect()}
+    assert rows[0]["wins"] == 0 and rows[0]["rating"] > 0.0
+    assert rows[0]["n_comps"] == 9 and rows[2]["n_comps"] == 8
+    assert rows[2]["wins"] == 8
+    assert rows[0]["rating"] < rows[1]["rating"] < rows[2]["rating"]
+
+
+def test_win_matrix_wilson(spark):
+    comps = [(0, 1)] * 95 + [(1, 0)] * 5 + [(2, 3)] * 2 + [(3, 2)] * 2
+    df = spark.createDataFrame(comps, "winner: long, loser: long")
+    rows = {
+        (r["item_a"], r["item_b"]): r
+        for r in preference.win_matrix(df).collect()
+    }
+    r01 = rows[(0, 1)]
+    assert (r01["n"], r01["wins_a"], r01["wins_b"]) == (100, 95, 5)
+    assert r01["win_rate_a"] == 0.95
+    # twin: identical float expression order
+    z, n, p = 1.96, 100.0, 0.95
+    z2 = z * z
+    lb = (p + z2 / (2.0 * n) - z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)) / (
+        1.0 + z2 / n
+    )
+    assert r01["wilson_lb_a"] == r6(lb)
+    # small-sample sanity: a 2/2 record's Wilson LB must sit far below
+    # the 95/100 record's
+    assert rows[(2, 3)]["wilson_lb_a"] < r01["wilson_lb_a"]
+    assert rows[(2, 3)]["win_rate_a"] == 0.5
+
+
+# Fleiss (1971) / Landis-Koch worked example: 10 subjects, 14 raters,
+# 5 categories -> P_bar ~ 0.378, P_e ~ 0.213, kappa ~ 0.210.
+_FLEISS_TABLE = [
+    [0, 0, 0, 0, 14],
+    [0, 2, 6, 4, 2],
+    [0, 0, 3, 5, 6],
+    [0, 3, 9, 2, 0],
+    [2, 2, 8, 1, 1],
+    [7, 7, 0, 0, 0],
+    [3, 2, 6, 3, 0],
+    [2, 5, 3, 2, 2],
+    [6, 5, 2, 1, 0],
+    [0, 2, 2, 3, 7],
+]
+
+
+def test_fleiss_kappa_literature_example(spark):
+    labels = [
+        (item, cat)
+        for item, row in enumerate(_FLEISS_TABLE)
+        for cat, c in enumerate(row)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(labels, "item: long, cat: long")
+    row = preference.fleiss_kappa(df).collect()[0]
+    assert row["n_items"] == 10 and row["n_ratings"] == 140
+    # Decimal-fold twin of the operator's exact arithmetic
+    p_is = [
+        (sum(c * c for c in r) - 14) / (14 * 13) for r in _FLEISS_TABLE
+    ]
+    p_bar = dsum(p_is) / 10
+    cat_tot = [sum(r[j] for r in _FLEISS_TABLE) for j in range(5)]
+    p_e = dsum((c / 140.0) * (c / 140.0) for c in cat_tot)
+    assert row["p_bar"] == r6(p_bar)
+    assert row["p_e"] == r6(p_e)
+    assert row["kappa"] == r6((p_bar - p_e) / (1.0 - p_e))
+    assert abs(row["kappa"] - 0.210) < 0.001
+
+
+def test_fleiss_kappa_excludes_singletons_and_degenerate(spark):
+    # items with a single rating carry no pair signal; a single observed
+    # category makes P_e = 1 and kappa degrades to 0.0 instead of 0/0
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "a"), (3, "a"), (3, "a")],
+        "item: long, cat: string",
+    )
+    row = preference.fleiss_kappa(df).collect()[0]
+    assert row["n_items"] == 2 and row["n_ratings"] == 5
+    assert row["p_bar"] == 1.0 and row["p_e"] == 1.0 and row["kappa"] == 0.0
