@@ -4163,6 +4163,41 @@ def q_events_win_matrix(spark, sf):
     return preference.win_matrix(_pref_comparisons(_t(spark, sf, "events")))
 
 
+def q_events_tcloseness(spark, sf):
+    # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
+    # privacy release triad (events_kanon bounds group size,
+    # events_ldiversity bounds value diversity, this bounds the EMD
+    # between each cell's sensitive distribution and the global one —
+    # the skewness attack the other two miss).  Same release cells as
+    # the siblings (event_type, day); sensitive ordinal = capped spend
+    # bucket floor(value / 50) in 0..9.
+    from staticql_spark.operators.privacy import tcloseness_report
+
+    ev = load_events(spark, f"{sf}/events.parquet").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return tcloseness_report(
+        ev, dims=["event_type", "day"], sensitive_col="bucket", t=0.2
+    )
+
+
+def q_events_quantile_sketch(spark, sf):
+    # mergeable bottom-k quantile sketch (new r9): deterministic uniform
+    # row sample = 512 smallest md5(event_id) hashes carrying value;
+    # type-1 quantiles at fixed ranks.  The oracle-checkable counterpart
+    # of approx_percentile, with KMV-style union-merge algebra (tested:
+    # sketch(A∪B) == merge(sketch(A), sketch(B)) exactly).
+    from staticql_spark.operators import sketch as sk
+
+    ev = _t(spark, sf, "events")
+    s = sk.qsketch(ev, "value", "event_id", k=512)
+    return sk.qsketch_quantiles(s, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def q_events_rater_agreement(spark, sf):
     # Fleiss' kappa label-quality gate (new r9): item = user_id (do a
     # user's observations agree with each other), category =
@@ -4177,24 +4212,26 @@ def q_events_rater_agreement(spark, sf):
 
 
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 5 new (embedding_mrl_recall, events_ab_cuped, and the
+# keys first — 7 new (embedding_mrl_recall, events_ab_cuped; the
 # preference family events_bt_ratings / events_win_matrix /
-# events_rater_agreement) + 5 changed in r9 (doc_chunk_dedup +
-# dedup_chunk_incremental: tokenize-once hoist in dedup.py;
-# dedup_incremental: probe-cost reductions; supplier_pareto:
-# assert_true cardinality guard; doc_vocab_coverage: construct-time
-# vocab_sizes guard) — then (2) the COMMITTED 32-key r3-vintage
-# backfill head (verbatim from COVERAGE.md's r8 freshness ledger),
-# then (3) 8 r4-vintage stalest-green keys in registry order to fill
-# the 50 (the three r4 keys the new preference keys displaced —
-# salted_hot_key_agg, doc_tokens, doc_quality — re-enter the r10
-# backfill queue).  After r9 greens, max driver-signal staleness
-# registry-wide is <=5 rounds (r4 vintage), and the remaining 38
-# r4-vintage keys are the committed r10 backfill head.
+# events_rater_agreement; events_tcloseness; events_quantile_sketch)
+# + 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
+# tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
+# reductions; supplier_pareto: assert_true cardinality guard;
+# doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
+# COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
+# r8 freshness ledger), then (3) 6 r4-vintage stalest-green keys in
+# registry order to fill the 50 (the five r4 keys the new-key block
+# displaced — scalar_subquery, union_distinct, salted_hot_key_agg,
+# doc_tokens, doc_quality — re-enter the r10 backfill queue).  After r9
+# greens, max driver-signal staleness registry-wide is <=5 rounds (r4
+# vintage), and the remaining 40 r4-vintage keys are the committed r10
+# backfill head.
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
     "events_bt_ratings", "events_win_matrix", "events_rater_agreement",
+    "events_tcloseness", "events_quantile_sketch",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4215,7 +4252,6 @@ _R9_HEAD = [
     # -- five new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
     "cm_heavy_hitters", "full_outer_activity", "events_props_json",
-    "scalar_subquery", "union_distinct",
 ]
 
 _R8_HEAD = [
@@ -4536,6 +4572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bt_ratings": q_events_bt_ratings,
         "events_win_matrix": q_events_win_matrix,
         "events_rater_agreement": q_events_rater_agreement,
+        "events_tcloseness": q_events_tcloseness,
+        "events_quantile_sketch": q_events_quantile_sketch,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9772,6 +9810,68 @@ def _oracle_sql_literal() -> dict[str, str]:
         # excluded from BOTH the mean and the chance marginals); P_i and
         # p_j^2 are single divisions of exact integer counts, folded as
         # 9dp DECIMAL(38,9) — mirrors preference.fleiss_kappa exactly
+        "events_quantile_sketch": """
+            WITH sk AS (
+              SELECT ('0x' || substr(md5('qsk1|' || event_id::VARCHAR), 1, 15))::BIGINT AS h,
+                     CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL
+              ORDER BY h LIMIT 512
+            ),
+            ranked AS (
+              SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+                     count(*) OVER () AS n
+              FROM sk
+            ),
+            qs AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT q, v AS est_v, n::BIGINT AS sketch_n
+            FROM qs JOIN ranked
+              ON rn = greatest(1, CAST(ceil(q * n) AS INT))
+        """,
+        "events_tcloseness": """
+            WITH base AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(least(floor(value / 50.0), 9) AS INT) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            gdist AS (SELECT v, count(*)::BIGINT AS gc FROM base GROUP BY v),
+            tot AS (SELECT sum(gc)::BIGINT AS gt, count(*)::BIGINT AS m FROM gdist),
+            gq AS (
+              SELECT v, CAST(gc AS DOUBLE) / CAST(gt AS DOUBLE) AS q, m
+              FROM gdist, tot
+            ),
+            cv AS (
+              SELECT event_type, day, v, count(*)::BIGINT AS c
+              FROM base GROUP BY 1, 2, 3
+            ),
+            n_cell AS (
+              SELECT event_type, day, sum(c)::BIGINT AS n_rows
+              FROM cv GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT n.event_type, n.day, n.n_rows, gq.v, gq.q, gq.m,
+                     coalesce(cv.c, 0) AS c
+              FROM n_cell n CROSS JOIN gq
+              LEFT JOIN cv ON cv.event_type = n.event_type
+                          AND cv.day = n.day AND cv.v = gq.v
+            ),
+            cum AS (
+              SELECT event_type, day, n_rows, m,
+                     sum(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) - q)
+                       OVER (PARTITION BY event_type, day ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM grid
+            ),
+            rep AS (
+              SELECT event_type, day, max(n_rows) AS n_rows,
+                     CASE WHEN max(m) > 1 THEN
+                       round(CAST(sum(CAST(round(abs(cum), 9) AS DECIMAL(38,9)))
+                             AS DOUBLE) / CAST(max(m) - 1 AS DOUBLE), 6)
+                     ELSE 0.0 END AS emd
+              FROM cum GROUP BY 1, 2
+            )
+            SELECT event_type, day, n_rows, emd, emd <= 0.2 AS ok FROM rep
+        """,
         "events_rater_agreement": """
             WITH cnt AS (
               SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c

@@ -79,6 +79,8 @@ PICKS = [
     ("events_ab_cuped (one user-keyed shuffle -> 2-row variant agg -> 1-row arithmetic)", "events_ab_cuped"),
     ("events_bt_ratings (one pair-count shuffle; MM iterations broadcast the rating vector)", "events_bt_ratings"),
     ("events_rater_agreement (one (item,cat) count shuffle; two scalar folds cross-joined)", "events_rater_agreement"),
+    ("events_tcloseness (broadcast global dist into |cells| x m grid; bounded cum window)", "events_tcloseness"),
+    ("events_quantile_sketch (TakeOrdered bottom-k heaps; quantile reads on <= k rows)", "events_quantile_sketch"),
 ]
 
 

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry
 from staticql_spark.session import get_spark
 from scripts.soak_r5b import OUT, build as build_docs
+from scripts.soak_events import build as build_events
 
 CONSUMERS = [
     # r9-changed keys first
@@ -47,6 +48,9 @@ def main():
     spark = get_spark("soak_r9")
     spark.sparkContext.setLogLevel("ERROR")
     build_docs(spark)
+    # build_artifacts also builds the events-derived LPA prior, so the
+    # (gitignored, rebuildable) 10M-row events corpus must exist too
+    build_events(spark)
     n_docs = spark.read.parquet(f"{OUT}/documents.parquet").count()
     n_vec = spark.read.parquet(f"{OUT}/embeddings.parquet").count()
     print(f"corpus: {n_docs} docs, {n_vec} vectors", flush=True)

@@ -10,7 +10,7 @@ single residual bucket, so no released row isolates a small group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import ensure_parallelism
@@ -109,4 +109,83 @@ def ldiversity_report(
             F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_div"),
         )
         .withColumn("ok", F.col("l_div") >= F.lit(l))
+    )
+
+
+def tcloseness_report(
+    df: DataFrame,
+    dims: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    out_round: int = 6,
+) -> DataFrame:
+    """t-closeness audit -> (dims..., n_rows, emd, ok).
+
+    l-diversity still leaks when a cell's sensitive values are diverse
+    but SKEWED relative to the population (the skewness attack — Li,
+    Li & Venkatasubramanian, ICDE 2007): a cohort where 90% of incomes
+    sit in the top bucket reveals plenty even with l distinct values.
+    t-closeness bounds, per cell, the Earth Mover's Distance between
+    the cell's sensitive-value distribution and the GLOBAL one.  For an
+    ordered attribute with m distinct global values and unit ground
+    distances this is the normalized cumulative-difference form
+    ``EMD = sum_i |cumsum_i(p - q)| / (m - 1)`` (Li et al. §5.2), with
+    p the cell's distribution and q the global distribution over the
+    sorted value domain; m = 1 degrades to EMD 0.  ``ok = emd <= t`` is
+    the release flag.  NULL sensitive values are excluded from both
+    distributions (they carry no orderable mass).
+
+    Determinism: p, q are single divisions of exact integer counts; the
+    cumulative sum runs in value order (unique per cell, identical
+    sequential fold on any engine); the per-cell |cum| fold sums
+    9dp-rounded terms in DECIMAL(38,9) and divides by (m - 1) once.
+
+    Scale: one shuffle to (dims, value) counts; the global value table
+    (m rows) broadcasts into a |cells| × m grid — aggregated data, never
+    raw rows; the cumulative window is bounded by m per cell.
+    """
+    df = ensure_parallelism(df).filter(F.col(sensitive_col).isNotNull())
+    glob = df.groupBy(F.col(sensitive_col).alias("v")).agg(
+        F.count("*").alias("gc")
+    )
+    tot = glob.agg(
+        F.sum("gc").alias("gt"), F.count("*").cast("long").alias("m")
+    )
+    gq = glob.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (F.col("gc").cast("double") / F.col("gt").cast("double")).alias("q"),
+        "m",
+    )
+    cv = df.groupBy(*dims, F.col(sensitive_col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    n_cell = cv.groupBy(*dims).agg(F.sum("c").cast("long").alias("n_rows"))
+    full = (
+        n_cell.crossJoin(F.broadcast(gq))
+        .join(cv, [*dims, "v"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.col("c").cast("double") / F.col("n_rows").cast("double") - F.col("q")
+    ).over(w)
+    emd = (
+        F.sum(F.round(F.abs(F.col("cum")), 9).cast("decimal(38,9)"))
+        .cast("double")
+        / (F.max("m") - F.lit(1)).cast("double")
+    )
+    return (
+        full.withColumn("cum", cum)
+        .groupBy(*dims)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.when(F.max("m") > 1, F.round(emd, out_round))
+            .otherwise(F.lit(0.0))
+            .alias("emd"),
+        )
+        .withColumn("ok", F.col("emd") <= F.lit(t))
     )

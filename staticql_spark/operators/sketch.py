@@ -491,3 +491,75 @@ def hll_grouped(
         F.countDistinct(col).cast("long").alias("exact_ndv")
     )
     return _hll_estimate_from_agg(agg, ["grp"]).join(exact, "grp")
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: a deterministic, MERGEABLE uniform row sample
+# ---------------------------------------------------------------------------
+
+def qsketch(
+    df: DataFrame, value_col: str, key_col: str, k: int = 512,
+    salt: str = "qsk1",
+) -> DataFrame:
+    """Quantile sketch = the ``k`` rows whose md5 row-key hashes are
+    smallest, carrying their values -> frame (h, v).
+
+    approx_percentile is the built-in answer, but (like HLL) its result
+    is implementation-specific — no cross-engine oracle can verify it.
+    The bottom-k-by-hash row sample is the deterministic alternative:
+    hashing a UNIQUE row key makes the sample uniform over rows, and
+    "k smallest hashes" makes it a sketch rather than a sample —
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) exactly
+    (row keys are unique, so no hash collides across sides), which is
+    the same union-merge algebra as :func:`kmv_bottom_k`.  Per-shard /
+    per-day sketches compose without touching raw data again.
+
+    Scale: the exchange carries (8-byte hash, value) with TakeOrdered's
+    per-partition k-heaps — never a global sort, never raw rows.
+    """
+    return (
+        df.select(
+            kmv_hash(F.col(key_col), salt).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def qsketch_quantiles(sketch: DataFrame, qs: tuple = (0.5,)) -> DataFrame:
+    """Type-1 (lower empirical) quantiles of a :func:`qsketch` frame ->
+    (q, est_v, sketch_n): for each q, the value at 1-based rank
+    ``max(1, ceil(q * n))`` of the sketch ordered by (v, h) — integer
+    rank arithmetic and a value passed through bit-exactly, so any
+    engine reproduces the estimate from the same sketch.  All ops run
+    on <= k rows."""
+    from pyspark.sql import Window as W
+
+    ranked = sketch.withColumn(
+        "rn", F.row_number().over(W.orderBy("v", "h"))
+    ).withColumn("n", F.count("*").over(W.partitionBy()))
+    qdf = ranked.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q: double"
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("int"))
+    return (
+        qdf.crossJoin(ranked)
+        .filter(F.col("rn") == target)
+        .select(
+            "q", F.col("v").alias("est_v"), F.col("n").cast("long").alias("sketch_n")
+        )
+    )
+
+
+def qsketch_union_quantiles(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 512, qs: tuple = (0.5,)
+) -> DataFrame:
+    """Sketch ALGEBRA: quantiles of A ∪ B from the two per-side sketches
+    alone — union the (at most 2k) sketch rows, re-take the k smallest
+    hashes, read quantiles.  Equals :func:`qsketch` of the concatenated
+    data exactly (tested), which is what lets a fleet sketch per shard
+    and merge driver-side."""
+    merged = sk_a.unionByName(sk_b).orderBy("h").limit(k)
+    return qsketch_quantiles(merged, qs)

@@ -199,3 +199,48 @@ class TestCountMin:
         a = sorted(map(tuple, cm_sketch(df.repartition(1), "v").collect()))
         b = sorted(map(tuple, cm_sketch(df.repartition(16), "v").collect()))
         assert a == b
+
+
+def test_qsketch_union_merge_equals_direct_sketch(spark):
+    # the defining sketch property: quantiles of A ∪ B computed from the
+    # two per-side bottom-k sketches alone must equal the sketch built
+    # over the concatenated data — bit-exact, because bottom-k-by-hash of
+    # unique row keys composes under union
+    from staticql_spark.operators.sketch import (
+        qsketch, qsketch_quantiles, qsketch_union_quantiles,
+    )
+
+    a = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("x")
+    )
+    b = spark.range(3000, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).cast("double").alias("x")
+    )
+    qs = (0.1, 0.5, 0.9)
+    direct = qsketch_quantiles(qsketch(a.unionByName(b), "x", "k", k=64), qs)
+    merged = qsketch_union_quantiles(
+        qsketch(a, "x", "k", k=64), qsketch(b, "x", "k", k=64), k=64, qs=qs
+    )
+    d = {r["q"]: (r["est_v"], r["sketch_n"]) for r in direct.collect()}
+    m = {r["q"]: (r["est_v"], r["sketch_n"]) for r in merged.collect()}
+    assert d == m and len(d) == 3
+    assert all(n == 64 for _, n in d.values())
+
+
+def test_qsketch_quantiles_exact_on_small_input(spark):
+    # when the data fits inside k, the sketch IS the data and the type-1
+    # quantiles are the exact lower empirical quantiles
+    from staticql_spark.operators.sketch import qsketch, qsketch_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 4, 2, 3])], "k: long, x: double"
+    )
+    got = {
+        r["q"]: r["est_v"]
+        for r in qsketch_quantiles(
+            qsketch(df, "x", "k", k=512), qs=(0.0, 0.2, 0.5, 1.0)
+        ).collect()
+    }
+    # n=5: rank(0.0)=1 -> 1.0, rank(0.2)=1 -> 1.0, rank(0.5)=ceil(2.5)=3
+    # -> 3.0, rank(1.0)=5 -> 5.0
+    assert got == {0.0: 1.0, 0.2: 1.0, 0.5: 3.0, 1.0: 5.0}

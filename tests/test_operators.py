@@ -3159,3 +3159,34 @@ def test_ab_cuped_zero_pre_variance_falls_back(spark):
     assert got["theta"] == 0.0
     assert got["diff_cuped"] == got["diff_raw"]
     assert got["var_reduction"] == 0.0
+
+
+def test_tcloseness_hand_computed_emd(spark):
+    # Li et al. 2007 ordered-EMD, hand-checked: global values {0,1,2}
+    # with counts (2,1,3) -> q = (1/3, 1/6, 1/2).
+    # cell A = [0,0,1,2]: cum diffs .166667, .25, 0 -> EMD .416667/2
+    # cell B = [2,2]:     cum diffs -.3333, -.5, 0  -> EMD .833333/2
+    from staticql_spark.operators.privacy import tcloseness_report
+
+    rows = [("A", 0), ("A", 0), ("A", 1), ("A", 2), ("B", 2), ("B", 2)]
+    df = spark.createDataFrame(rows, "cell string, s int")
+    got = {
+        r["cell"]: r
+        for r in tcloseness_report(df, ["cell"], "s", t=0.3).collect()
+    }
+    assert got["A"]["n_rows"] == 4 and got["B"]["n_rows"] == 2
+    assert got["A"]["emd"] == 0.208333 and got["A"]["ok"]
+    assert got["B"]["emd"] == 0.416667 and not got["B"]["ok"]
+
+
+def test_tcloseness_degenerate_and_nulls(spark):
+    # a single global value makes every cell trivially close (EMD 0, not
+    # 0/0); NULL sensitive values carry no mass in either distribution
+    from staticql_spark.operators.privacy import tcloseness_report
+
+    df = spark.createDataFrame(
+        [("A", 7), ("A", 7), ("B", 7), ("B", None)], "cell string, s int"
+    )
+    got = {r["cell"]: r for r in tcloseness_report(df, ["cell"], "s").collect()}
+    assert got["A"]["emd"] == 0.0 and got["A"]["ok"]
+    assert got["B"]["n_rows"] == 1 and got["B"]["emd"] == 0.0
