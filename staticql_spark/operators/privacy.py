@@ -117,6 +117,7 @@ def tcloseness_report(
     dims: list[str],
     sensitive_col: str,
     t: float = 0.2,
+    max_m: int = 10_000,
     out_round: int = 6,
 ) -> DataFrame:
     """t-closeness audit -> (dims..., n_rows, emd, ok).
@@ -148,9 +149,22 @@ def tcloseness_report(
     glob = df.groupBy(F.col(sensitive_col).alias("v")).agg(
         F.count("*").alias("gc")
     )
-    tot = glob.agg(
-        F.sum("gc").alias("gt"), F.count("*").cast("long").alias("m")
+    # Cardinality CONTRACT (the supplier_pareto guard idiom): the grid
+    # is |cells| x m — sized for ORDINAL sensitive attributes.  A
+    # continuous column passed unbucketed fails LOUDLY here instead of
+    # silently exploding the broadcast; the fix is to bucket upstream.
+    guarded_m = F.coalesce(
+        F.assert_true(
+            F.count("*") <= F.lit(max_m),
+            F.lit(
+                "tcloseness_report: sensitive domain exceeded its "
+                f"{max_m}-value cardinality contract - bucket the "
+                "attribute upstream"
+            ),
+        ).cast("long"),
+        F.count("*").cast("long"),
     )
+    tot = glob.agg(F.sum("gc").alias("gt"), guarded_m.alias("m"))
     gq = glob.crossJoin(F.broadcast(tot)).select(
         "v",
         (F.col("gc").cast("double") / F.col("gt").cast("double")).alias("q"),
