@@ -4198,6 +4198,18 @@ def q_events_quantile_sketch(spark, sf):
     return sk.qsketch_quantiles(s, qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def q_stream_qsketch(spark, sf):
+    # streaming per-group quantile sketch, batch-fallback twin (new r9):
+    # bottom-k-by-row-key-hash state per group emitting type-1 p50/p90 —
+    # the live twin of sketch.qsketch.  Stream-vs-batch equality locked
+    # by test_stream_qsketch_grouped_matches_batch; re-delivered rows
+    # are idempotent because the same row key always hashes identically.
+    from staticql_spark.streaming import load_events, stream_qsketch_grouped
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return stream_qsketch_grouped(ev, k=64)
+
+
 def q_events_rater_agreement(spark, sf):
     # Fleiss' kappa label-quality gate (new r9): item = user_id (do a
     # user's observations agree with each other), category =
@@ -4212,26 +4224,27 @@ def q_events_rater_agreement(spark, sf):
 
 
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 7 new (embedding_mrl_recall, events_ab_cuped; the
+# keys first — 8 new (embedding_mrl_recall, events_ab_cuped; the
 # preference family events_bt_ratings / events_win_matrix /
-# events_rater_agreement; events_tcloseness; events_quantile_sketch)
+# events_rater_agreement; events_tcloseness; events_quantile_sketch;
+# stream_qsketch, its streaming twin)
 # + 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
 # tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
 # reductions; supplier_pareto: assert_true cardinality guard;
 # doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
 # COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
-# r8 freshness ledger), then (3) 6 r4-vintage stalest-green keys in
-# registry order to fill the 50 (the five r4 keys the new-key block
+# r8 freshness ledger), then (3) 5 r4-vintage stalest-green keys in
+# registry order to fill the 50 (the six r4 keys the new-key block
 # displaced — scalar_subquery, union_distinct, salted_hot_key_agg,
-# doc_tokens, doc_quality — re-enter the r10 backfill queue).  After r9
-# greens, max driver-signal staleness registry-wide is <=5 rounds (r4
-# vintage), and the remaining 40 r4-vintage keys are the committed r10
-# backfill head.
+# doc_tokens, doc_quality, events_props_json — re-enter the r10 backfill
+# queue).  After r9 greens, max driver-signal staleness registry-wide is
+# <=5 rounds (r4 vintage), and the remaining 41 r4-vintage keys are the
+# committed r10 backfill head.
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
     "events_bt_ratings", "events_win_matrix", "events_rater_agreement",
-    "events_tcloseness", "events_quantile_sketch",
+    "events_tcloseness", "events_quantile_sketch", "stream_qsketch",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4251,7 +4264,7 @@ _R9_HEAD = [
     # -- r4-vintage stalest-green fill (registry order; 8 fit after the
     # -- five new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
-    "cm_heavy_hitters", "full_outer_activity", "events_props_json",
+    "cm_heavy_hitters", "full_outer_activity",
 ]
 
 _R8_HEAD = [
@@ -4574,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rater_agreement": q_events_rater_agreement,
         "events_tcloseness": q_events_tcloseness,
         "events_quantile_sketch": q_events_quantile_sketch,
+        "stream_qsketch": q_stream_qsketch,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9826,6 +9840,33 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT q, v AS est_v, n::BIGINT AS sketch_n
             FROM qs JOIN ranked
               ON rn = greatest(1, CAST(ceil(q * n) AS INT))
+        """,
+        "stream_qsketch": """
+            WITH keyed AS (
+              SELECT event_type AS grp,
+                     ('0x' || substr(md5('qsk1|' || event_id::VARCHAR), 1, 15))::BIGINT AS h,
+                     CAST(value AS DOUBLE) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            dedup AS (SELECT DISTINCT grp, h, v FROM keyed),
+            sk AS (
+              SELECT grp, h, v FROM (
+                SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+                FROM dedup
+              ) WHERE rn <= 64
+            ),
+            ranked AS (
+              SELECT grp, h, v,
+                     row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rn2,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM sk
+            )
+            SELECT grp, max(n)::BIGINT AS sketch_n, max(h) AS kth_hash,
+                   max(CASE WHEN rn2 = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                       THEN v END) AS p50,
+                   max(CASE WHEN rn2 = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                       THEN v END) AS p90
+            FROM ranked GROUP BY grp
         """,
         "events_tcloseness": """
             WITH base AS (

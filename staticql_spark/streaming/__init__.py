@@ -804,6 +804,120 @@ def stream_kmv_grouped(
     )
 
 
+QSKETCH_GROUPED_SCHEMA = (
+    "grp string, sketch_n long, kth_hash long, p50 double, p90 double"
+)
+_QSK_STATE = "hs array<long>, vs array<double>"
+
+
+def stream_qsketch_grouped(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    key_col: str = "event_id",
+    k: int = 64,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    salt: str = "qsk1",
+) -> DataFrame:
+    """Streaming per-group quantile sketch: state per group is the
+    bottom-k (row-key hash, value) pairs seen so far — the live twin of
+    :func:`~staticql_spark.operators.sketch.qsketch` — and every trigger
+    emits the group's refreshed type-1 p50/p90.  A latency dashboard
+    reads distribution tails off the stream with O(k) state per group,
+    and because bottom-k-by-hash merges by union, the streaming state
+    can be seeded from (or reconciled against) a batch sketch.
+
+    Hashing the UNIQUE row key (not the value) keeps the sample uniform
+    over rows AND makes re-delivered rows idempotent: the same key
+    always lands on the same hash, so at-least-once upstream delivery
+    cannot bias the sketch.  Batch fallback computes the same columns
+    for twin tests / oracles (quantile rank = max(1, ceil(q * n)) over
+    the sketch ordered by (v, h), identical arithmetic in both paths).
+    """
+    import pandas as pd
+
+    from ..operators.sketch import kmv_hash
+
+    keyed = events.select(
+        F.col(group_col).cast("string").alias("grp"),
+        kmv_hash(F.col(key_col), salt).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts_col).alias("ts"),
+    ).filter(F.col("h").isNotNull() & F.col("v").isNotNull())
+
+    if not keyed.isStreaming:
+        from pyspark.sql import Window as W
+
+        dedup = keyed.select("grp", "h", "v").distinct()
+        w = W.partitionBy("grp").orderBy("h")
+        sk = dedup.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        )
+        wv = W.partitionBy("grp").orderBy("v", "h")
+        wall = W.partitionBy("grp")
+        ranked = sk.withColumn("rn2", F.row_number().over(wv)).withColumn(
+            "n", F.count("*").over(wall)
+        )
+        pick = lambda q: F.max(
+            F.when(
+                F.col("rn2")
+                == F.greatest(
+                    F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n"))
+                ),
+                F.col("v"),
+            )
+        )
+        return ranked.groupBy("grp").agg(
+            F.max("n").cast("long").alias("sketch_n"),
+            F.max("h").alias("kth_hash"),
+            pick(0.5).alias("p50"),
+            pick(0.9).alias("p90"),
+        )
+
+    import math
+
+    def update(key, pdf_iter, state):
+        (grp,) = key
+        if state.exists:
+            hs, vs = list(state.get[0]), list(state.get[1])
+        else:
+            hs, vs = [], []
+        pairs = dict(zip(hs, vs))
+        for pdf in pdf_iter:
+            for h, v in zip(pdf["h"], pdf["v"]):
+                pairs[int(h)] = float(v)
+        kept = sorted(pairs.items())[:k]
+        state.update(([h for h, _ in kept], [v for _, v in kept]))
+        byv = sorted(kept, key=lambda p: (p[1], p[0]))
+        n = len(byv)
+        p50 = byv[max(1, math.ceil(0.5 * n)) - 1][1]
+        p90 = byv[max(1, math.ceil(0.9 * n)) - 1][1]
+        yield pd.DataFrame(
+            {
+                "grp": [grp],
+                "sketch_n": [n],
+                "kth_hash": [kept[-1][0] if kept else None],
+                "p50": [p50],
+                "p90": [p90],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("grp")
+        .applyInPandasWithState(
+            update,
+            outputStructType=QSKETCH_GROUPED_SCHEMA,
+            stateStructType=_QSK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 # --------------------------------------------------- live shard checksums
 
 

@@ -1030,3 +1030,41 @@ def test_stream_lsh_dedup_over_persisted_index(spark, tmp_path):
         new, b, sh, n=3, num_hashes=16, bands=4, threshold=0.2,
     ))
     assert via_loaded == inline and len(via_loaded) > 0
+
+
+def test_stream_qsketch_grouped_matches_batch(spark, tmp_path_factory):
+    # the final per-group emit of the streaming bottom-k quantile sketch
+    # must equal the batch sketch of the same data: bottom-k-by-hash state
+    # merges across micro-batches exactly (sketch_n monotone up, kth_hash
+    # monotone down once the sketch is full)
+    from staticql_spark.streaming import (
+        read_event_stream,
+        stream_qsketch_grouped,
+    )
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch = {
+        r["grp"]: (r["sketch_n"], r["kth_hash"], r["p50"], r["p90"])
+        for r in stream_qsketch_grouped(spark.read.parquet(d), k=32).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_qsketch_grouped(stream, k=32)
+        .writeStream.format("memory")
+        .queryName("qsk_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select grp, sketch_n, kth_hash, p50, p90 from (
+             select *, row_number() over (partition by grp
+                 order by sketch_n desc, kth_hash asc) rn
+             from qsk_stream_test) where rn = 1"""
+    ).collect()
+    got = {
+        r["grp"]: (r["sketch_n"], r["kth_hash"], r["p50"], r["p90"])
+        for r in rows
+    }
+    assert got == batch
