@@ -509,11 +509,19 @@ def incremental_lsh_pairs(
     )
     old_only = old_shingles.join(old_keep_ids, id_col, "left_semi")
     dsh_all = old_only.unionByName(new_dsh)
-    verified = verify_jaccard(cands, dsh_all, id_col)
+    # widen only the verify join (the one measured spill site): 8x the
+    # scheduler's parallelism, floor 64 — see verify_jaccard docstring
+    wide = max(new_df.sparkSession.sparkContext.defaultParallelism * 8, 64)
+    verified = verify_jaccard(cands, dsh_all, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
-def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def verify_jaccard(
+    pairs: DataFrame,
+    dsh: DataFrame,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
     """Exact Jaccard for candidate pairs over per-doc shingle-SET arrays.
 
     Two equi joins attach each side's array; |A ∩ B| is a per-row
@@ -530,7 +538,21 @@ def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> 
     cannot DEMOTE a statically planned broadcast, so the initial plan
     must never hard-commit an unbounded frame to broadcast).  The cost
     at benign sizes is two extra exchanges of the capped pair frame.
+
+    ``partitions`` widens THIS join only: both sides are explicitly
+    hash-repartitioned on the join key at the given width, so the join
+    reuses those exchanges (no extra shuffle) and each build-side hash
+    map shrinks proportionally.  This is the r9 replacement for the
+    session-wide ``initialPartitionNum`` experiment: the global wide
+    start fixed the one spilling join (measured 29.6 -> 22.2 s at the
+    500k soak) but taxed every OTHER shuffle-dense build — the full LSH
+    pairs build measured 1.57x SLOWER (488 vs 312 s, within-run A/B,
+    SCALE.md §17) — so the width now lives at the single measured spill
+    site, keyed to the cluster's parallelism by the caller.
     """
+    if partitions:
+        dsh = dsh.repartition(partitions, id_col)
+        pairs = pairs.repartition(partitions, "id_a")
     a = dsh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")).hint(
         "shuffle_hash"
     )
@@ -538,9 +560,11 @@ def verify_jaccard(pairs: DataFrame, dsh: DataFrame, id_col: str = "doc_id") -> 
         "shuffle_hash"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    j1 = pairs.join(a, "id_a")
+    if partitions:
+        j1 = j1.repartition(partitions, "id_b")
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        j1.join(b, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -29,17 +29,6 @@ def get_spark(app_name: str = "staticql-spark", shuffle_partitions: int | None =
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Start every shuffle at 8x the static default and let AQE
-        # coalesce DOWN by observed size: tiny stages still collapse to
-        # a handful of tasks, while fat stages (the 31M-pair verify join
-        # in incremental dedup spilled badly at 32 partitions — measured
-        # 29.6 s -> 22.2 s at 256, SCALE.md r9) keep enough partitions
-        # to fit in memory.  This is the scale-correct shape: partition
-        # count follows data volume, not a constant.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max((int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))) * 8, 64)),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
