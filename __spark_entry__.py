@@ -4210,6 +4210,19 @@ def q_stream_qsketch(spark, sf):
     return stream_qsketch_grouped(ev, k=64)
 
 
+def q_events_bt_reliability(spark, sf):
+    # BT ratings calibration audit (new r9): observed vs predicted win
+    # rate per predicted-probability bucket, over the published 6dp
+    # ratings — the reliability diagram for the arena's rating table.
+    # Because _pref_comparisons follows an exact BT model, the gaps
+    # should be near zero, which the oracle confirms numerically.
+    from staticql_spark.operators import preference
+
+    comps = _pref_comparisons(_t(spark, sf, "events"))
+    ratings = preference.bt_ratings(comps, iters=5, alpha=0.5)
+    return preference.bt_reliability(comps, ratings, buckets=5)
+
+
 def q_events_rater_agreement(spark, sf):
     # Fleiss' kappa label-quality gate (new r9): item = user_id (do a
     # user's observations agree with each other), category =
@@ -4224,27 +4237,28 @@ def q_events_rater_agreement(spark, sf):
 
 
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 8 new (embedding_mrl_recall, events_ab_cuped; the
+# keys first — 9 new (embedding_mrl_recall, events_ab_cuped; the
 # preference family events_bt_ratings / events_win_matrix /
-# events_rater_agreement; events_tcloseness; events_quantile_sketch;
-# stream_qsketch, its streaming twin)
+# events_rater_agreement / events_bt_reliability; events_tcloseness;
+# events_quantile_sketch; stream_qsketch, its streaming twin)
 # + 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
 # tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
 # reductions; supplier_pareto: assert_true cardinality guard;
 # doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
 # COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
-# r8 freshness ledger), then (3) 5 r4-vintage stalest-green keys in
-# registry order to fill the 50 (the six r4 keys the new-key block
+# r8 freshness ledger), then (3) 4 r4-vintage stalest-green keys in
+# registry order to fill the 50 (the seven r4 keys the new-key block
 # displaced — scalar_subquery, union_distinct, salted_hot_key_agg,
-# doc_tokens, doc_quality, events_props_json — re-enter the r10 backfill
-# queue).  After r9 greens, max driver-signal staleness registry-wide is
-# <=5 rounds (r4 vintage), and the remaining 41 r4-vintage keys are the
-# committed r10 backfill head.
+# doc_tokens, doc_quality, events_props_json, full_outer_activity —
+# re-enter the r10 backfill queue).  After r9 greens, max driver-signal
+# staleness registry-wide is <=5 rounds (r4 vintage), and the remaining
+# 42 r4-vintage keys are the committed r10 backfill head.
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
     "events_bt_ratings", "events_win_matrix", "events_rater_agreement",
     "events_tcloseness", "events_quantile_sketch", "stream_qsketch",
+    "events_bt_reliability",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4264,7 +4278,7 @@ _R9_HEAD = [
     # -- r4-vintage stalest-green fill (registry order; 8 fit after the
     # -- five new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
-    "cm_heavy_hitters", "full_outer_activity",
+    "cm_heavy_hitters",
 ]
 
 _R8_HEAD = [
@@ -4588,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tcloseness": q_events_tcloseness,
         "events_quantile_sketch": q_events_quantile_sketch,
         "stream_qsketch": q_stream_qsketch,
+        "events_bt_reliability": q_events_bt_reliability,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9799,6 +9814,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         # (integer-exact Bradley-Terry ground truth, see
         # _pref_comparisons); BT twin unrolled by _bt_sql.
         "events_bt_ratings": _bt_sql(5, 0.5),
+        "events_bt_reliability": _bt_reliability_sql(5, 0.5, 5),
         "events_win_matrix": f"""
             WITH {_PREF_CW},
             agg AS (
@@ -9968,12 +9984,13 @@ _PREF_CW = """comps AS (
             )"""
 
 
-def _bt_sql(iters: int = 5, alpha: float = 0.5) -> str:
-    """SQL twin of q_events_bt_ratings: preference.bt_ratings' MM
-    iterations unrolled (Hunter 2004).  Same pair-count smoothing, same
-    9dp DECIMAL(38,9) denominator/normalization folds, same mean-1
-    rescale and per-iteration round(·, 9) barrier, so both engines walk
-    the identical rating trajectory."""
+def _bt_ctes(iters: int = 5, alpha: float = 0.5) -> str:
+    """The comps..pi{iters} CTE chain of the Bradley-Terry twin, shared
+    by the events_bt_ratings and events_bt_reliability oracles.  Every
+    multiply-referenced CTE is AS MATERIALIZED: DuckDB otherwise
+    re-inlines dir/wins/pi{k} into every consumer and the unrolled
+    iteration chain goes exponential (measured 160 s -> 0.07 s at
+    sf0.01)."""
     ctes = [
         _PREF_CW,
         f"""und AS MATERIALIZED (
@@ -10022,12 +10039,62 @@ def _bt_sql(iters: int = 5, alpha: float = 0.5) -> str:
             f"pi{k} AS MATERIALIZED (SELECT i, round(praw * n_items / s, 9) AS pi "
             f"FROM raw{k}, s{k})"
         )
-    body = ",\n            ".join(ctes)
+    return ",\n            ".join(ctes)
+
+
+def _bt_sql(iters: int = 5, alpha: float = 0.5) -> str:
+    """SQL twin of q_events_bt_ratings: preference.bt_ratings' MM
+    iterations unrolled (Hunter 2004).  Same pair-count smoothing, same
+    9dp DECIMAL(38,9) denominator/normalization folds, same mean-1
+    rescale and per-iteration round(·, 9) barrier, so both engines walk
+    the identical rating trajectory."""
     return f"""
-            WITH {body}
+            WITH {_bt_ctes(iters, alpha)}
             SELECT pi{iters}.i::BIGINT AS item, wins.n_comps,
                    wins.wins_raw AS wins, round(pi{iters}.pi, 6) AS rating
             FROM pi{iters} JOIN wins ON pi{iters}.i = wins.i
+        """
+
+
+def _bt_reliability_sql(iters: int = 5, alpha: float = 0.5, buckets: int = 5) -> str:
+    """SQL twin of q_events_bt_reliability: the published 6dp ratings
+    (same CTE chain as the bt oracle) joined back onto the per-pair win
+    counts, bucketed by predicted probability; expected-win folds in
+    DECIMAL(38,9) exactly like preference.bt_reliability."""
+    d9 = "CAST(round(pred * n, 9) AS DECIMAL(38,9))"
+    return f"""
+            WITH {_bt_ctes(iters, alpha)},
+            rat AS MATERIALIZED (
+              SELECT i, round(pi, 6) AS rating FROM pi{iters}
+            ),
+            agg AS (
+              SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN w < l THEN 1 ELSE 0 END)::BIGINT AS wins_a
+              FROM cw GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT agg.n, agg.wins_a,
+                     ra.rating / (ra.rating + rb.rating) AS pred
+              FROM agg
+              JOIN rat ra ON agg.item_a = ra.i
+              JOIN rat rb ON agg.item_b = rb.i
+              WHERE ra.rating + rb.rating > 0
+            ),
+            b AS (
+              SELECT least(CAST(floor(pred * {float(buckets)}) AS INT),
+                           {buckets - 1}) AS bucket,
+                     n, wins_a, pred
+              FROM j
+            )
+            SELECT bucket, count(*)::BIGINT AS n_pairs,
+                   sum(n)::BIGINT AS n_comps,
+                   round(CAST(sum({d9}) AS DOUBLE) / sum(n), 6) AS exp_rate,
+                   round(CAST(sum(wins_a) AS DOUBLE)
+                         / CAST(sum(n) AS DOUBLE), 6) AS obs_rate,
+                   round(CAST(sum(wins_a) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                         - CAST(sum({d9}) AS DOUBLE) / sum(n), 6) AS gap
+            FROM b GROUP BY bucket
         """
 
 

@@ -81,6 +81,7 @@ PICKS = [
     ("events_rater_agreement (one (item,cat) count shuffle; two scalar folds cross-joined)", "events_rater_agreement"),
     ("events_tcloseness (broadcast global dist into |cells| x m grid; bounded cum window)", "events_tcloseness"),
     ("events_quantile_sketch (TakeOrdered bottom-k heaps; quantile reads on <= k rows)", "events_quantile_sketch"),
+    ("events_bt_reliability (pair counts + broadcast ratings; |pairs|-row bucket agg)", "events_bt_reliability"),
 ]
 
 

@@ -260,3 +260,88 @@ def fleiss_kappa(
         F.round("p_e", out_round).alias("p_e"),
         F.round(kappa, out_round).alias("kappa"),
     )
+
+
+def bt_reliability(
+    comparisons: DataFrame,
+    ratings: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    buckets: int = 5,
+    out_round: int = 6,
+) -> DataFrame:
+    """Calibration audit for Bradley-Terry ratings -> one row per
+    predicted-probability bucket: (bucket, n_pairs, n_comps, exp_rate,
+    obs_rate, gap).
+
+    The BT model predicts ``P(a beats b) = r_a / (r_a + r_b)``; a
+    well-fit rating table's OBSERVED win rates should track that
+    prediction across the probability range (the reliability-diagram
+    idea behind doc_calibration, applied to the arena).  Pairs are
+    bucketed by predicted probability (lower-id item's side, matching
+    :func:`win_matrix`'s orientation), and each bucket compares the
+    count-weighted expected rate against the observed one; ``gap`` is
+    observed minus expected.  Pairs whose ratings sum to zero (both
+    items at the 6dp floor) carry no prediction and are excluded.
+
+    Determinism: predictions derive from the 6dp-rounded published
+    ratings (the same numbers a consumer would read), the expected-win
+    fold sums 9dp-rounded ``pred * n`` terms in DECIMAL(38,9), and the
+    observed side is integer-exact.
+
+    Scale: one comparison-count shuffle (shared shape with win_matrix);
+    the ratings table joins in twice as a broadcast; buckets aggregate
+    |pairs| rows.
+    """
+    w, l = F.col(winner_col).cast("long"), F.col(loser_col).cast("long")
+    agg = (
+        ensure_parallelism(comparisons)
+        .select(
+            F.least(w, l).alias("item_a"),
+            F.greatest(w, l).alias("item_b"),
+            (w < l).cast("int").alias("a_won"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("a_won").cast("long").alias("wins_a"),
+        )
+    )
+    ra = ratings.select(
+        F.col("item").alias("item_a"), F.col("rating").alias("r_a")
+    )
+    rb = ratings.select(
+        F.col("item").alias("item_b"), F.col("rating").alias("r_b")
+    )
+    joined = (
+        agg.join(F.broadcast(ra), "item_a")
+        .join(F.broadcast(rb), "item_b")
+        .filter((F.col("r_a") + F.col("r_b")) > 0)
+    )
+    pred = F.col("r_a") / (F.col("r_a") + F.col("r_b"))
+    bucket = F.least(
+        F.floor(pred * F.lit(float(buckets))).cast("int"),
+        F.lit(buckets - 1),
+    )
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")
+    return (
+        joined.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("n").cast("long").alias("n_comps"),
+            (
+                F.sum(d9(pred * F.col("n"))).cast("double") / F.sum("n")
+            ).alias("__exp"),
+            (
+                F.sum("wins_a").cast("double") / F.sum("n").cast("double")
+            ).alias("__obs"),
+        )
+        .select(
+            "bucket",
+            "n_pairs",
+            "n_comps",
+            F.round("__exp", out_round).alias("exp_rate"),
+            F.round("__obs", out_round).alias("obs_rate"),
+            F.round(F.col("__obs") - F.col("__exp"), out_round).alias("gap"),
+        )
+    )

@@ -169,3 +169,23 @@ def test_fleiss_kappa_excludes_singletons_and_degenerate(spark):
     row = preference.fleiss_kappa(df).collect()[0]
     assert row["n_items"] == 2 and row["n_ratings"] == 5
     assert row["p_bar"] == 1.0 and row["p_e"] == 1.0 and row["kappa"] == 0.0
+
+
+def test_bt_reliability_near_calibrated_on_exact_bt_data(spark):
+    # comparisons generated from an exact BT model (win counts
+    # proportional to (i+1)/(i+j+2)) must yield near-zero reliability
+    # gaps when audited against the fitted ratings
+    comps = []
+    for i in range(8):
+        for j in range(i):
+            wi = round(20 * (i + 1) / (i + j + 2))
+            comps += [(i, j)] * wi + [(j, i)] * (20 - wi)
+    df = spark.createDataFrame(comps, "winner: long, loser: long")
+    ratings = preference.bt_ratings(df, iters=8, alpha=0.5)
+    rows = preference.bt_reliability(df, ratings, buckets=4).collect()
+    assert rows, "no buckets"
+    assert sum(r["n_pairs"] for r in rows) == 28  # all pairs bucketed
+    for r in rows:
+        assert abs(r["gap"]) < 0.08, rows
+        assert r["gap"] == round(r["obs_rate"] - r["exp_rate"], 6) or \
+            abs(r["gap"] - (r["obs_rate"] - r["exp_rate"])) < 2e-6
