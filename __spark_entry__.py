@@ -1296,17 +1296,44 @@ def _lsh_index_old(spark, sf):
     every shared artifact, but the BUILD goes through the package's
     named index API so the driver exercises lsh_build/lsh_load, not just
     the in-memory minhash_index pair."""
+    from staticql_spark import snapshots
+
     key = ("lshidx_old", sf)
     path = _ARTIFACT_CACHE.get(key)
     if path is None:
         path = _artifact_dir("staticql_lshidx_")
         docs = _t(spark, sf, "documents")
-        dedup.lsh_build(
-            docs.filter(F.col("doc_id") % 5 != 0), path,
+        # r9: through the snapshot facade — the build stamps the
+        # XOR-digest manifest, and the first load integrity-verifies it
+        # (torn-write / partial-upload guard exercised on EVERY bench
+        # and driver run, not just in the facade's own test)
+        snapshots.snapshot_build(
+            docs.filter(F.col("doc_id") % 5 != 0), path, "lsh",
             n=3, num_hashes=16, bands=4,
         )
         _ARTIFACT_CACHE[key] = path
-    return dedup.lsh_load(spark, path)
+        return snapshots.snapshot_load(spark, path, verify=True)
+    return snapshots.snapshot_load(spark, path)
+
+
+def _chunk_index_old(spark, sf):
+    """Shared persisted chunk-frequency index of the old corpus
+    (doc_id % 5 != 0, width=8), via the snapshot facade: the build
+    stamps the XOR-digest manifest, and the first in-process load
+    integrity-verifies it."""
+    from staticql_spark import snapshots
+
+    key = ("chunkidx_old", sf)
+    path = _ARTIFACT_CACHE.get(key)
+    if path is None:
+        path = _artifact_dir("staticql_chunkidx_")
+        docs = _t(spark, sf, "documents")
+        snapshots.snapshot_build(
+            docs.filter(F.col("doc_id") % 5 != 0), path, "chunk", width=8
+        )
+        _ARTIFACT_CACHE[key] = path
+        return snapshots.snapshot_load(spark, path, verify=True)
+    return snapshots.snapshot_load(spark, path)
 
 
 def build_artifacts(spark, sf) -> dict:
@@ -1343,19 +1370,7 @@ def build_artifacts(spark, sf) -> dict:
         ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
         ("lsh_index_old", lambda: _lsh_index_old(spark, sf)),
         ("lpa_prior", lambda: _lpa_prior(spark, sf)),
-        (
-            "chunk_index_old",
-            lambda: _artifact(
-                spark,
-                ("chunkidx_old", sf),
-                lambda: dedup.chunk_index(
-                    _t(spark, sf, "documents").filter(
-                        F.col("doc_id") % 5 != 0
-                    ),
-                    width=8,
-                ),
-            ),
-        ),
+        ("chunk_index_old", lambda: _chunk_index_old(spark, sf)),
         ("pq_index", lambda: _pq_index(spark, sf)),
         ("pq_index_old", lambda: _pq_index(spark, sf, subset="old")),
     ]
@@ -1394,7 +1409,13 @@ def _pq_index(spark, sf, subset="all"):
     load-equals-inline contract is test_pq_append_equals_full_rebuild.
     subset="old" is stream_pq_neardup's frozen snapshot (vec_id % 5 != 3,
     the residue class that avoids the stride-100 init ids)."""
-    return pq.pq_load(spark, _pq_index_path(spark, sf, subset))
+    from staticql_spark import snapshots
+
+    known = (sf, subset) in _PQ_INDEX_CACHE
+    path = _pq_index_path(spark, sf, subset)
+    # integrity-verify on the build that just happened (torn-write
+    # guard); later in-process loads skip the extra stat scan
+    return snapshots.snapshot_load(spark, path, verify=not known)
 
 
 def _pq_index_path(spark, sf, subset="all"):
@@ -1408,16 +1429,20 @@ def _pq_index_path(spark, sf, subset="all"):
     path = _PQ_INDEX_CACHE.get(key)
     if path is None:
         path = _artifact_dir(f"staticql_pq_{subset}_")
+        from staticql_spark import snapshots
+
         emb = _t(spark, sf, "embeddings")
         if subset == "all":
             coarse = similarity.centroid_sample(emb, "embedding", "vec_id", 100)
-            pq.pq_build(
-                emb, path, m=4, dim=64, stride=100, iters=2,
+            snapshots.snapshot_build(
+                emb, path, "pq", m=4, dim=64, stride=100, iters=2,
                 coarse_centroids=coarse,
             )
         else:
             corpus = emb.filter(F.col("vec_id") % 5 != 3)
-            pq.pq_build(corpus, path, m=4, dim=64, stride=100, iters=2)
+            snapshots.snapshot_build(
+                corpus, path, "pq", m=4, dim=64, stride=100, iters=2
+            )
         _PQ_INDEX_CACHE[key] = path
     return path
 
@@ -2839,13 +2864,7 @@ def q_dedup_chunk_incremental(spark, sf):
     # artifact ((h, nd) longs — the snapshot a daily job would load)
     docs = _t(spark, sf, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
-    idx = _artifact(
-        spark,
-        ("chunkidx_old", sf),
-        lambda: dedup.chunk_index(
-            docs.filter(F.col("doc_id") % 5 != 0), width=8
-        ),
-    )
+    idx = _chunk_index_old(spark, sf)
     return dedup.incremental_chunk_dedup(new, idx, width=8, min_docs=2)
 
 
