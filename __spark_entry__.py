@@ -4182,6 +4182,22 @@ def q_events_win_matrix(spark, sf):
     return preference.win_matrix(_pref_comparisons(_t(spark, sf, "events")))
 
 
+def q_events_rater_consensus(spark, sf):
+    # per-rater consensus agreement (late r9, roadmap #3): each rater's
+    # share of labels matching the item's modal label (ties -> smallest
+    # category) — the rater-QC readout that complements the pool-level
+    # Fleiss kappa.  item = user_id, rater = event_id % 7, category =
+    # event_type (the rater_agreement framing with a derived rater id).
+    from staticql_spark.operators import preference
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("item"),
+        (F.col("event_id") % 7).alias("rater"),
+        F.col("event_type").alias("cat"),
+    )
+    return preference.rater_consensus(ev)
+
+
 def q_events_tcloseness(spark, sf):
     # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
     # privacy release triad (events_kanon bounds group size,
@@ -4256,28 +4272,30 @@ def q_events_rater_agreement(spark, sf):
 
 
 # r9 window (r8 verdict #2 + #8), same rotation policy: (1) changed/new
-# keys first — 9 new (embedding_mrl_recall, events_ab_cuped; the
+# keys first — 10 new (embedding_mrl_recall, events_ab_cuped; the
 # preference family events_bt_ratings / events_win_matrix /
-# events_rater_agreement / events_bt_reliability; events_tcloseness;
-# events_quantile_sketch; stream_qsketch, its streaming twin)
+# events_rater_agreement / events_bt_reliability /
+# events_rater_consensus; events_tcloseness; events_quantile_sketch;
+# stream_qsketch, its streaming twin)
 # + 5 changed in r9 (doc_chunk_dedup + dedup_chunk_incremental:
 # tokenize-once hoist in dedup.py; dedup_incremental: probe-cost
 # reductions; supplier_pareto: assert_true cardinality guard;
 # doc_vocab_coverage: construct-time vocab_sizes guard) — then (2) the
 # COMMITTED 32-key r3-vintage backfill head (verbatim from COVERAGE.md's
-# r8 freshness ledger), then (3) 4 r4-vintage stalest-green keys in
-# registry order to fill the 50 (the seven r4 keys the new-key block
+# r8 freshness ledger), then (3) 3 r4-vintage stalest-green keys in
+# registry order to fill the 50 (the eight r4 keys the new-key block
 # displaced — scalar_subquery, union_distinct, salted_hot_key_agg,
-# doc_tokens, doc_quality, events_props_json, full_outer_activity —
-# re-enter the r10 backfill queue).  After r9 greens, max driver-signal
-# staleness registry-wide is <=5 rounds (r4 vintage), and the remaining
-# 42 r4-vintage keys are the committed r10 backfill head.
+# doc_tokens, doc_quality, events_props_json, full_outer_activity,
+# cm_heavy_hitters — re-enter the r10 backfill queue).  After r9
+# greens, max driver-signal staleness registry-wide is <=5 rounds (r4
+# vintage), and the remaining 43 r4-vintage keys are the committed r10
+# backfill head.
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
     "events_bt_ratings", "events_win_matrix", "events_rater_agreement",
     "events_tcloseness", "events_quantile_sketch", "stream_qsketch",
-    "events_bt_reliability",
+    "events_bt_reliability", "events_rater_consensus",
     # -- changed in r9 --
     "doc_chunk_dedup", "dedup_chunk_incremental", "dedup_incremental",
     "supplier_pareto", "doc_vocab_coverage",
@@ -4297,7 +4315,6 @@ _R9_HEAD = [
     # -- r4-vintage stalest-green fill (registry order; 8 fit after the
     # -- five new-key slots) --
     "asof_click_purchase", "range_followups", "kmv_distinct",
-    "cm_heavy_hitters",
 ]
 
 _R8_HEAD = [
@@ -4622,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantile_sketch": q_events_quantile_sketch,
         "stream_qsketch": q_stream_qsketch,
         "events_bt_reliability": q_events_bt_reliability,
+        "events_rater_consensus": q_events_rater_consensus,
     }
     # r9 rotation: changed-code keys first (they run unverified code),
     # then the committed r3 backfill + r4-vintage stalest fill
@@ -9834,6 +9852,32 @@ def _oracle_sql_literal() -> dict[str, str]:
         # _pref_comparisons); BT twin unrolled by _bt_sql.
         "events_bt_ratings": _bt_sql(5, 0.5),
         "events_bt_reliability": _bt_reliability_sql(5, 0.5, 5),
+        "events_rater_consensus": """
+            WITH base AS (
+              SELECT user_id AS item, event_id % 7 AS rater,
+                     event_type AS cat
+              FROM events
+            ),
+            cnt AS (
+              SELECT item, cat, count(*)::BIGINT AS c
+              FROM base GROUP BY 1, 2
+            ),
+            maj AS (
+              SELECT item, cat AS maj_cat FROM (
+                SELECT *, row_number() OVER (PARTITION BY item
+                    ORDER BY c DESC, cat ASC) AS rn
+                FROM cnt
+              ) WHERE rn = 1
+            )
+            SELECT rater, count(*)::BIGINT AS n_labels,
+                   sum(CASE WHEN cat = maj_cat THEN 1 ELSE 0 END)::BIGINT
+                     AS n_agree,
+                   round(CAST(sum(CASE WHEN cat = maj_cat THEN 1 ELSE 0 END)
+                         AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                     AS agree_rate
+            FROM base JOIN maj USING (item)
+            GROUP BY rater
+        """,
         "events_win_matrix": f"""
             WITH {_PREF_CW},
             agg AS (

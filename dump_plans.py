@@ -82,6 +82,7 @@ PICKS = [
     ("events_tcloseness (broadcast global dist into |cells| x m grid; bounded cum window)", "events_tcloseness"),
     ("events_quantile_sketch (TakeOrdered bottom-k heaps; quantile reads on <= k rows)", "events_quantile_sketch"),
     ("events_bt_reliability (pair counts + broadcast ratings; |pairs|-row bucket agg)", "events_bt_reliability"),
+    ("events_rater_consensus (item-mode window bounded by |cats|; one item join + rater agg)", "events_rater_consensus"),
 ]
 
 

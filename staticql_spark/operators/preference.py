@@ -345,3 +345,64 @@ def bt_reliability(
             F.round(F.col("__obs") - F.col("__exp"), out_round).alias("gap"),
         )
     )
+
+
+def rater_consensus(
+    labels: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    cat_col: str = "cat",
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-rater agreement with the consensus -> (rater, n_labels,
+    n_agree, agree_rate).
+
+    :func:`fleiss_kappa` grades the rater POOL; this grades each rater:
+    the share of their labels that match the item's modal label (ties
+    broken toward the smallest category, so the consensus is
+    deterministic).  The standard arena/rater-QC readout — a rater far
+    below the pool's rate is miscalibrated or adversarial, and their
+    labels get down-weighted or re-queued before the preference data
+    trains anything.
+
+    Scale: one (item, category) count shuffle (map-side combinable),
+    a per-item window bounded by |categories| to pick the mode, one
+    item-keyed join back onto the raw labels, one rater-keyed count
+    aggregate.  agree_rate is a single integer division, rounded once.
+    """
+    from pyspark.sql import Window as W
+
+    cnt = (
+        ensure_parallelism(labels)
+        .groupBy(F.col(item_col).alias("item"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.partitionBy("item").orderBy(F.desc("c"), F.asc("cat"))
+    maj = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("item", F.col("cat").alias("maj_cat"))
+    )
+    per = labels.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.col(cat_col).alias("cat"),
+    ).join(maj, "item")
+    return (
+        per.groupBy("rater")
+        .agg(
+            F.count("*").cast("long").alias("n_labels"),
+            F.sum((F.col("cat") == F.col("maj_cat")).cast("int"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "rater",
+            "n_labels",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_labels").cast("double"),
+                out_round,
+            ).alias("agree_rate"),
+        )
+    )

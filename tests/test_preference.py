@@ -189,3 +189,18 @@ def test_bt_reliability_near_calibrated_on_exact_bt_data(spark):
         assert abs(r["gap"]) < 0.08, rows
         assert r["gap"] == round(r["obs_rate"] - r["exp_rate"], 6) or \
             abs(r["gap"] - (r["obs_rate"] - r["exp_rate"])) < 2e-6
+
+
+def test_rater_consensus_modal_agreement_and_ties(spark):
+    # item 1: majority "b" (2 vs 1); item 2: TIE a/b -> smallest ("a")
+    # rater 0 matches consensus everywhere; rater 1 never does
+    rows = [
+        (1, 0, "b"), (1, 0, "b"), (1, 1, "a"),
+        (2, 0, "a"), (2, 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "item: long, rater: long, cat: string")
+    got = {
+        r["rater"]: (r["n_labels"], r["n_agree"], r["agree_rate"])
+        for r in preference.rater_consensus(df).collect()
+    }
+    assert got == {0: (3, 3, 1.0), 1: (2, 0, 0.0)}
