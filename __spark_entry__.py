@@ -9862,12 +9862,15 @@ def _oracle_sql_literal() -> dict[str, str]:
               SELECT item, cat, count(*)::BIGINT AS c
               FROM base GROUP BY 1, 2
             ),
+            -- n_i >= 2 floor matches fleiss_kappa: singleton items would
+            -- let the lone rater "agree" with themselves (r9 ADVICE)
             maj AS (
               SELECT item, cat AS maj_cat FROM (
                 SELECT *, row_number() OVER (PARTITION BY item
-                    ORDER BY c DESC, cat ASC) AS rn
+                    ORDER BY c DESC, cat ASC) AS rn,
+                       sum(c) OVER (PARTITION BY item) AS n_i
                 FROM cnt
-              ) WHERE rn = 1
+              ) WHERE rn = 1 AND n_i >= 2
             )
             SELECT rater, count(*)::BIGINT AS n_labels,
                    sum(CASE WHEN cat = maj_cat THEN 1 ELSE 0 END)::BIGINT
@@ -9899,10 +9902,6 @@ def _oracle_sql_literal() -> dict[str, str]:
                          / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
             FROM calc
         """,
-        # Fleiss' kappa, generalized to varying n_i (items with n_i < 2
-        # excluded from BOTH the mean and the chance marginals); P_i and
-        # p_j^2 are single divisions of exact integer counts, folded as
-        # 9dp DECIMAL(38,9) — mirrors preference.fleiss_kappa exactly
         "events_quantile_sketch": """
             WITH sk AS (
               SELECT ('0x' || substr(md5('qsk1|' || event_id::VARCHAR), 1, 15))::BIGINT AS h,
@@ -9927,7 +9926,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                      CAST(value AS DOUBLE) AS v
               FROM events WHERE value IS NOT NULL
             ),
-            dedup AS (SELECT DISTINCT grp, h, v FROM keyed),
+            -- min-v per (grp, h): the shared order-free tie policy of
+            -- stream_qsketch_grouped (unique-key contract violations and
+            -- 60-bit hash collisions resolve identically in all paths)
+            dedup AS (SELECT grp, h, min(v) AS v FROM keyed GROUP BY grp, h),
             sk AS (
               SELECT grp, h, v FROM (
                 SELECT *, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
@@ -9974,9 +9976,14 @@ def _oracle_sql_literal() -> dict[str, str]:
               LEFT JOIN cv ON cv.event_type = n.event_type
                           AND cv.day = n.day AND cv.v = gq.v
             ),
+            -- each (p - q) term is 9dp-rounded and cast to DECIMAL(38,9)
+            -- BEFORE the running window sum (exact integer arithmetic),
+            -- so DuckDB's segment-tree window evaluation and Spark's
+            -- sequential fold cannot diverge on a rounding boundary
             cum AS (
               SELECT event_type, day, n_rows, m,
-                     sum(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) - q)
+                     sum(CAST(round(CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE) - q, 9)
+                              AS DECIMAL(38,9)))
                        OVER (PARTITION BY event_type, day ORDER BY v
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum
@@ -9985,13 +9992,17 @@ def _oracle_sql_literal() -> dict[str, str]:
             rep AS (
               SELECT event_type, day, max(n_rows) AS n_rows,
                      CASE WHEN max(m) > 1 THEN
-                       round(CAST(sum(CAST(round(abs(cum), 9) AS DECIMAL(38,9)))
-                             AS DOUBLE) / CAST(max(m) - 1 AS DOUBLE), 6)
+                       round(CAST(sum(abs(cum)) AS DOUBLE)
+                             / CAST(max(m) - 1 AS DOUBLE), 6)
                      ELSE 0.0 END AS emd
               FROM cum GROUP BY 1, 2
             )
             SELECT event_type, day, n_rows, emd, emd <= 0.2 AS ok FROM rep
         """,
+        # Fleiss' kappa, generalized to varying n_i (items with n_i < 2
+        # excluded from BOTH the mean and the chance marginals); P_i and
+        # p_j^2 are single divisions of exact integer counts, folded as
+        # 9dp DECIMAL(38,9) — mirrors preference.fleiss_kappa exactly
         "events_rater_agreement": """
             WITH cnt AS (
               SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c

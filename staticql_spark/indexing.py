@@ -149,6 +149,7 @@ def export_jsonl_index(
     out_dir: str,
     fields: list[str] | None = None,
     gzip_shards: bool = True,
+    max_entries: int = 1_000_000,
 ) -> None:
     """Reference-layout JSONL index artifacts: for each source and indexed
     field, ``index/{source}.{field}/{prefix dirs}/_index.jsonl`` (lines
@@ -197,11 +198,24 @@ def export_jsonl_index(
     for name, cfg in staticql.configs.items():
         entries = index_entries(dfs[name], cfg, dfs)
         keep = fields if fields is not None else (["slug"] + cfg.index_fields)
-        rows = (
-            entries.filter(F.col("field").isin(*set(keep)))
-            .orderBy("field", "v", "vs")
-            .collect()
-        )
+        kept = entries.filter(F.col("field").isin(*set(keep)))
+        # Cardinality contract (r9 verdict #3): this exporter is the
+        # reference's static-site deployment bridge and collects every
+        # index line to the driver to write the JSONL tree — fine at the
+        # reference's own <100k-record envelope, an OOM at corpus scale.
+        # Count first and refuse loudly, naming the at-scale path: the
+        # parquet covering index (save_indexes) IS the cluster artifact;
+        # serve it, or shard the export per source/field.
+        n = kept.count()
+        if n > max_entries:
+            raise ValueError(
+                f"export_jsonl_index: source {name!r} has {n} index entries,"
+                f" over the {max_entries}-entry driver-collect contract for"
+                " the static-site JSONL bridge; use save_indexes (parquet,"
+                " distributed) at this scale, or export field subsets via"
+                " fields=/max_entries="
+            )
+        rows = kept.orderBy("field", "v", "vs").collect()
         # Per-slug {field: sorted prefix paths} across ALL exported entries —
         # the reference embeds the record's complete prefix map in every line
         # that references it, regardless of which field the line indexes.

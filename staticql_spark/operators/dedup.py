@@ -414,6 +414,13 @@ def minhash_index(
     return _band_keys(sig, bands, num_hashes // bands, id_col), dsh
 
 
+# Verify-join sizing target: ~100k candidate pairs per partition keeps each
+# shuffled-hash build map comfortably in executor memory even when every pair
+# carries two shingle arrays (measured at the 500k near-replica soak: 31M
+# pairs / 256 partitions ~= 120k pairs each, zero spill — SCALE.md §17/§18).
+_VERIFY_PAIRS_PER_PARTITION = 100_000
+
+
 def incremental_lsh_pairs(
     new_df: DataFrame,
     old_bands: DataFrame,
@@ -509,9 +516,21 @@ def incremental_lsh_pairs(
     )
     old_only = old_shingles.join(old_keep_ids, id_col, "left_semi")
     dsh_all = old_only.unionByName(new_dsh)
-    # widen only the verify join (the one measured spill site): 8x the
-    # scheduler's parallelism, floor 64 — see verify_jaccard docstring
-    wide = max(new_df.sparkSession.sparkContext.defaultParallelism * 8, 64)
+    # Adaptive verify width (r10, replacing r9's static 8x-parallelism):
+    # the r9 fixed width fixed the measured 500k-soak spill but
+    # triple-repartitioned tiny sf0.1 candidate sets into 256 partitions
+    # (2.7x bench regression vs the 1.34x host-drift median).  The pair
+    # frame is cheap (two ids per row), so persist it, COUNT the true
+    # candidate mass, and size the join to ~100k pairs per partition:
+    # below the scheduler's default parallelism no explicit repartition
+    # happens at all (r8 shape); above it the width is capped at the
+    # 8x-parallelism the 500k soak proved sufficient (31M pairs -> 256
+    # partitions at local[32]).  The count reuses the cached frame the
+    # verify join reads, so candidate generation still runs exactly once.
+    cands = cands.persist()
+    sc = new_df.sparkSession.sparkContext
+    want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
+    wide = min(want, sc.defaultParallelism * 8) if want > sc.defaultParallelism else None
     verified = verify_jaccard(cands, dsh_all, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -365,6 +365,14 @@ def rater_consensus(
     labels get down-weighted or re-queued before the preference data
     trains anything.
 
+    Items with a single rating are EXCLUDED (r9 ADVICE): the lone rater
+    trivially defines the modal label and always "agrees" with
+    themselves, inflating agree_rate — the same n_i >= 2 floor
+    :func:`fleiss_kappa` applies, so the two QC readouts grade the same
+    multiply-rated population.  A rater whose labels all land on
+    singleton items gets no row (n_labels counts consensus-graded
+    labels only).
+
     Scale: one (item, category) count shuffle (map-side combinable),
     a per-item window bounded by |categories| to pick the mode, one
     item-keyed join back onto the raw labels, one rater-keyed count
@@ -380,7 +388,8 @@ def rater_consensus(
     w = W.partitionBy("item").orderBy(F.desc("c"), F.asc("cat"))
     maj = (
         cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .withColumn("n_i", F.sum("c").over(W.partitionBy("item")))
+        .filter((F.col("rn") == 1) & (F.col("n_i") >= 2))
         .select("item", F.col("cat").alias("maj_cat"))
     )
     per = labels.select(

@@ -136,10 +136,15 @@ def tcloseness_report(
     the release flag.  NULL sensitive values are excluded from both
     distributions (they carry no orderable mass).
 
-    Determinism: p, q are single divisions of exact integer counts; the
-    cumulative sum runs in value order (unique per cell, identical
-    sequential fold on any engine); the per-cell |cum| fold sums
-    9dp-rounded terms in DECIMAL(38,9) and divides by (m - 1) once.
+    Determinism: p, q are single divisions of exact integer counts; each
+    (p - q) term is rounded to 9dp and cast to DECIMAL(38,9) BEFORE the
+    cumulative window sum, so the running sum is exact integer
+    arithmetic — identical on any engine regardless of how its window
+    sum associates additions (DuckDB evaluates running sums via segment
+    trees, tree-order float addition; Spark folds sequentially — with
+    float terms a ulp difference landing on a rounding boundary could
+    flip the result, r9 ADVICE).  The per-cell |cum| fold and the final
+    divide-by-(m - 1) then operate on exact decimals, rounded once.
 
     Scale: one shuffle to (dims, value) counts; the global value table
     (m rows) broadcasts into a |cells| × m grid — aggregated data, never
@@ -185,11 +190,14 @@ def tcloseness_report(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(
-        F.col("c").cast("double") / F.col("n_rows").cast("double") - F.col("q")
+        F.round(
+            F.col("c").cast("double") / F.col("n_rows").cast("double")
+            - F.col("q"),
+            9,
+        ).cast("decimal(38,9)")
     ).over(w)
     emd = (
-        F.sum(F.round(F.abs(F.col("cum")), 9).cast("decimal(38,9)"))
-        .cast("double")
+        F.sum(F.abs(F.col("cum"))).cast("double")
         / (F.max("m") - F.lit(1)).cast("double")
     )
     return (

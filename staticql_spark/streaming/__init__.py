@@ -834,6 +834,13 @@ def stream_qsketch_grouped(
     cannot bias the sketch.  Batch fallback computes the same columns
     for twin tests / oracles (quantile rank = max(1, ceil(q * n)) over
     the sketch ordered by (v, h), identical arithmetic in both paths).
+
+    Contract: ``key_col`` is a unique, immutable-value row key.  If that
+    is violated — a key re-delivered with a DIFFERENT value, or two keys
+    colliding on the 60-bit hash — both paths resolve the hash's value
+    with the same order-free policy, MIN value per (group, hash), so the
+    streaming result still cannot depend on micro-batch arrival order
+    and still equals the batch fallback (r9 ADVICE).
     """
     import pandas as pd
 
@@ -849,7 +856,8 @@ def stream_qsketch_grouped(
     if not keyed.isStreaming:
         from pyspark.sql import Window as W
 
-        dedup = keyed.select("grp", "h", "v").distinct()
+        # min-v-per-hash: the shared, order-free tie policy (see docstring)
+        dedup = keyed.groupBy("grp", "h").agg(F.min("v").alias("v"))
         w = W.partitionBy("grp").orderBy("h")
         sk = dedup.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= k
@@ -886,7 +894,10 @@ def stream_qsketch_grouped(
         pairs = dict(zip(hs, vs))
         for pdf in pdf_iter:
             for h, v in zip(pdf["h"], pdf["v"]):
-                pairs[int(h)] = float(v)
+                h, v = int(h), float(v)
+                # same min-v tie policy as the batch fallback: arrival
+                # order (micro-batch boundaries) must never pick the value
+                pairs[h] = v if h not in pairs else min(pairs[h], v)
         kept = sorted(pairs.items())[:k]
         state.update(([h for h, _ in kept], [v for _, v in kept]))
         byv = sorted(kept, key=lambda p: (p[1], p[0]))

@@ -318,3 +318,20 @@ def test_manifest_driven_prefetch_gz_only_e2e(spark, content_dir, tmp_path):
         "content/recipes/recipeGroup001/001.md",
         "content/recipes/recipeGroup002/001.md",
     ]
+
+
+def test_export_jsonl_index_cardinality_contract(spark, content_dir, tmp_path):
+    """r9 verdict #3: the exporter's driver collect is the repo's one
+    unbounded collect — it must refuse loudly (naming the parquet path)
+    when a source's index entries exceed the contract, instead of OOMing
+    the driver at corpus scale."""
+    site = tmp_path / "overflow_site"
+    site.mkdir()
+    local = define(CONFIG)(base_dir=str(content_dir), spark=spark)
+    with pytest.raises(ValueError, match="save_indexes"):
+        export_jsonl_index(local, str(site), max_entries=2)
+    # nothing partially written for the failing source tree
+    assert not list(site.rglob("_index.jsonl"))
+    # the same corpus under the default ceiling still exports fine
+    export_jsonl_index(local, str(site))
+    assert list(site.rglob("_index.jsonl"))

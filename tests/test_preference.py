@@ -192,11 +192,14 @@ def test_bt_reliability_near_calibrated_on_exact_bt_data(spark):
 
 
 def test_rater_consensus_modal_agreement_and_ties(spark):
-    # item 1: majority "b" (2 vs 1); item 2: TIE a/b -> smallest ("a")
-    # rater 0 matches consensus everywhere; rater 1 never does
+    # item 1: majority "b" (2 vs 1); item 2: TIE a/b -> smallest ("a");
+    # item 3: SINGLETON — excluded (n_i >= 2, the fleiss_kappa floor),
+    # so rater 1's trivial self-agreement must not inflate their rate
+    # and rater 2 (singleton-only) gets no row at all (r9 ADVICE)
     rows = [
         (1, 0, "b"), (1, 0, "b"), (1, 1, "a"),
         (2, 0, "a"), (2, 1, "b"),
+        (3, 1, "c"), (4, 2, "a"),
     ]
     df = spark.createDataFrame(rows, "item: long, rater: long, cat: string")
     got = {

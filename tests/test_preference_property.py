@@ -165,11 +165,17 @@ def test_tcloseness_property_matches_twin(spark, rows):
     for cell in {c for c, _ in rows}:
         mine = [s for c, s in rows if c == cell]
         n = len(mine)
-        cum, terms = 0.0, []
+        # the operator's exact fold (r9 ADVICE): each (p - q) term is
+        # 9dp-rounded HALF_UP (Spark F.round semantics on doubles) and
+        # accumulated in Decimal, so the twin is order-free like the op
+        cum, terms = Decimal(0), []
         for v in vals:
-            cum += sum(1 for s in mine if s == v) / float(n) - q[v]
+            term = Decimal(
+                sum(1 for s in mine if s == v) / float(n) - q[v]
+            ).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+            cum += term
             terms.append(abs(cum))
-        emd = r6(dsum(terms) / (m - 1)) if m > 1 else 0.0
+        emd = r6(float(sum(terms)) / (m - 1)) if m > 1 else 0.0
         want[cell] = (n, emd)
     assert got == want
 
