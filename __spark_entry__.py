@@ -4258,6 +4258,62 @@ def q_events_bt_reliability(spark, sf):
     return preference.bt_reliability(comps, ratings, buckets=5)
 
 
+def _pref_comparisons_ties(events):
+    """Ties variant of :func:`_pref_comparisons` for the Rao-Kupper
+    operator: same item derivation (a = event_id % 24,
+    b = (event_id div 24) % 24, a != b, cycling counter
+    t = event_id div 576), but the residue r = t % (a + b + 4) now
+    carves THREE outcomes — a wins iff r <= a, TIE iff r in
+    {a+1, a+2}, else b wins — so P(a wins) : P(tie) : P(b wins)
+    converges to (a+1) : 2 : (b+1), a monotone ground truth with a
+    real draw mass.  Pure integer arithmetic, mirrored verbatim in the
+    DuckDB oracle (_PREF_CWT)."""
+    c = events.select(
+        (F.col("event_id") % 24).alias("a"),
+        F.expr("(event_id div 24) % 24").alias("b"),
+        F.expr("event_id div 576").alias("t"),
+    ).filter(F.col("a") != F.col("b"))
+    r = F.col("t") % (F.col("a") + F.col("b") + 4)
+    return c.select(
+        F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"),
+        F.when(r <= F.col("a"), F.lit(0))
+        .when(r <= F.col("a") + 2, F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("outcome"),
+    )
+
+
+def q_events_bt_ties(spark, sf):
+    # Bradley-Terry WITH ties (new r10, Rao-Kupper 1967 via Hunter 2004
+    # §4): arena data has draws and plain BT must discard them; here a
+    # tie credits both items' numerators and the tie-propensity theta
+    # is estimated jointly (closed-form g + sqrt(g^2+1) update).  Same
+    # plan contract as bt_ratings: one map-side-combined pair-count
+    # shuffle, broadcast rating vector per MM iteration.
+    from staticql_spark.operators import preference
+
+    return preference.bt_ties(
+        _pref_comparisons_ties(_t(spark, sf, "events")), iters=5, alpha=0.5
+    )
+
+
+def q_events_rater_bias(spark, sf):
+    # per-rater severity/leniency (new r10, roadmap #7's second half):
+    # each rater's mean gap vs the leave-one-out mean of the item's
+    # other raters — the numeric sibling of rater_consensus, singleton
+    # items excluded by the same n_i >= 2 floor.  item = user_id,
+    # rater = event_id % 7, score = value.
+    from staticql_spark.operators import preference
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").alias("item"),
+        (F.col("event_id") % 7).alias("rater"),
+        F.col("value").alias("score"),
+    )
+    return preference.rater_bias(ev)
+
+
 def q_events_rater_agreement(spark, sf):
     # Fleiss' kappa label-quality gate (new r9): item = user_id (do a
     # user's observations agree with each other), category =
@@ -4290,6 +4346,41 @@ def q_events_rater_agreement(spark, sf):
 # greens, max driver-signal staleness registry-wide is <=5 rounds (r4
 # vintage), and the remaining 43 r4-vintage keys are the committed r10
 # backfill head.
+# r10 window (r9 verdict #2 + #8), same rotation policy: (1) 2 new keys
+# (events_bt_ties — Rao-Kupper BT with ties; events_rater_bias — per-
+# rater leave-one-out severity), (2) 4 changed-in-r10 keys
+# (dedup_incremental: adaptive verify width; stream_qsketch: shared
+# min-v tie policy; events_rater_consensus: n_i >= 2 floor;
+# events_tcloseness: exact decimal window fold), (3) the COMMITTED
+# 43-key r4-vintage backfill head (verbatim from COVERAGE.md's r9
+# freshness ledger), (4) 1 r5-vintage stalest-green key in registry
+# order (doc_mixture_epochs) to fill the 50.  After r10 greens, max
+# driver-signal staleness registry-wide stays <=5 rounds (r5 vintage),
+# and the remaining 37 r5-vintage keys head the committed r11 backfill.
+_R10_HEAD = [
+    # -- new in r10 (rank with changed keys) --
+    "events_bt_ties", "events_rater_bias",
+    # -- changed in r10 --
+    "dedup_incremental", "stream_qsketch", "events_rater_consensus",
+    "events_tcloseness",
+    # -- committed r4-vintage backfill (r9 verdict #2, verbatim) --
+    "cm_heavy_hitters", "full_outer_activity", "events_props_json",
+    "scalar_subquery", "union_distinct", "salted_hot_key_agg",
+    "doc_tokens", "doc_quality", "doc_quality_filter", "doc_lang",
+    "doc_fingerprint", "doc_winnow", "doc_pii", "doc_repetition",
+    "doc_decontaminate", "doc_normalize", "doc_term_df", "doc_selfdedup",
+    "corpus_report", "doc_bm25", "embedding_quantize", "cube_rollup",
+    "pivot_priority", "stratified_sample", "doc_split", "dedup_exact",
+    "dedup_minhash_sig", "dedup_minhash_lsh", "grouping_sets_agg",
+    "dedup_ngram_jaccard", "dedup_simhash", "simhash_pairs",
+    "ann_cosine_topk", "ann_quantized", "embedding_neardup", "ann_lsh",
+    "ann_ivf", "stream_first_seen", "rollup_agg",
+    "order_value_percentiles", "exists_subquery", "anti_join",
+    "conditional_pivot",
+    # -- r5-vintage stalest-green fill (registry order; 1 slot left) --
+    "doc_mixture_epochs",
+]
+
 _R9_HEAD = [
     # -- new in r9 (rank with changed keys) --
     "embedding_mrl_recall", "events_ab_cuped",
@@ -4640,17 +4731,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_qsketch": q_stream_qsketch,
         "events_bt_reliability": q_events_bt_reliability,
         "events_rater_consensus": q_events_rater_consensus,
+        # new in r10
+        "events_bt_ties": q_events_bt_ties,
+        "events_rater_bias": q_events_rater_bias,
     }
-    # r9 rotation: changed-code keys first (they run unverified code),
-    # then the committed r3 backfill + r4-vintage stalest fill
-    # (_R9_HEAD, see the policy comment there), then the r8/r7 ordering
-    # for the tail.  Keys are asserted present so a typo fails loudly
-    # rather than silently shrinking the head.
-    for ledger in (_R9_HEAD, _R8_HEAD, _R7_HEAD):
+    # r10 rotation: new/changed-code keys first (they run unverified
+    # code), then the committed r4 backfill + r5-vintage stalest fill
+    # (_R10_HEAD, see the policy comment there), then the r9/r8/r7
+    # ordering for the tail.  Keys are asserted present so a typo fails
+    # loudly rather than silently shrinking the head.
+    for ledger in (_R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R9_HEAD}
-    mid = {k: q[k] for k in _R8_HEAD + _R7_HEAD if k not in head}
+    head = {k: q[k] for k in _R10_HEAD}
+    mid = {k: q[k] for k in _R9_HEAD + _R8_HEAD + _R7_HEAD if k not in head}
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
     return {**head, **mid, **tail}
 
@@ -9852,6 +9946,36 @@ def _oracle_sql_literal() -> dict[str, str]:
         # _pref_comparisons); BT twin unrolled by _bt_sql.
         "events_bt_ratings": _bt_sql(5, 0.5),
         "events_bt_reliability": _bt_reliability_sql(5, 0.5, 5),
+        # new r10: Rao-Kupper BT with ties, unrolled by _bt_ties_sql
+        # over the _PREF_CWT three-outcome derivation
+        "events_bt_ties": _bt_ties_sql(5, 0.5),
+        "events_rater_bias": """
+            WITH base AS (
+              SELECT user_id AS item, event_id % 7 AS rater,
+                     round(CAST(value AS DOUBLE), 6) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            per_item AS (
+              SELECT item, sum(CAST(v AS DECIMAL(38,6))) AS isum,
+                     count(*)::BIGINT AS n_i
+              FROM base GROUP BY item
+            ),
+            -- leave-one-out peer mean; singleton items excluded (the
+            -- fleiss_kappa / rater_consensus n_i >= 2 floor)
+            j AS (
+              SELECT rater, v,
+                     v - (CAST(isum AS DOUBLE) - v)
+                         / CAST(n_i - 1 AS DOUBLE) AS gap
+              FROM base JOIN per_item USING (item)
+              WHERE n_i >= 2
+            )
+            SELECT rater, count(*)::BIGINT AS n_scored,
+                   round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*), 6) AS mean_score,
+                   round(CAST(sum(CAST(round(gap, 9) AS DECIMAL(38,9)))
+                         AS DOUBLE) / count(*), 6) AS mean_gap
+            FROM j GROUP BY rater
+        """,
         "events_rater_consensus": """
             WITH base AS (
               SELECT user_id AS item, event_id % 7 AS rater,
@@ -10127,6 +10251,135 @@ def _bt_sql(iters: int = 5, alpha: float = 0.5) -> str:
             SELECT pi{iters}.i::BIGINT AS item, wins.n_comps,
                    wins.wins_raw AS wins, round(pi{iters}.pi, 6) AS rating
             FROM pi{iters} JOIN wins ON pi{iters}.i = wins.i
+        """
+
+
+_PREF_CWT = """compst AS (
+              SELECT event_id % 24 AS a, (event_id // 24) % 24 AS b,
+                     event_id // 576 AS t
+              FROM events
+              WHERE event_id % 24 <> (event_id // 24) % 24
+            ),
+            cwt AS (
+              SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                     CASE WHEN t % (a + b + 4) > a AND t % (a + b + 4) <= a + 2
+                          THEN 1 ELSE 0 END AS tied,
+                     CASE WHEN t % (a + b + 4) <= a
+                            THEN (CASE WHEN a < b THEN 1 ELSE 0 END)
+                          WHEN t % (a + b + 4) > a + 2
+                            THEN (CASE WHEN a < b THEN 0 ELSE 1 END)
+                          ELSE 0 END AS lo_won
+              FROM compst
+            )"""
+
+
+def _bt_ties_sql(iters: int = 5, alpha: float = 0.5) -> str:
+    """SQL twin of q_events_bt_ties: preference.bt_ties' Rao-Kupper MM
+    unrolled (Hunter 2004 §4).  Same alpha smoothing on wins AND ties,
+    same 9dp DECIMAL(38,9) folds, mean-1 rescale and per-iteration
+    round(·, 9) barriers on pi and theta; sqrt is IEEE-exact, so both
+    engines walk the identical (pi, theta) trajectory.  Every
+    multiply-referenced CTE is AS MATERIALIZED (the _bt_ctes lesson:
+    DuckDB otherwise re-inlines the iteration chain exponentially)."""
+    ctes = [
+        _PREF_CWT,
+        f"""undt AS MATERIALIZED (
+              SELECT lo, hi,
+                     sum(lo_won)::DOUBLE + {alpha} AS wlo,
+                     sum(1 - lo_won - tied)::DOUBLE + {alpha} AS whi,
+                     sum(tied)::DOUBLE + {alpha} AS t,
+                     count(*)::BIGINT AS n_raw,
+                     sum(lo_won)::BIGINT AS wlo_raw,
+                     sum(tied)::BIGINT AS t_raw
+              FROM cwt GROUP BY 1, 2
+            )""",
+        """dirt AS MATERIALIZED (
+              SELECT lo AS i, hi AS j, wlo + t AS a FROM undt
+              UNION ALL
+              SELECT hi AS i, lo AS j, whi + t AS a FROM undt
+            )""",
+        """countst AS MATERIALIZED (
+              SELECT i, sum(n)::BIGINT AS n_comps, sum(w)::BIGINT AS wins,
+                     sum(tt)::BIGINT AS ties
+              FROM (
+                SELECT lo AS i, n_raw AS n, wlo_raw AS w, t_raw AS tt FROM undt
+                UNION ALL
+                SELECT hi AS i, n_raw AS n, n_raw - wlo_raw - t_raw AS w,
+                       t_raw AS tt FROM undt
+              ) GROUP BY i
+            )""",
+        "numt AS MATERIALIZED (SELECT i, sum(a) AS numer FROM dirt GROUP BY i)",
+        "tott AS MATERIALIZED (SELECT sum(t) AS bigt FROM undt)",
+        "tpi0 AS MATERIALIZED (SELECT i, 1.0 AS pi FROM numt)",
+        "th0 AS MATERIALIZED (SELECT 2.0 AS theta)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""tx{k} AS MATERIALIZED (
+              SELECT d.i, d.j,
+                     d.a / (pa.pi + th.theta * pb.pi) AS x,
+                     th.theta * (d.a / (pa.pi + th.theta * pb.pi)) AS tx
+              FROM dirt d
+              JOIN tpi{k - 1} pa ON d.i = pa.i
+              JOIN tpi{k - 1} pb ON d.j = pb.i
+              CROSS JOIN th{k - 1} th
+            )"""
+        )
+        ctes.append(
+            f"""tden{k} AS MATERIALIZED (
+              SELECT k_, CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9)))
+                         AS DOUBLE) AS den
+              FROM (
+                SELECT i AS k_, x AS c FROM tx{k}
+                UNION ALL
+                SELECT j AS k_, tx AS c FROM tx{k}
+              ) GROUP BY k_
+            )"""
+        )
+        ctes.append(
+            f"traw{k} AS MATERIALIZED (SELECT numt.i, numt.numer / tden{k}.den "
+            f"AS praw FROM numt JOIN tden{k} ON numt.i = tden{k}.k_)"
+        )
+        ctes.append(
+            f"""ts{k} AS MATERIALIZED (
+              SELECT CAST(sum(CAST(round(praw, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s,
+                     count(*)::BIGINT AS n_items
+              FROM traw{k}
+            )"""
+        )
+        ctes.append(
+            f"tpi{k} AS MATERIALIZED (SELECT i, round(praw * n_items / s, 9) AS pi "
+            f"FROM traw{k}, ts{k})"
+        )
+        # theta update at the NEW pi, OLD theta (the operator's cyclic order)
+        ctes.append(
+            f"""tbigs{k} AS MATERIALIZED (
+              SELECT CAST(sum(CAST(round(
+                       d.a * pb.pi / (pa.pi + th.theta * pb.pi), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS s
+              FROM dirt d
+              JOIN tpi{k} pa ON d.i = pa.i
+              JOIN tpi{k} pb ON d.j = pb.i
+              CROSS JOIN th{k - 1} th
+            )"""
+        )
+        ctes.append(
+            f"""th{k} AS MATERIALIZED (
+              SELECT round(bigt / s + sqrt((bigt / s) * (bigt / s) + 1.0), 9)
+                     AS theta
+              FROM tott, tbigs{k}
+            )"""
+        )
+    chain = ",\n            ".join(ctes)
+    return f"""
+            WITH {chain}
+            SELECT tpi{iters}.i::BIGINT AS item, countst.n_comps,
+                   countst.wins, countst.ties,
+                   round(tpi{iters}.pi, 6) AS rating,
+                   round(th{iters}.theta, 6) AS theta
+            FROM tpi{iters}
+            JOIN countst ON tpi{iters}.i = countst.i
+            CROSS JOIN th{iters}
         """
 
 

@@ -235,6 +235,9 @@ HEADLINE = [
     "stream_qsketch",
     "events_bt_reliability",
     "events_rater_consensus",
+    # new in r10
+    "events_bt_ties",
+    "events_rater_bias",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —
@@ -294,11 +297,41 @@ CORE = HEADLINE[:35] + [
 ]
 
 
+def _sentinel(spark):
+    """Fixed-work drift sentinel (r9 verdict #5): a constant-size synthetic
+    aggregate — 64M generated rows hashed onto 9973 keys, one map-side-
+    combined shuffle — with ZERO dependence on sf or any parquet input.
+    Its time moves only with host conditions (CPU contention, page cache,
+    JVM state), so cross-round per-query comparisons should normalize by
+    the sentinel ratio instead of inferring drift from trivial-key
+    medians (the r5->r6 and r8->r9 drift episodes, SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 64_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            F.xxhash64(F.col("id")).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v") % 1000).alias("s"))
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # sentinel first (before any parquet warmup touches the page cache):
+    # best-of-3 like every query; rep 1 eats codegen compile as usual
+    sruns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sentinel(spark).write.format("noop").mode("overwrite").save()
+        sruns.append(round(time.perf_counter() - t0, 3))
+    sentinel_sec = min(sruns)
 
     queries = entry.queries()
     # JVM/codegen/scan warmup: touch every table once so timings measure
@@ -368,6 +401,13 @@ def main() -> None:
         "construct_total": construct_total,
         "artifact_build_sec": artifact_build,
         "artifact_build_total": artifact_build_total,
+        "sentinel_sec": sentinel_sec,
+        "sentinel_reps": sruns,
+        "sentinel_note": (
+            "fixed-work 64M-row synthetic agg, sf-independent; divide a "
+            "round's sentinel_sec by another round's to get the host-drift "
+            "factor, then judge per-query ratios against THAT"
+        ),
         # keys benched at probe cost over a shared persisted artifact
         # (r8 rewires): cross-round per-key diffs must not read their
         # derive->probe switch as an engine speedup (r8 ADVICE #4)
@@ -409,6 +449,9 @@ def main() -> None:
         "n_queries": len(timings),
         "construct_total": construct_total,
         "artifact_build_total": artifact_build_total,
+        # fixed-work drift sentinel: sf-independent 64M-row agg; normalize
+        # cross-round per-query ratios by the sentinel ratio (r9 verdict #5)
+        "sentinel_sec": sentinel_sec,
         "spread": {
             "max_ratio": rvals[-1],
             "median_ratio": rvals[len(rvals) // 2],

@@ -345,7 +345,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    verified = verify_jaccard(cands, dsh, id_col)
+    # Adaptive verify width (r10): the full build's verify join is the
+    # same measured spill site as the incremental path's — on a dup-heavy
+    # corpus the pair mass dwarfs the doc count and the default-width
+    # shuffled-hash maps spill (the 500k near-replica soak measured the
+    # full build at 110 s, dominated by this join).  Same policy as
+    # incremental_lsh_pairs: persist the cheap pair frame, count it, and
+    # widen only past ~100k pairs/partition (tiny corpora keep the
+    # default width and skip the repartition entirely).
+    cands = cands.persist()
+    sc = df.sparkSession.sparkContext
+    want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
+    wide = (
+        min(want, sc.defaultParallelism * 8)
+        if want > sc.defaultParallelism
+        else None
+    )
+    verified = verify_jaccard(cands, dsh, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -750,3 +750,24 @@ def test_fleiss_kappa_count_shuffles_and_scalar_folds(spark):
     p = plan(entrymod.q_events_rater_agreement(spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p  # the 1-row p_e / tot joins
+
+
+def test_bt_ties_broadcast_iterations_no_cartesian(spark):
+    # r10 Rao-Kupper BT: same contract as bt_ratings — the raw outcomes
+    # cross ONE map-side-combined shuffle into unordered pair counts;
+    # every MM iteration broadcasts the rating vector and theta (1-row)
+    # into the O(pairs) directed table; localCheckpoint lineage cuts
+    # keep earlier iterations out of the final plan
+    p = plan(entrymod.q_events_bt_ties(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "events.parquet" not in p, p  # no raw re-scan across iterations
+
+
+def test_rater_bias_single_item_shuffle_then_rater_agg(spark):
+    # one (item) sum/count exchange, one item-keyed equi join back onto
+    # the scores, one rater-keyed aggregate — no windows over raw rows,
+    # no CartesianProduct
+    p = plan(entrymod.q_events_rater_bias(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p

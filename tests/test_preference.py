@@ -207,3 +207,121 @@ def test_rater_consensus_modal_agreement_and_ties(spark):
         for r in preference.rater_consensus(df).collect()
     }
     assert got == {0: (3, 3, 1.0), 1: (2, 0, 0.0)}
+
+
+def bt_ties_twin(comps, iters=5, alpha=0.5):
+    """Pure-Python MM twin of preference.bt_ties (Rao-Kupper 1967 via
+    Hunter 2004 §4), Decimal folds matching the operator's barriers."""
+    und: dict[tuple[int, int], list[float]] = {}
+    for a, b, o in comps:
+        lo, hi = min(a, b), max(a, b)
+        rec = und.setdefault((lo, hi), [alpha, alpha, alpha])
+        if o == 2:
+            rec[2] += 1.0
+        elif (a < b) == (o == 0):  # the lower-id item won
+            rec[0] += 1.0
+        else:
+            rec[1] += 1.0
+    dir_: dict[int, list[tuple[int, float]]] = {}
+    numer: dict[int, float] = {}
+    bigt = 0.0
+    for (lo, hi), (wlo, whi, t) in und.items():
+        dir_.setdefault(lo, []).append((hi, wlo + t))
+        dir_.setdefault(hi, []).append((lo, whi + t))
+        numer[lo] = numer.get(lo, 0.0) + wlo + t
+        numer[hi] = numer.get(hi, 0.0) + whi + t
+        bigt += t
+    pi = {i: 1.0 for i in dir_}
+    theta = 2.0
+    n_items = len(pi)
+    for _ in range(iters):
+        terms: dict[int, list[float]] = {i: [] for i in dir_}
+        for i, edges in dir_.items():
+            for j, a in edges:
+                x = a / (pi[i] + theta * pi[j])
+                terms[i].append(x)
+                terms[j].append(theta * x)
+        praw = {i: numer[i] / dsum(terms[i]) for i in dir_}
+        s = dsum(praw.values())
+        pi = {i: r9(p * n_items / s) for i, p in praw.items()}
+        big_s = dsum(
+            a * pi[j] / (pi[i] + theta * pi[j])
+            for i, edges in dir_.items()
+            for j, a in edges
+        )
+        g = bigt / big_s
+        theta = r9(g + math.sqrt(g * g + 1.0))
+    return {i: r6(p) for i, p in pi.items()}, r6(theta)
+
+
+def test_bt_ties_matches_python_twin(spark):
+    # deterministic synthetic outcomes over 5 items: stronger items win
+    # proportionally more; every third residual comparison is a TIE
+    comps = []
+    for i in range(5):
+        for j in range(i):
+            for t in range(12):
+                r = t % (i + j + 4)
+                if r <= j:
+                    comps.append((i, j, 1))      # j (weaker id) wins
+                elif r <= j + 2:
+                    comps.append((i, j, 2))      # tie
+                else:
+                    comps.append((i, j, 0))      # i wins
+    df = spark.createDataFrame(comps, "item_a: long, item_b: long, outcome: int")
+    rows = {r["item"]: r for r in preference.bt_ties(df, iters=5).collect()}
+    want_pi, want_theta = bt_ties_twin(comps, iters=5)
+    assert {i: r["rating"] for i, r in rows.items()} == want_pi
+    assert all(r["theta"] == want_theta for r in rows.values())
+    assert want_theta > 1.0  # ties present -> tie propensity off boundary
+    # counts are raw (unsmoothed) and consistent
+    n_ties = sum(1 for c in comps if c[2] == 2)
+    assert sum(r["ties"] for r in rows.values()) == 2 * n_ties
+    assert sum(r["n_comps"] for r in rows.values()) == 2 * len(comps)
+    # the 12-comparison cycle only approximates the (i+1)/(j+1) odds, so
+    # mid-ids can swap — but the extremes must order correctly
+    ordered = [rows[i]["rating"] for i in range(5)]
+    assert ordered[0] == min(ordered) and ordered[0] < ordered[4]
+    # mean-1 normalization (up to 6dp output rounding)
+    assert abs(sum(ordered) / 5 - 1.0) < 1e-5
+
+
+def test_bt_ties_all_ties_and_no_ties(spark):
+    # all ties: every item identical -> equal mean-1 ratings, theta large
+    df = spark.createDataFrame(
+        [(0, 1, 2)] * 4 + [(1, 2, 2)] * 4 + [(0, 2, 2)] * 4,
+        "item_a: long, item_b: long, outcome: int",
+    )
+    rows = {r["item"]: r for r in preference.bt_ties(df).collect()}
+    assert {r["rating"] for r in rows.values()} == {1.0}
+    assert all(r["wins"] == 0 and r["ties"] == 8 for r in rows.values())
+    # no ties at all: smoothing keeps theta finite and ratings ordered
+    df2 = spark.createDataFrame(
+        [(1, 0, 0)] * 6 + [(2, 1, 0)] * 6 + [(2, 0, 0)] * 6,
+        "item_a: long, item_b: long, outcome: int",
+    )
+    rows2 = {r["item"]: r for r in preference.bt_ties(df2).collect()}
+    assert rows2[0]["rating"] < rows2[1]["rating"] < rows2[2]["rating"]
+    assert all(r["ties"] == 0 for r in rows2.values())
+    assert rows2[0]["theta"] >= 1.0
+
+
+def test_rater_bias_leave_one_out(spark):
+    # item 10 scored by raters {0: 4.0, 1: 2.0} -> gaps +2.0 / -2.0;
+    # item 11 by {0: 3.0, 1: 3.0, 2: 0.0} -> peer means 1.5/1.5/3.0,
+    # gaps +1.5/+1.5/-3.0; item 12 is a SINGLETON -> excluded entirely
+    rows = [
+        (10, 0, 4.0), (10, 1, 2.0),
+        (11, 0, 3.0), (11, 1, 3.0), (11, 2, 0.0),
+        (12, 2, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "item: long, rater: long, score: double")
+    got = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in preference.rater_bias(df).collect()
+    }
+    assert got == {
+        0: (2, 3.5, 1.75),   # gaps +2.0, +1.5 -> mean 1.75
+        1: (2, 2.5, -0.25),  # gaps -2.0, +1.5 -> mean -0.25
+        2: (1, 0.0, -3.0),   # the singleton 99.0 never enters
+    }
