@@ -4182,6 +4182,37 @@ def q_events_win_matrix(spark, sf):
     return preference.win_matrix(_pref_comparisons(_t(spark, sf, "events")))
 
 
+def q_events_arena_sliding(spark, sf):
+    # Sliding-window arena leaderboard (new r10, the r9 roadmap's
+    # remaining preference-depth item): win_matrix per overlapping
+    # 7-day window sliding 2 days — windowed win rates with Wilson 95%
+    # lower bounds, the recent-evidence readout a live arena ranks by.
+    # Comparisons derive from events via the _pref_comparisons integer
+    # scheme with each comparison stamped at its event's epoch-µs;
+    # window membership is exact LONG floor-division (pmod idiom), so
+    # boundary timestamps bucket identically in Spark and DuckDB.
+    from staticql_spark.operators import preference
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    c = ev.select(
+        asof.epoch_us(ev, "ts").alias("t_us"),
+        (F.col("event_id") % 24).alias("a"),
+        F.expr("(event_id div 24) % 24").alias("b"),
+        F.expr("event_id div 576").alias("t"),
+    ).filter(F.col("a") != F.col("b"))
+    a_wins = (F.col("t") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+    comps = c.select(
+        "t_us",
+        F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+    return preference.arena_sliding(
+        comps,
+        window_us=7 * 86400 * 1_000_000,
+        slide_us=2 * 86400 * 1_000_000,
+    )
+
+
 def q_events_rater_consensus(spark, sf):
     # per-rater consensus agreement (late r9, roadmap #3): each rater's
     # share of labels matching the item's modal label (ties -> smallest
@@ -4359,7 +4390,7 @@ def q_events_rater_agreement(spark, sf):
 # and the remaining 37 r5-vintage keys head the committed r11 backfill.
 _R10_HEAD = [
     # -- new in r10 (rank with changed keys) --
-    "events_bt_ties", "events_rater_bias",
+    "events_bt_ties", "events_rater_bias", "events_arena_sliding",
     # -- changed in r10 --
     "dedup_incremental", "stream_qsketch", "events_rater_consensus",
     "events_tcloseness",
@@ -4377,8 +4408,9 @@ _R10_HEAD = [
     "ann_ivf", "stream_first_seen", "rollup_agg",
     "order_value_percentiles", "exists_subquery", "anti_join",
     "conditional_pivot",
-    # -- r5-vintage stalest-green fill (registry order; 1 slot left) --
-    "doc_mixture_epochs",
+    # (the r5-vintage fill slot went to the late-r10 new key
+    # events_arena_sliding; doc_mixture_epochs re-enters the r11
+    # backfill head with the other r5-vintage keys)
 ]
 
 _R9_HEAD = [
@@ -4734,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r10
         "events_bt_ties": q_events_bt_ties,
         "events_rater_bias": q_events_rater_bias,
+        "events_arena_sliding": q_events_arena_sliding,
     }
     # r10 rotation: new/changed-code keys first (they run unverified
     # code), then the committed r4 backfill + r5-vintage stalest fill
@@ -10026,6 +10059,54 @@ def _oracle_sql_literal() -> dict[str, str]:
                          / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
             FROM calc
         """,
+        # Sliding-window arena: windows are [k*S, k*S+W); a comparison
+        # at tus lands in windows floor((tus-W)/S)+1 .. floor(tus/S),
+        # with floor division spelled via the pmod idiom
+        # (x - pmod(x, S)) / S so it is exact for any sign on any
+        # engine — the twin of preference.arena_sliding's
+        # _floordiv_long.  Wilson arithmetic mirrors events_win_matrix.
+        "events_arena_sliding": f"""
+            WITH comps AS (
+              SELECT epoch_us(ts)::BIGINT AS tus,
+                     event_id % 24 AS a, (event_id // 24) % 24 AS b,
+                     event_id // 576 AS t
+              FROM events
+              WHERE event_id % 24 <> (event_id // 24) % 24
+            ),
+            cw AS (
+              SELECT tus,
+                     CASE WHEN t % (a + b + 2) <= a THEN a ELSE b END AS w,
+                     CASE WHEN t % (a + b + 2) <= a THEN b ELSE a END AS l
+              FROM comps
+            ),
+            ex AS (
+              SELECT u.k AS k, least(w, l) AS item_a,
+                     greatest(w, l) AS item_b,
+                     CASE WHEN w < l THEN 1 ELSE 0 END AS a_won
+              FROM cw, UNNEST(generate_series(
+                ((tus - {_ARENA_W}) - ((((tus - {_ARENA_W}) % {_ARENA_S}) + {_ARENA_S}) % {_ARENA_S})) // {_ARENA_S} + 1,
+                (tus - (((tus % {_ARENA_S}) + {_ARENA_S}) % {_ARENA_S})) // {_ARENA_S}
+              )) AS u(k)
+            ),
+            agg AS (
+              SELECT k, item_a, item_b, count(*)::BIGINT AS n,
+                     sum(a_won)::BIGINT AS wins_a
+              FROM ex GROUP BY 1, 2, 3
+            ),
+            calc AS (
+              SELECT *, CAST(n AS DOUBLE) AS nn,
+                     CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p
+              FROM agg
+            )
+            SELECT k * {_ARENA_S} AS win_start_us, item_a, item_b, n,
+                   wins_a, n - wins_a AS wins_b,
+                   round(p, 6) AS win_rate_a,
+                   round((p + (1.96 * 1.96) / (2.0 * nn)
+                          - 1.96 * sqrt((p * (1.0 - p)
+                                         + (1.96 * 1.96) / (4.0 * nn)) / nn))
+                         / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
+            FROM calc
+        """,
         "events_quantile_sketch": """
             WITH sk AS (
               SELECT ('0x' || substr(md5('qsk1|' || event_id::VARCHAR), 1, 15))::BIGINT AS h,
@@ -10169,6 +10250,11 @@ def _oracle_sql_literal() -> dict[str, str]:
 
 # Deterministic comparison derivation shared by the preference oracles —
 # mirrors __spark_entry__._pref_comparisons verbatim (integer-only).
+# arena_sliding window geometry (7-day window, 2-day slide, in µs) —
+# shared by q_events_arena_sliding and its oracle above.
+_ARENA_W = 7 * 86400 * 1_000_000
+_ARENA_S = 2 * 86400 * 1_000_000
+
 _PREF_CW = """comps AS (
               SELECT event_id % 24 AS a, (event_id // 24) % 24 AS b,
                      event_id // 576 AS t

@@ -238,6 +238,7 @@ HEADLINE = [
     # new in r10
     "events_bt_ties",
     "events_rater_bias",
+    "events_arena_sliding",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —

@@ -385,6 +385,90 @@ def win_matrix(
     )
 
 
+def arena_sliding(
+    comparisons: DataFrame,
+    time_col: str = "t_us",
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    window_us: int = 7 * 86400 * 1_000_000,
+    slide_us: int = 2 * 86400 * 1_000_000,
+    z: float = 1.96,
+    out_round: int = 6,
+    max_fanout: int = 1024,
+) -> DataFrame:
+    """Sliding-window arena matrix: :func:`win_matrix` per overlapping
+    time window -> (win_start_us, item_a, item_b, n, wins_a, wins_b,
+    win_rate_a, wilson_lb_a).
+
+    A live leaderboard needs win rates over RECENT comparisons, not the
+    all-time matrix — model updates and rater drift make month-old
+    comparisons stale evidence.  Windows are [k*slide, k*slide+window);
+    each comparison lands in the ceil(window/slide) windows containing
+    its timestamp via an in-row ``sequence`` explode (bounded fan-out,
+    guarded by ``max_fanout`` at construct time), then ONE map-side-
+    combined shuffle aggregates (window, pair) counts.  The Wilson lower
+    bound (Wilson, JASA 1927) is the same rational-ops-plus-IEEE-sqrt
+    expression as :func:`win_matrix`, so small-n windows can't outrank
+    well-sampled ones.
+
+    Window membership uses exact LONG floor division (``asof``'s pmod
+    idiom), so boundary timestamps bucket identically on any engine and
+    for pre-epoch (negative) times.  ``time_col`` is integer epoch-µs
+    (:func:`staticql_spark.operators.asof.epoch_us`).
+
+    Scale: the explode multiplies rows by at most window/slide BEFORE
+    the partial aggregate, and the partial aggregate collapses to
+    |windows| x |observed pairs| per task — the exchange never carries
+    per-comparison rows.  No window functions over raw rows, no
+    collect; downstream rank-by-bound is a filter on the result.
+    """
+    if window_us <= 0 or slide_us <= 0:
+        raise ValueError("window_us and slide_us must be positive")
+    fanout = -(-window_us // slide_us)
+    if fanout > max_fanout:
+        raise ValueError(
+            f"window/slide fan-out {fanout} exceeds max_fanout={max_fanout}; "
+            "widen the slide or raise the cap deliberately"
+        )
+    from .asof import _floordiv_long
+
+    t = F.col(time_col).cast("long")
+    w, l = F.col(winner_col).cast("long"), F.col(loser_col).cast("long")
+    k_min = _floordiv_long(t - F.lit(window_us), slide_us) + F.lit(1)
+    k_max = _floordiv_long(t, slide_us)
+    agg = (
+        ensure_parallelism(comparisons)
+        .select(
+            F.explode(F.sequence(k_min, k_max)).alias("k"),
+            F.least(w, l).alias("item_a"),
+            F.greatest(w, l).alias("item_b"),
+            (w < l).cast("int").alias("a_won"),
+        )
+        .groupBy("k", "item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("a_won").cast("long").alias("wins_a"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("wins_a").cast("double") / nn
+    z2 = F.lit(z) * F.lit(z)
+    num = p + z2 / (F.lit(2.0) * nn) - F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nn)) / nn
+    )
+    den = F.lit(1.0) + z2 / nn
+    return agg.select(
+        (F.col("k") * F.lit(slide_us)).alias("win_start_us"),
+        "item_a",
+        "item_b",
+        "n",
+        "wins_a",
+        (F.col("n") - F.col("wins_a")).alias("wins_b"),
+        F.round(p, out_round).alias("win_rate_a"),
+        F.round(num / den, out_round).alias("wilson_lb_a"),
+    )
+
+
 def fleiss_kappa(
     labels: DataFrame,
     item_col: str = "item",

@@ -771,3 +771,15 @@ def test_rater_bias_single_item_shuffle_then_rater_agg(spark):
     p = plan(entrymod.q_events_rater_bias(spark, SF_SMOKE))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "Window" not in p, p
+
+
+def test_arena_sliding_single_combinable_shuffle(spark):
+    # the explode multiplies rows by <= ceil(window/slide) in-row, then
+    # ONE map-side-combined (k, pair) aggregate; no windows over raw
+    # rows, no CartesianProduct, and the partial_count proves map-side
+    # combine before the exchange
+    p = plan(entrymod.q_events_arena_sliding(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p
+    assert p.count("hashpartitioning(") == 1, p
+    assert "partial_count" in p, p

@@ -325,3 +325,42 @@ def test_rater_bias_leave_one_out(spark):
         1: (2, 2.5, -0.25),  # gaps -2.0, +1.5 -> mean -0.25
         2: (1, 0.0, -3.0),   # the singleton 99.0 never enters
     }
+
+
+def test_arena_sliding_window_membership_and_wilson(spark):
+    # window=10µs sliding 4µs -> fan-out 3; windows are [4k, 4k+10).
+    # t=0 lands in k=-2,-1,0 (negative window starts exercise the exact
+    # floor division — truncating div would misplace these); t=9 in
+    # k=0,1,2; t=10 in k=1,2 only (right-open boundary).
+    rows = [(0, 1, 2), (9, 2, 1), (10, 1, 2)]
+    df = spark.createDataFrame(rows, "t_us: long, winner: long, loser: long")
+    got = {
+        r["win_start_us"]: (r["n"], r["wins_a"], r["win_rate_a"], r["wilson_lb_a"])
+        for r in preference.arena_sliding(df, window_us=10, slide_us=4).collect()
+    }
+    z = 1.96
+
+    def wilson(wins, n):
+        p = wins / n
+        return round(
+            (p + z * z / (2 * n) - z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+            / (1 + z * z / n),
+            6,
+        )
+
+    assert got == {
+        -8: (1, 1, 1.0, wilson(1, 1)),
+        -4: (1, 1, 1.0, wilson(1, 1)),
+        0: (2, 1, 0.5, wilson(1, 2)),
+        4: (2, 1, 0.5, wilson(1, 2)),
+        8: (2, 1, 0.5, wilson(1, 2)),
+    }
+
+
+def test_arena_sliding_fanout_guard(spark):
+    df = spark.createDataFrame([(0, 1, 2)], "t_us: long, winner: long, loser: long")
+    try:
+        preference.arena_sliding(df, window_us=1_000_000, slide_us=1, max_fanout=1024)
+        raise AssertionError("expected ValueError on 1M-window fan-out")
+    except ValueError as e:
+        assert "fan-out" in str(e)
