@@ -1181,12 +1181,20 @@ def _artifact(spark, key: tuple, build):
     6dp-rounded doubles), so the parquet hop is value-exact and the
     oracle twins, which replay the derivation inline, still hash-match
     (locked for the PQ case by test_pq_append_equals_full_rebuild)."""
+    from staticql_spark import snapshots
+
     path = _ARTIFACT_CACHE.get(key)
     if path is None:
         path = _artifact_dir(f"staticql_{key[0]}_")
-        build().write.mode("overwrite").parquet(path)
+        # r10 (r9 roadmap #2): through the snapshot facade's generic
+        # "frame" kind — every ad-hoc artifact now carries the same
+        # XOR-digest manifest as the named index families, and the
+        # first load integrity-verifies it (the torn-write guard runs
+        # on every bench/driver process, not only in the facade tests).
+        snapshots.snapshot_build(build(), path, "frame", name=key[0])
         _ARTIFACT_CACHE[key] = path
-    return spark.read.parquet(path)
+        return snapshots.snapshot_load(spark, path, verify=True)
+    return snapshots.snapshot_load(spark, path)
 
 
 def artifact_consumer_keys() -> list[str]:

@@ -83,6 +83,9 @@ PICKS = [
     ("events_quantile_sketch (TakeOrdered bottom-k heaps; quantile reads on <= k rows)", "events_quantile_sketch"),
     ("events_bt_reliability (pair counts + broadcast ratings; |pairs|-row bucket agg)", "events_bt_reliability"),
     ("events_rater_consensus (item-mode window bounded by |cats|; one item join + rater agg)", "events_rater_consensus"),
+    ("events_bt_ties (Rao-Kupper BT: one pair-count shuffle; p and theta broadcast per MM iteration)", "events_bt_ties"),
+    ("events_rater_bias (one item sum/count shuffle; item-keyed join back; rater agg)", "events_rater_bias"),
+    ("events_arena_sliding (bounded in-row window explode; ONE combinable (k,pair) count shuffle)", "events_arena_sliding"),
 ]
 
 

@@ -1,0 +1,104 @@
+"""r10 soak at the sf10-equivalent corpora (500k docs / 8k vectors —
+the deterministic soak_r5b build): the SOAK_r9 protocol verbatim
+(artifact builds timed explicitly, then the consumers best-of-2 with a
+noop sink) so r9->r10 deltas isolate the r10 changes: the adaptive
+counted verify-join width in BOTH the full minhash_lsh_pairs build
+(the 110-of-224s dominant soak cost, r9 verdict #4) and the
+incremental probe (r9 verdict #1), with the soak gate: dedup_incremental
+exec <= ~31 s must not regress while the sf0.1 bench shape recovers.
+Writes SOAK_r10.json at the repo root.
+
+Usage: python scripts/soak_r10.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from staticql_spark.session import get_spark
+from scripts.soak_r5b import OUT, build as build_docs
+from scripts.soak_events import build as build_events
+
+CONSUMERS = [
+    # r10-changed keys first
+    "doc_chunk_dedup",
+    "dedup_incremental",
+    "dedup_chunk_incremental",
+    # artifact-consumer families (SOAK_r8 comparables)
+    "doc_contamination_by_source",
+    "doc_decontaminate_excise",
+    "dedup_semantic",
+    "dedup_semantic_keep",
+    "dedup_components",
+    "dedup_canonical_meta",
+    "dedup_cluster_stats",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "stream_pq_neardup",
+    "kmeans_inertia",
+    "dedup_semantic_incr",
+]
+
+
+def main():
+    spark = get_spark("soak_r10")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_docs(spark)
+    # build_artifacts also builds the events-derived LPA prior, so the
+    # (gitignored, rebuildable) 10M-row events corpus must exist too
+    build_events(spark)
+    n_docs = spark.read.parquet(f"{OUT}/documents.parquet").count()
+    n_vec = spark.read.parquet(f"{OUT}/embeddings.parquet").count()
+    print(f"corpus: {n_docs} docs, {n_vec} vectors", flush=True)
+
+    t0 = time.perf_counter()
+    builds = entry.build_artifacts(spark, OUT)
+    print(f"artifact builds ({time.perf_counter()-t0:.1f}s total): {builds}",
+          flush=True)
+
+    qs = entry.queries()
+    results = {}
+
+    def timed(name, thunk):
+        best = (1e9, 1e9)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = thunk()
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            best = min(best, (t1 - t0, t2 - t1), key=lambda x: x[0] + x[1])
+        results[name] = {"construct": round(best[0], 2), "exec": round(best[1], 2)}
+        print(f"{name}: construct={best[0]:.2f}s exec={best[1]:.2f}s", flush=True)
+
+    for name in CONSUMERS:
+        timed(name, lambda n=name: qs[n](spark, OUT))
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK_r10.json"
+    )
+    with open(art, "w") as f:
+        json.dump(
+            {
+                "metric": "soak_r10",
+                "docs": n_docs,
+                "vectors": n_vec,
+                "unit": "sec",
+                "artifact_build_sec": builds,
+                "queries": results,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {art}")
+
+
+if __name__ == "__main__":
+    main()

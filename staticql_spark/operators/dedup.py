@@ -334,6 +334,19 @@ def minhash_lsh_pairs(
     sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
     banded = _band_keys(sig, bands, rows_per_band, id_col)
 
+    # Pair generation stays explode-then-DISTINCT deliberately.  The r10
+    # "emit-once-per-first-band" variant (carry each doc's 16-long
+    # signature into the bucket rows, keep a pair only in its first
+    # slice-equal band, drop the distinct) was implemented and MEASURED
+    # 4-8x SLOWER at the 500k soak (917/1000 s vs 216/125 s interleaved
+    # A/B; sf0.1 4.79 vs 3.79 s): the in-row i<j expansion transiently
+    # multiplies the 128 B signature payload by up to max_bucket^2/2
+    # pairs per bucket row, and the per-pair slice-equality filter is an
+    # interpreted higher-order lambda x 86M candidate rows (SCALE.md's
+    # HOF rule) — the eliminated 86M->31M distinct exchange is FAR
+    # cheaper than either.  The distinct also keeps pair rows at two
+    # longs, which is what makes the adaptive verify width below cheap
+    # to count.
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))

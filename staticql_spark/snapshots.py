@@ -39,11 +39,17 @@ from .operators.shards import row_digest
 
 MANIFEST_NAME = "_snapshot.json"
 
-# frame subdirectories per kind (coarse is optional for pq)
+# frame subdirectories per kind (coarse is optional for pq).  "frame"
+# is the generic single-frame kind: any derived DataFrame persisted as
+# an artifact (shared pair sets, CC labelings, trained centroids, span
+# tables) gets the same manifest + verify-on-load contract as the named
+# index families — r9 roadmap #2, so NO persisted artifact is exempt
+# from the torn-write guard.
 _FRAMES = {
     "lsh": ["bands", "shingles", "meta"],
     "pq": ["codebooks", "codes", "keys", "coarse"],
     "chunk": ["index"],
+    "frame": ["data"],
 }
 
 
@@ -101,6 +107,10 @@ def snapshot_build(df: DataFrame, path: str, kind: str, **recipe) -> dict:
         dedup.chunk_index(df, **recipe).write.mode("overwrite").parquet(
             f"{path.rstrip('/')}/index"
         )
+    elif kind == "frame":
+        # the generic kind persists the caller's frame as-is; the
+        # recipe is pure metadata (e.g. the artifact's cache name)
+        df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/data")
     else:
         raise ValueError(f"unknown snapshot kind: {kind!r} (have {sorted(_FRAMES)})")
     stamped = dict(recipe)
@@ -149,4 +159,6 @@ def snapshot_load(spark: SparkSession, path: str, verify: bool = False):
         return dedup.lsh_load(spark, path)
     if kind == "pq":
         return pq.pq_load(spark, path)
+    if kind == "frame":
+        return spark.read.parquet(f"{path.rstrip('/')}/data")
     return spark.read.parquet(f"{path.rstrip('/')}/index")

@@ -305,3 +305,36 @@ def test_snapshot_facade_roundtrip_and_integrity(spark, tmp_path):
     )
     assert restamped["frames"]["bands"] == full["frames"]["bands"]
     assert restamped["frames"]["shingles"] == full["frames"]["shingles"]
+
+
+def test_snapshot_frame_kind_generic_artifact(spark, tmp_path):
+    # r10 (r9 roadmap #2 follow-through): the generic single-frame kind
+    # gives ad-hoc artifacts (shared pair sets, CC labelings, centroids,
+    # span tables) the same XOR-digest manifest + verify-on-load
+    # contract as the named index families — __spark_entry__._artifact
+    # now routes every build through it.
+    import pytest as _pytest
+
+    from staticql_spark import snapshots
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 0.75)], "id_a long, id_b long, jaccard double"
+    )
+    p = str(tmp_path / "frame_snap")
+    manifest = snapshots.snapshot_build(df, p, "frame", name="lshpairs")
+    assert manifest["kind"] == "frame"
+    assert manifest["recipe"] == {"name": "lshpairs"}
+    assert manifest["frames"]["data"]["rows"] == 2
+
+    got = snapshots.snapshot_load(spark, p, verify=True)
+    assert sorted(got.columns) == ["id_a", "id_b", "jaccard"]
+    assert got.count() == 2
+
+    # a torn overwrite (row lost) must fail verify and refuse to load
+    df.limit(1).write.mode("overwrite").parquet(str(tmp_path / "d2"))
+    spark.read.parquet(str(tmp_path / "d2")).write.mode("overwrite").parquet(
+        f"{p}/data"
+    )
+    assert not snapshots.snapshot_verify(spark, p)["ok"]
+    with _pytest.raises(ValueError, match="integrity"):
+        snapshots.snapshot_load(spark, p, verify=True)
