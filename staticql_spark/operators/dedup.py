@@ -358,20 +358,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Adaptive verify width (r10): the full build's verify join is the
-    # same measured spill site as the incremental path's — on a dup-heavy
-    # corpus the pair mass dwarfs the doc count and the default-width
-    # shuffled-hash maps spill (the 500k near-replica soak measured the
-    # full build at 110 s, dominated by this join).  Same policy as
-    # incremental_lsh_pairs: persist the cheap pair frame, count it, and
-    # widen only past ~100k pairs/partition (tiny corpora keep the
-    # default width and skip the repartition entirely).
-    cands = cands.persist()
+    # Verify width (r10): the full build's verify join is the same
+    # measured spill site as the incremental path's, but the policy
+    # differs DELIBERATELY.  The incremental path counts its candidate
+    # frame (the batch-proportional pair mass is cheap to materialize
+    # and the count provably paid for itself: 148 -> 44 s interleaved at
+    # the 500k soak).  Applying the same persist+count here was
+    # implemented and MEASURED WORSE: counting the full build's pair
+    # frame inserts a sequential barrier behind the corpus-scale
+    # generation+distinct, and the 31M-pair persist squats on executor
+    # storage memory for the rest of the process — the r10 soak recorded
+    # every SUBSEQUENT artifact build degrading (lsh_index_old 5.4x)
+    # while the build itself gained nothing (291 s vs the default-width
+    # 216/125 s same-day A/B).  Instead the width gates on the corpus
+    # size: the shingle frame is cached by design, so the count is one
+    # cheap pass that pre-warms the cache sig/verify read anyway, and
+    # corpora under the gate keep the r8 plan byte-for-byte.
     sc = df.sparkSession.sparkContext
-    want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
     wide = (
-        min(want, sc.defaultParallelism * 8)
-        if want > sc.defaultParallelism
+        sc.defaultParallelism * 8
+        if dsh.count() >= _VERIFY_WIDEN_MIN_DOCS
         else None
     )
     verified = verify_jaccard(cands, dsh, id_col, partitions=wide)
@@ -448,6 +454,12 @@ def minhash_index(
 # carries two shingle arrays (measured at the 500k near-replica soak: 31M
 # pairs / 256 partitions ~= 120k pairs each, zero spill — SCALE.md §17/§18).
 _VERIFY_PAIRS_PER_PARTITION = 100_000
+
+# Full-build verify-width gate (docs): below this the corpus cannot
+# produce a pair mass that spills a default-width shuffled-hash build
+# side (max_bucket caps pairs per bucket; measured: sf0.1's 60k docs
+# never spill, the 500k soak does).
+_VERIFY_WIDEN_MIN_DOCS = 200_000
 
 
 def incremental_lsh_pairs(
