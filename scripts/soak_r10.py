@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
+import bench
 from staticql_spark.session import get_spark
 from scripts.soak_r5b import OUT, build as build_docs
 from scripts.soak_events import build as build_events
@@ -49,6 +50,20 @@ CONSUMERS = [
 def main():
     spark = get_spark("soak_r10")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # fixed-work drift sentinel (bench._sentinel), timed before the
+    # builds and again after the consumers: same-day soak absolutes on
+    # this host drift 2-8x with box state (SCALE.md §19), so readers
+    # normalize by the sentinel pair instead of trusting absolutes.
+    def sentinel_reps(k=3):
+        reps = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            bench._sentinel(spark).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.perf_counter() - t0, 3))
+        return reps
+
+    sent_pre = sentinel_reps()
     build_docs(spark)
     # build_artifacts also builds the events-derived LPA prior, so the
     # (gitignored, rebuildable) 10M-row events corpus must exist too
@@ -92,6 +107,8 @@ def main():
                 "unit": "sec",
                 "artifact_build_sec": builds,
                 "queries": results,
+                "sentinel_pre": sent_pre,
+                "sentinel_post": sentinel_reps(),
             },
             f,
             indent=1,

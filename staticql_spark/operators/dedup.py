@@ -461,6 +461,22 @@ _VERIFY_PAIRS_PER_PARTITION = 100_000
 # never spill, the 500k soak does).
 _VERIFY_WIDEN_MIN_DOCS = 200_000
 
+# Incremental-path gate (batch docs): below this the candidate count is
+# skipped entirely (the r8 plan), because the count is a serial
+# candidate-generation barrier that cost ~1.4 s at sf0.1's 12k-doc
+# batch while a batch this small cannot spill the verify join anyway.
+# The 500k soak's 100k-doc batch sits above the gate and keeps the
+# counted adaptive width that fixed its measured spill.
+_INCR_COUNT_MIN_BATCH = 50_000
+
+# Incremental-path gate (index (id, band, key) rows): below this the
+# old corpus is small enough that shipping its shingle arrays through
+# one default-width verify costs less than the semi/anti exchanges that
+# would prune them (measured 2x at sf0.1's 192k-row index, bisect
+# script); above it the reductions ARE the batch-proportional contract
+# (the 500k soak's 1.6M-row index engages them).
+_INCR_REDUCE_MIN_INDEX_ROWS = 1_000_000
+
 
 def incremental_lsh_pairs(
     new_df: DataFrame,
@@ -473,6 +489,7 @@ def incremental_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    reduce_old: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch vs an indexed corpus (+ within batch).
 
@@ -508,11 +525,27 @@ def incremental_lsh_pairs(
     promotes the id-side joins to broadcast at runtime when the
     collision set is small; nothing is statically broadcast (the
     verify_jaccard rationale).
+
+    ``reduce_old`` gates reductions (2)+(3) — the r10 sf0.1 bisect
+    (`scripts/ab_incr_sf01_bisect.py`, row-identical outputs across all
+    three forms) attributed the bench gap vs r8 ENTIRELY to them (r8
+    form 2.5-2.8 s, reduced form 5.1-5.5 s interleaved at sf0.1): at
+    toy corpus scale the extra semi/anti exchanges cost more than the
+    old-side text they avoid reading, while at the 500k soak they are
+    the batch-proportional contract itself.  Default ``None`` decides
+    by ONE count of the index's (id, band, key) frame (a cheap 3-column
+    scan): reductions engage at >= 1M index rows.  Explicit True/False
+    pins the path (the equality test drives both).
     """
     new_bands, new_dsh = minhash_index(new_df, text_col, id_col, n, num_hashes, bands)
     new_dsh = new_dsh.persist()
-    batch_keys = new_bands.select("band", "key").distinct()
-    old_hit = old_bands.join(batch_keys, ["band", "key"], "left_semi")
+    if reduce_old is None:
+        reduce_old = old_bands.count() >= _INCR_REDUCE_MIN_INDEX_ROWS
+    if reduce_old:
+        batch_keys = new_bands.select("band", "key").distinct()
+        old_hit = old_bands.join(batch_keys, ["band", "key"], "left_semi")
+    else:
+        old_hit = old_bands
     tagged = old_hit.select(
         id_col, "band", "key", F.lit(False).alias("is_new")
     ).unionByName(new_bands.withColumn("is_new", F.lit(True)))
@@ -550,28 +583,47 @@ def incremental_lsh_pairs(
     # batch, so restricting to old_hit's ids is lossless; the re-crawl
     # exclusion is folded into the same tiny id frame so the arrays
     # cross exactly one id-keyed join.
-    old_keep_ids = (
-        old_hit.select(id_col)
-        .distinct()
-        .join(new_dsh.select(id_col), id_col, "left_anti")
-    )
-    old_only = old_shingles.join(old_keep_ids, id_col, "left_semi")
+    if reduce_old:
+        old_keep_ids = (
+            old_hit.select(id_col)
+            .distinct()
+            .join(new_dsh.select(id_col), id_col, "left_anti")
+        )
+        old_only = old_shingles.join(old_keep_ids, id_col, "left_semi")
+    else:
+        # small index: the plain re-crawl anti join (r8 form) — the
+        # folded collide-set is pure overhead when the whole old side
+        # fits one default-width verify comfortably
+        old_only = old_shingles.join(
+            new_dsh.select(id_col), id_col, "left_anti"
+        )
     dsh_all = old_only.unionByName(new_dsh)
     # Adaptive verify width (r10, replacing r9's static 8x-parallelism):
     # the r9 fixed width fixed the measured 500k-soak spill but
     # triple-repartitioned tiny sf0.1 candidate sets into 256 partitions
-    # (2.7x bench regression vs the 1.34x host-drift median).  The pair
-    # frame is cheap (two ids per row), so persist it, COUNT the true
-    # candidate mass, and size the join to ~100k pairs per partition:
-    # below the scheduler's default parallelism no explicit repartition
-    # happens at all (r8 shape); above it the width is capped at the
+    # (2.7x bench regression vs the 1.34x host-drift median).  Two-level
+    # gate: (1) a SMALL batch (counted on the already-persisted batch
+    # shingle frame — one cheap pass that pre-warms a cache the probe
+    # reads anyway) cannot produce a spilling pair mass, so it keeps the
+    # r8 plan with NO pair count at all — the count itself was measured
+    # as a serial candidate-generation barrier worth ~1.4 s at sf0.1
+    # (BENCH r10: 3.10 s vs the 1.68 s drift-expected, §19); (2) a large
+    # batch persists the pair frame, COUNTS the true candidate mass, and
+    # sizes the join to ~100k pairs per partition, capped at the
     # 8x-parallelism the 500k soak proved sufficient (31M pairs -> 256
-    # partitions at local[32]).  The count reuses the cached frame the
-    # verify join reads, so candidate generation still runs exactly once.
-    cands = cands.persist()
+    # partitions at local[32]; measured 148 -> 44 s interleaved, and
+    # 18.8 s in the final r10 soak once the full build stopped squatting
+    # on storage memory).
     sc = new_df.sparkSession.sparkContext
-    want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
-    wide = min(want, sc.defaultParallelism * 8) if want > sc.defaultParallelism else None
+    wide = None
+    if new_dsh.count() >= _INCR_COUNT_MIN_BATCH:
+        cands = cands.persist()
+        want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
+        wide = (
+            min(want, sc.defaultParallelism * 8)
+            if want > sc.defaultParallelism
+            else None
+        )
     verified = verify_jaccard(cands, dsh_all, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)
 

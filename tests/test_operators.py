@@ -3190,3 +3190,22 @@ def test_tcloseness_degenerate_and_nulls(spark):
     got = {r["cell"]: r for r in tcloseness_report(df, ["cell"], "s").collect()}
     assert got["A"]["emd"] == 0.0 and got["A"]["ok"]
     assert got["B"]["n_rows"] == 1 and got["B"]["emd"] == 0.0
+
+
+def test_incremental_lsh_reduce_old_paths_identical(spark):
+    # r10: the probe reductions are gated on index size (reduce_old);
+    # both paths must emit IDENTICAL pairs — the bisect that justified
+    # the gate (scripts/ab_incr_sf01_bisect.py) as a permanent lock
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ob, osh = dedup.minhash_index(old)
+    got = {}
+    for flag in (True, False):
+        got[flag] = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.incremental_lsh_pairs(
+                new, ob, osh, threshold=0.2, reduce_old=flag
+            ).collect()
+        }
+    assert got[True] == got[False] and got[True]
