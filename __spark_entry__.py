@@ -1192,8 +1192,13 @@ def _artifact(spark, key: tuple, build):
         # first load integrity-verifies it (the torn-write guard runs
         # on every bench/driver process, not only in the facade tests).
         snapshots.snapshot_build(build(), path, "frame", name=key[0])
+        # cache the path only AFTER the verified load succeeds (r10
+        # ADVICE): if the integrity verify raises on a torn write, a
+        # pre-assigned cache entry would route every later call in the
+        # process down the unverified branch onto the corrupt artifact.
+        out = snapshots.snapshot_load(spark, path, verify=True)
         _ARTIFACT_CACHE[key] = path
-        return snapshots.snapshot_load(spark, path, verify=True)
+        return out
     return snapshots.snapshot_load(spark, path)
 
 
@@ -1319,8 +1324,11 @@ def _lsh_index_old(spark, sf):
             docs.filter(F.col("doc_id") % 5 != 0), path, "lsh",
             n=3, num_hashes=16, bands=4,
         )
+        # cache only after the verified load (torn-write guard must not
+        # be one-shot per process — r10 ADVICE)
+        out = snapshots.snapshot_load(spark, path, verify=True)
         _ARTIFACT_CACHE[key] = path
-        return snapshots.snapshot_load(spark, path, verify=True)
+        return out
     return snapshots.snapshot_load(spark, path)
 
 
@@ -1339,8 +1347,11 @@ def _chunk_index_old(spark, sf):
         snapshots.snapshot_build(
             docs.filter(F.col("doc_id") % 5 != 0), path, "chunk", width=8
         )
+        # cache only after the verified load (torn-write guard must not
+        # be one-shot per process — r10 ADVICE)
+        out = snapshots.snapshot_load(spark, path, verify=True)
         _ARTIFACT_CACHE[key] = path
-        return snapshots.snapshot_load(spark, path, verify=True)
+        return out
     return snapshots.snapshot_load(spark, path)
 
 
@@ -1419,11 +1430,9 @@ def _pq_index(spark, sf, subset="all"):
     the residue class that avoids the stride-100 init ids)."""
     from staticql_spark import snapshots
 
-    known = (sf, subset) in _PQ_INDEX_CACHE
-    path = _pq_index_path(spark, sf, subset)
-    # integrity-verify on the build that just happened (torn-write
-    # guard); later in-process loads skip the extra stat scan
-    return snapshots.snapshot_load(spark, path, verify=not known)
+    # _pq_index_path integrity-verifies the build before committing it
+    # to the cache (torn-write guard); loads here skip the stat scan
+    return snapshots.snapshot_load(spark, _pq_index_path(spark, sf, subset))
 
 
 def _pq_index_path(spark, sf, subset="all"):
@@ -1451,6 +1460,11 @@ def _pq_index_path(spark, sf, subset="all"):
             snapshots.snapshot_build(
                 corpus, path, "pq", m=4, dim=64, stride=100, iters=2
             )
+        # integrity-verify the build BEFORE committing the path to the
+        # cache (r10 ADVICE: a pre-assigned entry made the torn-write
+        # guard one-shot per process — a verify failure here must leave
+        # the cache empty so the next call rebuilds/re-verifies)
+        snapshots.snapshot_load(spark, path, verify=True)
         _PQ_INDEX_CACHE[key] = path
     return path
 
@@ -4237,6 +4251,81 @@ def q_events_rater_consensus(spark, sf):
     return preference.rater_consensus(ev)
 
 
+def q_events_krippendorff(spark, sf):
+    # Krippendorff's alpha, nominal data (new r11): the missing-data-
+    # robust reliability coefficient — same (item = user_id, category =
+    # event_type) framing as events_rater_agreement so alpha and Fleiss'
+    # kappa read side by side on the same label pool (they differ
+    # exactly by alpha's coincidence normalization and (n-1) small-
+    # sample correction).  One (item, cat) count shuffle, two scalar
+    # folds, 1-row result.
+    from staticql_spark.operators import preference
+
+    ev = _t(spark, sf, "events")
+    return preference.krippendorff_alpha(
+        ev.select(F.col("user_id").alias("item"), F.col("event_type").alias("cat"))
+    )
+
+
+def q_ann_rbo(spark, sf):
+    # rank-biased overlap of the IVF ranking vs the exact brute-force
+    # ranking (new r11): the rank-SENSITIVE companion to ann_recall —
+    # recall@5 counts set hits, RBO@5 (p=0.9) additionally penalizes
+    # order disagreement, the metric that catches an ANN index that
+    # returns the right set in the wrong order.  One (query, item) equi
+    # join of two top-5 result sets + per-query sum; per-depth weights
+    # are a 5-entry literal lookup.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, nprobe=3)
+    return similarity.rbo_overlap(approx, exact, p=0.9, k=5)
+
+
+def q_doc_auc(spark, sf):
+    # ROC-AUC of the heuristic quality scorer against the labeled
+    # language (new r11): does quality_score rank English docs above
+    # non-English?  The threshold-free eval for every cheap classifier
+    # in the curation stack (Mann-Whitney identity, tie half-credit,
+    # two-phase prefix sum — no global rank over raw rows).
+    docs = _t(spark, sf, "documents")
+    scored = text.quality_score(docs, keep_cols=("lang",))
+    return classify.auc_score(
+        scored.select(
+            (F.col("lang") == "en").cast("int").alias("label"),
+            F.col("quality").alias("score"),
+        )
+    )
+
+
+def q_stream_arena(spark, sf):
+    # streaming arena leaderboard registered at its batch fallback (the
+    # stream_qsketch precedent; the live path is pinned stream-vs-batch
+    # by test_stream_arena_sliding_matches_batch): 3-day window sliding
+    # 1 day — a tighter recency cut than events_arena_sliding's 7/2, so
+    # the two keys exercise different window geometries.
+    from staticql_spark.streaming import stream_arena_sliding
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    c = ev.select(
+        asof.epoch_us(ev, "ts").alias("t_us"),
+        (F.col("event_id") % 24).alias("a"),
+        F.expr("(event_id div 24) % 24").alias("b"),
+        F.expr("event_id div 576").alias("t"),
+    ).filter(F.col("a") != F.col("b"))
+    a_wins = (F.col("t") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+    comps = c.select(
+        "t_us",
+        F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+        F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+    )
+    return stream_arena_sliding(
+        comps,
+        window_us=3 * 86400 * 1_000_000,
+        slide_us=86400 * 1_000_000,
+    )
+
+
 def q_events_tcloseness(spark, sf):
     # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
     # privacy release triad (events_kanon bounds group size,
@@ -4775,6 +4864,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bt_ties": q_events_bt_ties,
         "events_rater_bias": q_events_rater_bias,
         "events_arena_sliding": q_events_arena_sliding,
+        # new in r11
+        "events_krippendorff": q_events_krippendorff,
+        "ann_rbo": q_ann_rbo,
+        "doc_auc": q_doc_auc,
+        "stream_arena": q_stream_arena,
     }
     # r10 rotation: new/changed-code keys first (they run unverified
     # code), then the committed r4 backfill + r5-vintage stalest fill
@@ -4996,14 +5090,16 @@ _LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
               SELECT doc_id, {_MINHASH16_COLS}
               FROM shingles GROUP BY doc_id
             ),
+            -- band key = first 60 bits of the slice md5 as BIGINT —
+            -- mirrors dedup._band_keys' r11 long key bit-for-bit
             banded_all AS (
-              SELECT doc_id, 0 AS band, md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR) AS key FROM sig
+              SELECT doc_id, 0 AS band, ('0x' || substr(md5(h0::VARCHAR || '|' || h1::VARCHAR || '|' || h2::VARCHAR || '|' || h3::VARCHAR), 1, 15))::BIGINT AS key FROM sig
               UNION ALL
-              SELECT doc_id, 1, md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR) FROM sig
+              SELECT doc_id, 1, ('0x' || substr(md5(h4::VARCHAR || '|' || h5::VARCHAR || '|' || h6::VARCHAR || '|' || h7::VARCHAR), 1, 15))::BIGINT FROM sig
               UNION ALL
-              SELECT doc_id, 2, md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR) FROM sig
+              SELECT doc_id, 2, ('0x' || substr(md5(h8::VARCHAR || '|' || h9::VARCHAR || '|' || h10::VARCHAR || '|' || h11::VARCHAR), 1, 15))::BIGINT FROM sig
               UNION ALL
-              SELECT doc_id, 3, md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR) FROM sig
+              SELECT doc_id, 3, ('0x' || substr(md5(h12::VARCHAR || '|' || h13::VARCHAR || '|' || h14::VARCHAR || '|' || h15::VARCHAR), 1, 15))::BIGINT FROM sig
             ),
             -- max_bucket=1000 twin of minhash_lsh_pairs' bucket cap
             banded AS (
@@ -10710,4 +10806,170 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, 'audio', ehash::VARCHAR, n_dups
             FROM ({d["multimodal_audio_hash"]}) WHERE media_id = canonical
         """
+    # -- new in r11 ---------------------------------------------------
+    # Krippendorff's alpha (nominal): same (item, cat) pool as
+    # events_rater_agreement; coincidence-normalized observed mass,
+    # pooled-marginal expected, the operator's exact double/decimal
+    # barriers mirrored (9dp-round-then-DECIMAL(38,9) per-item fold).
+    d["events_krippendorff"] = """
+            WITH cnt AS (
+              SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT item, sum(c)::BIGINT AS n_i, sum(c * c)::BIGINT AS s_i
+              FROM cnt GROUP BY item
+            ),
+            kept AS (SELECT * FROM per WHERE n_i >= 2),
+            obs AS (
+              SELECT count(*)::BIGINT AS n_items, sum(n_i)::BIGINT AS n_ratings,
+                     CAST(sum(CAST(round(
+                         CAST(n_i * n_i - s_i AS DOUBLE)
+                         / CAST(n_i - 1 AS DOUBLE), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS o_mass
+              FROM kept
+            ),
+            catp AS (
+              SELECT cat, sum(c)::BIGINT AS cj
+              FROM cnt JOIN kept USING (item) GROUP BY cat
+            ),
+            sc AS (SELECT sum(cj * cj)::BIGINT AS s_c FROM catp),
+            calc AS (
+              SELECT n_items, n_ratings, o_mass,
+                     CAST(n_ratings AS DOUBLE) AS nd,
+                     CAST(s_c AS DOUBLE) AS scd
+              FROM obs, sc
+            )
+            SELECT n_items, n_ratings,
+                   round(o_mass / nd, 6) AS d_o,
+                   round((nd * nd - scd) / (nd * (nd - 1.0)), 6) AS d_e,
+                   round(CASE WHEN nd * nd - scd = 0.0 THEN 1.0
+                         ELSE 1.0 - (nd - 1.0) * o_mass / (nd * nd - scd)
+                         END, 6) AS alpha
+            FROM calc
+        """
+    # ROC-AUC of quality_score vs lang='en' (Mann-Whitney, tie
+    # half-credit): the oracle quantizes to the same 6dp micro-units and
+    # folds the SAME doubled-integer U — one global cumulative window
+    # here (DuckDB side only; the operator two-phases it).
+    d["doc_auc"] = f"""
+            WITH {_QUALITY_CTES},
+            lab AS (
+              SELECT CASE WHEN doc.lang = 'en' THEN 1 ELSE 0 END AS y,
+                     r.quality AS score
+              FROM r JOIN documents doc USING (doc_id)
+            ),
+            lvl AS (
+              SELECT CAST(round(round(score, 6) * 1000000) AS BIGINT) AS su,
+                     sum(y)::BIGINT AS p_s, sum(1 - y)::BIGINT AS g_s
+              FROM lab WHERE score IS NOT NULL GROUP BY 1
+            ),
+            cum AS (
+              SELECT p_s, g_s,
+                     coalesce(sum(g_s) OVER (ORDER BY su
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS neg_below
+              FROM lvl
+            ),
+            agg AS (
+              SELECT sum(p_s)::BIGINT AS n_pos, sum(g_s)::BIGINT AS n_neg,
+                     sum(2 * p_s * neg_below + p_s * g_s)::BIGINT AS u2
+              FROM cum
+            )
+            SELECT n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                     round(CAST(u2 AS DOUBLE)
+                           / (2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)), 6)
+                   END AS auc
+            FROM agg
+        """
+    # RBO@5 (p=0.9) of the IVF ranking vs the exact ranking: the
+    # brute/cells/probes/ivfk derivation is the ann_recall recipe with
+    # rank KEPT; per-item weights are the rbo_weights(0.9, 5) literals
+    # (repr-inlined so both engines fold identical doubles).
+    from staticql_spark.operators.similarity import rbo_weights as _rbow
+
+    _w = _rbow(0.9, 5)
+    _wcase = " ".join(
+        f"WHEN {m + 1} THEN {x!r}" for m, x in enumerate(_w)
+    )
+    d["ann_rbo"] = f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            brute AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         round(list_dot_product(qv, cv)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                               6) DESC, neighbor_id ASC) AS rank
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+              ) WHERE rank <= 5
+            ),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT neighbor_id, cv, cell FROM (
+                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(qv, centroid)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 3
+            ),
+            ivfk AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT p.query_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY p.query_id ORDER BY
+                         round(list_dot_product(p.qv, s.cv)
+                               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
+                               6) DESC, s.neighbor_id ASC) AS rank
+                FROM probes p JOIN cells s USING (cell)
+                WHERE p.query_id <> s.neighbor_id
+              ) WHERE rank <= 5
+            ),
+            hits AS (
+              SELECT i.query_id,
+                     greatest(i.rank, b.rank) AS m
+              FROM ivfk i JOIN brute b
+                ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+            ),
+            qs AS (
+              SELECT DISTINCT query_id FROM ivfk
+              UNION
+              SELECT DISTINCT query_id FROM brute
+            ),
+            per_q AS (
+              SELECT query_id,
+                     sum(CAST(round(CASE m {_wcase} END, 9)
+                         AS DECIMAL(38,9))) AS s
+              FROM hits GROUP BY query_id
+            )
+            SELECT qs.query_id,
+                   round({(1.0 - 0.9)!r} * coalesce(CAST(s AS DOUBLE), 0.0), 6) AS rbo
+            FROM qs LEFT JOIN per_q USING (query_id)
+        """
+    # the streaming arena twin's batch fallback IS arena_sliding at the
+    # 3-day/1-day geometry — its oracle is the events_arena_sliding SQL
+    # with the window constants swapped verbatim (one expression source)
+    d["stream_arena"] = (
+        d["events_arena_sliding"]
+        .replace(str(_ARENA_W), str(3 * 86400 * 1_000_000))
+        .replace(str(_ARENA_S), str(86400 * 1_000_000))
+    )
     return d

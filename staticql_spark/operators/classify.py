@@ -343,3 +343,76 @@ def calibration_report(
         F.round("__fp", 6).alias("frac_pos"),
         F.round(F.col("__fp") - F.col("__mp"), 6).alias("gap"),
     )
+
+
+def auc_score(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    out_round: int = 6,
+) -> DataFrame:
+    """ROC-AUC of a scorer against binary labels, via the Mann-Whitney
+    identity -> ONE row (n_pos, n_neg, auc).  The threshold-free rank
+    metric calibration_report's binned view can't give: AUC is the
+    probability a random positive outscores a random negative (ties at
+    half credit), i.e. ``U / (P*N)`` with ``U = sum_s p_s*(negs_below_s
+    + g_s/2)`` over DISTINCT score levels s.
+
+    No global sort, no rank over raw rows: scores are quantized to 6dp
+    micro-units (ties at 6dp are ties — the repo-wide rounded-compare
+    rule), aggregated to one (p_s, g_s) row per distinct level, and the
+    cumulative negatives-below runs as a TWO-PHASE prefix sum (the
+    doc_curriculum pattern): a within-bucket window partitioned by the
+    1000-unit score bucket plus a base-offset window over the |buckets|
+    aggregate — never one global single-partition window.  All terms
+    are exact integers (U is folded doubled so tie half-credits stay
+    integral); the single division happens once at the end.
+
+    Degenerate inputs (a single class present) have no pairable
+    (pos, neg) ordering — auc is NULL.
+    """
+    from pyspark.sql import Window
+
+    su = F.round(
+        F.round(F.col(score_col).cast("double"), 6) * F.lit(1e6)
+    ).cast("long")
+    lab = F.col(label_col).cast("long")
+    lvl = (
+        ensure_parallelism(scored)
+        .select(su.alias("su"), lab.alias("y"))
+        .filter(F.col("su").isNotNull() & F.col("y").isNotNull())
+        .groupBy("su")
+        .agg(
+            F.sum("y").cast("long").alias("p_s"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("g_s"),
+        )
+        .withColumn("bucket", F.floor(F.col("su") / F.lit(1000)).cast("long"))
+    )
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("su")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = lvl.withColumn("neg_in", F.coalesce(F.sum("g_s").over(win_in), F.lit(0)))
+    tot = lvl.groupBy("bucket").agg(F.sum("g_s").alias("bg"))
+    win_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = tot.withColumn("neg_base", F.coalesce(F.sum("bg").over(win_b), F.lit(0))).select(
+        "bucket", "neg_base"
+    )
+    j = lvl.join(base, "bucket")
+    neg_below = F.col("neg_base") + F.col("neg_in")
+    u2 = F.lit(2) * F.col("p_s") * neg_below + F.col("p_s") * F.col("g_s")
+    agg = j.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("g_s").cast("long").alias("n_neg"),
+        F.sum(u2).cast("long").alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+            out_round,
+        ),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))

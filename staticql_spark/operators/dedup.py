@@ -33,6 +33,52 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
 
 
+# --- persist lifecycle (r11: r10 verdict #3 / ADVICE) ------------------
+# Operators here persist intermediates (shingle frames, counted candidate
+# frames) whose useful life ends once the caller materializes the
+# returned lazy result — which this module never sees.  Left alone, a
+# long-lived serving session accumulates them without bound (the r10
+# soak measured a squatting 31M-pair persist degrading a later build
+# 5.4x).  So persists go through a BOUNDED registry keyed by the frame's
+# semantic hash: re-persisting the same logical plan (bench reps,
+# shared-dsh callers) reuses the existing entry instead of thrashing the
+# cache, and when the registry exceeds _MAX_LIVE_PERSISTS the oldest
+# frames are unpersisted.  Evicting a frame someone still holds lazily is
+# SAFE — unpersist() only drops cached blocks; re-evaluation recomputes,
+# values never change.  _MAX_LIVE_PERSISTS comfortably exceeds the most
+# any single operator call registers (3), so a call never evicts its own
+# working set; serving sessions can also call release_persists() between
+# requests for an eager floor.
+
+_LIVE_PERSISTS: dict[int, DataFrame] = {}
+_MAX_LIVE_PERSISTS = 6
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    """Persist ``df`` through the bounded registry (see module note)."""
+    h = df.semanticHash()
+    hit = _LIVE_PERSISTS.pop(h, None)
+    if hit is not None:
+        _LIVE_PERSISTS[h] = hit  # refresh LRU position
+        return hit
+    df = df.persist()
+    _LIVE_PERSISTS[h] = df
+    while len(_LIVE_PERSISTS) > _MAX_LIVE_PERSISTS:
+        _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
+    return df
+
+
+def release_persists() -> int:
+    """Eagerly unpersist every registry frame; returns the count released.
+    For serving sessions that want a zero-footprint floor between
+    requests (the deferred LRU eviction already bounds steady state)."""
+    n = 0
+    while _LIVE_PERSISTS:
+        _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
+        n += 1
+    return n
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: keep the lowest id per group.
 
@@ -328,9 +374,15 @@ def minhash_lsh_pairs(
     # ``dsh`` lets a caller share ONE shingle computation across several
     # dedup operators over the same corpus (e.g. the LSH-recall eval runs
     # this and ngram_jaccard_pairs side by side) — shingling is the
-    # per-doc-dominant map cost, so sharing it halves that work.
+    # per-doc-dominant map cost, so sharing it halves that work.  Either
+    # way the frame goes through the scoped-persist registry: the width
+    # gate below counts it, the signature derivation and the verify join
+    # both re-read it, and a caller-supplied UNCACHED dsh (minhash_index
+    # returns one) previously paid a second full shingle pass for the
+    # count (r10 ADVICE).
     if dsh is None:
-        dsh = doc_shingles(df, text_col, id_col, n).cache()
+        dsh = doc_shingles(df, text_col, id_col, n)
+    dsh = _persist_scoped(dsh)
     sig = dsh.select(F.col(id_col), sig_from_array(num_hashes))
     banded = _band_keys(sig, bands, rows_per_band, id_col)
 
@@ -371,9 +423,12 @@ def minhash_lsh_pairs(
     # every SUBSEQUENT artifact build degrading (lsh_index_old 5.4x)
     # while the build itself gained nothing (291 s vs the default-width
     # 216/125 s same-day A/B).  Instead the width gates on the corpus
-    # size: the shingle frame is cached by design, so the count is one
-    # cheap pass that pre-warms the cache sig/verify read anyway, and
-    # corpora under the gate keep the r8 plan byte-for-byte.
+    # size: the shingle frame is persisted via the scoped registry (both
+    # the self-built and the caller-supplied case, r11), so the count is
+    # one cheap pass that pre-warms the cache sig/verify read anyway,
+    # and corpora under the gate keep the r8 plan byte-for-byte.  The
+    # doc-count proxy's dup-density assumption is documented on
+    # _VERIFY_WIDEN_MIN_DOCS.
     sc = df.sparkSession.sparkContext
     wide = (
         sc.defaultParallelism * 8
@@ -408,18 +463,40 @@ def _band_keys(
 ) -> DataFrame:
     """(id, *carry, band, key) rows from a (id, sig) signature frame —
     map-side. ``carry`` columns ride along (e.g. the shingle array, for
-    streaming pipelines that must verify in the same pass)."""
+    streaming pipelines that must verify in the same pass).
+
+    The key is the FIRST 60 BITS of the band slice's md5, as a long
+    (r11): band keys exist only to group — they never appear in any
+    output — and they dominate the candidate-generation exchange (the
+    measured cost center of the full LSH build, r10 bisect), where the
+    previous 32-char hex string cost 32B+offset per (doc, band) row vs
+    8B for the long.  md5-prefix-to-BIGINT is the repo-wide portable-
+    hash idiom (shards.row_digest, simhash), so the DuckDB oracle twins
+    mirror it exactly (``('0x' || substr(md5(..),1,15))::BIGINT``); a
+    60-bit truncation collision merely merges two buckets, and every
+    candidate pair is Jaccard-verified afterwards — and both engines
+    truncate identically, so cap semantics stay engine-equal."""
     band_cols = []
     for b in range(bands):
-        band_key = F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
+        band_key = F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
                 ),
-                "|",
-            )
-        )
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
         band_cols.append(F.struct(F.lit(b).alias("band"), band_key.alias("key")))
     return sig.select(
         F.col(id_col), *carry, F.explode(F.array(*band_cols)).alias("bk")
@@ -458,7 +535,16 @@ _VERIFY_PAIRS_PER_PARTITION = 100_000
 # Full-build verify-width gate (docs): below this the corpus cannot
 # produce a pair mass that spills a default-width shuffled-hash build
 # side (max_bucket caps pairs per bucket; measured: sf0.1's 60k docs
-# never spill, the 500k soak does).
+# never spill, the 500k soak does).  DUP-DENSITY ASSUMPTION (r10
+# ADVICE): doc count is a proxy for pair mass, calibrated on corpora
+# that ran exact_dedup first (this module's documented recipe).  A
+# corpus under the gate that is ~all near-replicas (e.g. 150k docs each
+# landing in bands x max_bucket-sized buckets) can still regenerate a
+# spilling default-width verify; if you skip exact-dedup-first on a
+# dup-dense corpus, pass a wider ``partitions`` to verify_jaccard
+# yourself or lower this gate.  Counting the true pair mass here was
+# implemented and measured WORSE (serial barrier + storage squatting —
+# see the gate comment in minhash_lsh_pairs).
 _VERIFY_WIDEN_MIN_DOCS = 200_000
 
 # Incremental-path gate (batch docs): below this the candidate count is
@@ -538,7 +624,11 @@ def incremental_lsh_pairs(
     pins the path (the equality test drives both).
     """
     new_bands, new_dsh = minhash_index(new_df, text_col, id_col, n, num_hashes, bands)
-    new_dsh = new_dsh.persist()
+    # scoped persist (r11): released by LRU eviction once later calls
+    # register newer frames — repeated large incremental runs in one
+    # long-lived process previously accumulated these without bound
+    # (r10 ADVICE)
+    new_dsh = _persist_scoped(new_dsh)
     if reduce_old is None:
         reduce_old = old_bands.count() >= _INCR_REDUCE_MIN_INDEX_ROWS
     if reduce_old:
@@ -617,7 +707,7 @@ def incremental_lsh_pairs(
     sc = new_df.sparkSession.sparkContext
     wide = None
     if new_dsh.count() >= _INCR_COUNT_MIN_BATCH:
-        cands = cands.persist()
+        cands = _persist_scoped(cands)
         want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
         wide = (
             min(want, sc.defaultParallelism * 8)
@@ -705,7 +795,7 @@ def ngram_jaccard_pairs(
     quadratically blow up the join).
     """
     if dsh is None:
-        dsh = doc_shingles(df, text_col, id_col, n).cache()
+        dsh = _persist_scoped(doc_shingles(df, text_col, id_col, n))
     sh = dsh.select(F.col(id_col), F.explode("sh").alias("shingle"))
     bucket_ok = sh.groupBy("shingle").agg(F.count("*").alias("bc")).filter(
         F.col("bc") <= max_bucket
@@ -778,7 +868,7 @@ def simhash_pairs(
     i<j pairs in-row — one shuffle of the chunked rows instead of a
     window count plus a two-sided self-join.
     """
-    fp = simhash(df, text_col, id_col, bits).cache()
+    fp = _persist_scoped(simhash(df, text_col, id_col, bits))
     chunk_bits = bits // chunks
     chunk_cols = [
         F.struct(
@@ -1448,7 +1538,7 @@ def containment_pairs(
     never shuffles (same contract as the rest of this module).
     """
     if dsh is None:
-        dsh = doc_shingles(df, text_col, id_col, n).cache()
+        dsh = _persist_scoped(doc_shingles(df, text_col, id_col, n))
     sets = dsh.select(
         F.col(id_col), F.array_sort(F.col("sh")).alias("arr"),
         F.size(F.col("sh")).alias("n_sh"),
@@ -1739,8 +1829,19 @@ def lsh_load(spark, path: str) -> LSHIndex:
     """Open a :func:`lsh_build` directory; frames are lazy parquet scans,
     only the 1-row meta is read eagerly."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    bands_df = spark.read.parquet(f"{path}/bands")
+    # r11 format change: band keys are 60-bit longs (was 32-char md5
+    # hex).  A pre-r11 index would silently produce ZERO candidates when
+    # probed with long keys (string vs long never equi-join), so refuse
+    # it loudly — rebuild the index with the current code.
+    if dict(bands_df.dtypes).get("key") != "bigint":
+        raise ValueError(
+            f"LSH index at {path!r} uses the pre-r11 string band-key "
+            "format; rebuild it with lsh_build (band keys are now "
+            "60-bit longs)"
+        )
     return LSHIndex(
-        bands=spark.read.parquet(f"{path}/bands"),
+        bands=bands_df,
         shingles=spark.read.parquet(f"{path}/shingles"),
         n=int(meta["n"]),
         num_hashes=int(meta["num_hashes"]),

@@ -758,3 +758,83 @@ def rater_bias(
             F.round("__gap", out_round).alias("mean_gap"),
         )
     )
+
+
+def krippendorff_alpha(
+    labels: DataFrame,
+    item_col: str = "item",
+    cat_col: str = "cat",
+    out_round: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over categorical labels — the
+    missing-data-robust reliability coefficient that complements
+    :func:`fleiss_kappa`: alpha is defined for ANY pattern of raters per
+    item (kappa's varying-n_i generalization is ad hoc; alpha's
+    coincidence-matrix formulation is the canonical one, Krippendorff
+    2004 ch. 11).
+
+    Per item i with n_i >= 2 ratings and per-category counts n_ic
+    (single-rating items carry no pairable values and are excluded):
+
+    - observed disagreement mass ``sum_i (n_i^2 - sum_c n_ic^2)/(n_i-1)``
+      (ordered cross-category rating pairs, coincidence-normalized),
+    - expected from the pooled marginals:
+      ``alpha = 1 - (n-1) * observed / (n^2 - sum_c n_c^2)``
+      with ``n = sum n_i`` and ``n_c`` the pooled category totals.
+
+    Returns ONE row: (n_items, n_ratings, d_o, d_e, alpha), where d_o /
+    d_e are the per-pair disagreement rates (observed/n and
+    (n^2-sum n_c^2)/(n(n-1))).  A single observed category makes
+    disagreement impossible AND unexpected (d_e = 0): alpha = 1.0 by
+    convention (complete, chance-uncorrectable agreement — mirrors
+    fleiss_kappa's documented degenerate-marginals policy).
+
+    Determinism: everything is exact integer counts except the per-item
+    division by (n_i - 1); those quotients are 9dp-rounded and folded in
+    DECIMAL(38,9) (the fleiss_kappa barrier).  Scale: one (item, cat)
+    count shuffle, one per-item reduce, one per-category reduce — all
+    map-side combinable; the summary is a 1-row crossJoin of two scalar
+    aggregates.
+    """
+    cnt = (
+        ensure_parallelism(labels)
+        .groupBy(F.col(item_col).alias("item"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = cnt.groupBy("item").agg(
+        F.sum("c").alias("n_i"), F.sum(F.col("c") * F.col("c")).alias("s_i")
+    )
+    kept = per.filter(F.col("n_i") >= 2).localCheckpoint(eager=False)
+    d9 = lambda c: F.round(c, 9).cast("decimal(38,9)")
+    term = (F.col("n_i") * F.col("n_i") - F.col("s_i")).cast("double") / (
+        F.col("n_i") - F.lit(1)
+    ).cast("double")
+    obs = kept.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_i").cast("long").alias("n_ratings"),
+        F.sum(d9(term)).cast("double").alias("o_mass"),
+    )
+    catp = (
+        cnt.join(kept.select("item"), "item")
+        .groupBy("cat")
+        .agg(F.sum("c").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("s_c"))
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("o_mass") / n
+    d_e = (n * n - F.col("s_c").cast("double")) / (n * (n - F.lit(1.0)))
+    alpha = F.when(
+        (n * n - F.col("s_c").cast("double")) == F.lit(0.0), F.lit(1.0)
+    ).otherwise(
+        F.lit(1.0)
+        - (n - F.lit(1.0))
+        * F.col("o_mass")
+        / (n * n - F.col("s_c").cast("double"))
+    )
+    return obs.crossJoin(catp).select(
+        "n_items",
+        "n_ratings",
+        F.round(d_o, out_round).alias("d_o"),
+        F.round(d_e, out_round).alias("d_e"),
+        F.round(alpha, out_round).alias("alpha"),
+    )

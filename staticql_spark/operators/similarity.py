@@ -1178,3 +1178,77 @@ def mrl_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def rbo_weights(p: float, k: int) -> list[float]:
+    """Per-first-overlap-depth RBO weights, truncated at depth ``k``:
+    ``w[m] = sum_{d=m..k} p^(d-1)/d`` for m = 1..k (see
+    :func:`rbo_overlap` — an item whose prefixes first overlap at depth
+    m contributes w[m] to the unscaled sum).  Pure driver-side floats;
+    the oracle twin inlines the SAME literals, so both engines fold
+    identical constants."""
+    out = []
+    for m in range(1, k + 1):
+        out.append(sum(p ** (d - 1) / d for d in range(m, k + 1)))
+    return out
+
+
+def rbo_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    p: float = 0.9,
+    k: int = 5,
+    out_round: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010) between two ranked
+    lists per query, truncated at depth ``k`` -> (query_id, rbo).
+
+    The rank-SENSITIVE companion to recall@k (``ann_recall`` counts set
+    hits; RBO discounts agreement geometrically by depth, so two systems
+    that retrieve the same set in different orders score < 1):
+    ``rbo = (1-p) * sum_{d=1..k} p^(d-1) * |A_1..d ∩ B_1..d| / d``.
+
+    Shape: the depth sum is re-indexed per ITEM — an item ranked r_a in
+    A and r_b in B joins both prefixes from depth m = max(r_a, r_b)
+    onward, so its total contribution is ``w[m] = sum_{d=m..k}
+    p^(d-1)/d``, a k-entry literal lookup (:func:`rbo_weights`).  That
+    turns the per-depth intersection into ONE (query, item) equi join of
+    the two k-row-per-query lists + one per-query sum — no per-depth
+    loop, no window over raw rows, and the shuffle carries only top-k
+    result sets (the rrf_fuse cost profile).
+
+    Inputs need (query_id, neighbor_id, rank) with rank 1..k (the shape
+    cosine_topk / ivf_topk / rrf_fuse emit).  Queries present in either
+    list but with ZERO overlapping items emit rbo = 0.0 (full outer on
+    query presence via the id-set union).  Per-item weights are
+    9dp-rounded and folded in DECIMAL(38,9); the result is rounded
+    ``out_round`` — the repo-wide engine-stable fold.
+    """
+    w = rbo_weights(p, k)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(m) for m in range(1, k + 1)]),
+        F.array(*[F.lit(x) for x in w]),
+    )
+    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.greatest("rank_a", "rank_b").alias("m"),
+    )
+    contrib = hits.select(
+        "query_id",
+        F.round(wmap[F.col("m")], 9).cast("decimal(38,9)").alias("wm"),
+    )
+    qs = (
+        ra.select("query_id")
+        .unionByName(rb.select("query_id"))
+        .distinct()
+    )
+    per_q = contrib.groupBy("query_id").agg(F.sum("wm").alias("s"))
+    return qs.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.lit(1.0 - p) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+            out_round,
+        ).alias("rbo"),
+    )

@@ -3209,3 +3209,146 @@ def test_incremental_lsh_reduce_old_paths_identical(spark):
             ).collect()
         }
     assert got[True] == got[False] and got[True]
+
+
+def test_persist_registry_bounded_reused_and_released(spark, docs):
+    # r11 persist lifecycle (r10 verdict #3 / ADVICE): dedup's scoped
+    # persists are (a) reused for the same logical plan instead of
+    # thrashing the cache across bench reps, (b) LRU-bounded so a
+    # long-lived session's storage footprint cannot grow without bound,
+    # (c) eagerly releasable.
+    dedup.release_persists()
+    a = dedup._persist_scoped(dedup.doc_shingles(docs))
+    b = dedup._persist_scoped(dedup.doc_shingles(docs))
+    assert a is b, "same plan must reuse the registered persist"
+    assert len(dedup._LIVE_PERSISTS) == 1
+
+    # distinct plans fill the registry; the oldest gets evicted and
+    # actually unpersisted once the bound is crossed
+    frames = [
+        dedup._persist_scoped(dedup.doc_shingles(docs.filter(F.col("doc_id") > i)))
+        for i in range(dedup._MAX_LIVE_PERSISTS + 2)
+    ]
+    assert len(dedup._LIVE_PERSISTS) == dedup._MAX_LIVE_PERSISTS
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+    # the newest frames are still registered/persisted
+    assert frames[-1].storageLevel.useMemory or frames[-1].storageLevel.useDisk
+
+    released = dedup.release_persists()
+    assert released == dedup._MAX_LIVE_PERSISTS
+    assert len(dedup._LIVE_PERSISTS) == 0
+    last = frames[-1].storageLevel
+    assert not last.useMemory and not last.useDisk
+
+
+def test_lsh_load_rejects_pre_r11_string_key_index(spark, docs, tmp_path):
+    # a pre-r11 index stored 32-char md5 band keys; probing it with the
+    # r11 long keys would silently produce zero candidates, so lsh_load
+    # must refuse it loudly
+    p = str(tmp_path / "lsh_v1")
+    dedup.lsh_build(docs.filter(F.col("doc_id") < 12), p)
+    old = spark.read.parquet(f"{p}/bands").select(
+        "doc_id", "band", F.col("key").cast("string").alias("key")
+    )
+    old.write.mode("overwrite").parquet(f"{p}/bands_v1")
+    import shutil
+
+    shutil.rmtree(f"{p}/bands")
+    shutil.move(f"{p}/bands_v1", f"{p}/bands")
+    with pytest.raises(ValueError, match="band-key"):
+        dedup.lsh_load(spark, p)
+
+
+def test_rbo_overlap_matches_brute_force(spark):
+    # per-depth brute force of Webber's truncated RBO vs the operator's
+    # re-indexed one-join form, including a zero-overlap query
+    from decimal import ROUND_HALF_UP, Decimal
+
+    a_rows = [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        (2, 20, 1), (2, 21, 2), (2, 22, 3),
+        (3, 30, 1), (3, 31, 2), (3, 32, 3),
+    ]
+    b_rows = [
+        (1, 10, 1), (1, 12, 2), (1, 13, 3),   # same set-ish, different order
+        (2, 22, 1), (2, 21, 2), (2, 20, 3),   # reversed
+        (3, 90, 1), (3, 91, 2), (3, 92, 3),   # disjoint -> 0.0
+    ]
+    schema = "query_id: long, neighbor_id: long, rank: long"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    p, k = 0.9, 3
+    got = {
+        r["query_id"]: r["rbo"]
+        for r in similarity.rbo_overlap(a, b, p=p, k=k).collect()
+    }
+
+    def r9d(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+
+    from staticql_spark.operators.similarity import rbo_weights
+
+    w = rbo_weights(p, k)
+    expect = {}
+    for q in (1, 2, 3):
+        ra = {i: r for qq, i, r in a_rows if qq == q}
+        rb = {i: r for qq, i, r in b_rows if qq == q}
+        acc = Decimal(0)
+        for item in set(ra) & set(rb):
+            m = max(ra[item], rb[item])
+            acc += r9d(w[m - 1])
+        v = (1.0 - p) * float(acc)
+        expect[q] = float(
+            Decimal(repr(v)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+        # independent per-depth check of the re-indexing identity
+        brute = sum(
+            p ** (d - 1)
+            * len(
+                {i for i, r in ra.items() if r <= d}
+                & {i for i, r in rb.items() if r <= d}
+            )
+            / d
+            for d in range(1, k + 1)
+        )
+        assert abs((1.0 - p) * brute - v) < 1e-9
+    assert got == expect
+    assert got[3] == 0.0
+    assert got[2] < got[1] < 1.0  # full reversal costs more than a tail swap
+
+
+def test_auc_score_matches_pairwise_brute_force(spark):
+    # Mann-Whitney AUC with tie half-credit vs the O(P*N) definition;
+    # scores chosen to cross the 1000-microunit bucket boundary so the
+    # two-phase prefix sum's base-offset path is exercised
+    from staticql_spark.operators import classify
+
+    rows = [
+        (1, 0.9), (1, 0.004), (1, 0.0021), (1, 0.5),
+        (0, 0.1), (0, 0.004), (0, 0.0019), (0, 0.5), (0, 0.0021),
+    ]
+    df = spark.createDataFrame(rows, "label: int, score: double")
+    row = classify.auc_score(df).collect()[0]
+    pos = [s for l, s in rows if l == 1]
+    neg = [s for l, s in rows if l == 0]
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - u / (len(pos) * len(neg))) < 1e-9
+
+    # degenerate single-class input -> NULL auc, not a crash or 0/0
+    one_class = spark.createDataFrame(
+        [(1, 0.3), (1, 0.7)], "label: int, score: double"
+    )
+    assert classify.auc_score(one_class).collect()[0]["auc"] is None
+
+    # perfect separation -> 1.0; anti-separation -> 0.0
+    sep = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label: int, score: double"
+    )
+    assert classify.auc_score(sep).collect()[0]["auc"] == 1.0
+    anti = spark.createDataFrame(
+        [(0, 0.9), (1, 0.1)], "label: int, score: double"
+    )
+    assert classify.auc_score(anti).collect()[0]["auc"] == 0.0

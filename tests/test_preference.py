@@ -364,3 +364,56 @@ def test_arena_sliding_fanout_guard(spark):
         raise AssertionError("expected ValueError on 1M-window fan-out")
     except ValueError as e:
         assert "fan-out" in str(e)
+
+
+def test_krippendorff_alpha_matches_twin_and_handles_missing(spark):
+    # classic missing-data pattern (raters skip items): alpha must use
+    # only pairable (n_i >= 2) items; twin recomputes the coincidence
+    # formula with the operator's Decimal barrier
+    labels = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "b"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "c"), (3, "c"),
+        (4, "a"),            # single rating: excluded
+        (5, "c"), (5, "c"),
+    ]
+    df = spark.createDataFrame(labels, "item: long, cat: string")
+    row = preference.krippendorff_alpha(df).collect()[0]
+
+    from collections import Counter, defaultdict
+
+    by_item = defaultdict(list)
+    for i, c in labels:
+        by_item[i].append(c)
+    kept = {i: Counter(cs) for i, cs in by_item.items() if len(cs) >= 2}
+    n = sum(sum(c.values()) for c in kept.values())
+    o_mass = dsum(
+        (sum(c.values()) ** 2 - sum(v * v for v in c.values()))
+        / (sum(c.values()) - 1)
+        for c in kept.values()
+    )
+    marg = Counter()
+    for c in kept.values():
+        marg.update(c)
+    s_c = sum(v * v for v in marg.values())
+    alpha = 1.0 - (n - 1) * o_mass / (n * n - s_c)
+    assert row["n_items"] == 4 and row["n_ratings"] == n
+    assert row["d_o"] == r6(o_mass / n)
+    assert row["d_e"] == r6((n * n - s_c) / (n * (n - 1.0)))
+    assert row["alpha"] == r6(alpha)
+    # hand check: perfect-agreement-only data -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "item: long, cat: string"
+    )
+    assert preference.krippendorff_alpha(perfect).collect()[0]["alpha"] == 1.0
+
+
+def test_krippendorff_alpha_single_category_degenerate(spark):
+    # one observed category: disagreement impossible AND unexpected
+    # (d_e = 0) -> alpha = 1.0 by the documented convention
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a"), (2, "a")],
+        "item: long, cat: string",
+    )
+    row = preference.krippendorff_alpha(df).collect()[0]
+    assert row["d_e"] == 0.0 and row["alpha"] == 1.0
