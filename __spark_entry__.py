@@ -1268,13 +1268,19 @@ def _lsh_pairs_cached(spark, sf):
     doc_training_manifest) deliberately KEEP computing inline: the
     former is the cross-round LSH-throughput benchmark, the latter two
     demonstrate the one-declarative-program composition their oracles
-    replay.  Pairs are (long, long, double) — parquet hop value-exact."""
+    replay.  Pairs are (long, long, double) — parquet hop value-exact.
+
+    r11 (r10 verdict #2's reuse lever): derived FROM the shared
+    persisted full-corpus index (dedup.lsh_pairs_from_index) instead of
+    re-shingling + re-signing the corpus the index build just
+    processed — row-identical by per-doc signature independence (locked
+    by test_lsh_pairs_from_index_equals_inline)."""
+    idx = _lsh_index_full(spark, sf)
     return _artifact(
         spark,
         ("lshpairs", sf),
-        lambda: dedup.minhash_lsh_pairs(
-            _t(spark, sf, "documents"),
-            n=3, num_hashes=16, bands=4, threshold=0.2,
+        lambda: dedup.lsh_pairs_from_index(
+            idx.bands, idx.shingles, threshold=0.2,
         ),
     )
 
@@ -1303,15 +1309,17 @@ def _semantic_components_cached(spark, sf):
     )
 
 
-def _lsh_index_old(spark, sf):
-    """Persisted old-corpus LSH index (dedup.lsh_build, doc_id % 5 != 0
-    snapshot) for the incremental dedup key — per-process tempdir like
-    every shared artifact, but the BUILD goes through the package's
-    named index API so the driver exercises lsh_build/lsh_load, not just
-    the in-memory minhash_index pair."""
+def _lsh_index_full(spark, sf):
+    """Persisted FULL-corpus LSH index (dedup.lsh_build) — the one
+    shingle+signature pass every LSH artifact derives from (r11, r10
+    verdict #2): the shared pair set reads its bands/shingles back
+    (lsh_pairs_from_index) and the old-corpus snapshot is a doc_id
+    filter over the same frames.  The BUILD goes through the package's
+    named index API so the driver exercises lsh_build/lsh_load, not
+    just the in-memory minhash_index pair."""
     from staticql_spark import snapshots
 
-    key = ("lshidx_old", sf)
+    key = ("lshidx_full", sf)
     path = _ARTIFACT_CACHE.get(key)
     if path is None:
         path = _artifact_dir("staticql_lshidx_")
@@ -1320,16 +1328,32 @@ def _lsh_index_old(spark, sf):
         # XOR-digest manifest, and the first load integrity-verifies it
         # (torn-write / partial-upload guard exercised on EVERY bench
         # and driver run, not just in the facade's own test)
-        snapshots.snapshot_build(
-            docs.filter(F.col("doc_id") % 5 != 0), path, "lsh",
-            n=3, num_hashes=16, bands=4,
-        )
+        snapshots.snapshot_build(docs, path, "lsh", n=3, num_hashes=16, bands=4)
         # cache only after the verified load (torn-write guard must not
         # be one-shot per process — r10 ADVICE)
         out = snapshots.snapshot_load(spark, path, verify=True)
         _ARTIFACT_CACHE[key] = path
         return out
     return snapshots.snapshot_load(spark, path)
+
+
+def _lsh_index_old(spark, sf):
+    """Old-corpus LSH index (doc_id % 5 != 0 snapshot) for the
+    incremental dedup key — since r11 a pair of FILTERED VIEWS over the
+    shared full-corpus index's parquet frames: per-doc signatures depend
+    only on the doc's own text, so filter(build(all)) is row-identical
+    to build(filter(all)) (locked by
+    test_lsh_index_old_filter_equals_subset_build) and the second full
+    shingle+signature pass the old build paid per process disappears.
+    The doc_id filter reaches the parquet scan (predicate pushdown)."""
+    full = _lsh_index_full(spark, sf)
+    return dedup.LSHIndex(
+        bands=full.bands.filter(F.col("doc_id") % 5 != 0),
+        shingles=full.shingles.filter(F.col("doc_id") % 5 != 0),
+        n=full.n,
+        num_hashes=full.num_hashes,
+        n_bands=full.n_bands,
+    )
 
 
 def _chunk_index_old(spark, sf):
@@ -1384,6 +1408,7 @@ def build_artifacts(spark, sf) -> dict:
         ),
         ("semantic_pairs", lambda: _semantic_pairs_cached(spark, sf)),
         ("semantic_components", lambda: _semantic_components_cached(spark, sf)),
+        ("lsh_index_full", lambda: _lsh_index_full(spark, sf)),
         ("lsh_pairs", lambda: _lsh_pairs_cached(spark, sf)),
         ("lsh_components", lambda: _lsh_components_cached(spark, sf)),
         ("contaminated_spans", lambda: _contaminated_spans_cached(spark, sf)),
@@ -4485,6 +4510,51 @@ def q_events_rater_agreement(spark, sf):
 # order (doc_mixture_epochs) to fill the 50.  After r10 greens, max
 # driver-signal staleness registry-wide stays <=5 rounds (r5 vintage),
 # and the remaining 37 r5-vintage keys head the committed r11 backfill.
+# r11 window (r10 verdict #1), same rotation policy: (1) 4 new keys
+# (events_krippendorff — nominal-data alpha; ann_rbo — rank-biased
+# overlap IVF-vs-exact; doc_auc — Mann-Whitney ROC-AUC of the quality
+# scorer; stream_arena — the streaming arena twin's batch fallback at a
+# 3d/1d geometry), (2) 8 changed-in-r11 keys running the 60-bit band-key
+# and scoped-persist-registry code paths (dedup_minhash_lsh,
+# dedup_incremental, dedup_lsh_recall, dedup_components,
+# pipeline_clean_corpus as band-key representatives across the
+# inline/incremental/recall/artifact/composition consumers;
+# dedup_simhash, dedup_ngram_jaccard, dedup_containment as the
+# persist-registry representatives — the remaining pairs-artifact
+# consumers share the SAME verified artifact values and were all
+# locally oracle-checked at sf0.01 this round), (3) the COMMITTED
+# 38-key r5-vintage backfill head verbatim from COVERAGE.md's r10
+# freshness ledger — MINUS pipeline_clean_corpus and dedup_lsh_recall,
+# which moved up into the changed block (36 remain), (4) 2 r6-vintage
+# stalest-green keys in registry order (doc_term_pmi, doc_bigram_nll)
+# to fill the 50 (dedup_containment, the stalest r6 key, already sits
+# in the changed block).  4 + 8 + 36 + 2 = 50; after r11 greens, max
+# driver-signal staleness registry-wide stays <=5 rounds (r6 vintage),
+# and the remaining 26 r6-vintage keys head the committed r12 backfill.
+_R11_HEAD = [
+    # -- new in r11 (rank with changed keys) --
+    "events_krippendorff", "ann_rbo", "doc_auc", "stream_arena",
+    # -- changed in r11 --
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall",
+    "dedup_components", "pipeline_clean_corpus", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_containment",
+    # -- committed r5-vintage backfill (r10 verdict #1, verbatim) --
+    "doc_mixture_epochs", "events_attribution", "pipeline_curate_mixture",
+    "events_retention", "langid_confusion", "quality_quantile_norm",
+    "scd2_history", "events_decayed", "corpus_diff", "ann_hybrid_rrf",
+    "events_next_prediction", "ann_recall", "doc_training_manifest",
+    "events_pagerank", "doc_weighted_sample", "doc_token_entropy",
+    "kmv_union", "events_sequences", "asof_hotkey_bucketed",
+    "doc_rebalance", "doc_pack", "bpe_pair_counts",
+    "bpe_train", "bpe_encode", "doc_decontaminate_bloom",
+    "events_anomaly", "customer_rfm", "events_markov", "doc_gopher",
+    "doc_unigram_nll", "doc_curriculum", "events_funnel",
+    "multimodal_features", "doc_dup_spans", "doc_dup_excise",
+    "doc_dup_spans_anchored",
+    # -- r6-vintage stalest-green fill (registry order; 2 fit) --
+    "doc_term_pmi", "doc_bigram_nll",
+]
+
 _R10_HEAD = [
     # -- new in r10 (rank with changed keys) --
     "events_bt_ties", "events_rater_bias", "events_arena_sliding",
@@ -4870,16 +4940,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_auc": q_doc_auc,
         "stream_arena": q_stream_arena,
     }
-    # r10 rotation: new/changed-code keys first (they run unverified
-    # code), then the committed r4 backfill + r5-vintage stalest fill
-    # (_R10_HEAD, see the policy comment there), then the r9/r8/r7
+    # r11 rotation: new/changed-code keys first (they run unverified
+    # code), then the committed r5 backfill + r6-vintage stalest fill
+    # (_R11_HEAD, see the policy comment there), then the r10/r9/r8/r7
     # ordering for the tail.  Keys are asserted present so a typo fails
     # loudly rather than silently shrinking the head.
-    for ledger in (_R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
+    for ledger in (_R11_HEAD, _R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R10_HEAD}
-    mid = {k: q[k] for k in _R9_HEAD + _R8_HEAD + _R7_HEAD if k not in head}
+    head = {k: q[k] for k in _R11_HEAD}
+    mid = {
+        k: q[k]
+        for k in _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD
+        if k not in head
+    }
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
     return {**head, **mid, **tail}
 

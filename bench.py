@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry
 from staticql_spark.session import get_spark
 
-# HEADLINE covers 181 of the 251 registered queries (r10).  The 70 excluded
+# HEADLINE covers 185 of the 255 registered queries (r11).  The 70 excluded
 # keys are the long-stable set benched to convergence in earlier rounds
 # (r1-r4): the TPC-H group-C shapes and small staticql-parity lookups
 # (where_eq/point_lookup/...), simple set/pivot/window variants, and a
@@ -239,6 +239,11 @@ HEADLINE = [
     "events_bt_ties",
     "events_rater_bias",
     "events_arena_sliding",
+    # new in r11
+    "events_krippendorff",
+    "ann_rbo",
+    "doc_auc",
+    "stream_arena",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —

@@ -1870,3 +1870,55 @@ def lsh_append(
     )
     b.write.mode("append").parquet(f"{path}/bands")
     sh.write.mode("append").parquet(f"{path}/shingles")
+
+
+def lsh_pairs_from_index(
+    bands: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs straight from a PERSISTED LSH index (r11, r10
+    verdict #2's reuse lever): candidate blocking + Jaccard verify over
+    the (id, band, key) and (id, sh) frames an :func:`lsh_build` /
+    :func:`lsh_append` index already holds — NO re-shingle, NO
+    re-signature.  Row-identical to :func:`minhash_lsh_pairs` over the
+    same corpus at the index's frozen recipe (per-doc signatures depend
+    only on the doc's own text; locked by
+    test_lsh_pairs_from_index_equals_inline).
+
+    This is the shape a daily pipeline wants: build/append the index
+    once per snapshot, then derive the pair set (and anything downstream
+    — components, keep-lists, leak-free splits) from the parquet frames.
+    At the 500k-doc soak the inline build's per-doc map work (shingle +
+    16 hashes + banding) is pure recompute of what the index stores.
+
+    ``partitions`` pins the verify width; default None applies the
+    corpus-size gate (one count of the shingle frame — a 2-column
+    parquet scan, no shuffle; the dup-density caveat on
+    _VERIFY_WIDEN_MIN_DOCS applies).  The shingle frame is deliberately
+    NOT persisted: it is already parquet, so the verify join's two
+    id-keyed reads are scans, not recomputes.
+    """
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    cands = (
+        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    wide = partitions
+    if wide is None:
+        sc = bands.sparkSession.sparkContext
+        wide = (
+            sc.defaultParallelism * 8
+            if shingles.count() >= _VERIFY_WIDEN_MIN_DOCS
+            else None
+        )
+    verified = verify_jaccard(cands, shingles, id_col, partitions=wide)
+    return verified.filter(F.col("jaccard") >= threshold)

@@ -3352,3 +3352,49 @@ def test_auc_score_matches_pairwise_brute_force(spark):
         [(0, 0.9), (1, 0.1)], "label: int, score: double"
     )
     assert classify.auc_score(anti).collect()[0]["auc"] == 0.0
+
+
+def test_lsh_pairs_from_index_equals_inline(spark, docs, tmp_path):
+    # pairs derived from a persisted index (no re-shingle/re-sign) must be
+    # row-identical to the inline full build at the index's frozen recipe
+    p = str(tmp_path / "lsh_full_idx")
+    dedup.lsh_build(docs, p, n=3, num_hashes=16, bands=4)
+    idx = dedup.lsh_load(spark, p)
+    from_idx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_pairs_from_index(
+            idx.bands, idx.shingles, threshold=0.2
+        ).collect()
+    }
+    inline = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=16, bands=4, threshold=0.2
+        ).collect()
+    }
+    assert from_idx == inline and from_idx
+
+
+def test_lsh_index_old_filter_equals_subset_build(spark, docs, tmp_path):
+    # per-doc signatures depend only on the doc's own text, so filtering
+    # a full index equals building from the filtered corpus — the r11
+    # _lsh_index_old derivation's contract
+    full_p = str(tmp_path / "lsh_full")
+    dedup.lsh_build(docs, full_p, n=3, num_hashes=16, bands=4)
+    full = dedup.lsh_load(spark, full_p)
+    sub_p = str(tmp_path / "lsh_sub")
+    dedup.lsh_build(
+        docs.filter(F.col("doc_id") % 5 != 0), sub_p, n=3, num_hashes=16, bands=4
+    )
+    sub = dedup.lsh_load(spark, sub_p)
+    fb = {
+        tuple(r) for r in full.bands.filter(F.col("doc_id") % 5 != 0).collect()
+    }
+    sb = {tuple(r) for r in sub.bands.collect()}
+    assert fb == sb and fb
+    fs = {
+        (r["doc_id"], tuple(sorted(r["sh"])))
+        for r in full.shingles.filter(F.col("doc_id") % 5 != 0).collect()
+    }
+    ss = {(r["doc_id"], tuple(sorted(r["sh"]))) for r in sub.shingles.collect()}
+    assert fs == ss
