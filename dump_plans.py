@@ -86,6 +86,12 @@ PICKS = [
     ("events_bt_ties (Rao-Kupper BT: one pair-count shuffle; p and theta broadcast per MM iteration)", "events_bt_ties"),
     ("events_rater_bias (one item sum/count shuffle; item-keyed join back; rater agg)", "events_rater_bias"),
     ("events_arena_sliding (bounded in-row window explode; ONE combinable (k,pair) count shuffle)", "events_arena_sliding"),
+    # r11 operators
+    ("events_krippendorff (one (item,cat) count shuffle; per-item + per-cat reduces; 1-row crossJoin)", "events_krippendorff"),
+    ("ann_rbo (two top-5 result sets: ONE (query,item) equi join; literal weight map; per-query sum)", "ann_rbo"),
+    ("doc_auc (distinct-score agg; two-phase prefix sum — bucket window + |buckets| base offsets)", "doc_auc"),
+    ("stream_arena (batch fallback = arena_sliding at 3d/1d: same bounded explode + one count shuffle)", "stream_arena"),
+    ("dedup_components (pairs now derived from the persisted index: parquet scans, no re-shingle)", "dedup_components"),
 ]
 
 

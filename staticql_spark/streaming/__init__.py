@@ -1464,6 +1464,7 @@ def stream_arena_sliding(
     out_round: int = 6,
     max_fanout: int = 1024,
     watermark: str = "2 hours",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Live sliding-window arena leaderboard — the streaming twin of
     :func:`~staticql_spark.operators.preference.arena_sliding` (r10
@@ -1483,6 +1484,16 @@ def stream_arena_sliding(
     per-comparison rows".  Counts are order-free sums, so at-least-once
     replays of a whole micro-batch are the only double-count hazard —
     the standard Structured Streaming sink contract.
+
+    Over an unbounded run even two-longs-per-cell accumulates (windows
+    keep arriving forever); ``state_ttl_ms`` bounds it with the
+    streaming_first_seen recipe — a processing-time timeout evicts
+    (window, pair) cells idle past the TTL, which is exactly when a
+    window has slid out of the live leaderboard's interest.  Size the
+    TTL >= window span + late-data slack; an evicted cell that DOES see
+    a late comparison restarts from zero (the emitted row then
+    undercounts that stale window — acceptable for a recency
+    leaderboard, run the batch operator for the archival matrix).
 
     The Wilson lower bound is computed per emit with the SAME IEEE
     double expression order as the batch operator and rounded HALF_UP
@@ -1544,11 +1555,17 @@ def stream_arena_sliding(
 
     def update(key, pdf_iter, state):
         kk, item_a, item_b = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # cell idle past the TTL: evict; a late arrival re-registers
+            state.remove()
+            return
         n, wins_a = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += int(len(pdf))
             wins_a += int(pdf["a_won"].sum())
         state.update((n, wins_a))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         # same IEEE expression order as the batch operator's Columns
         nn = float(n)
         p = float(wins_a) / nn
@@ -1576,5 +1593,9 @@ def stream_arena_sliding(
         outputStructType=ARENA_SLIDING_SCHEMA,
         stateStructType=_ARENA_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

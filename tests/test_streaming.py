@@ -1128,3 +1128,60 @@ def test_stream_arena_sliding_matches_batch(spark, tmp_path_factory):
         for r in rows
     }
     assert got == batch
+
+
+def test_stream_arena_sliding_ttl_still_matches_batch(spark, tmp_path_factory):
+    # with a state TTL configured (the unbounded-run state bound), a
+    # single availableNow pass must still equal the batch operator: the
+    # processing-time timeout can only evict between triggers, and no
+    # cell is idle within one pass
+    from staticql_spark.operators import asof
+    from staticql_spark.streaming import read_event_stream, stream_arena_sliding
+
+    def comps(ev):
+        c = ev.select(
+            asof.epoch_us(ev, "ts").alias("t_us"),
+            (F.col("event_id") % 24).alias("a"),
+            F.expr("(event_id div 24) % 24").alias("b"),
+            F.expr("event_id div 576").alias("t"),
+        ).filter(F.col("a") != F.col("b"))
+        a_wins = (F.col("t") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+        return c.select(
+            "t_us",
+            F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+            F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    win, slide = 2 * 86400 * 1_000_000, 12 * 3600 * 1_000_000
+    batch = {
+        (r["win_start_us"], r["item_a"], r["item_b"]): (r["n"], r["wins_a"])
+        for r in stream_arena_sliding(
+            comps(spark.read.parquet(d)), window_us=win, slide_us=slide
+        ).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_arena_sliding(
+            comps(stream), window_us=win, slide_us=slide,
+            state_ttl_ms=3_600_000,
+        )
+        .writeStream.format("memory")
+        .queryName("arena_ttl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by win_start_us, item_a, item_b
+                 order by n desc) rn
+             from arena_ttl_test) where rn = 1"""
+    ).collect()
+    got = {
+        (r["win_start_us"], r["item_a"], r["item_b"]): (r["n"], r["wins_a"])
+        for r in rows
+    }
+    assert got == batch
