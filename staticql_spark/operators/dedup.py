@@ -1896,12 +1896,15 @@ def lsh_pairs_from_index(
     16 hashes + banding) is pure recompute of what the index stores.
 
     ``partitions`` pins the verify width; default None applies the
-    corpus-size gate (one count of the shingle frame — a 2-column
-    parquet scan, no shuffle; the dup-density caveat on
-    _VERIFY_WIDEN_MIN_DOCS applies).  The shingle frame is deliberately
-    NOT persisted: it is already parquet, so the verify join's two
-    id-keyed reads are scans, not recomputes.
+    corpus-size gate (one count of the shingle frame — the same pass
+    that warms the persist; the dup-density caveat on
+    _VERIFY_WIDEN_MIN_DOCS applies).  The shingle frame goes through the
+    scoped persist registry: the verify join reads it TWICE (id_a and
+    id_b sides), and the first SOAK_r11 measurement showed the double
+    parquet scan of 500k shingle-array rows costing more than the
+    in-memory cache the inline build enjoys.
     """
+    shingles = _persist_scoped(shingles)
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))

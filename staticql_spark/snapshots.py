@@ -7,11 +7,14 @@ the MinHash-LSH index (``dedup.lsh_build``), the PQ/IVFADC index
 — each with its own build function and directory layout.  This module
 gives them ONE entry point and, more importantly, ONE integrity
 manifest: ``_snapshot.json`` at the snapshot root records the kind, the
-scalar recipe, and per-frame (row count, XOR content checksum) computed
-with the repo-wide engine-portable digest (shards.row_digest; XOR makes
-the checksum order- and partitioning-independent, so re-verifying a
-snapshot after a re-shuffle costs one map-side pass per frame —
-the shard_checksums contract applied to index artifacts).
+scalar recipe, and per-frame (row count, XOR content checksum).  The
+per-row digest is native ``xxhash64`` over all columns (r11; see
+_DIGESTS for why, and for the md5 back-compat path for pre-r11
+manifests); XOR makes the checksum order- and partitioning-independent,
+so re-verifying a snapshot after a re-shuffle costs one map-side pass
+per frame — the shard_checksums contract applied to index artifacts,
+with a Spark-internal hash since no other engine ever recomputes a
+manifest.
 
 ``snapshot_load(..., verify=True)`` recomputes the stats and refuses a
 snapshot whose bytes no longer match its manifest — the guard a serving
@@ -53,7 +56,27 @@ _FRAMES = {
 }
 
 
-def _frame_stats(spark: SparkSession, path: str, kind: str) -> dict:
+# Manifest digest algorithms.  "xxhash64" (default since r11) is the
+# native JVM whole-stage-codegen hash over ALL columns (arrays
+# included) — the stamp + verify-on-load passes over a 500k-doc LSH
+# index cost ~220 s with the md5-over-stringified-rows digest (the
+# measured bulk of SOAK_r11's lsh_index_full build) and single-digit
+# seconds with xxhash64.  Manifests are Spark-internal integrity
+# artifacts — nothing cross-engine ever recomputes them (the
+# engine-portable md5 idiom stays where it is oracle-checked:
+# shards.row_digest / shard_checksums) — so the fast hash loses
+# nothing.  Pre-r11 manifests carry no "digest_algo" field and verify
+# with md5 for compatibility.
+_DIGESTS = {
+    "xxhash64": lambda cols: F.xxhash64(*[F.col(c) for c in cols]),
+    "md5": row_digest,
+}
+_DEFAULT_DIGEST = "xxhash64"
+
+
+def _frame_stats(
+    spark: SparkSession, path: str, kind: str, algo: str = _DEFAULT_DIGEST
+) -> dict:
     stats = {}
     for name in _FRAMES[kind]:
         sub = f"{path.rstrip('/')}/{name}"
@@ -61,7 +84,7 @@ def _frame_stats(spark: SparkSession, path: str, kind: str) -> dict:
             continue
         df = spark.read.parquet(sub)
         row = df.select(
-            row_digest(sorted(df.columns)).alias("__d")
+            _DIGESTS[algo](sorted(df.columns)).alias("__d")
         ).agg(
             F.count("*").cast("long").alias("n"),
             F.expr("bit_xor(__d)").alias("ck"),
@@ -78,6 +101,7 @@ def snapshot_stamp(spark: SparkSession, path: str, kind: str, recipe: dict | Non
         raise ValueError(f"unknown snapshot kind: {kind!r} (have {sorted(_FRAMES)})")
     manifest = {
         "kind": kind,
+        "digest_algo": _DEFAULT_DIGEST,
         "recipe": {
             k: v
             for k, v in (recipe or {}).items()
@@ -127,7 +151,11 @@ def snapshot_verify(spark: SparkSession, path: str) -> dict:
     shows up as a mismatch (XOR digest flips)."""
     with open(os.path.join(path, MANIFEST_NAME), encoding="utf-8") as f:
         manifest = json.load(f)
-    actual = _frame_stats(spark, path, manifest["kind"])
+    # pre-r11 manifests carry no digest_algo: verify with the md5 digest
+    # they were stamped with
+    actual = _frame_stats(
+        spark, path, manifest["kind"], manifest.get("digest_algo", "md5")
+    )
     mismatches: dict = {}
     for name, want in manifest["frames"].items():
         got = actual.get(name)

@@ -338,3 +338,36 @@ def test_snapshot_frame_kind_generic_artifact(spark, tmp_path):
     assert not snapshots.snapshot_verify(spark, p)["ok"]
     with _pytest.raises(ValueError, match="integrity"):
         snapshots.snapshot_load(spark, p, verify=True)
+
+
+def test_snapshot_verify_pre_r11_md5_manifest_compat(spark, tmp_path):
+    # a manifest stamped before the xxhash64 switch carries no
+    # digest_algo field: verify must fall back to the md5 digest it was
+    # stamped with instead of failing every legacy snapshot
+    import json as _json
+    import os as _os
+
+    from staticql_spark import snapshots
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = str(tmp_path / "legacy")
+    snapshots.snapshot_build(docs.limit(20), p, "chunk", width=8)
+    mpath = _os.path.join(p, snapshots.MANIFEST_NAME)
+    m = _json.load(open(mpath))
+    assert m["digest_algo"] == "xxhash64"
+    legacy_frames = snapshots._frame_stats(spark, p, "chunk", algo="md5")
+    del m["digest_algo"]
+    m["frames"] = legacy_frames
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    report = snapshots.snapshot_verify(spark, p)
+    assert report["ok"], report
+    # and a CONTENT change still trips the legacy-digest verify
+    spark.read.parquet(f"{p}/index").limit(5).write.mode("overwrite").parquet(
+        f"{p}/index_tmp"
+    )
+    import shutil
+
+    shutil.rmtree(f"{p}/index")
+    shutil.move(f"{p}/index_tmp", f"{p}/index")
+    assert not snapshots.snapshot_verify(spark, p)["ok"]
