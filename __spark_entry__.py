@@ -4351,6 +4351,71 @@ def q_stream_arena(spark, sf):
     )
 
 
+def q_ann_mrr(spark, sf):
+    # mean-reciprocal-rank leg of the ranking-eval triad (new r12):
+    # recall@5 counts set hits, RBO discounts order disagreement, MRR
+    # grades only how early the FIRST exact-top-5 item appears in the
+    # IVF ranking — the metric for retrieval feeding a one-answer
+    # consumer.  One (query, item) equi join of two top-5 lists + a
+    # per-query min; the same IVF-vs-exact pairing as ann_rbo so the
+    # three legs read side by side.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, nprobe=3)
+    return similarity.mrr_first_hit(approx, exact)
+
+
+def q_events_mann_kendall(spark, sf):
+    # Mann-Kendall monotone-trend test per event type over DAILY event
+    # counts (new r12): the non-parametric trend detector ops dashboards
+    # run on volume series — no distributional assumption, exact-integer
+    # S statistic with tie-corrected variance, continuity-corrected z.
+    # The pairwise step self-joins the (type, day, count) AGGREGATE
+    # (|types| x days^2/2 rows), never raw events.
+    from staticql_spark.operators.behavior import mann_kendall
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            (asof.epoch_us(ev, "ts") / F.lit(86_400_000_000)).cast("long").alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    return mann_kendall(daily)
+
+
+def q_doc_zipf(spark, sf):
+    # Zipf rank-frequency fit per language (new r12): ln(freq) ~ a +
+    # s*ln(rank) least squares over each language's top-200 token
+    # frequencies — the corpus-health readout that catches template
+    # spam (flat slope) and generated text (steep slope, tiny vocab) at
+    # the distribution level.  One token-count shuffle; top-n selection
+    # runs the module's two-phase rank on the aggregate (no per-language
+    # whale windows).
+    return text.zipf_fit(_t(spark, sf, "documents"))
+
+
+def q_stream_consensus(spark, sf):
+    # live per-item consensus label registered at its batch fallback
+    # (the stream_arena precedent; the live stateful path is pinned
+    # stream-vs-batch by test_stream_consensus_matches_batch): item =
+    # user_id, category = event_type — the labeling-pipeline "current
+    # truth" table kept fresh per micro-batch.
+    from staticql_spark.streaming import stream_consensus
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return stream_consensus(
+        ev.select(
+            F.col("user_id").alias("item"),
+            F.col("event_type").alias("cat"),
+            F.col("ts"),
+        )
+    )
+
+
 def q_events_tcloseness(spark, sf):
     # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
     # privacy release triad (events_kanon bounds group size,
@@ -4531,6 +4596,47 @@ def q_events_rater_agreement(spark, sf):
 # in the changed block).  4 + 8 + 36 + 2 = 50; after r11 greens, max
 # driver-signal staleness registry-wide stays <=5 rounds (r6 vintage),
 # and the remaining 26 r6-vintage keys head the committed r12 backfill.
+# r12 window (50), composed per the rotation policy (new/changed first,
+# then the committed backfill): (1) the 4 NEW r12 keys (ann_mrr — MRR
+# leg of the ranking-eval triad; events_mann_kendall — tie-corrected
+# trend test; doc_zipf — rank-frequency fit; stream_consensus — live
+# consensus-label twin's batch fallback), (2) 8 CHANGED-in-r12 keys:
+# dedup_minhash_lsh / dedup_incremental / dedup_lsh_recall /
+# dedup_components / pipeline_clean_corpus as the dedup-path
+# representatives for the r12 verify-width dup-density gate
+# (_adaptive_verify_width), the persist-registry collision/lock fix and
+# the lsh_append format guard; ann_rbo (oracle now composes the shared
+# _IVF_VS_EXACT_CTES); events_arena_sliding + stream_arena (oracle now
+# the parameterized _arena_sliding_sql template — r11 ADVICE), (3) the
+# COMMITTED 26-key r6-vintage backfill head verbatim from COVERAGE.md's
+# r11 freshness ledger, (4) 12 r7-vintage stalest-green keys in
+# registry order to fill the 50.  4 + 8 + 26 + 12 = 50; after r12
+# greens, r6 vintage clears, max driver-signal staleness registry-wide
+# stays <=5 rounds (r7 vintage), and the remaining 28 r7-vintage keys
+# head the committed r13 backfill.
+_R12_HEAD = [
+    # -- new in r12 (rank with changed keys) --
+    "ann_mrr", "events_mann_kendall", "doc_zipf", "stream_consensus",
+    # -- changed in r12 --
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall",
+    "dedup_components", "pipeline_clean_corpus", "ann_rbo",
+    "events_arena_sliding", "stream_arena",
+    # -- committed r6-vintage backfill (r11 ledger, verbatim) --
+    "events_cooccurrence", "ann_hard_negatives", "ann_cell_balance",
+    "doc_length_budget", "doc_training_order", "doc_temperature_mix",
+    "events_kanon", "embedding_drift", "ann_label_noise",
+    "multimodal_ahash", "exact_percentiles", "multimodal_audio_hash",
+    "fd_discovery", "ri_report", "kmv_join_estimate", "events_bot_score",
+    "doc_vocab_drift", "pipeline_media_manifest", "events_ppr",
+    "doc_ccnet_buckets", "events_cohort_ltv", "doc_shuffle_shards",
+    "bpe_fertility", "doc_source_cap", "doc_dsir", "ann_knn_classify",
+    # -- r7-vintage stalest-green fill (registry order; 12 fit) --
+    "grouped_percentiles", "robust_outliers", "doc_ngram_coverage",
+    "shard_checksums", "events_dau_wau", "events_time_to_convert",
+    "checksum_delta", "doc_dedup_funnel", "events_lpa", "stream_shard_ck",
+    "dedup_minhash_1bit", "orders_backlog",
+]
+
 _R11_HEAD = [
     # -- new in r11 (rank with changed keys) --
     "events_krippendorff", "ann_rbo", "doc_auc", "stream_arena",
@@ -4939,19 +5045,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo": q_ann_rbo,
         "doc_auc": q_doc_auc,
         "stream_arena": q_stream_arena,
+        # new in r12
+        "ann_mrr": q_ann_mrr,
+        "events_mann_kendall": q_events_mann_kendall,
+        "doc_zipf": q_doc_zipf,
+        "stream_consensus": q_stream_consensus,
     }
-    # r11 rotation: new/changed-code keys first (they run unverified
-    # code), then the committed r5 backfill + r6-vintage stalest fill
-    # (_R11_HEAD, see the policy comment there), then the r10/r9/r8/r7
-    # ordering for the tail.  Keys are asserted present so a typo fails
-    # loudly rather than silently shrinking the head.
-    for ledger in (_R11_HEAD, _R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
+    # r12 rotation: new/changed-code keys first (they run unverified
+    # code), then the committed r6 backfill + r7-vintage stalest fill
+    # (_R12_HEAD, see the policy comment there), then the r11/r10/r9/r8/
+    # r7 ordering for the tail.  Keys are asserted present so a typo
+    # fails loudly rather than silently shrinking the head.
+    for ledger in (_R12_HEAD, _R11_HEAD, _R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R11_HEAD}
+    head = {k: q[k] for k in _R12_HEAD}
     mid = {
         k: q[k]
-        for k in _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD
+        for k in _R11_HEAD + _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD
         if k not in head
     }
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
@@ -10237,54 +10348,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                          / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
             FROM calc
         """,
-        # Sliding-window arena: windows are [k*S, k*S+W); a comparison
-        # at tus lands in windows floor((tus-W)/S)+1 .. floor(tus/S),
-        # with floor division spelled via the pmod idiom
-        # (x - pmod(x, S)) / S so it is exact for any sign on any
-        # engine — the twin of preference.arena_sliding's
-        # _floordiv_long.  Wilson arithmetic mirrors events_win_matrix.
-        "events_arena_sliding": f"""
-            WITH comps AS (
-              SELECT epoch_us(ts)::BIGINT AS tus,
-                     event_id % 24 AS a, (event_id // 24) % 24 AS b,
-                     event_id // 576 AS t
-              FROM events
-              WHERE event_id % 24 <> (event_id // 24) % 24
-            ),
-            cw AS (
-              SELECT tus,
-                     CASE WHEN t % (a + b + 2) <= a THEN a ELSE b END AS w,
-                     CASE WHEN t % (a + b + 2) <= a THEN b ELSE a END AS l
-              FROM comps
-            ),
-            ex AS (
-              SELECT u.k AS k, least(w, l) AS item_a,
-                     greatest(w, l) AS item_b,
-                     CASE WHEN w < l THEN 1 ELSE 0 END AS a_won
-              FROM cw, UNNEST(generate_series(
-                ((tus - {_ARENA_W}) - ((((tus - {_ARENA_W}) % {_ARENA_S}) + {_ARENA_S}) % {_ARENA_S})) // {_ARENA_S} + 1,
-                (tus - (((tus % {_ARENA_S}) + {_ARENA_S}) % {_ARENA_S})) // {_ARENA_S}
-              )) AS u(k)
-            ),
-            agg AS (
-              SELECT k, item_a, item_b, count(*)::BIGINT AS n,
-                     sum(a_won)::BIGINT AS wins_a
-              FROM ex GROUP BY 1, 2, 3
-            ),
-            calc AS (
-              SELECT *, CAST(n AS DOUBLE) AS nn,
-                     CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p
-              FROM agg
-            )
-            SELECT k * {_ARENA_S} AS win_start_us, item_a, item_b, n,
-                   wins_a, n - wins_a AS wins_b,
-                   round(p, 6) AS win_rate_a,
-                   round((p + (1.96 * 1.96) / (2.0 * nn)
-                          - 1.96 * sqrt((p * (1.0 - p)
-                                         + (1.96 * 1.96) / (4.0 * nn)) / nn))
-                         / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
-            FROM calc
-        """,
+        # Sliding-window arena: ONE parameterized template shared with
+        # the stream_arena twin (r11 ADVICE — the previous post-hoc
+        # str.replace of the window constants silently breaks if another
+        # literal ever contains those digit substrings).
+        "events_arena_sliding": _arena_sliding_sql(_ARENA_W, _ARENA_S),
         "events_quantile_sketch": """
             WITH sk AS (
               SELECT ('0x' || substr(md5('qsk1|' || event_id::VARCHAR), 1, 15))::BIGINT AS h,
@@ -10432,6 +10500,113 @@ def _oracle_sql_literal() -> dict[str, str]:
 # shared by q_events_arena_sliding and its oracle above.
 _ARENA_W = 7 * 86400 * 1_000_000
 _ARENA_S = 2 * 86400 * 1_000_000
+
+# Shared IVF-vs-exact ranking derivation (q .. ivfk), the ann_recall
+# recipe with rank KEPT: stride-50 queries, stride-100 centroids,
+# nprobe 3, top-5 both paths, 6dp-rounded cosine with neighbor-id
+# tiebreak.  ONE source for every ranking-eval oracle (ann_rbo r11,
+# ann_mrr r12) so the derivation can never drift between legs.
+_IVF_VS_EXACT_CTES = """q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            brute AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         round(list_dot_product(qv, cv)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                               6) DESC, neighbor_id ASC) AS rank
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+              ) WHERE rank <= 5
+            ),
+            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+                     FROM embeddings WHERE vec_id % 100 = 0),
+            cells AS (
+              SELECT neighbor_id, cv, cell FROM (
+                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+                         round(list_dot_product(cv, centroid)
+                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, cent.cid AS cell,
+                       row_number() OVER (PARTITION BY q.query_id ORDER BY
+                         round(list_dot_product(qv, centroid)
+                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
+                               6) DESC, cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 3
+            ),
+            ivfk AS (
+              SELECT query_id, neighbor_id, rank FROM (
+                SELECT p.query_id, s.neighbor_id,
+                       row_number() OVER (PARTITION BY p.query_id ORDER BY
+                         round(list_dot_product(p.qv, s.cv)
+                               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
+                               6) DESC, s.neighbor_id ASC) AS rank
+                FROM probes p JOIN cells s USING (cell)
+                WHERE p.query_id <> s.neighbor_id
+              ) WHERE rank <= 5
+            )"""
+
+
+def _arena_sliding_sql(w_us: int, s_us: int) -> str:
+    """The sliding-window arena oracle, parameterized on the window
+    geometry: windows are [k*S, k*S+W); a comparison at tus lands in
+    windows floor((tus-W)/S)+1 .. floor(tus/S), with floor division
+    spelled via the pmod idiom (x - pmod(x, S)) / S so it is exact for
+    any sign on any engine — the twin of preference.arena_sliding's
+    _floordiv_long.  Wilson arithmetic mirrors events_win_matrix.  ONE
+    template serves events_arena_sliding (7d/2d) and stream_arena
+    (3d/1d) so the two geometries can never drift (r11 ADVICE)."""
+    return f"""
+            WITH comps AS (
+              SELECT epoch_us(ts)::BIGINT AS tus,
+                     event_id % 24 AS a, (event_id // 24) % 24 AS b,
+                     event_id // 576 AS t
+              FROM events
+              WHERE event_id % 24 <> (event_id // 24) % 24
+            ),
+            cw AS (
+              SELECT tus,
+                     CASE WHEN t % (a + b + 2) <= a THEN a ELSE b END AS w,
+                     CASE WHEN t % (a + b + 2) <= a THEN b ELSE a END AS l
+              FROM comps
+            ),
+            ex AS (
+              SELECT u.k AS k, least(w, l) AS item_a,
+                     greatest(w, l) AS item_b,
+                     CASE WHEN w < l THEN 1 ELSE 0 END AS a_won
+              FROM cw, UNNEST(generate_series(
+                ((tus - {w_us}) - ((((tus - {w_us}) % {s_us}) + {s_us}) % {s_us})) // {s_us} + 1,
+                (tus - (((tus % {s_us}) + {s_us}) % {s_us})) // {s_us}
+              )) AS u(k)
+            ),
+            agg AS (
+              SELECT k, item_a, item_b, count(*)::BIGINT AS n,
+                     sum(a_won)::BIGINT AS wins_a
+              FROM ex GROUP BY 1, 2, 3
+            ),
+            calc AS (
+              SELECT *, CAST(n AS DOUBLE) AS nn,
+                     CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p
+              FROM agg
+            )
+            SELECT k * {s_us} AS win_start_us, item_a, item_b, n,
+                   wins_a, n - wins_a AS wins_b,
+                   round(p, 6) AS win_rate_a,
+                   round((p + (1.96 * 1.96) / (2.0 * nn)
+                          - 1.96 * sqrt((p * (1.0 - p)
+                                         + (1.96 * 1.96) / (4.0 * nn)) / nn))
+                         / (1.0 + (1.96 * 1.96) / nn), 6) AS wilson_lb_a
+            FROM calc
+        """
 
 _PREF_CW = """comps AS (
               SELECT event_id % 24 AS a, (event_id // 24) % 24 AS b,
@@ -10969,54 +11144,7 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN {m + 1} THEN {x!r}" for m, x in enumerate(_w)
     )
     d["ann_rbo"] = f"""
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-              FROM embeddings WHERE vec_id % 50 = 0
-            ),
-            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-            brute AS (
-              SELECT query_id, neighbor_id, rank FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id ORDER BY
-                         round(list_dot_product(qv, cv)
-                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                               6) DESC, neighbor_id ASC) AS rank
-                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
-              ) WHERE rank <= 5
-            ),
-            cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
-                     FROM embeddings WHERE vec_id % 100 = 0),
-            cells AS (
-              SELECT neighbor_id, cv, cell FROM (
-                SELECT c.neighbor_id, c.cv, cent.cid AS cell,
-                       row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-                         round(list_dot_product(cv, centroid)
-                               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(centroid, centroid))),
-                               6) DESC, cent.cid ASC) AS rn
-                FROM c CROSS JOIN cent
-              ) WHERE rn = 1
-            ),
-            probes AS (
-              SELECT query_id, qv, cell FROM (
-                SELECT q.query_id, q.qv, cent.cid AS cell,
-                       row_number() OVER (PARTITION BY q.query_id ORDER BY
-                         round(list_dot_product(qv, centroid)
-                               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))),
-                               6) DESC, cent.cid ASC) AS rn
-                FROM q CROSS JOIN cent
-              ) WHERE rn <= 3
-            ),
-            ivfk AS (
-              SELECT query_id, neighbor_id, rank FROM (
-                SELECT p.query_id, s.neighbor_id,
-                       row_number() OVER (PARTITION BY p.query_id ORDER BY
-                         round(list_dot_product(p.qv, s.cv)
-                               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.cv, s.cv))),
-                               6) DESC, s.neighbor_id ASC) AS rank
-                FROM probes p JOIN cells s USING (cell)
-                WHERE p.query_id <> s.neighbor_id
-              ) WHERE rank <= 5
-            ),
+            WITH {_IVF_VS_EXACT_CTES},
             hits AS (
               SELECT i.query_id,
                      greatest(i.rank, b.rank) AS m
@@ -11038,12 +11166,147 @@ def oracle_sql() -> dict[str, str]:
                    round({(1.0 - 0.9)!r} * coalesce(CAST(s AS DOUBLE), 0.0), 6) AS rbo
             FROM qs LEFT JOIN per_q USING (query_id)
         """
+    # MRR of the IVF ranking vs the exact reference set (new r12): the
+    # same shared IVF-vs-exact derivation; min ivfk rank among exact
+    # hits, 0 sentinel for zero-overlap queries (both engines emit
+    # BIGINT — no nullable-int pandas float64 hash hazard)
+    d["ann_mrr"] = f"""
+            WITH {_IVF_VS_EXACT_CTES},
+            fh AS (
+              SELECT i.query_id, min(i.rank)::BIGINT AS first_hit_rank
+              FROM ivfk i JOIN brute b
+                ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+              GROUP BY i.query_id
+            ),
+            qs AS (
+              SELECT DISTINCT query_id FROM ivfk
+              UNION
+              SELECT DISTINCT query_id FROM brute
+            )
+            SELECT qs.query_id,
+                   coalesce(first_hit_rank, 0)::BIGINT AS first_hit_rank,
+                   round(coalesce(1.0 / CAST(first_hit_rank AS DOUBLE), 0.0), 6) AS rr
+            FROM qs LEFT JOIN fh USING (query_id)
+        """
     # the streaming arena twin's batch fallback IS arena_sliding at the
-    # 3-day/1-day geometry — its oracle is the events_arena_sliding SQL
-    # with the window constants swapped verbatim (one expression source)
-    d["stream_arena"] = (
-        d["events_arena_sliding"]
-        .replace(str(_ARENA_W), str(3 * 86400 * 1_000_000))
-        .replace(str(_ARENA_S), str(86400 * 1_000_000))
-    )
+    # 3-day/1-day geometry — same parameterized template, different
+    # window constants (one expression source, r11 ADVICE)
+    d["stream_arena"] = _arena_sliding_sql(3 * 86400 * 1_000_000, 86400 * 1_000_000)
+    # Mann-Kendall per event type over daily counts (new r12): exact
+    # integer S over the daily AGGREGATE's ordered pairs, tie-corrected
+    # variance, continuity-corrected z off the UNROUNDED var_s (the
+    # operator's expression order); trend thresholds the ROUNDED z so
+    # boundary rows cannot flip between engines.
+    d["events_mann_kendall"] = """
+            WITH daily AS (
+              SELECT event_type AS grp,
+                     epoch_us(ts)::BIGINT // 86400000000 AS t,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.grp,
+                     sum(CASE WHEN b.v > a.v THEN 1
+                              WHEN b.v < a.v THEN -1 ELSE 0 END)::BIGINT AS s_stat
+              FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t
+              GROUP BY a.grp
+            ),
+            ties AS (
+              SELECT grp,
+                     sum(tc * (tc - 1) * (2 * tc + 5))::BIGINT AS tie_term,
+                     sum(tc)::BIGINT AS n_periods
+              FROM (SELECT grp, v, count(*)::BIGINT AS tc
+                    FROM daily GROUP BY 1, 2)
+              GROUP BY grp
+            ),
+            calc AS (
+              SELECT t.grp, n_periods, s_stat,
+                     CAST(n_periods * (n_periods - 1) * (2 * n_periods + 5)
+                          - tie_term AS DOUBLE) / 18.0 AS vs
+              FROM ties t JOIN pairs p ON t.grp = p.grp
+            ),
+            zc AS (
+              SELECT grp, n_periods, s_stat, vs,
+                     round(CASE WHEN s_stat > 0 AND vs > 0
+                                THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(vs)
+                                WHEN s_stat < 0 AND vs > 0
+                                THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(vs)
+                                ELSE 0.0 END, 6) AS z
+              FROM calc
+            )
+            SELECT grp, n_periods, s_stat, round(vs, 6) AS var_s, z,
+                   CASE WHEN z > 1.96 THEN 'increasing'
+                        WHEN z < -1.96 THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM zc
+        """
+    # Zipf rank-frequency fit per language (new r12): top-200 token
+    # frequencies (count DESC, token ASC tiebreak — DuckDB can afford
+    # the plain per-group window the operator two-phases), 9dp-decimal
+    # folds of the ln terms, slope/intercept/r2 derived from the
+    # UNROUNDED slope and rounded once, mirroring the operator.
+    d["doc_zipf"] = f"""
+            WITH tf AS (
+              SELECT grp, tok, count(*)::BIGINT AS c
+              FROM (SELECT lang AS grp, unnest({_TOKS_NORM}) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT grp, c,
+                     row_number() OVER (PARTITION BY grp
+                       ORDER BY c DESC, tok ASC) AS rank
+              FROM tf
+              QUALIFY rank <= 200
+            ),
+            agg AS (
+              SELECT grp, count(*)::BIGINT AS n_ranks,
+                     CAST(sum(CAST(round(ln(rank), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(round(ln(c), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(ln(rank) * ln(c), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(round(ln(rank) * ln(rank), 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(round(ln(c) * ln(c), 9) AS DECIMAL(38,9))) AS DOUBLE) AS syy
+              FROM ranked GROUP BY grp
+            ),
+            mo AS (
+              SELECT grp, n_ranks, sx, sy,
+                     CAST(n_ranks AS DOUBLE) AS n,
+                     CAST(n_ranks AS DOUBLE) * sxy - sx * sy AS cov_n,
+                     CAST(n_ranks AS DOUBLE) * sxx - sx * sx AS varx_n,
+                     CAST(n_ranks AS DOUBLE) * syy - sy * sy AS vary_n
+              FROM agg
+            ),
+            sl AS (
+              SELECT *, CASE WHEN varx_n > 0 THEN cov_n / varx_n
+                             ELSE 0.0 END AS slope_raw
+              FROM mo
+            )
+            SELECT grp, n_ranks,
+                   round(slope_raw, 6) AS slope,
+                   round((sy - slope_raw * sx) / n, 6) AS intercept,
+                   round(CASE WHEN varx_n > 0 AND vary_n > 0
+                              THEN cov_n * cov_n / (varx_n * vary_n)
+                              ELSE 0.0 END, 6) AS r2
+            FROM sl
+        """
+    # the streaming consensus twin's batch fallback IS consensus_labels
+    # over (user_id, event_type): modal category per item, ties toward
+    # the smallest category, singleton items included
+    d["stream_consensus"] = """
+            WITH cnt AS (
+              SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT item, cat, c,
+                     row_number() OVER (PARTITION BY item
+                       ORDER BY c DESC, cat ASC) AS rn,
+                     sum(c) OVER (PARTITION BY item)::BIGINT AS n_labels
+              FROM cnt
+            )
+            SELECT item, n_labels, cat AS consensus_cat, c AS n_consensus,
+                   round(CAST(c AS DOUBLE) / CAST(n_labels AS DOUBLE), 6)
+                     AS consensus_share
+            FROM m WHERE rn = 1
+        """
     return d

@@ -330,3 +330,86 @@ def ab_cuped(
         F.round(adj_b - adj_a, 6).alias("diff_cuped"),
         F.round(var_red, 6).alias("var_reduction"),
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    group_col: str = "grp",
+    time_col: str = "t",
+    value_col: str = "v",
+    z_crit: float = 1.96,
+    out_round: int = 6,
+) -> DataFrame:
+    """Mann-Kendall trend test per group -> (grp, n_periods, s_stat,
+    var_s, z, trend).
+
+    The standard non-parametric monotone-trend detector for metric
+    series (daily volumes, quality rates): S = sum over ordered period
+    pairs of sign(v_j - v_i); under H0, S is ~normal with the
+    tie-corrected variance var_S = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]
+    / 18, and the continuity-corrected z = (S -/+ 1)/sqrt(var_S) flags
+    ``increasing`` / ``decreasing`` past ``z_crit`` (no distributional
+    assumption, robust to outliers — the reason ops dashboards prefer
+    it over an OLS slope).
+
+    Input is a PRE-AGGREGATED series (group, period, value) — e.g. the
+    (event_type, day, count) frame one map-side-combined shuffle
+    produces from raw events.  The pairwise step then self-joins the
+    AGGREGATE within each group: |groups| x n^2/2 rows where n is the
+    period count (a year of days = 66k pairs per group), never a pair
+    expansion over raw rows — the operator's cost at 100 TB is the
+    daily-count shuffle that precedes it.  S and the tie counts are
+    exact integers; the two double divisions happen once per group and
+    are rounded last.
+    """
+    s = series.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    pairs = (
+        s.alias("a")
+        .join(s.alias("b"), "grp")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .groupBy("grp")
+        .agg(F.sum(F.signum(F.col("b.v") - F.col("a.v")).cast("long")).alias("s_stat"))
+    )
+    ties = (
+        s.groupBy("grp", "v")
+        .agg(F.count("*").cast("long").alias("tc"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)).alias(
+                "tie_term"
+            ),
+            F.sum("tc").cast("long").alias("n_periods"),
+        )
+    )
+    n = F.col("n_periods")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / F.lit(18.0)
+    )
+    joined = ties.join(pairs, "grp").withColumn("var_s", var_s)
+    z = (
+        F.when(
+            (F.col("s_stat") > 0) & (F.col("var_s") > 0),
+            (F.col("s_stat") - 1).cast("double") / F.sqrt("var_s"),
+        )
+        .when(
+            (F.col("s_stat") < 0) & (F.col("var_s") > 0),
+            (F.col("s_stat") + 1).cast("double") / F.sqrt("var_s"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    zr = F.round(z, out_round)
+    return joined.select(
+        "grp",
+        "n_periods",
+        "s_stat",
+        F.round("var_s", out_round).alias("var_s"),
+        zr.alias("z"),
+        F.when(zr > z_crit, F.lit("increasing"))
+        .when(zr < -z_crit, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

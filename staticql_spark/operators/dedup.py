@@ -21,6 +21,8 @@ dedup pipelines drop stop-shingles.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -52,20 +54,32 @@ def normalize_text(col: Column) -> Column:
 
 _LIVE_PERSISTS: dict[int, DataFrame] = {}
 _MAX_LIVE_PERSISTS = 6
+# Serving sessions share one SparkSession across request threads; the
+# pop/reinsert LRU mutation below is not atomic, so all registry access
+# goes through this lock (r11 ADVICE).  persist()/unpersist() are lazy
+# metadata calls — holding the lock across them is cheap.
+_PERSISTS_LOCK = threading.Lock()
 
 
 def _persist_scoped(df: DataFrame) -> DataFrame:
     """Persist ``df`` through the bounded registry (see module note)."""
     h = df.semanticHash()
-    hit = _LIVE_PERSISTS.pop(h, None)
-    if hit is not None:
-        _LIVE_PERSISTS[h] = hit  # refresh LRU position
-        return hit
-    df = df.persist()
-    _LIVE_PERSISTS[h] = df
-    while len(_LIVE_PERSISTS) > _MAX_LIVE_PERSISTS:
-        _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
-    return df
+    with _PERSISTS_LOCK:
+        hit = _LIVE_PERSISTS.pop(h, None)
+        if hit is not None and df.sameSemantics(hit):
+            _LIVE_PERSISTS[h] = hit  # refresh LRU position
+            return hit
+        if hit is not None:
+            # semanticHash is 32-bit: a collision between two live plans
+            # must NOT substitute the wrong frame (r11 ADVICE).  Evict
+            # the colliding entry (safe — re-evaluation recomputes) and
+            # persist the caller's frame fresh.
+            hit.unpersist()
+        df = df.persist()
+        _LIVE_PERSISTS[h] = df
+        while len(_LIVE_PERSISTS) > _MAX_LIVE_PERSISTS:
+            _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
+        return df
 
 
 def release_persists() -> int:
@@ -73,9 +87,10 @@ def release_persists() -> int:
     For serving sessions that want a zero-footprint floor between
     requests (the deferred LRU eviction already bounds steady state)."""
     n = 0
-    while _LIVE_PERSISTS:
-        _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
-        n += 1
+    with _PERSISTS_LOCK:
+        while _LIVE_PERSISTS:
+            _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
+            n += 1
     return n
 
 
@@ -404,11 +419,6 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    cands = (
-        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
 
     # Verify width (r10): the full build's verify join is the same
     # measured spill site as the incremental path's, but the policy
@@ -426,17 +436,53 @@ def minhash_lsh_pairs(
     # size: the shingle frame is persisted via the scoped registry (both
     # the self-built and the caller-supplied case, r11), so the count is
     # one cheap pass that pre-warms the cache sig/verify read anyway,
-    # and corpora under the gate keep the r8 plan byte-for-byte.  The
-    # doc-count proxy's dup-density assumption is documented on
-    # _VERIFY_WIDEN_MIN_DOCS.
-    sc = df.sparkSession.sparkContext
-    wide = (
-        sc.defaultParallelism * 8
-        if dsh.count() >= _VERIFY_WIDEN_MIN_DOCS
-        else None
+    # and corpora under the gate keep the r8 plan byte-for-byte —
+    # UNLESS the bucket-size stats say the sub-gate corpus is dup-dense
+    # (r11 verdict #2; see _adaptive_verify_width).
+    n_docs = dsh.count()
+    if n_docs < _VERIFY_WIDEN_MIN_DOCS:
+        buckets = _persist_scoped(buckets)
+    wide = _adaptive_verify_width(df.sparkSession, n_docs, buckets)
+    cands = (
+        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
     verified = verify_jaccard(cands, dsh, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _adaptive_verify_width(spark, n_docs: int, buckets: DataFrame) -> int | None:
+    """Verify-join width for an LSH pair derivation.
+
+    Above the doc gate: corpus-size widening, NO extra action (the
+    measured-best full-build policy, see the call-site comment).  Below
+    it, the doc count alone is a dup-density-blind proxy (r11 verdict
+    #2): a sub-gate corpus of near-replicas (every doc landing in
+    bands x max_bucket-sized buckets) can still regenerate a spilling
+    default-width verify.  The ``buckets`` aggregate already holds the
+    per-bucket sizes, so sum C(|ids|, 2) — an upper bound on candidate
+    pairs, pre-distinct — costs ONE cheap count over a small corpus
+    (callers persist ``buckets`` first; pair expansion reuses the cached
+    frame, so the extra pass is the agg alone, not a recompute).  Width
+    then targets _VERIFY_PAIRS_PER_PARTITION pairs per task, capped at
+    the same 8x-parallelism ceiling as the corpus-size branch.
+    """
+    sc = spark.sparkContext
+    ceiling = sc.defaultParallelism * 8
+    if n_docs >= _VERIFY_WIDEN_MIN_DOCS:
+        return ceiling
+    est = buckets.agg(
+        F.sum(F.size("ids").cast("long") * (F.size("ids") - 1) / F.lit(2)).alias("m")
+    ).first()["m"]
+    est = int(est or 0)
+    try:
+        default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        default_width = sc.defaultParallelism
+    if est <= default_width * _VERIFY_PAIRS_PER_PARTITION:
+        return None  # default width cannot spill: keep the r8 plan
+    return min(est // _VERIFY_PAIRS_PER_PARTITION + 1, ceiling)
 
 
 def _pairs_within(ids_col: str) -> Column:
@@ -535,16 +581,14 @@ _VERIFY_PAIRS_PER_PARTITION = 100_000
 # Full-build verify-width gate (docs): below this the corpus cannot
 # produce a pair mass that spills a default-width shuffled-hash build
 # side (max_bucket caps pairs per bucket; measured: sf0.1's 60k docs
-# never spill, the 500k soak does).  DUP-DENSITY ASSUMPTION (r10
-# ADVICE): doc count is a proxy for pair mass, calibrated on corpora
-# that ran exact_dedup first (this module's documented recipe).  A
-# corpus under the gate that is ~all near-replicas (e.g. 150k docs each
-# landing in bands x max_bucket-sized buckets) can still regenerate a
-# spilling default-width verify; if you skip exact-dedup-first on a
-# dup-dense corpus, pass a wider ``partitions`` to verify_jaccard
-# yourself or lower this gate.  Counting the true pair mass here was
-# implemented and measured WORSE (serial barrier + storage squatting —
-# see the gate comment in minhash_lsh_pairs).
+# never spill, the 500k soak does) — UNLESS it is dup-dense.  Counting
+# the true pair mass ABOVE the gate was implemented and measured WORSE
+# (serial barrier + storage squatting — see the gate comment in
+# minhash_lsh_pairs), so large corpora keep the unconditional widening.
+# BELOW the gate the corpus is small enough that one bucket-size
+# aggregate is cheap, and _adaptive_verify_width (r11 verdict #2) uses
+# sum C(size,2) over the blocking buckets to catch the near-replica
+# corpus the doc count alone would mis-gate.
 _VERIFY_WIDEN_MIN_DOCS = 200_000
 
 # Incremental-path gate (batch docs): below this the candidate count is
@@ -1825,11 +1869,7 @@ def lsh_build(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def lsh_load(spark, path: str) -> LSHIndex:
-    """Open a :func:`lsh_build` directory; frames are lazy parquet scans,
-    only the 1-row meta is read eagerly."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    bands_df = spark.read.parquet(f"{path}/bands")
+def _check_band_key_format(bands_df: DataFrame, path: str) -> None:
     # r11 format change: band keys are 60-bit longs (was 32-char md5
     # hex).  A pre-r11 index would silently produce ZERO candidates when
     # probed with long keys (string vs long never equi-join), so refuse
@@ -1840,6 +1880,14 @@ def lsh_load(spark, path: str) -> LSHIndex:
             "format; rebuild it with lsh_build (band keys are now "
             "60-bit longs)"
         )
+
+
+def lsh_load(spark, path: str) -> LSHIndex:
+    """Open a :func:`lsh_build` directory; frames are lazy parquet scans,
+    only the 1-row meta is read eagerly."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    bands_df = spark.read.parquet(f"{path}/bands")
+    _check_band_key_format(bands_df, path)
     return LSHIndex(
         bands=bands_df,
         shingles=spark.read.parquet(f"{path}/shingles"),
@@ -1862,6 +1910,11 @@ def lsh_append(
     shingles.  Cost tracks the batch; existing files are untouched."""
     spark = batch.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    # Refuse a pre-r11 string-key index BEFORE any write (r11 ADVICE):
+    # appending bigint-key files into a string-key bands dir would leave
+    # a mixed-schema directory that fails on read with a confusing
+    # schema-merge error instead of this intended loud one.
+    _check_band_key_format(spark.read.parquet(f"{path}/bands"), path)
     b, sh = minhash_index(
         batch, text_col, id_col,
         n=int(meta["n"]),
@@ -1897,8 +1950,8 @@ def lsh_pairs_from_index(
 
     ``partitions`` pins the verify width; default None applies the
     corpus-size gate (one count of the shingle frame — the same pass
-    that warms the persist; the dup-density caveat on
-    _VERIFY_WIDEN_MIN_DOCS applies).  The shingle frame goes through the
+    that warms the persist) with the sub-gate dup-density fallback of
+    :func:`_adaptive_verify_width`.  The shingle frame goes through the
     scoped persist registry: the verify join reads it TWICE (id_a and
     id_b sides), and the first SOAK_r11 measurement showed the double
     parquet scan of 500k shingle-array rows costing more than the
@@ -1910,18 +1963,16 @@ def lsh_pairs_from_index(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    wide = partitions
+    if wide is None:
+        n_docs = shingles.count()
+        if n_docs < _VERIFY_WIDEN_MIN_DOCS:
+            buckets = _persist_scoped(buckets)
+        wide = _adaptive_verify_width(bands.sparkSession, n_docs, buckets)
     cands = (
         buckets.select(F.explode(_pairs_within("ids")).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    wide = partitions
-    if wide is None:
-        sc = bands.sparkSession.sparkContext
-        wide = (
-            sc.defaultParallelism * 8
-            if shingles.count() >= _VERIFY_WIDEN_MIN_DOCS
-            else None
-        )
     verified = verify_jaccard(cands, shingles, id_col, partitions=wide)
     return verified.filter(F.col("jaccard") >= threshold)

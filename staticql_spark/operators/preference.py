@@ -838,3 +838,54 @@ def krippendorff_alpha(
         F.round(d_e, out_round).alias("d_e"),
         F.round(alpha, out_round).alias("alpha"),
     )
+
+
+def consensus_labels(
+    labels: DataFrame,
+    item_col: str = "item",
+    cat_col: str = "cat",
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-item consensus label -> (item, n_labels, consensus_cat,
+    n_consensus, consensus_share).
+
+    The ITEM-side companion to :func:`rater_consensus` (which grades
+    raters against this very modal label): for every labeled item,
+    the modal category (ties broken toward the smallest category, so
+    the consensus is deterministic), how many labels back it, and the
+    share of the item's labels that agree.  This is the frame a
+    labeling pipeline materializes as its "current truth" table — the
+    streaming twin (:func:`staticql_spark.streaming.stream_consensus`)
+    keeps it live as label events arrive.
+
+    Singleton items ARE included (their consensus is trivially their
+    one label, share 1.0): unlike rater grading, downstream consumers
+    of the consensus table need a row for every labeled item.
+
+    Scale: one (item, category) count shuffle (map-side combinable) and
+    a per-item window bounded by |categories| — never a window or join
+    over the raw label rows.
+    """
+    from pyspark.sql import Window as W
+
+    cnt = (
+        ensure_parallelism(labels)
+        .groupBy(F.col(item_col).alias("item"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = W.partitionBy("item").orderBy(F.desc("c"), F.asc("cat"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_labels", F.sum("c").over(W.partitionBy("item")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "item",
+            F.col("n_labels").cast("long").alias("n_labels"),
+            F.col("cat").alias("consensus_cat"),
+            F.col("c").alias("n_consensus"),
+            F.round(
+                F.col("c").cast("double") / F.col("n_labels").cast("double"),
+                out_round,
+            ).alias("consensus_share"),
+        )
+    )

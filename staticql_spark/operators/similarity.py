@@ -1252,3 +1252,55 @@ def rbo_overlap(
             out_round,
         ).alias("rbo"),
     )
+
+
+def mrr_first_hit(
+    a: DataFrame,
+    b: DataFrame,
+    out_round: int = 6,
+) -> DataFrame:
+    """Reciprocal rank of the first RELEVANT item per query ->
+    (query_id, first_hit_rank, rr) — the third leg of the ranking-eval
+    triad (recall@k counts set hits, RBO discounts order disagreement,
+    MRR grades ONLY how early the first hit lands — the metric for
+    retrieval feeding a one-answer consumer like RAG context stuffing).
+
+    ``a`` is the candidate ranking (query_id, neighbor_id, rank 1..k —
+    the cosine_topk / ivf_topk / rrf_fuse shape); ``b`` is the relevance
+    reference — any frame with (query_id, neighbor_id), e.g. the exact
+    brute-force top-k.  rr = 1 / min rank in ``a`` of an item present in
+    ``b`` for that query; queries in either input with zero overlap emit
+    (0, 0.0) — the 0 rank is the explicit no-hit sentinel (not NULL:
+    a nullable long lands in pandas as float64/NaN and breaks the
+    dtype-sensitive driver hash), so systemic misses stay visible
+    rather than dropped.
+
+    Shape: ONE (query, item) equi join of two k-row-per-query lists +
+    one per-query min — the shuffle carries only top-k result sets,
+    never the corpus (the rbo_overlap cost profile).  rr is a single
+    division off an exact integer rank, rounded once.
+    """
+    ra = a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
+    rb = b.select("query_id", "neighbor_id")
+    first = (
+        ra.join(rb, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank_a").alias("first_hit_rank"))
+    )
+    qs = (
+        ra.select("query_id")
+        .unionByName(rb.select("query_id"))
+        .distinct()
+    )
+    return qs.join(first, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("first_hit_rank"), F.lit(0).cast("long")).alias(
+            "first_hit_rank"
+        ),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"), F.lit(0.0)
+            ),
+            out_round,
+        ).alias("rr"),
+    )

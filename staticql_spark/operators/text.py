@@ -2209,3 +2209,91 @@ def pack_padding_report(
         packed.cast("long").alias("packed_seqs"),
         (F.col("pad_seqs") - packed).cast("long").alias("saved_seqs"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_n: int = 200,
+    out_round: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group -> (grp, n_ranks, slope,
+    intercept, r2).
+
+    Fits ``ln(freq) = intercept + slope * ln(rank)`` by least squares
+    over the top ``top_n`` token frequencies of each group (language,
+    source).  Natural text tracks slope ~ -1 (Zipf's law); a corpus
+    slice that deviates hard — slope near 0 (flat, template/boilerplate
+    spam) or very steep with tiny vocab (generated/repetitive text) —
+    is the distribution-level quality signal that per-doc scorers miss,
+    so this is the corpus-health readout curation dashboards plot per
+    source per snapshot.
+
+    Shape: one (grp, token) count shuffle (map-side combined — the only
+    pass over raw text), then top-n selection on the AGGREGATE via the
+    module's two-phase rank idiom (shuffle_shards / ccnet_buckets):
+    per-(grp, count) class sizes give each class a broadcast base
+    offset, classes that cannot reach ``top_n`` are dropped BEFORE any
+    window, and the within-class tie rank (token asc) runs over the
+    surviving classes only — never one window partition per group (a
+    language is a whale at corpus scale; top-rank tie classes are tiny
+    by construction since high counts rarely tie).  The regression
+    folds 9dp-rounded ln terms in DECIMAL(38,9) per group (the repo's
+    engine-stable sum), closing each group to five scalars.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    tf = (
+        ensure_parallelism(df)
+        .select(F.col(group_col).alias("grp"), F.explode(tokens(norm)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # two-phase rank: histogram of count classes per group (tiny: one
+    # row per distinct frequency), descending prefix sum = how many
+    # tokens rank strictly above the class
+    hist = tf.groupBy("grp", "c").agg(F.count("*").cast("long").alias("n_c"))
+    wbase = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = hist.withColumn("base", F.coalesce(F.sum("n_c").over(wbase), F.lit(0)))
+    live = base.filter(F.col("base") < top_n).select("grp", "c", "base")
+    wtie = Window.partitionBy("grp", "c").orderBy(F.asc("tok"))
+    ranked = (
+        tf.join(F.broadcast(live), ["grp", "c"])
+        .withColumn("rank", F.row_number().over(wtie) + F.col("base"))
+        .filter(F.col("rank") <= top_n)
+    )
+    d9 = lambda col: F.round(col, 9).cast("decimal(38,9)")
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_ranks"),
+        F.sum(d9(x)).cast("double").alias("sx"),
+        F.sum(d9(y)).cast("double").alias("sy"),
+        F.sum(d9(x * y)).cast("double").alias("sxy"),
+        F.sum(d9(x * x)).cast("double").alias("sxx"),
+        F.sum(d9(y * y)).cast("double").alias("syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(varx_n > 0, cov_n / varx_n).otherwise(F.lit(0.0))
+    return agg.select(
+        "grp",
+        "n_ranks",
+        F.round(slope, out_round).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, out_round).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(
+                (varx_n > 0) & (vary_n > 0), cov_n * cov_n / (varx_n * vary_n)
+            ).otherwise(F.lit(0.0)),
+            out_round,
+        ).alias("r2"),
+    )

@@ -1465,6 +1465,7 @@ def stream_arena_sliding(
     max_fanout: int = 1024,
     watermark: str = "2 hours",
     state_ttl_ms: int | None = None,
+    event_time_eviction: bool = False,
 ) -> DataFrame:
     """Live sliding-window arena leaderboard — the streaming twin of
     :func:`~staticql_spark.operators.preference.arena_sliding` (r10
@@ -1495,6 +1496,16 @@ def stream_arena_sliding(
     undercounts that stale window — acceptable for a recency
     leaderboard, run the batch operator for the archival matrix).
 
+    ``event_time_eviction`` (r12, the watermark-driven alternative the
+    r11 roadmap called for) instead registers an EVENT-TIME timeout at
+    the cell's window END: the cell is evicted exactly when the
+    watermark passes k*S + W, i.e. when no in-watermark comparison can
+    land in that window anymore — so unlike the processing-time TTL
+    there is NO undercount window to size against late data; the
+    watermark delay IS the late-data contract.  State stays O(live
+    windows x observed pairs) regardless of how long the query runs.
+    Mutually exclusive with ``state_ttl_ms``.
+
     The Wilson lower bound is computed per emit with the SAME IEEE
     double expression order as the batch operator and rounded HALF_UP
     via Decimal (Python's ``round`` is half-even and disagrees on exact
@@ -1521,6 +1532,11 @@ def stream_arena_sliding(
 
     if window_us <= 0 or slide_us <= 0:
         raise ValueError("window_us and slide_us must be positive")
+    if event_time_eviction and state_ttl_ms is not None:
+        raise ValueError(
+            "event_time_eviction and state_ttl_ms are mutually exclusive "
+            "eviction policies — pick one"
+        )
     fanout = -(-window_us // slide_us)
     if fanout > max_fanout:
         raise ValueError(
@@ -1555,8 +1571,11 @@ def stream_arena_sliding(
 
     def update(key, pdf_iter, state):
         kk, item_a, item_b = key
-        if state_ttl_ms is not None and state.hasTimedOut:
-            # cell idle past the TTL: evict; a late arrival re-registers
+        if state.hasTimedOut:
+            # TTL mode: cell idle past the TTL (a late arrival
+            # re-registers).  Watermark mode: the watermark passed the
+            # cell's window end — no in-watermark comparison can land
+            # here again; eviction is exact, not a heuristic.
             state.remove()
             return
         n, wins_a = state.get if state.exists else (0, 0)
@@ -1566,6 +1585,15 @@ def stream_arena_sliding(
         state.update((n, wins_a))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
+        elif event_time_eviction:
+            # evict when the watermark passes this cell's window END.
+            # Spark requires the timeout timestamp to sit beyond the
+            # current watermark: a cell updated by a late-but-accepted
+            # row after its window closed gets one watermark tick of
+            # grace instead of an AnalysisException.
+            end_ms = (int(kk) * slide_us + window_us) // 1000
+            cur_wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(end_ms, cur_wm + 1))
         # same IEEE expression order as the batch operator's Columns
         nn = float(n)
         p = float(wins_a) / nn
@@ -1592,6 +1620,121 @@ def stream_arena_sliding(
         update,
         outputStructType=ARENA_SLIDING_SCHEMA,
         stateStructType=_ARENA_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.EventTimeTimeout
+            if event_time_eviction
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# --------------------------------------------------- live consensus labels
+
+CONSENSUS_SCHEMA = (
+    "item long, n_labels long, consensus_cat string, n_consensus long, "
+    "consensus_share double"
+)
+_CONSENSUS_STATE = "cats array<string>, counts array<long>"
+
+
+def stream_consensus(
+    labels: DataFrame,
+    item_col: str = "item",
+    cat_col: str = "cat",
+    time_col: str = "ts",
+    out_round: int = 6,
+    watermark: str = "2 hours",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Live per-item consensus label — the streaming twin of
+    :func:`~staticql_spark.operators.preference.consensus_labels` (r12,
+    the rater-QC stream coverage the r11 roadmap called for): every
+    micro-batch of label events refreshes the (item, consensus_cat,
+    share) rows of exactly the items it touched, so a labeling
+    dashboard reads current truth without an end-of-day recompute.
+
+    State per item is the per-category count vector as two parallel
+    arrays — bounded by |categories seen for the item|, independent of
+    label volume (a million re-labels of one item still hold one array
+    slot per category).  Counts are order-free sums, so at-least-once
+    replays of a whole micro-batch are the only double-count hazard —
+    the standard Structured Streaming sink contract.  The modal pick
+    (max count, ties toward the smallest category) and the share
+    division replay the batch operator's exact expression order, with
+    HALF_UP Decimal rounding so the final emit per item is hash-equal
+    to the batch row (the stream_arena_sliding precedent).
+
+    ``state_ttl_ms`` evicts items idle past the TTL (an item that does
+    get a late label restarts its counts — run the batch operator for
+    archival truth).  Items must be integral ids on the live path (the
+    fixed state-key schema); the batch fallback keeps any type.
+
+    Batch inputs fall through to the batch operator itself — the twin
+    test and the driver oracle pin identical semantics with no stream.
+    """
+    from ..operators.preference import consensus_labels
+
+    if not labels.isStreaming:
+        return consensus_labels(
+            labels, item_col=item_col, cat_col=cat_col, out_round=out_round
+        )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    keyed = labels.select(
+        F.col(item_col).cast("long").alias("item"),
+        F.col(cat_col).cast("string").alias("cat"),
+        F.col(time_col).alias("__ts"),
+    ).withWatermark("__ts", watermark)
+
+    def rq(x: float) -> float:
+        q = Decimal(1).scaleb(-out_round)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    def update(key, pdf_iter, state):
+        (item,) = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        cats, counts = state.get if state.exists else ([], [])
+        d = dict(zip(list(cats), [int(c) for c in counts]))
+        for pdf in pdf_iter:
+            for cat, c in pdf["cat"].value_counts().items():
+                d[cat] = d.get(cat, 0) + int(c)
+        # sorted category order keeps the state arrays deterministic
+        # across replays and makes the modal tiebreak a plain max scan
+        items = sorted(d.items())
+        state.update(([c for c, _ in items], [n for _, n in items]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        n = sum(d.values())
+        # modal = max count; ties toward the smallest category (items
+        # is category-sorted, so strict > keeps the earliest winner)
+        best_cat, best_n = items[0]
+        for cat, c in items[1:]:
+            if c > best_n:
+                best_cat, best_n = cat, c
+        yield pd.DataFrame(
+            {
+                "item": [int(item)],
+                "n_labels": [n],
+                "consensus_cat": [best_cat],
+                "n_consensus": [best_n],
+                "consensus_share": [rq(float(best_n) / float(n))],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("item").applyInPandasWithState(
+        update,
+        outputStructType=CONSENSUS_SCHEMA,
+        stateStructType=_CONSENSUS_STATE,
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

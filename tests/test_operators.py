@@ -3259,6 +3259,85 @@ def test_lsh_load_rejects_pre_r11_string_key_index(spark, docs, tmp_path):
         dedup.lsh_load(spark, p)
 
 
+def test_lsh_append_rejects_pre_r11_index_before_writing(spark, docs, tmp_path):
+    # r11 ADVICE: lsh_append must refuse a pre-r11 string-key index
+    # BEFORE writing anything — otherwise bigint-key files land in the
+    # same bands dir and reads fail later with a schema-merge error
+    # instead of the intended loud ValueError.
+    import os
+    import shutil
+
+    p = str(tmp_path / "lsh_v1a")
+    dedup.lsh_build(docs.filter(F.col("doc_id") < 12), p)
+    old = spark.read.parquet(f"{p}/bands").select(
+        "doc_id", "band", F.col("key").cast("string").alias("key")
+    )
+    old.write.mode("overwrite").parquet(f"{p}/bands_v1")
+    shutil.rmtree(f"{p}/bands")
+    shutil.move(f"{p}/bands_v1", f"{p}/bands")
+    before = sorted(os.listdir(f"{p}/bands"))
+    with pytest.raises(ValueError, match="band-key"):
+        dedup.lsh_append(docs.filter(F.col("doc_id") >= 12), p)
+    # nothing was appended: the directory is byte-identical and still
+    # reads cleanly under the old schema
+    assert sorted(os.listdir(f"{p}/bands")) == before
+    assert dict(spark.read.parquet(f"{p}/bands").dtypes)["key"] == "string"
+
+
+def test_persist_registry_hash_collision_returns_callers_frame(spark, docs):
+    # r11 ADVICE: semanticHash is 32-bit; on a collision between two
+    # live plans the registry must NOT substitute the colliding frame.
+    # Force every hash to one value and check the second (semantically
+    # different) frame comes back with ITS data.
+    from unittest.mock import patch
+
+    dedup.release_persists()
+    d1 = docs.filter(F.col("doc_id") < 5).select("doc_id")
+    d2 = docs.filter(F.col("doc_id") >= 20).select("doc_id")
+    with patch.object(type(d1), "semanticHash", lambda self: 42):
+        a = dedup._persist_scoped(d1)
+        ids_a = {r["doc_id"] for r in a.collect()}
+        b = dedup._persist_scoped(d2)
+        ids_b = {r["doc_id"] for r in b.collect()}
+    try:
+        assert ids_a == {r["doc_id"] for r in d1.collect()}
+        assert ids_b == {r["doc_id"] for r in d2.collect()}
+        assert ids_a.isdisjoint(ids_b) and ids_a and ids_b
+        # the colliding first entry was evicted (unpersisted), the
+        # caller's frame took the slot
+        assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+        assert b.storageLevel.useMemory or b.storageLevel.useDisk
+    finally:
+        dedup.release_persists()
+
+
+def test_adaptive_verify_width_dup_density_fallback(spark):
+    # r11 verdict #2: under the doc gate, width must key on the bucket
+    # pair mass, not the doc count alone.  A sparse sub-gate bucket
+    # frame keeps the default width; a dup-dense one (sum C(size,2)
+    # above default_width x pairs-per-partition) widens proportionally.
+    ids = [f"d{i}" for i in range(3000)]  # C(3000,2) ~ 4.5M pairs
+    dense = spark.createDataFrame(
+        [(0, 1, ids)], "band int, key long, ids array<string>"
+    )
+    sparse = spark.createDataFrame(
+        [(0, 1, ["a", "b"]), (1, 2, ["c", "d", "e"])],
+        "band int, key long, ids array<string>",
+    )
+    sc = spark.sparkContext
+    assert dedup._adaptive_verify_width(spark, 1000, sparse) is None
+    wide = dedup._adaptive_verify_width(spark, 1000, dense)
+    est = 3000 * 2999 // 2
+    assert wide == min(
+        est // dedup._VERIFY_PAIRS_PER_PARTITION + 1, sc.defaultParallelism * 8
+    )
+    # above the doc gate: unconditional ceiling, no bucket action
+    assert (
+        dedup._adaptive_verify_width(spark, dedup._VERIFY_WIDEN_MIN_DOCS, sparse)
+        == sc.defaultParallelism * 8
+    )
+
+
 def test_rbo_overlap_matches_brute_force(spark):
     # per-depth brute force of Webber's truncated RBO vs the operator's
     # re-indexed one-join form, including a zero-overlap query
@@ -3398,3 +3477,119 @@ def test_lsh_index_old_filter_equals_subset_build(spark, docs, tmp_path):
     }
     ss = {(r["doc_id"], tuple(sorted(r["sh"]))) for r in sub.shingles.collect()}
     assert fs == ss
+
+
+def test_mrr_first_hit_matches_hand_computation(spark):
+    # candidate ranking A vs reference set B, including a zero-overlap
+    # query (0 sentinel) and a reference-only query
+    from staticql_spark.operators.similarity import mrr_first_hit
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),   # first hit at rank 2
+            (2, 20, 1), (2, 21, 2),               # hit at rank 1
+            (3, 30, 1), (3, 31, 2),               # zero overlap
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11), (1, 12), (2, 20), (3, 99), (4, 40)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["first_hit_rank"], r["rr"])
+        for r in mrr_first_hit(a, b).collect()
+    }
+    assert got == {1: (2, 0.5), 2: (1, 1.0), 3: (0, 0.0), 4: (0, 0.0)}
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    # exact S / tie-corrected variance / continuity-corrected z against
+    # a driver-side brute force, covering an increasing series, a flat
+    # (all-tied) series, and a decreasing one with internal ties
+    import math
+
+    from staticql_spark.operators.behavior import mann_kendall
+
+    series = {
+        "up": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+        "flat": [5.0] * 6,
+        "down": [9.0, 7.0, 7.0, 5.0, 3.0, 3.0, 1.0, 0.0],
+    }
+    rows = [
+        (g, t, v) for g, vs in series.items() for t, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: (r["n_periods"], r["s_stat"], r["var_s"], r["z"], r["trend"])
+        for r in mann_kendall(df).collect()
+    }
+    for g, vs in series.items():
+        n = len(vs)
+        s = sum(
+            (0 if vs[j] == vs[i] else (1 if vs[j] > vs[i] else -1))
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vs).values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if s > 0 and var > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0 and var > 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        z = round(z, 6)
+        trend = (
+            "increasing" if z > 1.96
+            else "decreasing" if z < -1.96
+            else "no_trend"
+        )
+        assert got[g] == (n, s, round(var, 6), z, trend), g
+    assert got["up"][4] == "increasing"
+    assert got["down"][4] == "decreasing"
+    assert got["flat"][4] == "no_trend"
+
+
+def test_zipf_fit_matches_numpy_least_squares(spark):
+    # the two-phase ranked top-n regression must equal a driver-side
+    # numpy polyfit over the same (ln rank, ln freq) points, including
+    # the tie ordering (count desc, token asc)
+    import numpy as np
+
+    words = (
+        ["the"] * 50 + ["of"] * 25 + ["and"] * 25 + ["to"] * 12
+        + ["alpha"] * 6 + ["beta"] * 6 + ["gamma"] * 3 + ["delta"] * 1
+    )
+    docs = [(i, " ".join(words[i::4]), "en") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = text.zipf_fit(df, top_n=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    # brute force: global counts, rank by (count desc, token asc), top 5
+    from collections import Counter
+
+    cnt = Counter(words)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert r["n_ranks"] == 5
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-5
+    assert abs(r["r2"] - r2) < 1e-5
+
+
+def test_zipf_fit_degenerate_single_rank(spark):
+    # one distinct token -> varx 0: slope/r2 fall back to 0.0 and the
+    # intercept is ln(freq) (the single point), no NaN/division error
+    df = spark.createDataFrame(
+        [(0, "x x x x", "en")], "doc_id long, text string, lang string"
+    )
+    r = text.zipf_fit(df).collect()[0]
+    import math
+
+    assert (r["n_ranks"], r["slope"], r["r2"]) == (1, 0.0, 0.0)
+    assert abs(r["intercept"] - round(math.log(4.0), 6)) < 1e-9

@@ -417,3 +417,29 @@ def test_krippendorff_alpha_single_category_degenerate(spark):
     )
     row = preference.krippendorff_alpha(df).collect()[0]
     assert row["d_e"] == 0.0 and row["alpha"] == 1.0
+
+
+def test_consensus_labels_modal_pick_and_singletons(spark):
+    from staticql_spark.operators.preference import consensus_labels
+
+    rows = [
+        # item 1: b wins 2-1
+        (1, "b"), (1, "b"), (1, "a"),
+        # item 2: tie a vs c -> smallest cat wins
+        (2, "c"), (2, "a"),
+        # item 3: singleton -> included, share 1.0
+        (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    got = {
+        r["item"]: (
+            r["n_labels"], r["consensus_cat"], r["n_consensus"],
+            r["consensus_share"],
+        )
+        for r in consensus_labels(df).collect()
+    }
+    assert got == {
+        1: (3, "b", 2, round(2 / 3, 6)),
+        2: (2, "a", 1, 0.5),
+        3: (1, "z", 1, 1.0),
+    }

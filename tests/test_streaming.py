@@ -1185,3 +1185,203 @@ def test_stream_arena_sliding_ttl_still_matches_batch(spark, tmp_path_factory):
         for r in rows
     }
     assert got == batch
+
+
+def test_stream_consensus_matches_batch(spark, tmp_path_factory):
+    # the FINAL emit per item of the live consensus table must hash-equal
+    # the batch consensus_labels row: counts are order-free sums and the
+    # modal pick + share replay the batch expression order (r12)
+    from staticql_spark.streaming import read_event_stream, stream_consensus
+
+    def labels(ev):
+        return ev.select(
+            F.col("user_id").alias("item"),
+            F.col("event_type").alias("cat"),
+            F.col("ts"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch = {
+        r["item"]: (
+            r["n_labels"], r["consensus_cat"], r["n_consensus"],
+            r["consensus_share"],
+        )
+        for r in stream_consensus(labels(spark.read.parquet(d))).collect()
+    }
+    assert batch, "fixture produced no labels"
+
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_consensus(labels(stream))
+        .writeStream.format("memory")
+        .queryName("consensus_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by item order by n_labels desc) rn
+             from consensus_stream_test) where rn = 1"""
+    ).collect()
+    got = {
+        r["item"]: (
+            r["n_labels"], r["consensus_cat"], r["n_consensus"],
+            r["consensus_share"],
+        )
+        for r in rows
+    }
+    assert got == batch
+
+
+def test_stream_arena_event_time_eviction_matches_batch(spark, tmp_path_factory):
+    # watermark-driven eviction (r12): with a watermark delay wider than
+    # the fixture's time span no cell can be evicted mid-run, so a
+    # multi-batch pass must still equal the batch operator — this pins
+    # the EventTimeTimeout plumbing (timestamp registration, timeout
+    # handling) without depending on file ordering
+    from staticql_spark.operators import asof
+    from staticql_spark.streaming import read_event_stream, stream_arena_sliding
+
+    def comps(ev):
+        c = ev.select(
+            asof.epoch_us(ev, "ts").alias("t_us"),
+            (F.col("event_id") % 24).alias("a"),
+            F.expr("(event_id div 24) % 24").alias("b"),
+            F.expr("event_id div 576").alias("t"),
+        ).filter(F.col("a") != F.col("b"))
+        a_wins = (F.col("t") % (F.col("a") + F.col("b") + 2)) <= F.col("a")
+        return c.select(
+            "t_us",
+            F.when(a_wins, F.col("a")).otherwise(F.col("b")).alias("winner"),
+            F.when(a_wins, F.col("b")).otherwise(F.col("a")).alias("loser"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    win, slide = 2 * 86400 * 1_000_000, 12 * 3600 * 1_000_000
+    batch = {
+        (r["win_start_us"], r["item_a"], r["item_b"]): (r["n"], r["wins_a"])
+        for r in stream_arena_sliding(
+            comps(spark.read.parquet(d)), window_us=win, slide_us=slide
+        ).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_arena_sliding(
+            comps(stream), window_us=win, slide_us=slide,
+            watermark="365 days", event_time_eviction=True,
+        )
+        .writeStream.format("memory")
+        .queryName("arena_evt_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by win_start_us, item_a, item_b
+                 order by n desc) rn
+             from arena_evt_test) where rn = 1"""
+    ).collect()
+    got = {
+        (r["win_start_us"], r["item_a"], r["item_b"]): (r["n"], r["wins_a"])
+        for r in rows
+    }
+    assert got == batch
+
+
+def test_stream_arena_eviction_policies_exclusive(spark, tmp_path_factory):
+    import pytest
+
+    from staticql_spark.streaming import read_event_stream, stream_arena_sliding
+
+    d = _events_dir(spark, tmp_path_factory)
+    stream = read_event_stream(spark, d).select(
+        (F.unix_micros("ts")).alias("t_us"),
+        (F.col("event_id") % 3).alias("winner"),
+        (F.col("event_id") % 3 + 1).alias("loser"),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_arena_sliding(
+            stream, state_ttl_ms=1000, event_time_eviction=True
+        )
+
+
+def test_stream_arena_event_time_eviction_drops_closed_windows(
+    spark, tmp_path_factory
+):
+    # eviction actually happens: four time-ordered files processed one
+    # per micro-batch with a tight watermark.  File 1 fills a window's
+    # cell; file 2 advances the watermark past that window's end; file 3
+    # (no data for the cell) lets the event-time timeout fire and evict
+    # it — a timed-out group that receives data in the SAME batch keeps
+    # its state, so the data-less batch is what makes eviction real.
+    # File 4's late comparison for the closed window then cannot see the
+    # evicted counts: the accumulated total (n=3) must never be emitted
+    # — it either rebuilds from zero or is dropped as late (both within
+    # the documented watermark contract).
+    import os
+    import time
+
+    from staticql_spark.streaming import stream_arena_sliding
+
+    d = str(tmp_path_factory.mktemp("arena_evict"))
+    day_us = 86_400_000_000
+    base = 1_700_000_000_000_000  # µs, safely post-epoch
+
+    def write_file(name, rows, mtime):
+        pdf = spark.createDataFrame(
+            rows, "t_us long, winner long, loser long"
+        ).toPandas()
+        p = os.path.join(d, name)
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: two comparisons in window k=0 ([base-aligned day 0])
+    write_file("f1.parquet", [(base, 1, 2), (base + 1000, 1, 2)], now - 400)
+    # batch 2: far future (day 40) — watermark jumps past day 0's end
+    write_file("f2.parquet", [(base + 40 * day_us, 3, 4)], now - 300)
+    # batch 3: another future row, NO data for k=0 -> its timeout fires
+    write_file("f3.parquet", [(base + 41 * day_us, 3, 4)], now - 200)
+    # batch 4: late row landing back in day 0's window
+    write_file("f4.parquet", [(base + 2000, 2, 1)], now - 100)
+
+    stream = (
+        spark.readStream.schema("t_us long, winner long, loser long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_arena_sliding(
+            stream,
+            time_col="t_us",
+            window_us=day_us,
+            slide_us=day_us,
+            watermark="1 hour",
+            event_time_eviction=True,
+        )
+        .writeStream.format("memory")
+        .queryName("arena_evict_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from arena_evict_test order by win_start_us, n"
+    ).collect()
+    k0 = base // day_us * day_us
+    k0_emits = [
+        (r["n"], r["wins_a"]) for r in rows if r["win_start_us"] == k0
+    ]
+    # the batch-1 accumulation was emitted, and the closed window's
+    # counts were never carried into the late batch: n=3 must not exist
+    # (the late row either rebuilt from zero -> (1, 0), or was dropped
+    # as sub-watermark late data -> no further emit)
+    assert (2, 2) in k0_emits, k0_emits
+    assert all(n < 3 for n, _ in k0_emits), k0_emits
