@@ -244,6 +244,13 @@ HEADLINE = [
     "ann_rbo",
     "doc_auc",
     "stream_arena",
+    # new in r12
+    "ann_mrr",
+    "events_mann_kendall",
+    "doc_zipf",
+    "stream_consensus",
+    "ann_ndcg",
+    "events_cusum",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —

@@ -92,6 +92,14 @@ PICKS = [
     ("doc_auc (distinct-score agg; two-phase prefix sum — bucket window + |buckets| base offsets)", "doc_auc"),
     ("stream_arena (batch fallback = arena_sliding at 3d/1d: same bounded explode + one count shuffle)", "stream_arena"),
     ("dedup_components (pairs now derived from the persisted index: parquet scans, no re-shingle)", "dedup_components"),
+    # r12 operators
+    ("ann_mrr (two top-5 result sets: ONE (query,item) equi join + per-query min)", "ann_mrr"),
+    ("ann_ndcg (same one-join shape; graded 9dp-decimal term fold, literal ideal DCG)", "ann_ndcg"),
+    ("events_mann_kendall (checkpointed daily aggregate; pair join + tie agg over the TINY series)", "events_mann_kendall"),
+    ("events_cusum (prefix-sum-minus-prefix-min windows over the checkpointed daily aggregate)", "events_cusum"),
+    ("doc_zipf (one token-count shuffle; two-phase top-n rank — histogram base + tie-class window)", "doc_zipf"),
+    ("stream_consensus (batch fallback: one (item,cat) count shuffle + |cats|-bounded window)", "stream_consensus"),
+    ("events_bt_ratings (probe of the shared bt_ratings artifact: parquet scan, MM chain in build)", "events_bt_ratings"),
 ]
 
 

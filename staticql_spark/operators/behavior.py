@@ -362,11 +362,16 @@ def mann_kendall(
     exact integers; the two double divisions happen once per group and
     are rounded last.
     """
+    # the series is re-read by the pair join (both sides) and the tie
+    # aggregate; without a pin each consumer re-derives it from the RAW
+    # events (measured 10 parquet scans at sf0.001) — the input is
+    # small by contract (one row per (group, period)), so one lazy
+    # checkpoint collapses the derivation into a single job
     s = series.select(
         F.col(group_col).alias("grp"),
         F.col(time_col).cast("long").alias("t"),
         F.col(value_col).cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull())
+    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
     pairs = (
         s.alias("a")
         .join(s.alias("b"), "grp")
@@ -412,4 +417,70 @@ def mann_kendall(
         .when(zr < -z_crit, F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
+    )
+
+
+def cusum_counts(
+    series: DataFrame,
+    group_col: str = "grp",
+    time_col: str = "t",
+    value_col: str = "v",
+    k_sigma: float = 4.0,
+    out_round: int = 6,
+) -> DataFrame:
+    """One-sided (high) CUSUM change-point chart per group ->
+    (grp, t, v, cusum, alarm).
+
+    The classic sequential shift detector for count series (Page 1954):
+    accumulate deviations above the group mean and alarm when the
+    accumulation crosses ``k_sigma`` standard deviations — it catches a
+    sustained level shift (a broken producer, a bot ramp) far earlier
+    than per-point outlier rules, and complements :func:`mann_kendall`
+    (gradual monotone drift) with the abrupt-change case.
+
+    The textbook recursion S_t = max(0, S_{t-1} + (v_t - mean)) is not
+    a prefix sum, but it equals ``P_t - min(P_0..P_t)`` for the plain
+    prefix sums P of the deviations — two ordered windows over the
+    per-(group, period) AGGREGATE, never the raw events.  Arithmetic is
+    EXACT integers end-to-end (r12): deviations are scaled by n
+    (``n*v_t - total`` is a long, no fractional mean), prefix sums and
+    prefix mins stay long, and the single ``/ n`` division plus the
+    sigma comparison happen once per row on 6dp-rounded values — so the
+    running recursion cannot accumulate engine-specific float error.
+    Input is a pre-aggregated (group, period, value) frame, the
+    mann_kendall contract.
+    """
+    # same re-read pin as mann_kendall: stats and the row side both
+    # consume the series; the input is one row per (group, period)
+    s = series.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    ).localCheckpoint(eager=False)
+    stats = s.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("tot"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("tot2"),
+    )
+    j = s.join(F.broadcast(stats), "grp")
+    wo = W.partitionBy("grp").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    # scaled deviation n*v - tot is exact long; its prefix sum / prefix
+    # min stay long, so S_t * n = P_t - min(P_<=t) is exact
+    p = F.sum(F.col("n") * F.col("v") - F.col("tot")).over(wo)
+    run = j.withColumn("__p", p).withColumn("__pmin", F.min("__p").over(wo))
+    nn = F.col("n").cast("double")
+    # population sigma from the exact integer sums: n^2*var = n*tot2 - tot^2
+    sigma = F.sqrt(
+        (F.col("n") * F.col("tot2") - F.col("tot") * F.col("tot")).cast("double")
+    ) / nn
+    cusum = F.round(
+        (F.col("__p") - F.col("__pmin")).cast("double") / nn, out_round
+    )
+    thr = F.round(F.lit(k_sigma) * sigma, out_round)
+    return run.select(
+        "grp",
+        "t",
+        "v",
+        cusum.alias("cusum"),
+        (cusum > thr).alias("alarm"),
     )

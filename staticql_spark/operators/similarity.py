@@ -1304,3 +1304,56 @@ def mrr_first_hit(
             out_round,
         ).alias("rr"),
     )
+
+
+def ndcg_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 5,
+    out_round: int = 6,
+) -> DataFrame:
+    """NDCG@k of ranking ``a`` against reference ranking ``b`` ->
+    (query_id, ndcg) — the graded fourth leg of the ranking-eval suite
+    (recall counts hits, RBO and MRR weight positions; NDCG grades each
+    hit by HOW relevant the reference says it is AND discounts by where
+    the candidate put it).
+
+    Relevance of an item is derived from its reference rank: rel =
+    k + 1 - rank_b (the reference's top item carries gain k, its k-th
+    gain 1, non-members 0).  DCG = sum over overlap items of
+    rel / log2(1 + rank_a); the ideal DCG — the reference order scoring
+    itself — is the CONSTANT sum_{d=1..k} (k+1-d)/log2(1+d), computed
+    driver-side and inlined as one literal, so the whole metric is ONE
+    (query, item) equi join + a per-query sum (the rbo_overlap cost
+    profile; no per-depth loop, no corpus shuffle).  Zero-overlap
+    queries emit 0.0.  Per-item terms are 9dp-rounded and folded in
+    DECIMAL(38,9); the division by the literal IDCG happens once.
+    """
+    import math
+
+    idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
+    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
+        "query_id",
+        F.round(
+            (F.lit(k + 1) - F.col("rank_b")).cast("double")
+            / F.log2(F.lit(1.0) + F.col("rank_a").cast("double")),
+            9,
+        )
+        .cast("decimal(38,9)")
+        .alias("term"),
+    )
+    qs = (
+        ra.select("query_id")
+        .unionByName(rb.select("query_id"))
+        .distinct()
+    )
+    per_q = hits.groupBy("query_id").agg(F.sum("term").alias("s"))
+    return qs.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("s").cast("double"), F.lit(0.0)) / F.lit(idcg),
+            out_round,
+        ).alias("ndcg"),
+    )

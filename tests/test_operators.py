@@ -3593,3 +3593,119 @@ def test_zipf_fit_degenerate_single_rank(spark):
 
     assert (r["n_ranks"], r["slope"], r["r2"]) == (1, 0.0, 0.0)
     assert abs(r["intercept"] - round(math.log(4.0), 6)) < 1e-9
+
+
+def test_ndcg_overlap_matches_brute_force(spark):
+    # graded relevance from reference rank, log2 position discount,
+    # against a driver-side per-query brute force (perfect order, partial
+    # overlap in scrambled order, zero overlap)
+    import math
+
+    from staticql_spark.operators.similarity import ndcg_overlap
+
+    a_rows = [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),   # = reference order
+        (2, 22, 1), (2, 99, 2), (2, 20, 3),   # partial, scrambled
+        (3, 77, 1), (3, 78, 2), (3, 79, 3),   # disjoint
+    ]
+    b_rows = [
+        (1, 10, 1), (1, 11, 2), (1, 12, 3),
+        (2, 20, 1), (2, 21, 2), (2, 22, 3),
+        (3, 30, 1), (3, 31, 2), (3, 32, 3),
+    ]
+    schema = "query_id long, neighbor_id long, rank long"
+    a, b = spark.createDataFrame(a_rows, schema), spark.createDataFrame(b_rows, schema)
+    k = 3
+    got = {r["query_id"]: r["ndcg"] for r in ndcg_overlap(a, b, k=k).collect()}
+
+    bmap = {(q, i): r for q, i, r in b_rows}
+    idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
+    for qid in (1, 2, 3):
+        dcg = sum(
+            round((k + 1 - bmap[(q, i)]) / math.log2(1 + ra), 9)
+            for q, i, ra in a_rows
+            if q == qid and (q, i) in bmap
+        )
+        assert abs(got[qid] - round(dcg / idcg, 6)) < 1e-9, qid
+    assert got[1] == 1.0 and got[3] == 0.0 and 0.0 < got[2] < 1.0
+
+
+def test_cusum_counts_matches_recursion(spark):
+    # the prefix-sum-minus-prefix-min identity must equal the textbook
+    # recursion S_t = max(0, S_{t-1} + (v_t - mean)), and the alarm must
+    # fire exactly past k_sigma on a series with an injected level shift
+    from staticql_spark.operators.behavior import cusum_counts
+
+    series = {
+        "shift": [10, 11, 9, 10, 10, 11, 30, 31, 29, 30],
+        "steady": [5, 6, 5, 4, 6, 5, 5, 6],
+    }
+    rows = [(g, t, v) for g, vs in series.items() for t, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    got = {
+        (r["grp"], r["t"]): (r["cusum"], r["alarm"])
+        for r in cusum_counts(df, k_sigma=4.0).collect()
+    }
+    import math
+
+    for g, vs in series.items():
+        n = len(vs)
+        mean = sum(vs) / n
+        sigma = math.sqrt(sum(v * v for v in vs) / n - mean * mean)
+        s = 0.0
+        for t, v in enumerate(vs):
+            s = max(0.0, s + (v - mean))
+            cus, alarm = got[(g, t)]
+            assert abs(cus - round(s, 6)) < 1e-6, (g, t, cus, s)
+            assert alarm == (round(s, 6) > round(4.0 * sigma, 6)), (g, t)
+    assert any(a for (g, _), (_, a) in got.items() if g == "shift")
+    assert not any(a for (g, _), (_, a) in got.items() if g == "steady")
+
+
+def test_iteration_artifacts_equal_inline_derivations(spark):
+    # r12 construct-trim rewires: the parquet-hopped bt_ratings /
+    # bt_ties / pagerank artifacts must be VALUE-IDENTICAL to the
+    # inline iteration chains their oracles replay (longs + 6dp
+    # doubles — the parquet hop must be exact, not approximately so)
+    import __spark_entry__ as e
+    from staticql_spark.operators import preference
+    from staticql_spark.operators.graph import pagerank
+    from tests.conftest import SF_SMOKE
+
+    art = {tuple(r) for r in e._bt_ratings_cached(spark, SF_SMOKE).collect()}
+    inline = {
+        tuple(r)
+        for r in preference.bt_ratings(
+            e._pref_comparisons(e._t(spark, SF_SMOKE, "events")),
+            iters=5, alpha=0.5,
+        ).collect()
+    }
+    assert art == inline and art
+
+    art_t = {tuple(r) for r in e._bt_ties_cached(spark, SF_SMOKE).collect()}
+    inline_t = {
+        tuple(r)
+        for r in preference.bt_ties(
+            e._pref_comparisons_ties(e._t(spark, SF_SMOKE, "events")),
+            iters=5, alpha=0.5,
+        ).collect()
+    }
+    assert art_t == inline_t and art_t
+
+    from staticql_spark.streaming import load_events
+
+    ev = load_events(spark, f"{SF_SMOKE}/events.parquet")
+    base = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    art_p = {tuple(r) for r in e._pagerank_cached(spark, SF_SMOKE).collect()}
+    inline_p = {tuple(r) for r in pagerank(edges, iters=2).collect()}
+    assert art_p == inline_p and art_p

@@ -726,12 +726,27 @@ def test_bt_ratings_broadcasts_rating_vector_no_cartesian(spark):
     # a shuffled join of the pair table against itself), and the mean-1
     # normalization rides in as a 1-row broadcast (the stat-join idiom,
     # BroadcastNestedLoopJoin over one row) — no CartesianProduct
-    p = plan(entrymod.q_events_bt_ratings(spark, SF_SMOKE))
+    # r12: the driver key probes the shared artifact, so the MM-chain
+    # plan contract is asserted on the INLINE operator (what the
+    # artifact build runs and the oracle replays)
+    from staticql_spark.operators import preference
+
+    p = plan(
+        preference.bt_ratings(
+            entrymod._pref_comparisons(entrymod._t(spark, SF_SMOKE, "events")),
+            iters=5, alpha=0.5,
+        )
+    )
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     # the localCheckpoint lineage cuts hide earlier iterations from the
     # final plan; what remains must not re-shuffle the raw event scan
     assert "events.parquet" not in p, p
+    # and the driver key itself is a pure artifact probe: one parquet
+    # scan, no joins, no raw events
+    q = plan(entrymod.q_events_bt_ratings(spark, SF_SMOKE))
+    assert "events.parquet" not in q, q
+    assert "Join" not in q, q
 
 
 def test_win_matrix_single_pair_shuffle(spark):
@@ -758,10 +773,24 @@ def test_bt_ties_broadcast_iterations_no_cartesian(spark):
     # every MM iteration broadcasts the rating vector and theta (1-row)
     # into the O(pairs) directed table; localCheckpoint lineage cuts
     # keep earlier iterations out of the final plan
-    p = plan(entrymod.q_events_bt_ties(spark, SF_SMOKE))
+    # r12: asserted on the inline operator (the artifact build's plan);
+    # the driver key is a probe of the persisted frame
+    from staticql_spark.operators import preference
+
+    p = plan(
+        preference.bt_ties(
+            entrymod._pref_comparisons_ties(
+                entrymod._t(spark, SF_SMOKE, "events")
+            ),
+            iters=5, alpha=0.5,
+        )
+    )
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "events.parquet" not in p, p  # no raw re-scan across iterations
+    q = plan(entrymod.q_events_bt_ties(spark, SF_SMOKE))
+    assert "events.parquet" not in q, q
+    assert "Join" not in q, q
 
 
 def test_rater_bias_single_item_shuffle_then_rater_agg(spark):
