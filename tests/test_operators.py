@@ -3709,3 +3709,42 @@ def test_iteration_artifacts_equal_inline_derivations(spark):
     art_p = {tuple(r) for r in e._pagerank_cached(spark, SF_SMOKE).collect()}
     inline_p = {tuple(r) for r in pagerank(edges, iters=2).collect()}
     assert art_p == inline_p and art_p
+
+
+def test_minhash_lsh_pairs_dup_dense_widens_end_to_end(spark, monkeypatch):
+    # r11 verdict #2, end-to-end: a sub-gate corpus whose bucket pair
+    # mass exceeds the default width's capacity must route through the
+    # widened verify (persist buckets -> pair-mass agg -> width) and
+    # still produce the exact pair set.  The per-partition target is
+    # patched down so a test-size corpus crosses the threshold.
+    monkeypatch.setattr(dedup, "_VERIFY_PAIRS_PER_PARTITION", 1_000)
+    widths = []
+    orig = dedup.verify_jaccard
+
+    def spy(pairs, dsh, id_col="doc_id", partitions=None):
+        widths.append(partitions)
+        return orig(pairs, dsh, id_col, partitions=partitions)
+
+    monkeypatch.setattr(dedup, "verify_jaccard", spy)
+    # 2 clusters x 200 near-replica docs: every doc shares the cluster
+    # shingle set (one token mutated), so each (band, key) bucket holds
+    # the whole cluster and est pairs ~ 4 bands x C(200,2) x 2 >> 32k
+    rows = []
+    for c in range(2):
+        base = [f"tok{c}_{i}" for i in range(30)]
+        for d in range(200):
+            toks = list(base)
+            toks[d % 30] = f"mut{c}_{d}"
+            rows.append((c * 1000 + d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    n = got.count()
+    assert widths and widths[0] is not None and widths[0] > 32, widths
+    # clusters are dense near-dup cliques: a large pair mass survives
+    # the 0.5 Jaccard verify, and no cross-cluster pair can (disjoint
+    # token namespaces)
+    assert n > 10_000, n
+    bad = got.filter(
+        (F.col("id_a") < 1000) != (F.col("id_b") < 1000)
+    ).count()
+    assert bad == 0
