@@ -4445,6 +4445,29 @@ def q_events_cusum(spark, sf):
     return cusum_counts(daily)
 
 
+def q_events_benford(spark, sf):
+    # Benford first-significant-digit audit per event type (new r12):
+    # the cheap fabricated-feed detector — per-digit observed vs
+    # log10(1+1/d) expectation and the Pearson chi-square terms.
+    # Values fixed-pointed to integer cents first; the first digit is
+    # integer division by 10^(decimal length - 1), no float log10 at
+    # power-of-ten boundaries.  One (type, digit) count shuffle.
+    from staticql_spark.operators.profile import benford_digits
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    return benford_digits(
+        ev.select(F.col("event_type").alias("grp"), "value")
+    )
+
+
+def q_doc_simpson(spark, sf):
+    # Simpson token-diversity index per language (new r12): exact
+    # integer sum c(c-1) over the (lang, token) counts — the lexical-
+    # concentration complement to doc_zipf's slope (boilerplate floods
+    # collapse diversity even when the Zipf fit still looks plausible).
+    return text.simpson_diversity(_t(spark, sf, "documents"))
+
+
 def q_events_mann_kendall(spark, sf):
     # Mann-Kendall monotone-trend test per event type over DAILY event
     # counts (new r12): the non-parametric trend detector ops dashboards
@@ -4672,11 +4695,13 @@ def q_events_rater_agreement(spark, sf):
 # driver-signal staleness registry-wide stays <=5 rounds (r6 vintage),
 # and the remaining 26 r6-vintage keys head the committed r12 backfill.
 # r12 window (50), composed per the rotation policy (new/changed first,
-# then the committed backfill): (1) the 6 NEW r12 keys (ann_mrr /
+# then the committed backfill): (1) the 8 NEW r12 keys (ann_mrr /
 # ann_ndcg — the MRR and graded-NDCG legs completing the ranking-eval
 # suite; events_mann_kendall — tie-corrected trend test; events_cusum —
-# change-point chart; doc_zipf — rank-frequency fit; stream_consensus —
-# live consensus-label twin's batch fallback), (2) 12 CHANGED-in-r12:
+# change-point chart; events_benford — first-digit feed audit; doc_zipf
+# — rank-frequency fit; doc_simpson — token-diversity index;
+# stream_consensus — live consensus-label twin's batch fallback),
+# (2) 12 CHANGED-in-r12:
 # dedup_minhash_lsh / dedup_incremental / dedup_lsh_recall /
 # dedup_components / pipeline_clean_corpus as the dedup-path
 # representatives for the r12 verify-width dup-density gate
@@ -4688,15 +4713,15 @@ def q_events_rater_agreement(spark, sf):
 # events_pagerank (r11 roadmap #3: MM/power iterations hoisted behind
 # shared _artifact facades — probe-cost keys now), (3) the COMMITTED
 # 26-key r6-vintage backfill head verbatim from COVERAGE.md's r11
-# freshness ledger, (4) 6 r7-vintage stalest-green keys in registry
-# order to fill the 50.  6 + 12 + 26 + 6 = 50; after r12 greens, r6
+# freshness ledger, (4) 4 r7-vintage stalest-green keys in registry
+# order to fill the 50.  8 + 12 + 26 + 4 = 50; after r12 greens, r6
 # vintage clears, max driver-signal staleness registry-wide stays <=5
-# rounds (r7 vintage), and the remaining 34 r7-vintage keys head the
+# rounds (r7 vintage), and the remaining 36 r7-vintage keys head the
 # committed r13 backfill.
 _R12_HEAD = [
     # -- new in r12 (rank with changed keys) --
     "ann_mrr", "events_mann_kendall", "doc_zipf", "stream_consensus",
-    "ann_ndcg", "events_cusum",
+    "ann_ndcg", "events_cusum", "events_benford", "doc_simpson",
     # -- changed in r12 --
     "dedup_minhash_lsh", "dedup_incremental", "dedup_lsh_recall",
     "dedup_components", "pipeline_clean_corpus", "ann_rbo",
@@ -4714,9 +4739,9 @@ _R12_HEAD = [
     "doc_vocab_drift", "pipeline_media_manifest", "events_ppr",
     "doc_ccnet_buckets", "events_cohort_ltv", "doc_shuffle_shards",
     "bpe_fertility", "doc_source_cap", "doc_dsir", "ann_knn_classify",
-    # -- r7-vintage stalest-green fill (registry order; 6 fit) --
+    # -- r7-vintage stalest-green fill (registry order; 4 fit) --
     "grouped_percentiles", "robust_outliers", "doc_ngram_coverage",
-    "shard_checksums", "events_dau_wau", "events_time_to_convert",
+    "shard_checksums",
 ]
 
 _R11_HEAD = [
@@ -5134,6 +5159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_consensus": q_stream_consensus,
         "ann_ndcg": q_ann_ndcg,
         "events_cusum": q_events_cusum,
+        "events_benford": q_events_benford,
+        "doc_simpson": q_doc_simpson,
     }
     # r12 rotation: new/changed-code keys first (they run unverified
     # code), then the committed r6 backfill + r7-vintage stalest fill
@@ -11435,6 +11462,70 @@ def oracle_sql() -> dict[str, str]:
                      > round(4.0 * sqrt(CAST(n * tot2 - tot * tot AS DOUBLE))
                              / CAST(n AS DOUBLE), 6) AS alarm
             FROM run2
+        """
+    # Benford audit (new r12): integer-cents fixed point, first digit
+    # by integer division (floor() in DuckDB — its double->INT cast
+    # ROUNDS where Spark's truncates), repr-inlined log10 expectations
+    _benford_case = "CASE digit " + " ".join(
+        f"WHEN {dd} THEN {__import__('math').log10(1 + 1 / dd)!r}"
+        for dd in range(1, 10)
+    ) + " END"
+    d["events_benford"] = f"""
+            WITH pos AS (
+              SELECT event_type AS grp,
+                     CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS n
+              FROM events
+              WHERE value IS NOT NULL
+                AND floor(CAST(value AS DOUBLE) * 100) > 0
+            ),
+            cnt AS (
+              SELECT grp,
+                     CAST(floor(n / power(10, length(n::VARCHAR) - 1)) AS INT)
+                       AS digit,
+                     count(*)::BIGINT AS n_obs
+              FROM pos GROUP BY 1, 2
+            ),
+            tot AS (SELECT grp, sum(n_obs)::BIGINT AS n_tot FROM cnt GROUP BY grp),
+            j AS (
+              SELECT c.grp, digit, n_obs, n_tot, {_benford_case} AS e
+              FROM cnt c JOIN tot t ON c.grp = t.grp
+            )
+            SELECT grp, digit, n_obs,
+                   round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE), 6)
+                     AS obs_share,
+                   round(e, 6) AS expected_share,
+                   round((CAST(n_obs AS DOUBLE) - e * CAST(n_tot AS DOUBLE))
+                         * (CAST(n_obs AS DOUBLE) - e * CAST(n_tot AS DOUBLE))
+                         / (e * CAST(n_tot AS DOUBLE)), 6) AS chi2_term
+            FROM j
+        """
+    # Simpson token diversity per language (new r12): exact BIGINT
+    # c(c-1) fold; one division per group
+    d["doc_simpson"] = f"""
+            WITH tf AS (
+              SELECT grp, tok, count(*)::BIGINT AS c
+              FROM (SELECT lang AS grp, unnest({_TOKS_NORM}) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT grp, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS vocab,
+                     sum(c * (c - 1))::BIGINT AS same
+              FROM tf GROUP BY grp
+            )
+            SELECT grp, n_tokens, vocab,
+                   round(CASE WHEN n_tokens > 1
+                         THEN CAST(same AS DOUBLE)
+                              / (CAST(n_tokens AS DOUBLE)
+                                 * CAST(n_tokens - 1 AS DOUBLE))
+                         ELSE 0.0 END, 6) AS simpson_d,
+                   round(1.0 - CASE WHEN n_tokens > 1
+                         THEN CAST(same AS DOUBLE)
+                              / (CAST(n_tokens AS DOUBLE)
+                                 * CAST(n_tokens - 1 AS DOUBLE))
+                         ELSE 0.0 END, 6) AS diversity
+            FROM agg
         """
     # the streaming consensus twin's batch fallback IS consensus_labels
     # over (user_id, event_type): modal category per item, ties toward

@@ -251,6 +251,8 @@ HEADLINE = [
     "stream_consensus",
     "ann_ndcg",
     "events_cusum",
+    "events_benford",
+    "doc_simpson",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —

@@ -590,3 +590,64 @@ def grouped_psi(
             (F.col("__po") - F.col("__pn")) * F.log(F.col("__po") / F.col("__pn")), 6
         ).alias("psi_term"),
     )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "grp",
+    out_round: int = 6,
+) -> DataFrame:
+    """Benford first-significant-digit audit per group -> (grp, digit,
+    n_obs, obs_share, expected_share, chi2_term).
+
+    Naturally occurring positive quantities follow Benford's law
+    (P(d) = log10(1 + 1/d)); synthetic, capped, or fabricated value
+    streams do not — the classic cheap audit for an event feed whose
+    ``value`` column someone started filling with constants or uniform
+    noise.  Nine rows per group; sum(chi2_term) is the Pearson
+    chi-square against the Benford expectation (8 dof).
+
+    Determinism across engines: values are fixed-pointed to integer
+    cents FIRST (``floor(v * 100)`` — IEEE-identical in both engines
+    even where it differs from infinite precision), and the first digit
+    comes from integer-division by 10^(decimal length - 1) — no
+    float log10 near a power-of-ten boundary.  Expected shares are
+    driver-side repr-inlined literals; shares and chi2 terms are
+    rounded once.  One (group, digit) count shuffle, map-side combined.
+    """
+    import math
+
+    cents = F.floor(F.col(value_col).cast("double") * 100).cast("long")
+    pos = df.filter(F.col(value_col).isNotNull() & (cents > 0)).select(
+        F.col(group_col).alias("grp"), cents.alias("n")
+    )
+    digit = (
+        F.col("n")
+        / F.pow(F.lit(10.0), (F.length(F.col("n").cast("string")) - 1).cast("double"))
+    ).cast("int")
+    cnt = (
+        pos.select("grp", digit.alias("digit"))
+        .groupBy("grp", "digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = cnt.groupBy("grp").agg(F.sum("n_obs").cast("long").alias("n_tot"))
+    exp_map = F.map_from_arrays(
+        F.array(*[F.lit(d) for d in range(1, 10)]),
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+    )
+    j = cnt.join(F.broadcast(tot), "grp").withColumn("e", exp_map[F.col("digit")])
+    obs = F.col("n_obs").cast("double") / F.col("n_tot").cast("double")
+    expn = F.col("e") * F.col("n_tot").cast("double")
+    return j.select(
+        "grp",
+        "digit",
+        "n_obs",
+        F.round(obs, out_round).alias("obs_share"),
+        F.round("e", out_round).alias("expected_share"),
+        F.round(
+            (F.col("n_obs").cast("double") - expn) * (F.col("n_obs").cast("double") - expn)
+            / expn,
+            out_round,
+        ).alias("chi2_term"),
+    )

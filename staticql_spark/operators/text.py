@@ -2297,3 +2297,49 @@ def zipf_fit(
             out_round,
         ).alias("r2"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    out_round: int = 6,
+) -> DataFrame:
+    """Simpson's diversity index over token frequencies per group ->
+    (grp, n_tokens, vocab, simpson_d, diversity).
+
+    D = sum c_i (c_i - 1) / (N (N - 1)) — the probability two tokens
+    drawn without replacement are the same TYPE; diversity = 1 - D.
+    The lexical-concentration complement to :func:`zipf_fit`'s slope:
+    a corpus slice whose diversity collapses between snapshots has been
+    flooded with repetitive/boilerplate text even when its Zipf slope
+    still looks plausible.  All sums are exact BIGINTs (c*(c-1) per
+    type, N, vocab) folded map-side; the single division happens once
+    per group — engine-exact by construction.  One (group, token) count
+    shuffle, one |groups|-row reduce.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    tf = (
+        ensure_parallelism(df)
+        .select(F.col(group_col).alias("grp"), F.explode(tokens(norm)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = tf.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("same"),
+    )
+    d = F.when(
+        F.col("n_tokens") > 1,
+        F.col("same").cast("double")
+        / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "grp",
+        "n_tokens",
+        "vocab",
+        F.round(d, out_round).alias("simpson_d"),
+        F.round(F.lit(1.0) - d, out_round).alias("diversity"),
+    )

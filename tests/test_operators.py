@@ -3748,3 +3748,66 @@ def test_minhash_lsh_pairs_dup_dense_widens_end_to_end(spark, monkeypatch):
         (F.col("id_a") < 1000) != (F.col("id_b") < 1000)
     ).count()
     assert bad == 0
+
+
+def test_benford_digits_matches_hand_computation(spark):
+    # digit extraction via integer cents (0.09 -> digit 9, 10.00 ->
+    # digit 1), per-digit chi2 terms vs a driver-side brute force
+    import math
+    from collections import Counter
+
+    from staticql_spark.operators.profile import benford_digits
+
+    vals = [1.23, 12.3, 123.0, 0.09, 10.00, 99.9, 0.002, None, -5.0,
+            2.5, 2.49, 31.4, 315.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "grp string, value double"
+    )
+    got = {
+        r["digit"]: (r["n_obs"], r["obs_share"], r["expected_share"], r["chi2_term"])
+        for r in benford_digits(df).collect()
+    }
+
+    def first_digit(v):
+        n = math.floor(v * 100)
+        if n <= 0:
+            return None
+        while n >= 10:
+            n //= 10
+        return n
+
+    digs = [first_digit(v) for v in vals if v is not None]
+    digs = [d for d in digs if d is not None]
+    cnt, n_tot = Counter(digs), len(digs)
+    assert set(got) == set(cnt)
+    for d, c in cnt.items():
+        e = math.log10(1 + 1 / d)
+        chi = (c - e * n_tot) ** 2 / (e * n_tot)
+        assert got[d][0] == c
+        assert abs(got[d][1] - round(c / n_tot, 6)) < 1e-9
+        assert abs(got[d][2] - round(e, 6)) < 1e-9
+        assert abs(got[d][3] - round(chi, 6)) < 1e-6
+    # 0.002 -> cents 0 (excluded), -5.0 excluded, None excluded
+    assert sum(c for c, *_ in got.values()) == len(vals) - 3
+
+
+def test_simpson_diversity_matches_brute_force(spark):
+    from collections import Counter
+
+    from staticql_spark.operators.text import simpson_diversity
+
+    docs = [
+        (0, "the the the cat", "en"),
+        (1, "the cat sat", "en"),
+        (2, "x", "xx"),           # single token -> D = 0 by convention
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["grp"]: (r["n_tokens"], r["vocab"], r["simpson_d"], r["diversity"])
+        for r in simpson_diversity(df).collect()
+    }
+    cnt = Counter("the the the cat the cat sat".split())
+    n = sum(cnt.values())
+    d = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+    assert got["en"] == (n, len(cnt), round(d, 6), round(1 - d, 6))
+    assert got["xx"] == (1, 1, 0.0, 1.0)
