@@ -100,6 +100,8 @@ PICKS = [
     ("doc_zipf (one token-count shuffle; two-phase top-n rank — histogram base + tie-class window)", "doc_zipf"),
     ("stream_consensus (batch fallback: one (item,cat) count shuffle + |cats|-bounded window)", "stream_consensus"),
     ("events_bt_ratings (probe of the shared bt_ratings artifact: parquet scan, MM chain in build)", "events_bt_ratings"),
+    ("events_benford (integer-cents digit map; ONE (grp,digit) count shuffle + broadcast totals)", "events_benford"),
+    ("doc_simpson (one (grp,token) count shuffle; exact BIGINT c(c-1) fold, |groups|-row reduce)", "doc_simpson"),
 ]
 
 
