@@ -104,8 +104,9 @@ def main():
         run("old_default_width", default_w)
         run("r12_adaptive", None)
 
+    suffix = os.environ.get("SOAK_DUPDENSE_SUFFIX", "")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "SOAK_dupdense_r12.json"), "w") as f:
+                           f"SOAK_dupdense_r12{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

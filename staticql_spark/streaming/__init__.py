@@ -1637,7 +1637,7 @@ CONSENSUS_SCHEMA = (
     "item long, n_labels long, consensus_cat string, n_consensus long, "
     "consensus_share double"
 )
-_CONSENSUS_STATE = "cats array<string>, counts array<long>"
+_CONSENSUS_STATE = "cats array<string>, counts array<long>, last_ms long"
 
 
 def stream_consensus(
@@ -1648,6 +1648,7 @@ def stream_consensus(
     out_round: int = 6,
     watermark: str = "2 hours",
     state_ttl_ms: int | None = None,
+    idle_horizon_ms: int | None = None,
 ) -> DataFrame:
     """Live per-item consensus label — the streaming twin of
     :func:`~staticql_spark.operators.preference.consensus_labels` (r12,
@@ -1669,8 +1670,17 @@ def stream_consensus(
 
     ``state_ttl_ms`` evicts items idle past the TTL (an item that does
     get a late label restarts its counts — run the batch operator for
-    archival truth).  Items must be integral ids on the live path (the
-    fixed state-key schema); the batch fallback keeps any type.
+    archival truth).  ``idle_horizon_ms`` (r12) is the EVENT-TIME
+    alternative, ported from stream_arena_sliding's watermark eviction:
+    an item has no natural window end, so the timeout registers at
+    ``last label's event time + horizon`` — the item is evicted exactly
+    when the watermark proves it has been label-silent for the horizon,
+    independent of processing-time stalls or replays (the right
+    semantics for "forget items nobody has labeled in 30 days").  State
+    carries the max label event-time for this (one long).  Mutually
+    exclusive with ``state_ttl_ms``.  Items must be integral ids on the
+    live path (the fixed state-key schema); the batch fallback keeps
+    any type.
 
     Batch inputs fall through to the batch operator itself — the twin
     test and the driver oracle pin identical semantics with no stream.
@@ -1680,6 +1690,11 @@ def stream_consensus(
     if not labels.isStreaming:
         return consensus_labels(
             labels, item_col=item_col, cat_col=cat_col, out_round=out_round
+        )
+    if state_ttl_ms is not None and idle_horizon_ms is not None:
+        raise ValueError(
+            "state_ttl_ms and idle_horizon_ms are mutually exclusive "
+            "eviction policies — pick one"
         )
 
     from decimal import ROUND_HALF_UP, Decimal
@@ -1698,20 +1713,36 @@ def stream_consensus(
 
     def update(key, pdf_iter, state):
         (item,) = key
-        if state_ttl_ms is not None and state.hasTimedOut:
+        if state.hasTimedOut:
+            # TTL mode: idle past the processing-time TTL.  Horizon
+            # mode: the watermark proved the item label-silent for the
+            # horizon.  Either way: evict.
             state.remove()
             return
-        cats, counts = state.get if state.exists else ([], [])
+        cats, counts, last_ms = (
+            state.get if state.exists else ([], [], 0)
+        )
         d = dict(zip(list(cats), [int(c) for c in counts]))
+        last_ms = int(last_ms)
         for pdf in pdf_iter:
             for cat, c in pdf["cat"].value_counts().items():
                 d[cat] = d.get(cat, 0) + int(c)
+            if idle_horizon_ms is not None and len(pdf):
+                batch_max = int(pdf["__ts"].max().value // 1_000_000)
+                last_ms = max(last_ms, batch_max)
         # sorted category order keeps the state arrays deterministic
         # across replays and makes the modal tiebreak a plain max scan
         items = sorted(d.items())
-        state.update(([c for c, _ in items], [n for _, n in items]))
+        state.update(
+            ([c for c, _ in items], [n for _, n in items], last_ms)
+        )
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
+        elif idle_horizon_ms is not None:
+            # evict when the watermark passes the last label + horizon;
+            # Spark requires the timestamp beyond the current watermark
+            cur_wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + idle_horizon_ms, cur_wm + 1))
         n = sum(d.values())
         # modal = max count; ties toward the smallest category (items
         # is category-sorted, so strict > keeps the earliest winner)
@@ -1739,6 +1770,8 @@ def stream_consensus(
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
             if state_ttl_ms is not None
+            else GroupStateTimeout.EventTimeTimeout
+            if idle_horizon_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
     )

@@ -1385,3 +1385,117 @@ def test_stream_arena_event_time_eviction_drops_closed_windows(
     # as sub-watermark late data -> no further emit)
     assert (2, 2) in k0_emits, k0_emits
     assert all(n < 3 for n, _ in k0_emits), k0_emits
+
+
+def test_stream_consensus_idle_horizon_matches_batch(spark, tmp_path_factory):
+    # with an event-time idle horizon wider than the fixture's span no
+    # item can be evicted mid-run: multi-batch equality pins the
+    # EventTimeTimeout plumbing (last_ms tracking, timeout registration)
+    from staticql_spark.streaming import read_event_stream, stream_consensus
+
+    def labels(ev):
+        return ev.select(
+            F.col("user_id").alias("item"),
+            F.col("event_type").alias("cat"),
+            F.col("ts"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch = {
+        r["item"]: (r["n_labels"], r["consensus_cat"], r["consensus_share"])
+        for r in stream_consensus(labels(spark.read.parquet(d))).collect()
+    }
+    q = (
+        stream_consensus(
+            labels(read_event_stream(spark, d, max_files=2)),
+            watermark="365 days",
+            idle_horizon_ms=400 * 86400 * 1000,
+        )
+        .writeStream.format("memory")
+        .queryName("consensus_horizon_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by item order by n_labels desc) rn
+             from consensus_horizon_test) where rn = 1"""
+    ).collect()
+    got = {
+        r["item"]: (r["n_labels"], r["consensus_cat"], r["consensus_share"])
+        for r in rows
+    }
+    assert got == batch
+
+
+def test_stream_consensus_idle_horizon_evicts_silent_items(
+    spark, tmp_path_factory
+):
+    # the arena 4-batch recipe on items: fill item 1, advance the
+    # watermark past its last label + horizon, give the timeout a
+    # data-less batch to fire in, then send a late label — the
+    # accumulated n_labels=3 must never appear for item 1
+    import os
+    import time
+
+    from staticql_spark.streaming import stream_consensus
+
+    d = str(tmp_path_factory.mktemp("consensus_evict"))
+    import datetime as dt
+
+    def write_file(name, rows, mtime):
+        pdf = spark.createDataFrame(
+            rows, "item long, cat string, ts timestamp"
+        ).toPandas()
+        p = os.path.join(d, name)
+        # micros precision: pandas default nanos round-trips as INT64
+        # under the session's nanosAsLong and breaks the typed reader
+        pdf.to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    now = time.time()
+    write_file("f1.parquet", [(1, "a", t0), (1, "a", t0 + dt.timedelta(minutes=1))], now - 400)
+    write_file("f2.parquet", [(2, "x", t0 + 40 * day)], now - 300)
+    write_file("f3.parquet", [(2, "x", t0 + 41 * day)], now - 200)
+    write_file("f4.parquet", [(1, "b", t0 + dt.timedelta(minutes=2))], now - 100)
+
+    stream = (
+        spark.readStream.schema("item long, cat string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_consensus(
+            stream, watermark="1 hour", idle_horizon_ms=86_400_000
+        )
+        .writeStream.format("memory")
+        .queryName("consensus_evict_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from consensus_evict_test").collect()
+    item1 = [(r["n_labels"], r["consensus_cat"]) for r in rows if r["item"] == 1]
+    assert (2, "a") in item1, item1
+    assert all(n < 3 for n, _ in item1), item1
+
+
+def test_stream_consensus_eviction_policies_exclusive(spark, tmp_path_factory):
+    import pytest
+
+    from staticql_spark.streaming import read_event_stream, stream_consensus
+
+    d = _events_dir(spark, tmp_path_factory)
+    stream = read_event_stream(spark, d).select(
+        F.col("user_id").alias("item"),
+        F.col("event_type").alias("cat"),
+        F.col("ts"),
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_consensus(stream, state_ttl_ms=1000, idle_horizon_ms=1000)
