@@ -812,3 +812,39 @@ def test_arena_sliding_single_combinable_shuffle(spark):
     assert "Window" not in p, p
     assert p.count("hashpartitioning(") == 1, p
     assert "partial_count" in p, p
+
+
+def test_mann_kendall_and_cusum_never_join_raw_events(spark):
+    # r12 series operators: the daily aggregate is checkpointed before
+    # reuse, so the pair self-join / prefix windows see ONE small
+    # lineage-cut frame — never a second scan of events.parquet, and
+    # never a cartesian
+    for q in (entrymod.q_events_mann_kendall, entrymod.q_events_cusum):
+        df = q(spark, SF_SMOKE)
+        df.collect()  # materialize the lazy checkpoint under AQE
+        p = plan(df)
+        assert "CartesianProduct" not in p, p
+        assert p.count("events.parquet") == 0, p
+
+
+def test_zipf_two_phase_rank_no_whale_window(spark):
+    # the top-n selection must run as histogram-base + tie-class window
+    # (Window partitioned by (grp, c)) — never a single whole-group
+    # window over the (grp, token) counts, and never a cartesian
+    p = plan(entrymod.q_doc_zipf(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    # every window spec carries the count-class key next to grp
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    assert all("c#" in s for s in specs), specs
+
+
+def test_benford_single_digit_shuffle(spark):
+    # one (grp, digit) count exchange plus the tiny totals join as a
+    # broadcast — no windows, no cartesian over raw events
+    p = plan(entrymod.q_events_benford(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p, p
