@@ -11331,10 +11331,14 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY grp
             ),
             calc AS (
-              SELECT t.grp, n_periods, s_stat,
+              -- LEFT join: n=1 groups emit no pair row but still get a
+              -- (S=0, z=0, no_trend) output row (r12 ADVICE, operator
+              -- behavior.mann_kendall fixed identically)
+              SELECT t.grp, n_periods,
+                     coalesce(s_stat, 0)::BIGINT AS s_stat,
                      CAST(n_periods * (n_periods - 1) * (2 * n_periods + 5)
                           - tie_term AS DOUBLE) / 18.0 AS vs
-              FROM ties t JOIN pairs p ON t.grp = p.grp
+              FROM ties t LEFT JOIN pairs p ON t.grp = p.grp
             ),
             zc AS (
               SELECT grp, n_periods, s_stat, vs,
@@ -11414,8 +11418,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(round(CAST(6 - b.rank AS DOUBLE)
                                 / log2(1.0 + CAST(i.rank AS DOUBLE)), 9)
                           AS DECIMAL(38,9)) AS term
+              -- rank <= 5 twins the operator's new clamp (r12 ADVICE):
+              -- a no-op here since both CTEs are top-5 lists already
               FROM ivfk i JOIN brute b
                 ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+               AND i.rank <= 5 AND b.rank <= 5
             ),
             qs AS (
               SELECT DISTINCT query_id FROM ivfk
@@ -11452,8 +11459,12 @@ def oracle_sql() -> dict[str, str]:
               FROM daily d JOIN stats s ON d.grp = s.grp
             ),
             run2 AS (
-              SELECT *, min(p) OVER (PARTITION BY grp ORDER BY t
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmin
+              -- least(0, .) clamps the running min to the P_0 = 0
+              -- baseline (S_0 = 0): without it a series starting above
+              -- its mean undercounts to zero (r12 ADVICE high, operator
+              -- behavior.cusum_counts fixed identically)
+              SELECT *, least(0, min(p) OVER (PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pmin
               FROM run
             )
             SELECT grp, t, v,

@@ -394,7 +394,14 @@ def mann_kendall(
     var_s = (
         (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / F.lit(18.0)
     )
-    joined = ties.join(pairs, "grp").withColumn("var_s", var_s)
+    # LEFT join: a single-period group emits no pair row (a.t < b.t is
+    # empty for n=1), but the docstring promises a row per group — keep
+    # it with S = 0, var_S = 0, z = 0, no_trend (r12 ADVICE low)
+    joined = (
+        ties.join(pairs, "grp", "left")
+        .withColumn("s_stat", F.coalesce("s_stat", F.lit(0).cast("long")))
+        .withColumn("var_s", var_s)
+    )
     z = (
         F.when(
             (F.col("s_stat") > 0) & (F.col("var_s") > 0),
@@ -441,7 +448,12 @@ def cusum_counts(
     The textbook recursion S_t = max(0, S_{t-1} + (v_t - mean)) is not
     a prefix sum, but it equals ``P_t - min(P_0..P_t)`` for the plain
     prefix sums P of the deviations — two ordered windows over the
-    per-(group, period) AGGREGATE, never the raw events.  Arithmetic is
+    per-(group, period) AGGREGATE, never the raw events.  The min MUST
+    include the empty-prefix baseline P_0 = 0 (S_0 = 0): the window
+    min below only sees P_1..P_t, so it is clamped with ``least(0, .)``
+    — without the clamp a series whose first deviations are positive
+    (starts above its mean, e.g. [6,5,5,4] -> S=[1,1,1,0]) undercounts
+    to all-zero and alarms late (r12 ADVICE, high).  Arithmetic is
     EXACT integers end-to-end (r12): deviations are scaled by n
     (``n*v_t - total`` is a long, no fractional mean), prefix sums and
     prefix mins stay long, and the single ``/ n`` division plus the
@@ -467,7 +479,11 @@ def cusum_counts(
     # scaled deviation n*v - tot is exact long; its prefix sum / prefix
     # min stay long, so S_t * n = P_t - min(P_<=t) is exact
     p = F.sum(F.col("n") * F.col("v") - F.col("tot")).over(wo)
-    run = j.withColumn("__p", p).withColumn("__pmin", F.min("__p").over(wo))
+    # clamp the running min to the P_0 = 0 baseline: min over P_1..P_t
+    # alone misses series that start above their mean (r12 ADVICE high)
+    run = j.withColumn("__p", p).withColumn(
+        "__pmin", F.least(F.lit(0).cast("long"), F.min("__p").over(wo))
+    )
     nn = F.col("n").cast("double")
     # population sigma from the exact integer sums: n^2*var = n*tot2 - tot^2
     sigma = F.sqrt(

@@ -597,6 +597,7 @@ def benford_digits(
     value_col: str = "value",
     group_col: str = "grp",
     out_round: int = 6,
+    scale: int = 100,
 ) -> DataFrame:
     """Benford first-significant-digit audit per group -> (grp, digit,
     n_obs, obs_share, expected_share, chi2_term).
@@ -608,17 +609,27 @@ def benford_digits(
     noise.  Nine rows per group; sum(chi2_term) is the Pearson
     chi-square against the Benford expectation (8 dof).
 
-    Determinism across engines: values are fixed-pointed to integer
-    cents FIRST (``floor(v * 100)`` — IEEE-identical in both engines
-    even where it differs from infinite precision), and the first digit
+    Determinism across engines: values are fixed-pointed to integers
+    FIRST (``floor(v * scale)`` — IEEE-identical in both engines even
+    where it differs from infinite precision), and the first digit
     comes from integer-division by 10^(decimal length - 1) — no
-    float log10 near a power-of-ten boundary.  Expected shares are
-    driver-side repr-inlined literals; shares and chi2 terms are
-    rounded once.  One (group, digit) count shuffle, map-side combined.
+    float log10 near a power-of-ten boundary.  ``scale`` (default 100 =
+    cents, matching currency-like feeds) sets the fixed-point
+    resolution: a value column with more than 2 significant decimals
+    (rates, latencies in fractional ms) should pass scale=10**6 or
+    similar so sub-cent magnitudes are not silently truncated to zero
+    and dropped by the positivity filter.  Because Benford's law is
+    scale-invariant, changing ``scale`` only affects which tiny values
+    survive the cents>0 cut, never the expected shares.  Expected
+    shares are driver-side repr-inlined literals; shares and chi2 terms
+    are rounded once.  One (group, digit) count shuffle, map-side
+    combined.
     """
     import math
 
-    cents = F.floor(F.col(value_col).cast("double") * 100).cast("long")
+    if scale < 1:
+        raise ValueError(f"benford_digits: scale must be >= 1, got {scale}")
+    cents = F.floor(F.col(value_col).cast("double") * float(scale)).cast("long")
     pos = df.filter(F.col(value_col).isNotNull() & (cents > 0)).select(
         F.col(group_col).alias("grp"), cents.alias("n")
     )

@@ -1328,12 +1328,20 @@ def ndcg_overlap(
     profile; no per-depth loop, no corpus shuffle).  Zero-overlap
     queries emit 0.0.  Per-item terms are 9dp-rounded and folded in
     DECIMAL(38,9); the division by the literal IDCG happens once.
+
+    Both inputs are clamped to their top-k rows per query (rank <= k)
+    before the join — a no-op for the contract-conforming top-k inputs,
+    but without it a longer reference list yields NEGATIVE relevances
+    (k + 1 - rank_b < 0) and deep candidate ranks still contribute gain
+    (r12 ADVICE low).
     """
     import math
 
     idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
-    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
-    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    ra0 = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    rb0 = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    ra = ra0.filter(F.col("rank_a") <= k)
+    rb = rb0.filter(F.col("rank_b") <= k)
     hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
         "query_id",
         F.round(
@@ -1344,9 +1352,11 @@ def ndcg_overlap(
         .cast("decimal(38,9)")
         .alias("term"),
     )
+    # row-per-query frame from the UNFILTERED inputs: a query whose
+    # ranks all exceed k still emits an (explicit) 0.0 row
     qs = (
-        ra.select("query_id")
-        .unionByName(rb.select("query_id"))
+        ra0.select("query_id")
+        .unionByName(rb0.select("query_id"))
         .distinct()
     )
     per_q = hits.groupBy("query_id").agg(F.sum("term").alias("s"))

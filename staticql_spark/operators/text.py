@@ -2262,10 +2262,22 @@ def zipf_fit(
     base = hist.withColumn("base", F.coalesce(F.sum("n_c").over(wbase), F.lit(0)))
     live = base.filter(F.col("base") < top_n).select("grp", "c", "base")
     wtie = Window.partitionBy("grp", "c").orderBy(F.asc("tok"))
+    # the LITERAL row_number bound comes first: Catalyst's
+    # InferWindowGroupLimit rewrites filter(row_number <= lit) into
+    # partial (pre-shuffle, per map task) + final WindowGroupLimit
+    # operators, so a surviving count=1 class — which holds the entire
+    # hapax vocabulary of a group when the group has fewer than top_n
+    # repeated tokens — is trimmed to top_n rows per task BEFORE the
+    # shuffle instead of materializing as one whale window partition
+    # (r12 ADVICE low).  The exact rank = row_number + base and its
+    # column-bound filter then run on the trimmed frame.
     ranked = (
         tf.join(F.broadcast(live), ["grp", "c"])
-        .withColumn("rank", F.row_number().over(wtie) + F.col("base"))
+        .withColumn("__rn", F.row_number().over(wtie))
+        .filter(F.col("__rn") <= top_n)
+        .withColumn("rank", F.col("__rn") + F.col("base"))
         .filter(F.col("rank") <= top_n)
+        .drop("__rn")
     )
     d9 = lambda col: F.round(col, 9).cast("decimal(38,9)")
     x = F.log(F.col("rank").cast("double"))

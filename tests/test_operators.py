@@ -3811,3 +3811,151 @@ def test_simpson_diversity_matches_brute_force(spark):
     d = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
     assert got["en"] == (n, len(cnt), round(d, 6), round(1 - d, 6))
     assert got["xx"] == (1, 1, 0.0, 1.0)
+
+
+def test_cusum_counts_series_starting_above_mean(spark):
+    # r12 ADVICE (high): the prefix-min must include the P_0 = 0
+    # baseline.  [6,5,5,4] has mean 5 and the textbook recursion gives
+    # S = [1,1,1,0]; the unclamped min over P_1..P_t alone yields
+    # all-zero (P_1 = +1 is also the running min), silently delaying
+    # alarms for any series that starts above its group mean.
+    from staticql_spark.operators.behavior import cusum_counts
+
+    vs = [6, 5, 5, 4]
+    df = spark.createDataFrame(
+        [("above", t, v) for t, v in enumerate(vs)], "grp string, t long, v long"
+    )
+    got = {r["t"]: r["cusum"] for r in cusum_counts(df).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 0.0}
+
+    # and an alarm-bearing variant: a shift UPWARD from t=0 (the whole
+    # pre-fix operator would have reported cusum=0 until the running
+    # prefix dipped below its start)
+    vs2 = [30, 31, 29, 30, 10, 11, 9, 10, 10, 11]
+    df2 = spark.createDataFrame(
+        [("early", t, v) for t, v in enumerate(vs2)], "grp string, t long, v long"
+    )
+    import math
+
+    rows = {r["t"]: (r["cusum"], r["alarm"]) for r in cusum_counts(df2, k_sigma=2.0).collect()}
+    mean = sum(vs2) / len(vs2)
+    sigma = math.sqrt(sum(v * v for v in vs2) / len(vs2) - mean * mean)
+    s = 0.0
+    for t, v in enumerate(vs2):
+        s = max(0.0, s + (v - mean))
+        cus, alarm = rows[t]
+        assert abs(cus - round(s, 6)) < 1e-6, (t, cus, s)
+        assert alarm == (round(s, 6) > round(2.0 * sigma, 6)), t
+    # mean = 18.1, 2 sigma ~ 19.5: the accumulation crosses at t=1
+    # (S_1 = 24.8) — the pre-fix operator stayed at 0 through the
+    # entire high segment
+    assert rows[1][1] and rows[3][1]
+    assert rows[0] == (11.9, False)
+
+
+def test_mann_kendall_single_period_group_emits_row(spark):
+    # r12 ADVICE (low): an n=1 group produces no ordered pair, but the
+    # operator promises a row per group — it must emit
+    # (n=1, S=0, var_s=0, z=0, no_trend) instead of vanishing from the
+    # inner join
+    from staticql_spark.operators.behavior import mann_kendall
+
+    rows = [("solo", 0, 5.0)] + [("up", t, float(t)) for t in range(8)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: (r["n_periods"], r["s_stat"], r["var_s"], r["z"], r["trend"])
+        for r in mann_kendall(df).collect()
+    }
+    assert set(got) == {"solo", "up"}
+    assert got["solo"] == (1, 0, 0.0, 0.0, "no_trend")
+    assert got["up"][4] == "increasing"
+
+
+def test_ndcg_overlap_clamps_inputs_to_k(spark):
+    # r12 ADVICE (low): rank <= k must be enforced on BOTH inputs — a
+    # reference list longer than k would otherwise produce NEGATIVE
+    # relevances (k+1-rank_b < 0) and candidate ranks beyond k would
+    # still contribute discounted gain
+    import math
+
+    from staticql_spark.operators.similarity import ndcg_overlap
+
+    k = 3
+    schema = "query_id long, neighbor_id long, rank long"
+    # candidate: top-3 hits 10,11,12 plus junk at ranks 4,5
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+         (2, 40, 7), (2, 41, 8)],  # all ranks beyond k
+        schema,
+    )
+    # reference: 5 rows (longer than k); item 13 sits at reference rank 4
+    # and item 14 at 5 — with the clamp neither contributes
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+         (2, 40, 1), (2, 41, 2)],
+        schema,
+    )
+    got = {r["query_id"]: r["ndcg"] for r in ndcg_overlap(a, b, k=k).collect()}
+    # query 1: exactly the perfect top-3 alignment -> 1.0 (junk clamped)
+    assert got[1] == 1.0
+    # query 2: candidate ranks all exceed k -> zero gain, but the row
+    # still appears (qs built from the unfiltered inputs)
+    assert got[2] == 0.0
+
+    # cross-check the clamped-gain arithmetic on a mixed case
+    a2 = spark.createDataFrame([(9, 50, 1), (9, 51, 4)], schema)
+    b2 = spark.createDataFrame([(9, 50, 2), (9, 51, 1)], schema)
+    got2 = ndcg_overlap(a2, b2, k=k).collect()[0]["ndcg"]
+    idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
+    want = round(round((k + 1 - 2) / math.log2(1 + 1), 9) / idcg, 6)
+    assert abs(got2 - want) < 1e-9  # (9,51) clamped out of the candidate side
+
+
+def test_benford_digits_scale_parameter(spark):
+    # r13: scale parameterizes the fixed point.  Sub-cent magnitudes
+    # (rates, fractional-ms latencies) truncate to zero at the default
+    # cents scale and are silently dropped; scale=10**6 keeps them.
+    # Benford expectations are scale-invariant so only survival changes.
+    from staticql_spark.operators.profile import benford_digits
+
+    import pytest as _pytest
+
+    vals = [0.000123, 0.0045, 0.67, 8.9, 0.0001]
+    df = spark.createDataFrame([("a", v) for v in vals], "grp string, value double")
+    # default cents scale: only 0.67 and 8.9 survive floor(v*100) > 0
+    got_default = {r["digit"]: r["n_obs"] for r in benford_digits(df).collect()}
+    assert got_default == {6: 1, 8: 1}
+    # micro scale: every value becomes a positive integer; first digits
+    # 1 (123), 4 (4500), 6, 8, 1 (100)
+    got_micro = {
+        r["digit"]: r["n_obs"]
+        for r in benford_digits(df, scale=10**6).collect()
+    }
+    assert got_micro == {1: 2, 4: 1, 6: 1, 8: 1}
+    with _pytest.raises(ValueError):
+        benford_digits(df, scale=0)
+
+
+def test_zipf_fit_hapax_flood_unchanged_values(spark):
+    # r12 ADVICE (low): a group with fewer than top_n repeated tokens
+    # keeps its count=1 class alive, and that class holds the entire
+    # hapax vocabulary.  The r13 literal row_number bound trims it via
+    # WindowGroupLimit; values must be IDENTICAL to the brute-force
+    # (count desc, token asc) top-n regression over the same corpus.
+    import numpy as np
+    from collections import Counter
+
+    # 3 repeated tokens + 500 hapaxes, top_n = 10 -> the c=1 class is
+    # live (base = 3 < 10) and holds 500 rows pre-trim
+    words = ["aa"] * 9 + ["bb"] * 5 + ["cc"] * 3 + [f"hx{i:04d}" for i in range(500)]
+    docs = [(i, " ".join(words[i::5]), "en") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    r = text.zipf_fit(df, top_n=10).collect()[0]
+    cnt = Counter(words)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["n_ranks"] == 10
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["intercept"] - intercept) < 1e-5

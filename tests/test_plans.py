@@ -839,6 +839,13 @@ def test_zipf_two_phase_rank_no_whale_window(spark):
     specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", p)
     assert specs, p
     assert all("c#" in s for s in specs), specs
+    # r13: the literal row_number bound must trigger Catalyst's
+    # InferWindowGroupLimit — a Partial (pre-shuffle, per map task)
+    # and a Final WindowGroupLimit — so a surviving count=1 class
+    # (the whole hapax vocabulary when a group has fewer than top_n
+    # repeated tokens) is trimmed BEFORE the exchange instead of
+    # materializing as one whale window partition (r12 ADVICE low)
+    assert "WindowGroupLimit" in p and "Partial" in p, p
 
 
 def test_benford_single_digit_shuffle(spark):
