@@ -4518,6 +4518,40 @@ def q_stream_consensus(spark, sf):
     )
 
 
+def q_stream_rater_severity(spark, sf):
+    # live per-rater severity vs a FROZEN per-item reference, registered
+    # at its batch fallback (the stream_consensus precedent; the live
+    # stateful path is pinned stream-vs-batch by
+    # test_stream_rater_severity_matches_batch).  r13, the last
+    # preference-stream shape from the r12 roadmap: rater_bias' leave-
+    # one-out mean moves retroactively with every new label, so the
+    # FIXED-reference severity is the streamable variant.  item =
+    # user_id, rater = event_id % 7, score = value (the events_rater_bias
+    # framing); reference = the per-item decimal-fold mean of the feed
+    # ("yesterday's item means") — order-free, engine-stable.
+    from staticql_spark.streaming import stream_rater_severity
+
+    scores = _t(spark, sf, "events").select(
+        F.col("user_id").alias("item"),
+        (F.col("event_id") % 7).alias("rater"),
+        F.col("value").alias("score"),
+    )
+    ref = (
+        scores.filter(F.col("score").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("score").cast("double"), 6).cast("decimal(38,6)")
+                ).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("ref_score")
+        )
+    )
+    return stream_rater_severity(scores, ref)
+
+
 def q_events_tcloseness(spark, sf):
     # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
     # privacy release triad (events_kanon bounds group size,
@@ -4718,6 +4752,49 @@ def q_events_rater_agreement(spark, sf):
 # vintage clears, max driver-signal staleness registry-wide stays <=5
 # rounds (r7 vintage), and the remaining 36 r7-vintage keys head the
 # committed r13 backfill.
+# r13 window (r12 verdict #1 + PLANS.md roadmap #1, the committed
+# 36-key r7-vintage backfill): (1) 1 NEW key — stream_rater_severity,
+# the fixed-reference rater-severity stream twin's batch fallback (r12
+# verdict #2 / roadmap #3: the leave-one-out mean is not order-free, so
+# the frozen-reference variant is the streamable shape; live path pinned
+# by test_stream_rater_severity_matches_batch); (2) 5 CHANGED keys —
+# events_cusum (P_0=0 baseline clamp in operator AND oracle, the r12
+# ADVICE high), events_mann_kendall (n=1 groups now emit a row, LEFT
+# join + coalesce), ann_ndcg (rank<=k clamp on both inputs), doc_zipf
+# (WindowGroupLimit hapax trim — values unchanged, plan changed),
+# events_benford (scale parameter, default 100 unchanged); (3) the
+# COMMITTED 36-key r7-vintage backfill verbatim from COVERAGE.md's
+# "committed r13 backfill head" (the r11 ledger's 40-key r7 list minus
+# the 4 fill keys r12 took); (4) 8 r8-vintage stalest-green keys in
+# registry order to fill the 50.  1 + 5 + 36 + 8 = 50; after r13
+# greens, r7 vintage clears and max driver-signal staleness stays <= 5
+# rounds (r8 vintage, 39 keys — the committed r14 backfill head).
+_R13_HEAD = [
+    # -- new in r13 --
+    "stream_rater_severity",
+    # -- changed in r13 (r12 ADVICE fixes + benford scale param) --
+    "events_cusum", "events_mann_kendall", "ann_ndcg", "doc_zipf",
+    "events_benford",
+    # -- committed r7-vintage backfill (COVERAGE.md r13 head, verbatim) --
+    "events_dau_wau", "events_time_to_convert", "checksum_delta",
+    "doc_dedup_funnel", "events_lpa", "stream_shard_ck",
+    "dedup_minhash_1bit", "orders_backlog", "ann_rnn_pairs",
+    "quality_gate_report", "events_forecast_baseline",
+    "pipeline_release_manifest", "hll_distinct", "hll_union",
+    "events_seasonality", "events_ldiversity", "doc_vocab_growth",
+    "source_ablation", "events_retention_curve", "events_funnel_steps",
+    "profile_psi", "ann_semantic_decon", "hll_grouped_ndv",
+    "events_attribution_lasttouch", "embedding_debias",
+    "profile_psi_by_lang", "events_session_paths",
+    "events_funnel_windowed", "corr_matrix", "skew_report",
+    "price_histogram", "zorder_layout", "table_profile", "fuzzy_match",
+    "stream_kmv", "kmv_grouped",
+    # -- r8-vintage stalest-green fill (registry order; 8 fit) --
+    "embedding_class_sep", "embedding_top_pc", "doc_logreg",
+    "doc_calibration", "stream_funnel", "stream_transitions",
+    "stream_psi", "ann_pq_adc",
+]
+
 _R12_HEAD = [
     # -- new in r12 (rank with changed keys) --
     "ann_mrr", "events_mann_kendall", "doc_zipf", "stream_consensus",
@@ -5157,6 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_kendall": q_events_mann_kendall,
         "doc_zipf": q_doc_zipf,
         "stream_consensus": q_stream_consensus,
+        "stream_rater_severity": q_stream_rater_severity,
         "ann_ndcg": q_ann_ndcg,
         "events_cusum": q_events_cusum,
         "events_benford": q_events_benford,
@@ -5167,13 +5245,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (_R12_HEAD, see the policy comment there), then the r11/r10/r9/r8/
     # r7 ordering for the tail.  Keys are asserted present so a typo
     # fails loudly rather than silently shrinking the head.
-    for ledger in (_R12_HEAD, _R11_HEAD, _R10_HEAD, _R9_HEAD, _R8_HEAD, _R7_HEAD):
+    for ledger in (
+        _R13_HEAD, _R12_HEAD, _R11_HEAD, _R10_HEAD,
+        _R9_HEAD, _R8_HEAD, _R7_HEAD,
+    ):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R12_HEAD}
+    head = {k: q[k] for k in _R13_HEAD}
     mid = {
         k: q[k]
-        for k in _R11_HEAD + _R10_HEAD + _R9_HEAD + _R8_HEAD + _R7_HEAD
+        for k in _R12_HEAD + _R11_HEAD + _R10_HEAD + _R9_HEAD + _R8_HEAD
+        + _R7_HEAD
         if k not in head
     }
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
@@ -11435,6 +11517,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT qs.query_id,
                    round(coalesce(CAST(s AS DOUBLE), 0.0) / {_idcg5!r}, 6) AS ndcg
             FROM qs LEFT JOIN per_q USING (query_id)
+        """
+    # live rater severity's batch fallback (new r13): per-rater mean
+    # gap vs the FROZEN per-item decimal-fold mean reference — the
+    # streamable fixed-reference variant of events_rater_bias.  6dp
+    # score round, 9dp gap fold in DECIMAL(38,9), one division per
+    # aggregate, mirroring preference.rater_severity exactly.
+    d["stream_rater_severity"] = """
+            WITH scores AS (
+              SELECT user_id AS item,
+                     event_id % 7 AS rater,
+                     round(CAST(value AS DOUBLE), 6) AS v
+              FROM events
+              WHERE value IS NOT NULL
+            ),
+            ref AS (
+              SELECT item,
+                     round(CAST(sum(CAST(round(v, 6) AS DECIMAL(38,6)))
+                                AS DOUBLE) / count(*), 6) AS ref
+              FROM scores GROUP BY item
+            ),
+            j AS (
+              SELECT rater, v, v - ref AS gap
+              FROM scores JOIN ref USING (item)
+            )
+            SELECT rater, count(*)::BIGINT AS n_scored,
+                   round(CAST(sum(CAST(round(v, 6) AS DECIMAL(38,6)))
+                              AS DOUBLE) / count(*), 6) AS mean_score,
+                   round(CAST(sum(CAST(round(gap, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE) / count(*), 6) AS mean_gap
+            FROM j GROUP BY rater
         """
     # one-sided CUSUM per event type over daily counts (new r12): the
     # prefix-sum-minus-prefix-min identity in exact scaled-integer

@@ -760,6 +760,77 @@ def rater_bias(
     )
 
 
+def rater_severity(
+    scores: DataFrame,
+    reference: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    score_col: str = "score",
+    ref_col: str = "ref_score",
+    out_round: int = 6,
+) -> DataFrame:
+    """Per-rater severity vs a FIXED per-item reference -> (rater,
+    n_scored, mean_score, mean_gap).
+
+    :func:`rater_bias` compares each score against the leave-one-out
+    mean of the item's OTHER raters — the right batch diagnostic, but
+    its gaps are NOT order-free: every new label of an item retroactively
+    moves every prior gap on that item, so there is no streamable state.
+    This variant freezes the comparison point: ``reference`` is a
+    per-item expected score (yesterday's item means, a golden
+    calibration set, the deployed reward model's prediction), and each
+    rater's gap is ``score - reference`` — a plain per-event quantity
+    whose per-rater mean IS an order-free running sum.  That makes it
+    the severity readout a live labeling dashboard can keep current
+    (see :func:`~staticql_spark.streaming.stream_rater_severity`, the
+    streaming twin that shares this exact arithmetic), at the cost of
+    measuring drift against the frozen reference rather than against
+    the live peer consensus.  Items absent from the reference are
+    excluded (inner join) — they have no defined expectation.
+
+    Determinism: scores and references are 6dp-rounded once; gaps are
+    9dp-rounded and folded in DECIMAL(38,9), score means in
+    DECIMAL(38,6) (the module's exact-mean idiom), each divided once.
+
+    Scale: ONE item-keyed equi join (the reference is item-unique and
+    usually dimension-sized — AQE broadcasts it) + one rater-keyed
+    map-side-combinable aggregate.  No windows, no self-join, no
+    per-item state.
+    """
+    d6 = lambda c: F.round(c, 6).cast("decimal(38,6)")
+    base = ensure_parallelism(scores).select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.round(F.col(score_col).cast("double"), 6).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    ref = reference.select(
+        F.col(item_col).alias("item"),
+        F.round(F.col(ref_col).cast("double"), 6).alias("ref"),
+    ).filter(F.col("ref").isNotNull())
+    j = base.join(ref, "item")
+    gap = F.col("v") - F.col("ref")
+    return (
+        j.groupBy("rater")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            (
+                F.sum(d6(F.col("v"))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("__mean"),
+            (
+                F.sum(F.round(gap, 9).cast("decimal(38,9)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("__gap"),
+        )
+        .select(
+            "rater",
+            "n_scored",
+            F.round("__mean", out_round).alias("mean_score"),
+            F.round("__gap", out_round).alias("mean_gap"),
+        )
+    )
+
+
 def krippendorff_alpha(
     labels: DataFrame,
     item_col: str = "item",

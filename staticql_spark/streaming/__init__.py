@@ -1775,3 +1775,155 @@ def stream_consensus(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+# ----------------------------------------------- live rater severity
+
+RATER_SEVERITY_SCHEMA = (
+    "rater long, n_scored long, mean_score double, mean_gap double"
+)
+_RATER_SEVERITY_STATE = "n long, sum_micros long, sum_nanos long"
+
+
+def stream_rater_severity(
+    scores: DataFrame,
+    reference: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    score_col: str = "score",
+    ref_col: str = "ref_score",
+    time_col: str = "ts",
+    out_round: int = 6,
+    watermark: str = "2 hours",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Live per-rater severity vs a FIXED per-item reference — the
+    streaming twin of
+    :func:`~staticql_spark.operators.preference.rater_severity` (r13,
+    the last uncovered preference-stream shape from the r12 roadmap):
+    every micro-batch of score events refreshes the (rater, n_scored,
+    mean_score, mean_gap) rows of exactly the raters it touched, so a
+    labeling dashboard watches severity drift live instead of waiting
+    for the end-of-day :func:`rater_bias` recompute.
+
+    Why the FIXED reference is the streamable shape: rater_bias'
+    leave-one-out item mean moves retroactively with every new label of
+    the item — per-rater gaps are not order-free and no bounded state
+    can emit them incrementally.  Freezing the per-item expectation
+    (``reference``: a static batch frame — yesterday's item means, a
+    golden set, a reward-model prediction) makes each gap a per-event
+    constant, so per-rater state collapses to three longs.
+
+    Arithmetic twin contract (hash-equal final emits): the per-event
+    6dp score round, the 9dp gap round, and the item join all run as
+    SPARK expressions before the stateful step, identical to the batch
+    operator; state then holds EXACT integers — n, the score sum in
+    micro-units (the DECIMAL(38,6) fold's integer numerator), the gap
+    sum in nano-units (the DECIMAL(38,9) numerator) — and the final
+    division + HALF_UP round replay the batch expression order via the
+    module's Decimal quantize idiom (the stream_consensus precedent).
+    Long capacity: |gap| <= 10^6 means ~9e18/1e15 = 9000+ trillion-event
+    headroom per rater before sum_nanos could overflow — not a 100 TB
+    hazard for per-rater volumes.
+
+    The reference join is STREAM-STATIC (broadcast: references are
+    dimension-sized by contract); items absent from the reference drop
+    out, matching the batch inner join.  ``state_ttl_ms`` evicts raters
+    idle past the processing-time TTL (the consensus TTL path; a rater
+    who returns restarts their sums — run the batch operator for
+    archival truth).  Raters must be integral ids on the live path (the
+    fixed state-key schema); the batch fallback keeps any type.
+
+    Batch inputs fall through to the batch operator itself — the twin
+    test and the driver oracle pin identical semantics with no stream.
+    """
+    from ..operators.preference import rater_severity
+
+    if not scores.isStreaming:
+        return rater_severity(
+            scores,
+            reference,
+            item_col=item_col,
+            rater_col=rater_col,
+            score_col=score_col,
+            ref_col=ref_col,
+            out_round=out_round,
+        )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    ref = reference.select(
+        F.col(item_col).alias("item"),
+        F.round(F.col(ref_col).cast("double"), 6).alias("__ref"),
+    ).filter(F.col("__ref").isNotNull())
+    v6 = F.round(F.col(score_col).cast("double"), 6)
+    keyed = (
+        scores.select(
+            F.col(item_col).alias("item"),
+            F.col(rater_col).cast("long").alias("rater"),
+            v6.alias("__v"),
+            F.col(time_col).alias("__ts"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .withWatermark("__ts", watermark)
+        .join(F.broadcast(ref), "item")
+        .select(
+            "rater",
+            # exact integer numerators of the batch decimal folds:
+            # round(v6 * 1e6) == the DECIMAL(38,6) value in micros,
+            # round(round(v-ref, 9) * 1e9) == the DECIMAL(38,9) gap in
+            # nanos — Spark-side rounds so engine semantics match batch
+            F.round(F.col("__v") * 1e6, 0).cast("long").alias("__vmic"),
+            F.round(F.round(F.col("__v") - F.col("__ref"), 9) * 1e9, 0)
+            .cast("long")
+            .alias("__gnano"),
+            "__ts",
+        )
+    )
+
+    def rq(x: float) -> float:
+        q = Decimal(1).scaleb(-out_round)
+        return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+    def update(key, pdf_iter, state):
+        (rater,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, sum_micros, sum_nanos = state.get if state.exists else (0, 0, 0)
+        n, sum_micros, sum_nanos = int(n), int(sum_micros), int(sum_nanos)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            sum_micros += int(pdf["__vmic"].sum())
+            sum_nanos += int(pdf["__gnano"].sum())
+        state.update((n, sum_micros, sum_nanos))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        # replay the batch expression order: decimal sum -> double,
+        # one division, one HALF_UP round
+        mean_score = rq(float(Decimal(sum_micros).scaleb(-6)) / float(n))
+        mean_gap = rq(float(Decimal(sum_nanos).scaleb(-9)) / float(n))
+        yield pd.DataFrame(
+            {
+                "rater": [int(rater)],
+                "n_scored": [n],
+                "mean_score": [mean_score],
+                "mean_gap": [mean_gap],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("rater").applyInPandasWithState(
+        update,
+        outputStructType=RATER_SEVERITY_SCHEMA,
+        stateStructType=_RATER_SEVERITY_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

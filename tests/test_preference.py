@@ -443,3 +443,32 @@ def test_consensus_labels_modal_pick_and_singletons(spark):
         2: (2, "a", 1, 0.5),
         3: (1, "z", 1, 1.0),
     }
+
+
+def test_rater_severity_fixed_reference(spark):
+    # r13: the streamable severity variant — gaps vs a FROZEN per-item
+    # reference, so each gap is a per-event constant (unlike rater_bias'
+    # retroactively-moving leave-one-out mean).  Items absent from the
+    # reference are excluded (no defined expectation); singletons are
+    # KEPT (the reference is their peer, no n_i >= 2 floor).
+    scores = spark.createDataFrame(
+        [
+            (10, 0, 4.0), (10, 1, 2.0),
+            (11, 0, 3.0), (11, 1, 3.0), (11, 2, 0.0),
+            (12, 2, 5.0),            # singleton: kept (ref exists)
+            (13, 0, 7.0),            # item 13 has NO reference: dropped
+        ],
+        "item: long, rater: long, score: double",
+    )
+    ref = spark.createDataFrame(
+        [(10, 3.0), (11, 2.0), (12, 4.5)], "item: long, ref_score: double"
+    )
+    got = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in preference.rater_severity(scores, ref).collect()
+    }
+    assert got == {
+        0: (2, 3.5, 1.0),    # gaps +1.0 (4-3), +1.0 (3-2)
+        1: (2, 2.5, 0.0),    # gaps -1.0, +1.0
+        2: (2, 2.5, -0.75),  # gaps -2.0 (0-2), +0.5 (5-4.5)
+    }

@@ -1499,3 +1499,62 @@ def test_stream_consensus_eviction_policies_exclusive(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         stream_consensus(stream, state_ttl_ms=1000, idle_horizon_ms=1000)
+
+
+def test_stream_rater_severity_matches_batch(spark, tmp_path_factory):
+    # the FINAL emit per rater of the live severity table must hash-equal
+    # the batch rater_severity row (r13, the fixed-reference streamable
+    # variant of rater_bias): the 6dp/9dp rounds and the reference join
+    # run as Spark expressions pre-state, the state holds exact integer
+    # micro/nano sums, and the final division + HALF_UP round replay the
+    # batch expression order
+    from staticql_spark.streaming import read_event_stream, stream_rater_severity
+
+    def scores(ev):
+        return ev.select(
+            F.col("user_id").alias("item"),
+            (F.col("event_id") % 7).alias("rater"),
+            F.col("value").alias("score"),
+            F.col("ts"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch_ev = scores(spark.read.parquet(d))
+    # frozen reference = the per-item decimal-fold mean of the same feed
+    # ("yesterday's item means"): order-free, engine-stable
+    ref = batch_ev.groupBy("item").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("score").cast("double"), 6).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("ref_score")
+    )
+    batch = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in stream_rater_severity(batch_ev, ref).collect()
+    }
+    assert batch, "fixture produced no scores"
+
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_rater_severity(scores(stream), ref)
+        .writeStream.format("memory")
+        .queryName("rater_severity_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by rater order by n_scored desc) rn
+             from rater_severity_stream_test) where rn = 1"""
+    ).collect()
+    got = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in rows
+    }
+    assert got == batch
