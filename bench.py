@@ -253,6 +253,8 @@ HEADLINE = [
     "events_cusum",
     "events_benford",
     "doc_simpson",
+    # new in r13
+    "stream_rater_severity",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —
