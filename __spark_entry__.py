@@ -4552,6 +4552,73 @@ def q_stream_rater_severity(spark, sf):
     return stream_rater_severity(scores, ref)
 
 
+def q_doc_gini(spark, sf):
+    # Gini coefficient over token frequencies per language (new r13):
+    # the third leg of the corpus-concentration triad next to doc_zipf
+    # (curve shape) and doc_simpson (collision probability) — the single
+    # inequality number tracked per source per snapshot.  Rank sums come
+    # from the closed-form tie-class formula over the count histogram
+    # (exact integers, DECIMAL(38,0) cross-class fold) — no window ever
+    # touches per-token rows.
+    return text.gini_concentration(_t(spark, sf, "documents"))
+
+
+def q_ann_kendall_tau(spark, sf):
+    # Kendall's tau over the IVF-vs-exact overlap (new r13): the fifth
+    # leg of the ranking-eval suite — symmetric ORDER correlation of the
+    # shared items, where recall counts hits and RBO/MRR/NDCG weight
+    # top-down.  Same shared IVF-vs-exact pairing as ann_rbo/ann_mrr/
+    # ann_ndcg; per-query pair expansion bounded by C(5,2).
+    from staticql_spark.operators.similarity import kendall_tau_overlap
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    approx = similarity.ivf_topk(queries, emb, k=5, nprobe=3)
+    return kendall_tau_overlap(approx, exact)
+
+
+def q_events_theil_sen(spark, sf):
+    # Theil-Sen robust trend slope per event type over daily counts
+    # (new r13): the MAGNITUDE companion to events_mann_kendall's
+    # direction test — median pairwise slope, robust to ~29% outlier
+    # days.  Lower median of 9dp-rounded slopes (a single order
+    # statistic — engine-exact; the two-element average lands on .5
+    # boundaries), pairwise step over the daily AGGREGATE only.
+    from staticql_spark.operators.behavior import theil_sen
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            (asof.epoch_us(ev, "ts") / F.lit(86_400_000_000)).cast("long").alias("t"),
+        )
+        .groupBy("grp", "t")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    return theil_sen(daily)
+
+
+def q_events_rater_confusion(spark, sf):
+    # per-rater confusion matrix vs the item consensus (new r13): the
+    # category-resolved rater-QC readout — WHAT a dissenting rater
+    # confuses the modal label with, not just how often (the
+    # intervention signal: systematic confusion means re-training,
+    # random noise means down-weighting).  Same rater framing as
+    # events_rater_bias (item = user_id, rater = event_id % 7,
+    # cat = event_type); exact integer counts only.
+    from staticql_spark.operators import preference
+
+    ev = _t(spark, sf, "events")
+    return preference.rater_confusion(
+        ev.select(
+            F.col("user_id").alias("item"),
+            (F.col("event_id") % 7).alias("rater"),
+            F.col("event_type").alias("cat"),
+        )
+    )
+
+
 def q_events_tcloseness(spark, sf):
     # t-closeness audit (new r9, Li et al. ICDE 2007): completes the
     # privacy release triad (events_kanon bounds group size,
@@ -4753,11 +4820,16 @@ def q_events_rater_agreement(spark, sf):
 # rounds (r7 vintage), and the remaining 36 r7-vintage keys head the
 # committed r13 backfill.
 # r13 window (r12 verdict #1 + PLANS.md roadmap #1, the committed
-# 36-key r7-vintage backfill): (1) 1 NEW key — stream_rater_severity,
+# 36-key r7-vintage backfill): (1) 5 NEW keys — stream_rater_severity,
 # the fixed-reference rater-severity stream twin's batch fallback (r12
 # verdict #2 / roadmap #3: the leave-one-out mean is not order-free, so
 # the frozen-reference variant is the streamable shape; live path pinned
-# by test_stream_rater_severity_matches_batch); (2) 5 CHANGED keys —
+# by test_stream_rater_severity_matches_batch); doc_gini (corpus-
+# concentration triad's third leg, closed-form tie-class rank sums);
+# ann_kendall_tau (ranking-eval fifth leg, order correlation);
+# events_theil_sen (robust trend MAGNITUDE next to mann_kendall's
+# direction, lower-median pairwise slope); events_rater_confusion
+# (category-resolved rater QC vs the consensus); (2) 5 CHANGED keys —
 # events_cusum (P_0=0 baseline clamp in operator AND oracle, the r12
 # ADVICE high), events_mann_kendall (n=1 groups now emit a row, LEFT
 # join + coalesce), ann_ndcg (rank<=k clamp on both inputs), doc_zipf
@@ -4765,13 +4837,14 @@ def q_events_rater_agreement(spark, sf):
 # events_benford (scale parameter, default 100 unchanged); (3) the
 # COMMITTED 36-key r7-vintage backfill verbatim from COVERAGE.md's
 # "committed r13 backfill head" (the r11 ledger's 40-key r7 list minus
-# the 4 fill keys r12 took); (4) 8 r8-vintage stalest-green keys in
-# registry order to fill the 50.  1 + 5 + 36 + 8 = 50; after r13
+# the 4 fill keys r12 took); (4) 4 r8-vintage stalest-green keys in
+# registry order to fill the 50.  5 + 5 + 36 + 4 = 50; after r13
 # greens, r7 vintage clears and max driver-signal staleness stays <= 5
-# rounds (r8 vintage, 39 keys — the committed r14 backfill head).
+# rounds (r8 vintage, 43 keys — the committed r14 backfill head).
 _R13_HEAD = [
     # -- new in r13 --
-    "stream_rater_severity",
+    "stream_rater_severity", "doc_gini", "ann_kendall_tau",
+    "events_theil_sen", "events_rater_confusion",
     # -- changed in r13 (r12 ADVICE fixes + benford scale param) --
     "events_cusum", "events_mann_kendall", "ann_ndcg", "doc_zipf",
     "events_benford",
@@ -4789,10 +4862,9 @@ _R13_HEAD = [
     "events_funnel_windowed", "corr_matrix", "skew_report",
     "price_histogram", "zorder_layout", "table_profile", "fuzzy_match",
     "stream_kmv", "kmv_grouped",
-    # -- r8-vintage stalest-green fill (registry order; 8 fit) --
+    # -- r8-vintage stalest-green fill (registry order; 4 fit) --
     "embedding_class_sep", "embedding_top_pc", "doc_logreg",
-    "doc_calibration", "stream_funnel", "stream_transitions",
-    "stream_psi", "ann_pq_adc",
+    "doc_calibration",
 ]
 
 _R12_HEAD = [
@@ -5235,6 +5307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf": q_doc_zipf,
         "stream_consensus": q_stream_consensus,
         "stream_rater_severity": q_stream_rater_severity,
+        "doc_gini": q_doc_gini,
+        "ann_kendall_tau": q_ann_kendall_tau,
+        "events_theil_sen": q_events_theil_sen,
+        "events_rater_confusion": q_events_rater_confusion,
         "ann_ndcg": q_ann_ndcg,
         "events_cusum": q_events_cusum,
         "events_benford": q_events_benford,
@@ -11547,6 +11623,128 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round(gap, 9) AS DECIMAL(38,9)))
                               AS DOUBLE) / count(*), 6) AS mean_gap
             FROM j GROUP BY rater
+        """
+    # Gini over token frequencies per language (new r13): DuckDB can
+    # afford the plain ascending row_number over the (grp, token)
+    # counts — sum(rn * c) is tie-order invariant, so it equals the
+    # operator's closed-form tie-class rank sums exactly (both exact
+    # integers until the one double division)
+    d["doc_gini"] = f"""
+            WITH tf AS (
+              SELECT grp, tok, count(*)::BIGINT AS c
+              FROM (SELECT lang AS grp, unnest({_TOKS_NORM}) AS tok
+                    FROM documents)
+              WHERE tok <> '' GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT grp, c,
+                     row_number() OVER (PARTITION BY grp
+                       ORDER BY c ASC, tok ASC) AS rn
+              FROM tf
+            )
+            SELECT grp, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tokens,
+                   round(2.0 * CAST(sum(rn * c) AS DOUBLE)
+                           / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                         - (CAST(count(*) AS DOUBLE) + 1.0)
+                           / CAST(count(*) AS DOUBLE), 6) AS gini
+            FROM r GROUP BY grp
+        """
+    # Kendall's tau over the IVF-vs-exact overlap (new r13): shared
+    # derivation; exact integer concordant/discordant pair counts over
+    # the overlap rows (ranks are distinct within a list — tau-a), one
+    # division rounded once, zero-overlap queries emit an explicit row
+    d["ann_kendall_tau"] = f"""
+            WITH {_IVF_VS_EXACT_CTES},
+            hits AS (
+              SELECT i.query_id, i.rank AS rank_a, b.rank AS rank_b
+              FROM ivfk i JOIN brute b
+                ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+            ),
+            per AS (
+              SELECT x.query_id,
+                     sum(CASE WHEN y.rank_b > x.rank_b THEN 1 ELSE 0 END)::BIGINT
+                       AS concordant,
+                     sum(CASE WHEN y.rank_b < x.rank_b THEN 1 ELSE 0 END)::BIGINT
+                       AS discordant
+              FROM hits x JOIN hits y
+                ON x.query_id = y.query_id AND x.rank_a < y.rank_a
+              GROUP BY x.query_id
+            ),
+            m AS (
+              SELECT query_id, count(*)::BIGINT AS n_overlap
+              FROM hits GROUP BY query_id
+            ),
+            qs AS (
+              SELECT DISTINCT query_id FROM ivfk
+              UNION
+              SELECT DISTINCT query_id FROM brute
+            )
+            SELECT qs.query_id,
+                   coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(concordant, 0)::BIGINT AS concordant,
+                   coalesce(discordant, 0)::BIGINT AS discordant,
+                   round(CASE WHEN coalesce(n_overlap, 0) >= 2
+                         THEN CAST(concordant - discordant AS DOUBLE)
+                              / (CAST(n_overlap * (n_overlap - 1) AS DOUBLE)
+                                 / 2.0)
+                         ELSE 0.0 END, 6) AS tau
+            FROM qs LEFT JOIN m USING (query_id) LEFT JOIN per USING (query_id)
+        """
+    # Theil-Sen per event type over daily counts (new r13): lower
+    # median (single order statistic at rank (m+1)//2 — tie-order
+    # invariant in VALUE) of 9dp-rounded pairwise slopes over the daily
+    # aggregate; n=1 groups emit (0 pairs, 0.0) via the LEFT join
+    d["events_theil_sen"] = """
+            WITH daily AS (
+              SELECT event_type AS grp,
+                     epoch_us(ts)::BIGINT // 86400000000 AS t,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ),
+            periods AS (
+              SELECT grp, count(*)::BIGINT AS n_periods FROM daily GROUP BY grp
+            ),
+            slopes AS (
+              SELECT a.grp,
+                     round(CAST(b.v - a.v AS DOUBLE)
+                           / CAST(b.t - a.t AS DOUBLE), 9) AS slope
+              FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t
+            ),
+            ranked AS (
+              SELECT grp, slope,
+                     row_number() OVER (PARTITION BY grp ORDER BY slope ASC)
+                       AS rn,
+                     count(*) OVER (PARTITION BY grp)::BIGINT AS n_pairs
+              FROM slopes
+            ),
+            med AS (
+              SELECT grp, n_pairs, slope
+              FROM ranked WHERE rn = (n_pairs + 1) // 2
+            )
+            SELECT p.grp, n_periods,
+                   coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+                   round(coalesce(slope, 0.0), 6) AS slope
+            FROM periods p LEFT JOIN med USING (grp)
+        """
+    # per-rater confusion vs the item consensus (new r13): the modal
+    # pick replays the stream_consensus oracle's (c DESC, cat ASC)
+    # tiebreak; exact integer counts only
+    d["events_rater_confusion"] = """
+            WITH cnt AS (
+              SELECT user_id AS item, event_type AS cat, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT item, cat, c,
+                     row_number() OVER (PARTITION BY item
+                       ORDER BY c DESC, cat ASC) AS rn
+              FROM cnt
+            ),
+            cons AS (SELECT item, cat AS consensus_cat FROM m WHERE rn = 1)
+            SELECT event_id % 7 AS rater, consensus_cat,
+                   event_type AS label_cat, count(*)::BIGINT AS n
+            FROM events JOIN cons ON events.user_id = cons.item
+            GROUP BY 1, 2, 3
         """
     # one-sided CUSUM per event type over daily counts (new r12): the
     # prefix-sum-minus-prefix-min identity in exact scaled-integer

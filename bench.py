@@ -255,6 +255,10 @@ HEADLINE = [
     "doc_simpson",
     # new in r13
     "stream_rater_severity",
+    "doc_gini",
+    "ann_kendall_tau",
+    "events_theil_sen",
+    "events_rater_confusion",
 ]
 
 # BENCH_EXEMPT: the ONLY registry keys allowed to be absent from HEADLINE —

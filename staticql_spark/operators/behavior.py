@@ -500,3 +500,71 @@ def cusum_counts(
         cusum.alias("cusum"),
         (cusum > thr).alias("alarm"),
     )
+
+
+def theil_sen(
+    series: DataFrame,
+    group_col: str = "grp",
+    time_col: str = "t",
+    value_col: str = "v",
+    out_round: int = 6,
+) -> DataFrame:
+    """Theil-Sen slope estimator per group -> (grp, n_periods, n_pairs,
+    slope) — the MAGNITUDE companion to :func:`mann_kendall` (which
+    only answers "is there a monotone trend"): the median of all
+    pairwise slopes (v_j - v_i)/(t_j - t_i), robust to ~29% outliers
+    where an OLS slope is wrecked by one bad day.
+
+    Same input contract as mann_kendall: a PRE-AGGREGATED (group,
+    period, value) series; the pairwise step self-joins the AGGREGATE
+    (|groups| x n^2/2 rows — a year of days is 66k slopes per group,
+    never a pair expansion over raw events).  The median is the LOWER
+    median — the element at rank ceil(m/2) of the ascending slopes —
+    deliberately NOT the two-element average, which lands on exact
+    half-unit rounding boundaries ((a+b)/2 of 9dp values) where engines
+    disagree; a single order statistic of 9dp-rounded slopes is
+    engine-exact by construction, and ties in slope VALUES make the
+    rank choice value-deterministic even though row_number's tie order
+    is not.  Groups with one period emit (n_pairs=0, slope=0.0) — the
+    mann_kendall n=1 contract.
+
+    The ranking window partitions by group over the PAIR aggregate
+    (n^2/2 rows per group, bounded by the period count's square — tiny
+    relative to raw data; a decade of daily periods is 6.7M slopes).
+    """
+    s = series.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull()).localCheckpoint(eager=False)
+    slopes = (
+        s.alias("a")
+        .join(s.alias("b"), "grp")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(
+            "grp",
+            F.round(
+                (F.col("b.v") - F.col("a.v")) / (F.col("b.t") - F.col("a.t")).cast("double"),
+                9,
+            ).alias("slope"),
+        )
+    )
+    w = W.partitionBy("grp").orderBy(F.asc("slope"))
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    counts = slopes.groupBy("grp").agg(F.count("*").cast("long").alias("n_pairs"))
+    med = (
+        ranked.join(F.broadcast(counts), "grp")
+        # lower median = element at rank ceil(m/2) = (m+1) div 2
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("grp", "n_pairs", F.col("slope").alias("__med"))
+    )
+    periods = s.groupBy("grp").agg(F.count("*").cast("long").alias("n_periods"))
+    return (
+        periods.join(med, "grp", "left")
+        .select(
+            "grp",
+            "n_periods",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.round(F.coalesce("__med", F.lit(0.0)), out_round).alias("slope"),
+        )
+    )

@@ -960,3 +960,44 @@ def consensus_labels(
             ).alias("consensus_share"),
         )
     )
+
+
+def rater_confusion(
+    labels: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    cat_col: str = "cat",
+) -> DataFrame:
+    """Per-rater confusion matrix vs the item consensus -> (rater,
+    consensus_cat, label_cat, n) — the CATEGORY-RESOLVED rater-QC
+    readout: :func:`rater_consensus` says how often a rater agrees with
+    the modal label, this says WHAT they confuse it with (systematically
+    labeling "harmful" as "borderline" is a different intervention than
+    random noise), which is the matrix a labeling-ops dashboard renders
+    per rater before deciding re-training vs down-weighting.
+
+    The consensus is :func:`consensus_labels`' modal pick (ties toward
+    the smallest category — deterministic), INCLUDING the rater's own
+    label in the vote; diagonal cells (consensus_cat = label_cat) are
+    the agreements.  Exact integer counts only — nothing to round,
+    engine-exact by construction.
+
+    Scale: one (item, category) count shuffle for the consensus, one
+    item-keyed equi join back onto the raw labels (the consensus frame
+    is one row per item; AQE broadcasts when it is small), one
+    (rater, cat, cat) count aggregate — map-side combinable, bounded by
+    |raters| x |categories|^2 output rows.
+    """
+    cons = consensus_labels(labels, item_col=item_col, cat_col=cat_col).select(
+        F.col("item"), F.col("consensus_cat")
+    )
+    base = ensure_parallelism(labels).select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.col(cat_col).alias("label_cat"),
+    )
+    return (
+        base.join(cons, "item")
+        .groupBy("rater", "consensus_cat", "label_cat")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

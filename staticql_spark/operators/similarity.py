@@ -1367,3 +1367,73 @@ def ndcg_overlap(
             out_round,
         ).alias("ndcg"),
     )
+
+
+def kendall_tau_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    out_round: int = 6,
+) -> DataFrame:
+    """Kendall's tau over the overlap of two rankings -> (query_id,
+    n_overlap, concordant, discordant, tau) — the fifth leg of the
+    ranking-eval suite (recall counts set hits, RBO/MRR/NDCG weight
+    positions top-down; tau is the symmetric ORDER-correlation: did the
+    candidate rank the items it shares with the reference in the same
+    relative order, regardless of depth).
+
+    For the m items present in BOTH top-k lists of a query, every
+    unordered pair is concordant if the two rankings order it the same
+    way and discordant otherwise (ranks within a list are distinct, so
+    there are no ties and tau-a applies): tau = (C - D) / (m(m-1)/2).
+    Queries in either input with overlap < 2 emit (n_overlap, 0, 0,
+    0.0) — tau needs at least one comparable pair.
+
+    Shape: ONE (query, item) equi join of two k-row-per-query lists,
+    then a per-query self-join of the OVERLAP rows — at most C(k,2)
+    pairs per query (k=5 -> 10), exact integer counts, one division
+    rounded once.  The shuffle carries only top-k result sets, never
+    the corpus (the rbo_overlap cost profile).
+    """
+    ra = a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
+    rb = b.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_b"))
+    hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
+        "query_id", "rank_a", "rank_b"
+    )
+    x, y = hits.alias("x"), hits.alias("y")
+    sgn = F.signum((F.col("y.rank_b") - F.col("x.rank_b")).cast("double"))
+    per = (
+        x.join(y, "query_id")
+        .filter(F.col("x.rank_a") < F.col("y.rank_a"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        )
+    )
+    m = hits.groupBy("query_id").agg(F.count("*").cast("long").alias("n_overlap"))
+    qs = (
+        ra.select("query_id")
+        .unionByName(rb.select("query_id"))
+        .distinct()
+    )
+    pairs_m = (F.col("n_overlap") * (F.col("n_overlap") - 1)).cast("double") / F.lit(
+        2.0
+    )
+    return (
+        qs.join(m, "query_id", "left")
+        .join(per, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            F.coalesce("concordant", F.lit(0).cast("long")).alias("concordant"),
+            F.coalesce("discordant", F.lit(0).cast("long")).alias("discordant"),
+            F.round(
+                F.when(
+                    F.coalesce("n_overlap", F.lit(0)) >= 2,
+                    (F.col("concordant") - F.col("discordant")).cast("double")
+                    / pairs_m,
+                ).otherwise(F.lit(0.0)),
+                out_round,
+            ).alias("tau"),
+        )
+    )

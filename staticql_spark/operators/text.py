@@ -2355,3 +2355,81 @@ def simpson_diversity(
         F.round(d, out_round).alias("simpson_d"),
         F.round(F.lit(1.0) - d, out_round).alias("diversity"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    out_round: int = 6,
+) -> DataFrame:
+    """Gini coefficient over token frequencies per group -> (grp,
+    vocab, n_tokens, gini).
+
+    The third leg of the corpus-concentration triad: :func:`zipf_fit`
+    grades the SHAPE of the rank-frequency curve, :func:`simpson_diversity`
+    the collision probability; Gini is the single inequality number
+    curation dashboards track per source per snapshot — 0 = every type
+    equally frequent, ->1 = a handful of tokens carry the corpus (the
+    boilerplate/template signature).  Gini = 2*sum(i * x_(i)) /
+    (n * sum(x)) - (n + 1)/n over the ASCENDING-sorted frequencies
+    x_(1..n) (n = vocab size).
+
+    The rank sum never ranks tokens individually: within a count class
+    (all types sharing frequency c) the ranks are base+1 .. base+n_c
+    for ANY tie order, so sum(i*c) over the class is the closed form
+    c * (n_c*base + n_c*(n_c+1)/2) — exact BIGINTs off the per-class
+    histogram.  Shape: one (grp, token) count shuffle (the only pass
+    over raw text), a per-(grp, count) histogram (one row per DISTINCT
+    frequency), one ascending prefix-sum window over that tiny
+    histogram, one |groups|-row reduce.  No window ever touches
+    per-token rows — the zipf_fit/ccnet two-phase discipline — and the
+    single double division happens once per group.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    tf = (
+        ensure_parallelism(df)
+        .select(F.col(group_col).alias("grp"), F.explode(tokens(norm)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    hist = tf.groupBy("grp", "c").agg(F.count("*").cast("long").alias("n_c"))
+    wbase = (
+        Window.partitionBy("grp")
+        .orderBy(F.asc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = hist.withColumn(
+        "base", F.coalesce(F.sum("n_c").over(wbase), F.lit(0).cast("long"))
+    )
+    # closed-form rank sum of the class: c * (n_c*base + n_c*(n_c+1)/2);
+    # `div` keeps the halving exact-integer (a double division loses
+    # exactness past 2^53), and the cross-class fold runs in
+    # DECIMAL(38,0) because rank_mass ~ n_tokens x vocab can exceed
+    # BIGINT on a trillion-token corpus slice
+    # inner sum stays long (bounded by ~1.5 * vocab^2 < 2^63 for vocab
+    # <= ~2.4e9 types); the c* product crosses into decimal BEFORE the
+    # multiply, since c * ranksum ~ n_tokens x vocab overflows a long
+    term = F.col("c").cast("decimal(19,0)") * (
+        F.col("n_c") * F.col("base") + F.expr("n_c * (n_c + 1) div 2")
+    ).cast("decimal(19,0)")
+    agg = base.groupBy("grp").agg(
+        F.sum("n_c").cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.col("n_c")).cast("long").alias("n_tokens"),
+        F.sum(term).alias("rank_mass"),
+    )
+    n = F.col("vocab").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("rank_mass").cast("double")
+        / (n * F.col("n_tokens").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return agg.select(
+        "grp",
+        "vocab",
+        "n_tokens",
+        F.round(
+            F.when(F.col("vocab") > 0, gini).otherwise(F.lit(0.0)), out_round
+        ).alias("gini"),
+    )

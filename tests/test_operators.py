@@ -3959,3 +3959,118 @@ def test_zipf_fit_hapax_flood_unchanged_values(spark):
     assert r["n_ranks"] == 10
     assert abs(r["slope"] - slope) < 1e-5
     assert abs(r["intercept"] - intercept) < 1e-5
+
+
+def test_gini_concentration_matches_brute_force(spark):
+    # closed-form tie-class rank sums must equal the textbook
+    # ascending-sorted sum(i * x_i) formula, including heavy ties
+    from collections import Counter
+
+    words = (
+        ["the"] * 50 + ["of"] * 25 + ["and"] * 25 + ["to"] * 12
+        + ["a"] * 6 + ["b"] * 6 + ["c"] * 3 + ["d"] * 1 + ["e"] * 1 + ["f"] * 1
+    )
+    docs = [(i, " ".join(words[i::4]), "en") for i in range(4)] + [
+        (9, "solo", "xx")  # single hapax: gini 0 (one type)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["grp"]: (r["vocab"], r["n_tokens"], r["gini"])
+        for r in text.gini_concentration(df).collect()
+    }
+    cnt = Counter(words)
+    xs = sorted(cnt.values())
+    n, s = len(xs), sum(xs)
+    rank_mass = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * rank_mass / (n * s) - (n + 1.0) / n
+    assert got["en"] == (n, s, round(gini, 6))
+    assert got["xx"] == (1, 1, 0.0)
+
+
+def test_kendall_tau_overlap_hand_cases(spark):
+    from staticql_spark.operators.similarity import kendall_tau_overlap
+
+    schema = "query_id long, neighbor_id long, rank long"
+    a = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),   # same order as ref
+            (2, 20, 1), (2, 21, 2), (2, 22, 3),   # fully reversed vs ref
+            (3, 30, 1), (3, 31, 2), (3, 32, 3),   # one swap
+            (4, 40, 1),                            # overlap 1 -> tau 0
+            (5, 50, 1),                            # no overlap
+        ],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            (2, 22, 1), (2, 21, 2), (2, 20, 3),
+            (3, 30, 1), (3, 32, 2), (3, 31, 3),
+            (4, 40, 5), (4, 41, 1),
+            (6, 60, 1),
+        ],
+        schema,
+    )
+    got = {
+        r["query_id"]: (r["n_overlap"], r["concordant"], r["discordant"], r["tau"])
+        for r in kendall_tau_overlap(a, b).collect()
+    }
+    assert got[1] == (3, 3, 0, 1.0)
+    assert got[2] == (3, 0, 3, -1.0)
+    assert got[3] == (3, 2, 1, round(1 / 3, 6))
+    assert got[4] == (1, 0, 0, 0.0)   # single overlap: no pairs
+    assert got[5] == (0, 0, 0, 0.0)   # candidate-only query still emits
+    assert got[6] == (0, 0, 0, 0.0)   # reference-only query still emits
+
+
+def test_theil_sen_matches_brute_force(spark):
+    # lower-median of pairwise slopes; n=1 group emits (0 pairs, 0.0)
+    from staticql_spark.operators.behavior import theil_sen
+
+    series = {
+        "lin": [(0, 1.0), (1, 3.0), (2, 5.0), (3, 7.0)],        # slope 2
+        "out": [(0, 0.0), (1, 1.0), (2, 2.0), (3, 300.0)],      # robust to outlier
+        "solo": [(5, 9.0)],
+    }
+    rows = [(g, t, v) for g, pts in series.items() for t, v in pts]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: (r["n_periods"], r["n_pairs"], r["slope"])
+        for r in theil_sen(df).collect()
+    }
+    for g, pts in series.items():
+        slopes = sorted(
+            round((v2 - v1) / (t2 - t1), 9)
+            for i, (t1, v1) in enumerate(pts)
+            for (t2, v2) in pts[i + 1:]
+        )
+        m = len(slopes)
+        med = slopes[(m + 1) // 2 - 1] if m else 0.0
+        assert got[g] == (len(pts), m, round(med, 6)), g
+    assert got["lin"][2] == 2.0
+    assert abs(got["out"][2] - 1.0) < 1e-9  # outlier pair slopes sit in the tail
+
+
+def test_rater_confusion_vs_consensus(spark):
+    from staticql_spark.operators import preference
+
+    rows = [
+        # item 1: consensus 'x' (2 vs 1)
+        (1, 0, "x"), (1, 1, "x"), (1, 2, "y"),
+        # item 2: tie 'x'/'y' -> smallest cat 'x' wins
+        (2, 0, "y"), (2, 1, "x"),
+        # item 3: singleton
+        (3, 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater long, cat string")
+    got = {
+        (r["rater"], r["consensus_cat"], r["label_cat"]): r["n"]
+        for r in preference.rater_confusion(df).collect()
+    }
+    assert got == {
+        (0, "x", "x"): 1,   # item 1: rater 0 agreed with the modal x
+        (0, "x", "y"): 1,   # item 2: tie broke to x, rater 0 had said y
+        (1, "x", "x"): 2,   # items 1 and 2
+        (2, "x", "y"): 1,   # item 1: rater 2 dissented
+        (2, "z", "z"): 1,   # singleton item is its own consensus
+    }
