@@ -855,3 +855,44 @@ def test_benford_single_digit_shuffle(spark):
     assert "CartesianProduct" not in p, p
     assert "Window" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_gini_windows_over_count_histogram_only(spark):
+    # r13: the rank-sum phase must window over the per-(grp, count)
+    # HISTOGRAM (one row per distinct frequency), never over per-token
+    # rows — the zipf/ccnet two-phase discipline.  Every window spec
+    # carries the count-class key; no cartesian anywhere.
+    p = plan(entrymod.q_doc_gini(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    assert all("c#" in s for s in specs), specs
+
+
+def test_theil_sen_never_joins_raw_events(spark):
+    # r13: same contract as mann_kendall/cusum — the daily aggregate is
+    # checkpointed before the pair self-join and the period count, so
+    # nothing re-scans events.parquet and there is no cartesian
+    df = entrymod.q_events_theil_sen(spark, SF_SMOKE)
+    df.collect()  # materialize the lazy checkpoint under AQE
+    p = plan(df)
+    assert "CartesianProduct" not in p, p
+    assert p.count("events.parquet") == 0, p
+
+
+def test_rater_confusion_single_label_scan_no_cartesian(spark):
+    # r13: one (item, cat) count shuffle for the consensus, one
+    # item-keyed equi join back, one count agg — no cartesian, and the
+    # only window runs over the per-item COUNT frame (modal pick),
+    # partitioned by item
+    p = plan(entrymod.q_events_rater_confusion(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("item#" in s for s in specs), specs
+
+
+def test_kendall_tau_equi_joins_only(spark):
+    # r13: the overlap pair expansion must be equi-join keyed (query_id)
+    # — never a cartesian / nested-loop product of the top-k lists
+    p = plan(entrymod.q_ann_kendall_tau(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
