@@ -102,6 +102,12 @@ PICKS = [
     ("events_bt_ratings (probe of the shared bt_ratings artifact: parquet scan, MM chain in build)", "events_bt_ratings"),
     ("events_benford (integer-cents digit map; ONE (grp,digit) count shuffle + broadcast totals)", "events_benford"),
     ("doc_simpson (one (grp,token) count shuffle; exact BIGINT c(c-1) fold, |groups|-row reduce)", "doc_simpson"),
+    # r13 operators
+    ("stream_rater_severity (batch fallback: item-keyed reference join + rater-keyed decimal-fold agg)", "stream_rater_severity"),
+    ("doc_gini (one token-count shuffle; closed-form tie-class rank sums over the count histogram)", "doc_gini"),
+    ("ann_kendall_tau (overlap equi join + per-query <=C(5,2) pair self-join; exact C/D counts)", "ann_kendall_tau"),
+    ("events_theil_sen (checkpointed daily aggregate; pair slopes + lower-median rank window)", "events_theil_sen"),
+    ("events_rater_confusion (one (item,cat) count shuffle; |cats|-bounded modal window; item join back)", "events_rater_confusion"),
 ]
 
 

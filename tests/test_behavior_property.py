@@ -135,3 +135,49 @@ def test_session_paths_match_bruteforce(spark, events):
             path = ">".join(et for _, _, et in sess[:5])
             paths[path] = paths.get(path, 0) + 1
     assert got == paths
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # group
+        st.integers(0, 12),       # period
+        st.integers(-50, 50),     # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=series_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_theil_sen_property_matches_bruteforce(spark, pts):
+    # for ANY series (duplicate periods collapse to the last-written?
+    # no — the operator takes the series as given, so dedupe (g, t)
+    # driver-side to honor the pre-aggregated input contract),
+    # including singleton groups and all-tied values, the lower-median
+    # pairwise slope must equal the direct definition
+    from staticql_spark.operators.behavior import theil_sen
+
+    byg = {}
+    for g, t, v in pts:
+        byg.setdefault(g, {})[t] = float(v)  # last write wins pre-agg
+    rows = [(str(g), t, v) for g, tv in byg.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: (r["n_periods"], r["n_pairs"], r["slope"])
+        for r in theil_sen(df).collect()
+    }
+    for g, tv in byg.items():
+        srt = sorted(tv.items())
+        slopes = sorted(
+            round((v2 - v1) / (t2 - t1), 9)
+            for i, (t1, v1) in enumerate(srt)
+            for (t2, v2) in srt[i + 1:]
+        )
+        m = len(slopes)
+        med = slopes[(m + 1) // 2 - 1] if m else 0.0
+        assert got[str(g)] == (len(srt), m, round(med, 6)), (g, slopes)

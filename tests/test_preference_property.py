@@ -221,3 +221,42 @@ def test_qsketch_quantiles_property_matches_twin(spark, rows):
         rank = max(1, math.ceil(q * n))
         want[q] = (byv[rank - 1][1], n)
     assert got == want
+
+
+label_lists = st.lists(
+    st.tuples(
+        st.integers(0, 4),                  # item
+        st.integers(0, 3),                  # rater
+        st.sampled_from(["a", "b", "c"]),   # category
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(labels=label_lists)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rater_confusion_property_matches_twin(spark, labels):
+    # for ANY label multiset (modal ties, singleton items, repeated
+    # (item, rater) rows) the confusion cells must equal the direct
+    # definition with the (count desc, category asc) modal tiebreak
+    df = spark.createDataFrame(labels, "item: long, rater: long, cat: string")
+    got = {
+        (r["rater"], r["consensus_cat"], r["label_cat"]): r["n"]
+        for r in preference.rater_confusion(df).collect()
+    }
+    from collections import Counter, defaultdict
+
+    per_item = defaultdict(Counter)
+    for it, _, c in labels:
+        per_item[it][c] += 1
+    cons = {
+        it: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for it, cnt in per_item.items()
+    }
+    want = Counter((r, cons[it], c) for it, r, c in labels)
+    assert got == dict(want)
