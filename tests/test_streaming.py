@@ -1558,3 +1558,55 @@ def test_stream_rater_severity_matches_batch(spark, tmp_path_factory):
         for r in rows
     }
     assert got == batch
+
+
+def test_stream_rater_severity_ttl_plumbing_matches_batch(spark, tmp_path_factory):
+    # the TTL path (setTimeoutDuration per batch, hasTimedOut removal)
+    # must not disturb results when no eviction can fire mid-run: a
+    # 1-hour TTL over a multi-batch availableNow pass still equals batch
+    from staticql_spark.streaming import read_event_stream, stream_rater_severity
+
+    def scores(ev):
+        return ev.select(
+            F.col("user_id").alias("item"),
+            (F.col("event_id") % 7).alias("rater"),
+            F.col("value").alias("score"),
+            F.col("ts"),
+        )
+
+    d = _events_dir(spark, tmp_path_factory)
+    batch_ev = scores(spark.read.parquet(d))
+    ref = batch_ev.groupBy("item").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("score").cast("double"), 6).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("ref_score")
+    )
+    batch = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in stream_rater_severity(batch_ev, ref).collect()
+    }
+    stream = read_event_stream(spark, d, max_files=2)
+    q = (
+        stream_rater_severity(scores(stream), ref, state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("rater_severity_ttl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """select * from (
+             select *, row_number() over (
+                 partition by rater order by n_scored desc) rn
+             from rater_severity_ttl_test) where rn = 1"""
+    ).collect()
+    got = {
+        r["rater"]: (r["n_scored"], r["mean_score"], r["mean_gap"])
+        for r in rows
+    }
+    assert got == batch
