@@ -88,13 +88,30 @@ def _spill_totals(spark):
 def main():
     heap = os.environ.get("SOAK_HEAP", "3g")
     memfrac = os.environ.get("SOAK_MEMFRAC")
-    # corpus density knobs (both shapes stay under the 200k doc gate)
+    # corpus density knobs; SOAK_FILLER adds pair-free unique docs so a
+    # 500k-doc / ~31M-pair corpus (the historical §19 soak shape) can
+    # be reproduced: 250 clusters x 500 members + 375k filler
     base.N_CLUSTERS = int(os.environ.get("SOAK_N_CLUSTERS", "199"))
     base.CLUSTER = int(os.environ.get("SOAK_CLUSTER", "1000"))
+    filler = int(os.environ.get("SOAK_FILLER", "0"))
     spark = _session(heap, memfrac)
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = base.build_corpus(spark).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = base.build_corpus(spark)
+    if filler:
+        base_n = base.N_CLUSTERS * base.CLUSTER
+        uniq = spark.range(0, filler).select(
+            (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                    for j in range(40)
+                ],
+            ).alias("text"),
+        )
+        docs = docs.unionByName(uniq)
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     n = docs.count()
     default_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

@@ -181,3 +181,89 @@ def test_theil_sen_property_matches_bruteforce(spark, pts):
         m = len(slopes)
         med = slopes[(m + 1) // 2 - 1] if m else 0.0
         assert got[str(g)] == (len(srt), m, round(med, 6)), (g, slopes)
+
+
+@given(pts=series_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mann_kendall_property_matches_bruteforce(spark, pts):
+    # ANY series — heavy ties, all-flat groups, n=1 groups (the r13
+    # LEFT-join fix) — must equal the exact-integer S / tie-corrected
+    # variance / continuity-corrected z definition
+    import math
+    from collections import Counter
+
+    from staticql_spark.operators.behavior import mann_kendall
+
+    byg = {}
+    for g, t, v in pts:
+        byg.setdefault(g, {})[t] = float(v)
+    rows = [(str(g), t, v) for g, tv in byg.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: (r["n_periods"], r["s_stat"], r["var_s"], r["z"], r["trend"])
+        for r in mann_kendall(df).collect()
+    }
+    assert set(got) == {str(g) for g in byg}
+    for g, tv in byg.items():
+        vs = [v for _, v in sorted(tv.items())]
+        n = len(vs)
+        s = sum(
+            (0 if vs[j] == vs[i] else (1 if vs[j] > vs[i] else -1))
+            for i in range(n) for j in range(i + 1, n)
+        )
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vs).values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if s > 0 and var > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0 and var > 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        z = round(z, 6)
+        trend = (
+            "increasing" if z > 1.96
+            else "decreasing" if z < -1.96
+            else "no_trend"
+        )
+        assert got[str(g)] == (n, s, round(var, 6), z, trend), (g, vs)
+
+
+@given(pts=series_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_property_matches_recursion(spark, pts):
+    # ANY series — including those starting above their mean (the r13
+    # P_0 = 0 baseline clamp) — must equal the textbook recursion
+    import math
+
+    from staticql_spark.operators.behavior import cusum_counts
+
+    byg = {}
+    for g, t, v in pts:
+        byg.setdefault(g, {})[t] = int(v)
+    rows = [(str(g), t, v) for g, tv in byg.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    got = {
+        (r["grp"], r["t"]): (r["cusum"], r["alarm"])
+        for r in cusum_counts(df, k_sigma=2.0).collect()
+    }
+    for g, tv in byg.items():
+        srt = sorted(tv.items())
+        vs = [v for _, v in srt]
+        n = len(vs)
+        mean = sum(vs) / n
+        var = sum(v * v for v in vs) / n - mean * mean
+        sigma = math.sqrt(max(var, 0.0))
+        s = 0.0
+        for t, v in srt:
+            s = max(0.0, s + (v - mean))
+            cus, alarm = got[(str(g), t)]
+            assert abs(cus - round(s, 6)) < 1e-6, (g, t, cus, s)
+            assert alarm == (round(s, 6) > round(2.0 * sigma, 6)), (g, t)
