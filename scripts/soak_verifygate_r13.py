@@ -169,9 +169,17 @@ def main():
         out["reps"].append(rep)
         print(rep, flush=True)
 
+    arms = [
+        ("old_default_width", default_w),
+        ("r12_adaptive", wide if wide is not None else default_w),
+    ]
+    if os.environ.get("SOAK_ARM_NONE"):
+        # the true r8 plan: NO explicit repartition — the join runs at
+        # spark.sql.shuffle.partitions with AQE coalescing
+        arms.insert(0, ("aqe_no_repartition", None))
     for _ in range(2):
-        run("old_default_width", default_w)
-        run("r12_adaptive", wide if wide is not None else default_w)
+        for label, width in arms:
+            run(label, width)
 
     suffix = os.environ.get("SOAK_VG_SUFFIX", "")
     with open(os.path.join(ROOT, f"SOAK_verifygate_r13{suffix}.json"), "w") as f:

@@ -896,3 +896,25 @@ def test_kendall_tau_equi_joins_only(spark):
     # — never a cartesian / nested-loop product of the top-k lists
     p = plan(entrymod.q_ann_kendall_tau(spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
+
+
+def test_verify_jaccard_builds_on_shingle_side(spark):
+    # r13 (SCALE §22): the entire verify-width spill analysis rests on
+    # verify_jaccard's join orientation — BOTH joins must be
+    # ShuffledHashJoin with the doc-bounded SHINGLE side as the build
+    # (BuildRight: pairs.join(hinted dsh)), never a static broadcast of
+    # the unbounded pair frame and never a sort-merge whose sort buffers
+    # the pair stream.  If this orientation changes, every width-lever
+    # conclusion must be re-measured.
+    from staticql_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} a b c d e f g h") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    dsh = dedup.doc_shingles(docs)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    p = plan(dedup.verify_jaccard(pairs, dsh, "doc_id"))
+    assert p.count("ShuffledHashJoin Inner BuildRight") == 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" not in p, p
