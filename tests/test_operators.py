@@ -4074,3 +4074,35 @@ def test_rater_confusion_vs_consensus(spark):
         (2, "x", "y"): 1,   # item 1: rater 2 dissented
         (2, "z", "z"): 1,   # singleton item is its own consensus
     }
+
+
+def test_r13_operators_degenerate_inputs(spark):
+    # empty and single-row inputs must return empty/trivial frames with
+    # the contract schema — not crash (division guards, left joins)
+    from staticql_spark.operators import preference
+    from staticql_spark.operators.behavior import theil_sen
+    from staticql_spark.operators.similarity import kendall_tau_overlap
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert text.gini_concentration(empty_docs).count() == 0
+
+    empty_series = spark.createDataFrame([], "grp string, t long, v double")
+    assert theil_sen(empty_series).count() == 0
+
+    schema = "query_id long, neighbor_id long, rank long"
+    empty_rank = spark.createDataFrame([], schema)
+    assert kendall_tau_overlap(empty_rank, empty_rank).count() == 0
+    # one-sided empty: candidate-only queries still emit zero rows
+    a = spark.createDataFrame([(1, 10, 1)], schema)
+    got = kendall_tau_overlap(a, empty_rank).collect()
+    assert [(r["query_id"], r["n_overlap"], r["tau"]) for r in got] == [(1, 0, 0.0)]
+
+    empty_labels = spark.createDataFrame([], "item long, rater long, cat string")
+    assert preference.rater_confusion(empty_labels).count() == 0
+
+    empty_scores = spark.createDataFrame([], "item long, rater long, score double")
+    empty_ref = spark.createDataFrame([], "item long, ref_score double")
+    assert preference.rater_severity(empty_scores, empty_ref).count() == 0
+    # scores without any matching reference: inner join drops all
+    s1 = spark.createDataFrame([(1, 0, 5.0)], "item long, rater long, score double")
+    assert preference.rater_severity(s1, empty_ref).count() == 0
