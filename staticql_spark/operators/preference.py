@@ -982,22 +982,40 @@ def rater_confusion(
     the agreements.  Exact integer counts only — nothing to round,
     engine-exact by construction.
 
-    Scale: one (item, category) count shuffle for the consensus, one
-    item-keyed equi join back onto the raw labels (the consensus frame
-    is one row per item; AQE broadcasts when it is small), one
-    (rater, cat, cat) count aggregate — map-side combinable, bounded by
-    |raters| x |categories|^2 output rows.
+    Scale: the raw label stream crosses exactly ONE map-side-combined
+    (item, rater, category) count shuffle; the per-item consensus is
+    derived from THAT aggregate (a second groupBy over the already-
+    aggregated frame — never a second scan of raw labels), the modal
+    window runs over the |items| x |categories|-bounded count frame,
+    and the final join keys the two small aggregates on item (AQE
+    broadcasts the one-row-per-item consensus side).  Output bounded by
+    |raters| x |categories|^2 rows.
     """
-    cons = consensus_labels(labels, item_col=item_col, cat_col=cat_col).select(
-        F.col("item"), F.col("consensus_cat")
+    from pyspark.sql import Window as W
+
+    g = (
+        ensure_parallelism(labels)
+        .groupBy(
+            F.col(item_col).alias("item"),
+            F.col(rater_col).alias("rater"),
+            F.col(cat_col).alias("label_cat"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    base = ensure_parallelism(labels).select(
-        F.col(item_col).alias("item"),
-        F.col(rater_col).alias("rater"),
-        F.col(cat_col).alias("label_cat"),
+    # consensus from the SAME aggregate: per-(item, cat) totals, modal
+    # pick with the consensus_labels (count desc, cat asc) tiebreak
+    cnt = g.groupBy("item", F.col("label_cat").alias("cat")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    w = W.partitionBy("item").orderBy(F.desc("c"), F.asc("cat"))
+    cons = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("item", F.col("cat").alias("consensus_cat"))
     )
     return (
-        base.join(cons, "item")
+        g.join(cons, "item")
         .groupBy("rater", "consensus_cat", "label_cat")
-        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
     )
