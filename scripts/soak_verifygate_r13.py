@@ -125,11 +125,20 @@ def main():
         .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = (
-        buckets.select(F.explode(dedup._pairs_within("ids")).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if os.environ.get("SOAK_CHUNKED"):
+        # r13 expand_pairs_chunked: bounded in-row arrays (chunk^2) —
+        # the r14-candidate fix for the max_bucket row-size hazard
+        cands = (
+            dedup.expand_pairs_chunked(buckets, chunk=128)
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        cands = (
+            buckets.select(F.explode(dedup._pairs_within("ids")).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     n_cands = cands.count()
     wide = dedup._adaptive_verify_width(spark, n, buckets)
     shared_sec = round(time.perf_counter() - t0, 2)

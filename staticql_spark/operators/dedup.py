@@ -485,10 +485,10 @@ def _adaptive_verify_width(spark, n_docs: int, buckets: DataFrame) -> int | None
     return min(est // _VERIFY_PAIRS_PER_PARTITION + 1, ceiling)
 
 
-def _pairs_within(ids_col: str) -> Column:
+def _pairs_within(ids_col: str | Column) -> Column:
     """array<struct<id_a, id_b>> of all i<j pairs from a sorted id array —
     in-row candidate expansion for capped blocking buckets."""
-    ids = F.col(ids_col)
+    ids = F.col(ids_col) if isinstance(ids_col, str) else ids_col
     return F.flatten(
         F.transform(
             ids,
@@ -498,6 +498,54 @@ def _pairs_within(ids_col: str) -> Column:
             ),
         )
     )
+
+
+def expand_pairs_chunked(
+    buckets: DataFrame,
+    ids_col: str = "ids",
+    chunk: int = 128,
+    pair_col: str = "p",
+) -> DataFrame:
+    """Bounded-row-size i<j pair expansion of bucket id arrays ->
+    ``buckets``' columns (minus ``ids_col``) plus one exploded pair
+    struct column ``pair_col`` — the r13 SCALE §22 finding turned into
+    code (not yet wired into the keyed LSH paths; the r14 candidate).
+
+    :func:`_pairs_within` builds the WHOLE C(n,2) pair array in one row:
+    at the ``max_bucket = 1000`` cap that is ~500k structs (~8 MB) per
+    bucket row, and the 199x1000 dup-dense soak OOM'd a 4 GiB heap in
+    this expansion — the bucket cap silently doubles as a row-size cap.
+    This variant splits each bucket's SORTED id array into
+    ceil(n/chunk) slices and emits one row per ordered slice pair
+    (ci <= cj): the diagonal rows expand i<j within the slice, the
+    off-diagonal rows expand the full cross product (every element of
+    the earlier slice precedes every element of the later one, so the
+    (id_a, id_b) orientation is preserved) — the union over slice-pair
+    rows is EXACTLY the _pairs_within set, but the largest in-row array
+    is chunk^2 structs (128^2 = 16k, ~256 KB) regardless of bucket
+    size.  Row count multiplies by at most C(nchunks+1, 2) per bucket
+    (36 for n=1000 at chunk=128) — generator rows, not materialized
+    mass, and the downstream ``distinct`` is unchanged.
+    """
+    n_chunks = F.ceil(F.size(F.col(ids_col)) / F.lit(chunk)).cast("int")
+    with_cells = (
+        buckets.withColumn("__nch", F.greatest(n_chunks, F.lit(1)))
+        .withColumn("__ci", F.explode(F.sequence(F.lit(0), F.col("__nch") - 1)))
+        .withColumn("__cj", F.explode(F.sequence(F.col("__ci"), F.col("__nch") - 1)))
+    )
+    a = F.slice(F.col(ids_col), F.col("__ci") * chunk + 1, chunk)
+    b = F.slice(F.col(ids_col), F.col("__cj") * chunk + 1, chunk)
+    cross = F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(
+                b, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+            ),
+        )
+    )
+    pairs = F.when(F.col("__ci") == F.col("__cj"), _pairs_within(a)).otherwise(cross)
+    keep = [c for c in buckets.columns if c != ids_col]
+    return with_cells.select(*keep, F.explode(pairs).alias(pair_col))
 
 
 def _band_keys(

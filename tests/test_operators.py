@@ -4106,3 +4106,80 @@ def test_r13_operators_degenerate_inputs(spark):
     # scores without any matching reference: inner join drops all
     s1 = spark.createDataFrame([(1, 0, 5.0)], "item long, rater long, score double")
     assert preference.rater_severity(s1, empty_ref).count() == 0
+
+
+def test_expand_pairs_chunked_equals_pairs_within(spark):
+    # the bounded-row-size expansion must emit EXACTLY the _pairs_within
+    # set for any bucket size — below, at, and across chunk boundaries —
+    # and for struct-typed elements (the incremental tagged form)
+    import pyspark.sql.functions as SF
+
+    sizes = [1, 2, 3, 5, 7, 8, 9, 15, 16, 17, 33]
+    rows = [(bi, sorted(range(bi * 1000, bi * 1000 + n))) for bi, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "bucket long, ids array<long>")
+    want = {
+        (r["bucket"], r["p"]["id_a"], r["p"]["id_b"])
+        for r in df.select(
+            "bucket", SF.explode(dedup._pairs_within("ids")).alias("p")
+        ).collect()
+    }
+    got_rows = dedup.expand_pairs_chunked(df, chunk=8).collect()
+    got = {(r["bucket"], r["p"]["id_a"], r["p"]["id_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got), "chunked expansion must not duplicate pairs"
+    # pair count sanity: sum C(n,2)
+    assert len(got) == sum(n * (n - 1) // 2 for n in sizes)
+
+    # struct elements (id, is_new) — array_sort'd like the incremental path
+    srows = [
+        (0, [(1, False), (2, True), (3, False), (4, True), (5, True)]),
+    ]
+    sdf = spark.createDataFrame(
+        srows, "bucket long, ids array<struct<doc_id:long, is_new:boolean>>"
+    )
+    want_s = {
+        (r["p"]["id_a"]["doc_id"], r["p"]["id_b"]["doc_id"])
+        for r in sdf.select(SF.explode(dedup._pairs_within("ids")).alias("p")).collect()
+    }
+    got_s = {
+        (r["p"]["id_a"]["doc_id"], r["p"]["id_b"]["doc_id"])
+        for r in dedup.expand_pairs_chunked(sdf, chunk=2).collect()
+    }
+    assert got_s == want_s and len(got_s) == 10
+
+
+def test_expand_pairs_chunked_property(spark):
+    # randomized sizes x chunk widths: exact set equality with
+    # _pairs_within and the row-size bound (no in-row array exceeds
+    # chunk^2 elements)
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    import pyspark.sql.functions as SF
+
+    @given(
+        sizes=st.lists(st.integers(1, 40), min_size=1, max_size=4),
+        chunk=st.integers(2, 10),
+    )
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def inner(sizes, chunk):
+        rows = [
+            (bi, sorted(range(bi * 100, bi * 100 + n)))
+            for bi, n in enumerate(sizes)
+        ]
+        df = spark.createDataFrame(rows, "bucket long, ids array<long>")
+        want = {
+            (r["bucket"], r["p"]["id_a"], r["p"]["id_b"])
+            for r in df.select(
+                "bucket", SF.explode(dedup._pairs_within("ids")).alias("p")
+            ).collect()
+        }
+        got = {
+            (r["bucket"], r["p"]["id_a"], r["p"]["id_b"])
+            for r in dedup.expand_pairs_chunked(df, chunk=chunk).collect()
+        }
+        assert got == want
+
+    inner()
