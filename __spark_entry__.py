@@ -2760,8 +2760,14 @@ def q_dedup_lsh_recall(spark, sf):
     # cache pins it (a lazy localCheckpoint was A/B-measured to only
     # shift ~2 s from exec into construct — stage-overhead-bound here).
     dsh = dedup.doc_shingles(docs, n=3).cache()
-    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, dsh=dsh).select(
-        "id_a", "id_b"
+    # r13: truth is consumed twice (denominator + semi join), and each
+    # consumer re-derived the whole exact-Jaccard pipeline (block join +
+    # verify) downstream of the cached shingles — the scoped persist
+    # halves that work (pairs are the tiny decision frame).
+    truth = dedup._persist_scoped(
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, dsh=dsh).select(
+            "id_a", "id_b"
+        )
     )
     lsh = dedup.minhash_lsh_pairs(
         docs, n=3, num_hashes=16, bands=4, threshold=0.2, dsh=dsh

@@ -281,8 +281,18 @@ def minhash_1bit_estimate(
     |pairs| frame into the per-doc signature aggregate; the bit
     comparison is one zip_with fold per pair row, map-side.
     """
-    pairs = minhash_lsh_pairs(
-        df, text_col, id_col, n, num_hashes, bands, threshold, max_bucket
+    # Scope-persist the pair frame (r13): it is consumed THREE times —
+    # twice by the id-set union below and once by the final estimate
+    # join — and without a pin each consumer re-derives the whole LSH
+    # pipeline downstream of the cached shingles (bucket agg + chunked
+    # expansion + distinct + the two verify joins; measured ~3x the
+    # single-derivation cost at sf0.1: 6.1 s exec vs ~1.1 s for the
+    # one-shot dedup_minhash_lsh).  The verified pair frame is the small
+    # decision table (guide §8): pinning it is bounded by pair mass.
+    pairs = _persist_scoped(
+        minhash_lsh_pairs(
+            df, text_col, id_col, n, num_hashes, bands, threshold, max_bucket
+        )
     )
     # signatures ONLY for pair-participating docs: the 16 interpreted
     # array_min projections are the expensive map step, so a semi-join
@@ -420,69 +430,30 @@ def minhash_lsh_pairs(
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
 
-    # Verify width (r10): the full build's verify join is the same
-    # measured spill site as the incremental path's, but the policy
-    # differs DELIBERATELY.  The incremental path counts its candidate
-    # frame (the batch-proportional pair mass is cheap to materialize
-    # and the count provably paid for itself: 148 -> 44 s interleaved at
-    # the 500k soak).  Applying the same persist+count here was
-    # implemented and MEASURED WORSE: counting the full build's pair
-    # frame inserts a sequential barrier behind the corpus-scale
-    # generation+distinct, and the 31M-pair persist squats on executor
-    # storage memory for the rest of the process — the r10 soak recorded
-    # every SUBSEQUENT artifact build degrading (lsh_index_old 5.4x)
-    # while the build itself gained nothing (291 s vs the default-width
-    # 216/125 s same-day A/B).  Instead the width gates on the corpus
-    # size: the shingle frame is persisted via the scoped registry (both
-    # the self-built and the caller-supplied case, r11), so the count is
-    # one cheap pass that pre-warms the cache sig/verify read anyway,
-    # and corpora under the gate keep the r8 plan byte-for-byte —
-    # UNLESS the bucket-size stats say the sub-gate corpus is dup-dense
-    # (r11 verdict #2; see _adaptive_verify_width).
-    n_docs = dsh.count()
-    if n_docs < _VERIFY_WIDEN_MIN_DOCS:
-        buckets = _persist_scoped(buckets)
-    wide = _adaptive_verify_width(df.sparkSession, n_docs, buckets)
+    # Verify width (retired r13, was r10/r11): the corpus-count gate +
+    # dup-density estimate + adaptive widening were deleted on the
+    # pre-registered SCALE §22 evidence — in the pinned shuffle-hash
+    # orientation (shingle side = build side) the width lever moves
+    # NEITHER spill nor wall time (zero spill at any width at the
+    # 500k/23M-pair soak on a 32 GiB heap; order-rotated runs REVERSE
+    # which width looks fast; the only measured width effect was the
+    # 256-wide arm's ~1.1 GB spill in its own extra pair exchanges at
+    # equal time).  What the gate DID cost every single build: a serial
+    # dsh.count() barrier behind the shingle pass plus a bucket-size
+    # aggregate action before candidate generation could even start.
+    # Default width + AQE coalescing now size the verify join.
+    # Pair expansion is CHUNKED (r13, guide §5): _pairs_within builds
+    # the whole C(n,2) struct array in one row (~8 MB at the
+    # max_bucket=1000 cap — OOMs a 4 GiB executor heap, soak-measured),
+    # expand_pairs_chunked bounds the largest in-row array at chunk^2
+    # structs with an exact-set-equal union over slice pairs.
     cands = (
-        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        expand_pairs_chunked(buckets.select("ids"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    verified = verify_jaccard(cands, dsh, id_col, partitions=wide)
+    verified = verify_jaccard(cands, dsh, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
-
-
-def _adaptive_verify_width(spark, n_docs: int, buckets: DataFrame) -> int | None:
-    """Verify-join width for an LSH pair derivation.
-
-    Above the doc gate: corpus-size widening, NO extra action (the
-    measured-best full-build policy, see the call-site comment).  Below
-    it, the doc count alone is a dup-density-blind proxy (r11 verdict
-    #2): a sub-gate corpus of near-replicas (every doc landing in
-    bands x max_bucket-sized buckets) can still regenerate a spilling
-    default-width verify.  The ``buckets`` aggregate already holds the
-    per-bucket sizes, so sum C(|ids|, 2) — an upper bound on candidate
-    pairs, pre-distinct — costs ONE cheap count over a small corpus
-    (callers persist ``buckets`` first; pair expansion reuses the cached
-    frame, so the extra pass is the agg alone, not a recompute).  Width
-    then targets _VERIFY_PAIRS_PER_PARTITION pairs per task, capped at
-    the same 8x-parallelism ceiling as the corpus-size branch.
-    """
-    sc = spark.sparkContext
-    ceiling = sc.defaultParallelism * 8
-    if n_docs >= _VERIFY_WIDEN_MIN_DOCS:
-        return ceiling
-    est = buckets.agg(
-        F.sum(F.size("ids").cast("long") * (F.size("ids") - 1) / F.lit(2)).alias("m")
-    ).first()["m"]
-    est = int(est or 0)
-    try:
-        default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        default_width = sc.defaultParallelism
-    if est <= default_width * _VERIFY_PAIRS_PER_PARTITION:
-        return None  # default width cannot spill: keep the r8 plan
-    return min(est // _VERIFY_PAIRS_PER_PARTITION + 1, ceiling)
 
 
 def _pairs_within(ids_col: str | Column) -> Column:
@@ -620,32 +591,14 @@ def minhash_index(
     return _band_keys(sig, bands, num_hashes // bands, id_col), dsh
 
 
-# Verify-join sizing target: ~100k candidate pairs per partition keeps each
-# shuffled-hash build map comfortably in executor memory even when every pair
-# carries two shingle arrays (measured at the 500k near-replica soak: 31M
-# pairs / 256 partitions ~= 120k pairs each, zero spill — SCALE.md §17/§18).
-_VERIFY_PAIRS_PER_PARTITION = 100_000
-
-# Full-build verify-width gate (docs): below this the corpus cannot
-# produce a pair mass that spills a default-width shuffled-hash build
-# side (max_bucket caps pairs per bucket; measured: sf0.1's 60k docs
-# never spill, the 500k soak does) — UNLESS it is dup-dense.  Counting
-# the true pair mass ABOVE the gate was implemented and measured WORSE
-# (serial barrier + storage squatting — see the gate comment in
-# minhash_lsh_pairs), so large corpora keep the unconditional widening.
-# BELOW the gate the corpus is small enough that one bucket-size
-# aggregate is cheap, and _adaptive_verify_width (r11 verdict #2) uses
-# sum C(size,2) over the blocking buckets to catch the near-replica
-# corpus the doc count alone would mis-gate.
-_VERIFY_WIDEN_MIN_DOCS = 200_000
-
-# Incremental-path gate (batch docs): below this the candidate count is
-# skipped entirely (the r8 plan), because the count is a serial
-# candidate-generation barrier that cost ~1.4 s at sf0.1's 12k-doc
-# batch while a batch this small cannot spill the verify join anyway.
-# The 500k soak's 100k-doc batch sits above the gate and keeps the
-# counted adaptive width that fixed its measured spill.
-_INCR_COUNT_MIN_BATCH = 50_000
+# Verify-width machinery retired in r13: the corpus/batch count gates,
+# the pair-mass estimate, and the adaptive repartition width were all
+# deleted after the SCALE §22 isolation + end-to-end A/Bs showed the
+# width lever moves neither spill nor wall time in the pinned
+# shuffle-hash orientation (build side = shingle map), while every gate
+# evaluation cost a serial driver action (dsh.count / cands.count /
+# bucket-size agg) on every single build.  Default shuffle width + AQE
+# partition coalescing now size the verify join at every scale.
 
 # Incremental-path gate (index (id, band, key) rows): below this the
 # old corpus is small enough that shipping its shingle arrays through
@@ -746,7 +699,7 @@ def incremental_lsh_pairs(
         )
     )
     cands = (
-        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        expand_pairs_chunked(buckets.select("ids"))
         .filter(F.col("p.id_a.is_new") | F.col("p.id_b.is_new"))
         # a re-crawled doc appears under both tags; never pair it with itself
         .filter(F.col(f"p.id_a.{id_col}") != F.col(f"p.id_b.{id_col}"))
@@ -780,33 +733,18 @@ def incremental_lsh_pairs(
             new_dsh.select(id_col), id_col, "left_anti"
         )
     dsh_all = old_only.unionByName(new_dsh)
-    # Adaptive verify width (r10, replacing r9's static 8x-parallelism):
-    # the r9 fixed width fixed the measured 500k-soak spill but
-    # triple-repartitioned tiny sf0.1 candidate sets into 256 partitions
-    # (2.7x bench regression vs the 1.34x host-drift median).  Two-level
-    # gate: (1) a SMALL batch (counted on the already-persisted batch
-    # shingle frame — one cheap pass that pre-warms a cache the probe
-    # reads anyway) cannot produce a spilling pair mass, so it keeps the
-    # r8 plan with NO pair count at all — the count itself was measured
-    # as a serial candidate-generation barrier worth ~1.4 s at sf0.1
-    # (BENCH r10: 3.10 s vs the 1.68 s drift-expected, §19); (2) a large
-    # batch persists the pair frame, COUNTS the true candidate mass, and
-    # sizes the join to ~100k pairs per partition, capped at the
-    # 8x-parallelism the 500k soak proved sufficient (31M pairs -> 256
-    # partitions at local[32]; measured 148 -> 44 s interleaved, and
-    # 18.8 s in the final r10 soak once the full build stopped squatting
-    # on storage memory).
-    sc = new_df.sparkSession.sparkContext
-    wide = None
-    if new_dsh.count() >= _INCR_COUNT_MIN_BATCH:
-        cands = _persist_scoped(cands)
-        want = -(-cands.count() // _VERIFY_PAIRS_PER_PARTITION)  # ceil div
-        wide = (
-            min(want, sc.defaultParallelism * 8)
-            if want > sc.defaultParallelism
-            else None
-        )
-    verified = verify_jaccard(cands, dsh_all, id_col, partitions=wide)
+    # Adaptive verify width retired (r13): the batch-count gate + pair
+    # count + widening were deleted on the SCALE §22 end-to-end A/B
+    # (ab_incr_r13, order-rotated, identical pair outputs): at the
+    # 500k/23M-pair shape all three widths (none / 32 / counted 256) are
+    # indistinguishable within host noise with ZERO spill at any width
+    # on a 32 GiB heap — the r10 spill the width once fixed was the full
+    # build squatting on storage memory, not the verify width — while
+    # the gate itself cost two serial driver actions (new_dsh.count +
+    # cands.count) on every incremental run.  Default width + AQE
+    # coalescing size the verify join; the chunked pair expansion above
+    # bounds per-row memory instead.
+    verified = verify_jaccard(cands, dsh_all, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -1996,14 +1934,13 @@ def lsh_pairs_from_index(
     At the 500k-doc soak the inline build's per-doc map work (shingle +
     16 hashes + banding) is pure recompute of what the index stores.
 
-    ``partitions`` pins the verify width; default None applies the
-    corpus-size gate (one count of the shingle frame — the same pass
-    that warms the persist) with the sub-gate dup-density fallback of
-    :func:`_adaptive_verify_width`.  The shingle frame goes through the
-    scoped persist registry: the verify join reads it TWICE (id_a and
-    id_b sides), and the first SOAK_r11 measurement showed the double
-    parquet scan of 500k shingle-array rows costing more than the
-    in-memory cache the inline build enjoys.
+    ``partitions`` pins the verify width; default None leaves the join
+    at default width + AQE coalescing (the width gate/count machinery
+    was retired in r13 — see the minhash_lsh_pairs rationale).  The
+    shingle frame goes through the scoped persist registry: the verify
+    join reads it TWICE (id_a and id_b sides), and the first SOAK_r11
+    measurement showed the double parquet scan of 500k shingle-array
+    rows costing more than the in-memory cache the inline build enjoys.
     """
     shingles = _persist_scoped(shingles)
     buckets = (
@@ -2011,16 +1948,10 @@ def lsh_pairs_from_index(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    wide = partitions
-    if wide is None:
-        n_docs = shingles.count()
-        if n_docs < _VERIFY_WIDEN_MIN_DOCS:
-            buckets = _persist_scoped(buckets)
-        wide = _adaptive_verify_width(bands.sparkSession, n_docs, buckets)
     cands = (
-        buckets.select(F.explode(_pairs_within("ids")).alias("p"))
+        expand_pairs_chunked(buckets.select("ids"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    verified = verify_jaccard(cands, shingles, id_col, partitions=wide)
+    verified = verify_jaccard(cands, shingles, id_col, partitions=partitions)
     return verified.filter(F.col("jaccard") >= threshold)

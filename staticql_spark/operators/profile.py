@@ -61,17 +61,30 @@ def histogram(
 def table_profile(
     df: DataFrame, cols: Sequence[str], approx: bool = False
 ) -> DataFrame:
-    """(col_name, n_rows, n_nulls, n_distinct, min_str, max_str) per column."""
+    """(col_name, n_rows, n_nulls, n_distinct, min_str, max_str) per column.
+
+    Two single-row aggregates, crossed (r13 optimization): min/max over a
+    STRING column cannot live in a HashAggregate buffer (non-fixed-width),
+    so putting them in the SAME aggregate as the exact countDistincts
+    forced the whole Expand (|cols|+1 copies of every row) through
+    SortAggregate — a full sort of the expanded frame on the 6-part
+    distinct key (measured 2.6-3.4 s at sf0.1; the sort is the cost, not
+    the Expand).  Split, the nulls/min/max pass is a KEYLESS fold (no
+    grouping keys -> no required ordering -> no sort, one scan), and the
+    ndv pass's Expand aggregates hash-based (its buffers are only
+    counts).  Values are byte-identical: the same aggregate functions run
+    over the same rows, only in two jobs whose 1-row outputs cross-join.
+    """
     ndv = F.approx_count_distinct if approx else F.countDistinct
-    aggs = [F.count(F.lit(1)).alias("__rows")]
+    base_aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
-        aggs += [
+        base_aggs += [
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__{c}__nulls"),
-            ndv(F.col(c)).alias(f"__{c}__ndv"),
             F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
         ]
-    wide = df.agg(*aggs)
+    ndv_aggs = [ndv(F.col(c)).alias(f"__{c}__ndv") for c in cols]
+    wide = df.agg(*base_aggs).crossJoin(df.agg(*ndv_aggs))
     stack_args = ", ".join(
         f"'{c}', __{c}__nulls, __{c}__ndv, __{c}__min, __{c}__max" for c in cols
     )

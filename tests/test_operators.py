@@ -3311,31 +3311,26 @@ def test_persist_registry_hash_collision_returns_callers_frame(spark, docs):
         dedup.release_persists()
 
 
-def test_adaptive_verify_width_dup_density_fallback(spark):
-    # r11 verdict #2: under the doc gate, width must key on the bucket
-    # pair mass, not the doc count alone.  A sparse sub-gate bucket
-    # frame keeps the default width; a dup-dense one (sum C(size,2)
-    # above default_width x pairs-per-partition) widens proportionally.
-    ids = [f"d{i}" for i in range(3000)]  # C(3000,2) ~ 4.5M pairs
-    dense = spark.createDataFrame(
-        [(0, 1, ids)], "band int, key long, ids array<string>"
+def test_lsh_pair_paths_construct_lazily(spark, monkeypatch):
+    # r13 barrier removal: building the full-build / index-derived pair
+    # frames must trigger NO driver action (the retired width gate ran a
+    # dsh.count + a bucket-size agg on every construct).  Any count /
+    # first / collect during construction fails loudly here.
+    from pyspark.sql import DataFrame
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon tok{i}") for i in range(30)],
+        "doc_id long, text string",
     )
-    sparse = spark.createDataFrame(
-        [(0, 1, ["a", "b"]), (1, 2, ["c", "d", "e"])],
-        "band int, key long, ids array<string>",
-    )
-    sc = spark.sparkContext
-    assert dedup._adaptive_verify_width(spark, 1000, sparse) is None
-    wide = dedup._adaptive_verify_width(spark, 1000, dense)
-    est = 3000 * 2999 // 2
-    assert wide == min(
-        est // dedup._VERIFY_PAIRS_PER_PARTITION + 1, sc.defaultParallelism * 8
-    )
-    # above the doc gate: unconditional ceiling, no bucket action
-    assert (
-        dedup._adaptive_verify_width(spark, dedup._VERIFY_WIDEN_MIN_DOCS, sparse)
-        == sc.defaultParallelism * 8
-    )
+    bands, shingles = dedup.minhash_index(docs)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during lazy construct")
+
+    for name in ("count", "first", "collect", "head", "take"):
+        monkeypatch.setattr(DataFrame, name, boom)
+    dedup.minhash_lsh_pairs(docs, threshold=0.2)
+    dedup.lsh_pairs_from_index(bands, shingles, threshold=0.2)
 
 
 def test_rbo_overlap_matches_brute_force(spark):
@@ -3711,24 +3706,14 @@ def test_iteration_artifacts_equal_inline_derivations(spark):
     assert art_p == inline_p and art_p
 
 
-def test_minhash_lsh_pairs_dup_dense_widens_end_to_end(spark, monkeypatch):
-    # r11 verdict #2, end-to-end: a sub-gate corpus whose bucket pair
-    # mass exceeds the default width's capacity must route through the
-    # widened verify (persist buckets -> pair-mass agg -> width) and
-    # still produce the exact pair set.  The per-partition target is
-    # patched down so a test-size corpus crosses the threshold.
-    monkeypatch.setattr(dedup, "_VERIFY_PAIRS_PER_PARTITION", 1_000)
-    widths = []
-    orig = dedup.verify_jaccard
-
-    def spy(pairs, dsh, id_col="doc_id", partitions=None):
-        widths.append(partitions)
-        return orig(pairs, dsh, id_col, partitions=partitions)
-
-    monkeypatch.setattr(dedup, "verify_jaccard", spy)
+def test_minhash_lsh_pairs_dup_dense_end_to_end(spark):
+    # r13: the dup-dense corpus that once exercised the (retired)
+    # adaptive width must still produce the exact pair set through the
+    # chunked pair expansion at default verify width.
     # 2 clusters x 200 near-replica docs: every doc shares the cluster
     # shingle set (one token mutated), so each (band, key) bucket holds
-    # the whole cluster and est pairs ~ 4 bands x C(200,2) x 2 >> 32k
+    # the whole cluster — the bucket arrays (size ~200, chunk=128) take
+    # both the diagonal and the off-diagonal slice-pair branches.
     rows = []
     for c in range(2):
         base = [f"tok{c}_{i}" for i in range(30)]
@@ -3739,7 +3724,6 @@ def test_minhash_lsh_pairs_dup_dense_widens_end_to_end(spark, monkeypatch):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     n = got.count()
-    assert widths and widths[0] is not None and widths[0] > 32, widths
     # clusters are dense near-dup cliques: a large pair mass survives
     # the 0.5 Jaccard verify, and no cross-cluster pair can (disjoint
     # token namespaces)
