@@ -1614,23 +1614,49 @@ def bigram_logprob(
     tokens emit 0 bigrams and nll 0.0).  Returns (id, n_bigrams,
     bigram_nll) rounded 4dp.
 
-    Scale: the position stream shuffles once on the doc id for the lag
-    window; bigram counts are a map-side-combined groupBy broadcast back
-    onto the stream (at open-vocabulary scale, hash the bigram to a
-    fixed bucket space first — the dsir_weights recipe — so the
-    broadcast stays bounded; corpus vocab here is small enough to ship
-    exact).
+    Scale (r13 rewrite): bigram positions are built MAP-SIDE from the
+    bound token array (the doc_shingles idiom) — the previous
+    posexplode + lag-window form shuffled and sorted the whole position
+    stream on doc id once PER CONSUMER (counts, unigram contexts, and
+    the scoring stream each re-derived the window; 3 corpus-stream
+    shuffles).  Now the stream never shuffles: bigram counts are ONE
+    map-side-combined groupBy, the unigram context count folds from the
+    bigram-count frame itself (n1 = sum of n12 over w2 — the identity,
+    not another corpus pass), and scoring re-derives the map-side
+    stream against broadcast count frames (at open-vocabulary scale,
+    hash the bigram to a fixed bucket space first — the dsir_weights
+    recipe — so the broadcast stays bounded).  Per-row values and
+    per-doc fold order are unchanged: bigrams are emitted in position
+    order inside the same map partition the window form kept them in.
     """
-    d = ensure_parallelism(df).select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    d0 = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
-    wlag = Window.partitionBy(id_col).orderBy("pos")
-    bi = d.select(
-        F.col(id_col), F.lag("w").over(wlag).alias("w1"), F.col("w").alias("w2")
-    ).filter(F.col("w1").isNotNull())
+    t = F.col("_toks")
+    # guard stays INSIDE the expression (InferFiltersFromGenerate can
+    # clone it onto unfiltered rows, where sequence(2, 1) descends and
+    # element_at faults under ANSI — the doc_shingles rule)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(t)),
+            lambda i: F.struct(
+                F.element_at(t, i - 1).alias("w1"), F.element_at(t, i).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        d0.select(F.col(id_col), F.explode_outer(bigrams).alias("b"))
+        .filter(F.col("b").isNotNull())
+        .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
     counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    uni = bi.groupBy("w1").agg(F.count("*").alias("n1"))
-    vocab = d.agg(F.count_distinct("w").cast("double").alias("__V"))
+    uni = counts.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    vocab = d0.select(
+        F.col(id_col), F.explode_outer("_toks").alias("w")
+    ).filter(F.col("w").isNotNull()).agg(
+        F.count_distinct("w").cast("double").alias("__V")
+    )
     scored = (
         bi.join(F.broadcast(counts), ["w1", "w2"])
         .join(F.broadcast(uni), "w1")
