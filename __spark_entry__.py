@@ -2149,7 +2149,7 @@ def q_embedding_top_pc(spark, sf):
     # by 2 unrolled power iterations (RNG-free init; oracle unrolls both).
     # Unpivoted to (dim_idx, component) scalar rows -- the value-hash
     # compare handles scalars, not arrays.
-    pc = similarity.power_iteration_pc(_t(spark, sf, "embeddings"), iters=2)
+    pc = similarity.power_iteration_pc(_t(spark, sf, "embeddings"), iters=2, dim=64)
     return pc.select(F.posexplode("pc").alias("dim_idx", "component"))
 
 
@@ -4190,7 +4190,7 @@ def q_embedding_debias(spark, sf):
     # norm_before, norm_after) audit rows. Exact primitives end-to-end:
     # decimal corpus mean + decimal-Gram power iteration, per-row math
     # on the 6dp-rounded pc. New in r7.
-    return similarity.debias_top_pc(_t(spark, sf, "embeddings"), iters=2)
+    return similarity.debias_top_pc(_t(spark, sf, "embeddings"), iters=2, dim=64)
 
 
 def q_hll_grouped_ndv(spark, sf):

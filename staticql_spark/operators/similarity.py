@@ -621,7 +621,22 @@ def power_iteration_pc(
     exact latent-hazard class that flipped embedding_class_sep in r6;
     the per-row term x_j·d stays IEEE (deterministic in-row).
     """
-    vecs = ensure_parallelism(corpus).select(as_double(F.col(vec_col)).alias("x"))
+    if corpus.is_cached:
+        # caller already persisted the vector frame (debias_top_pc) —
+        # deriving straight from the cache keeps each iteration a cache
+        # read; re-running ensure_parallelism would bolt a fresh
+        # round-robin Exchange onto every pass (r13).
+        vecs = corpus.select(as_double(F.col(vec_col)).alias("x"))
+    else:
+        from .dedup import _persist_scoped
+
+        # each iteration is a full pass over vecs: without a pin the
+        # scan + repartition subtree re-executes once PER iteration
+        # plus once per downstream consumer (r13 — plan showed the
+        # corpus scan duplicated 2x/4x for top_pc/debias).
+        vecs = _persist_scoped(
+            ensure_parallelism(corpus).select(as_double(F.col(vec_col)).alias("x"))
+        )
     if dim is None:
         dim = len(vecs.select("x").first()["x"])
     init = 1.0 / float(dim) ** 0.5
@@ -685,9 +700,16 @@ def debias_top_pc(
     )
     if dim is None:
         dim = len(vecs.select("x").first()["x"])
+    from .dedup import _persist_scoped
+
     mu = vecs.agg(decimal_mean_array(F.col("x"), dim).alias("m"))
-    centered = vecs.crossJoin(F.broadcast(mu)).select(
-        "__vid", F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b).alias("c")
+    # centered is read by every power iteration AND the scoring pass —
+    # unpinned, each consumer re-ran scan + mean-aggregate + centering
+    # (r13: the before-plan held 3 copies of the whole subtree).
+    centered = _persist_scoped(
+        vecs.crossJoin(F.broadcast(mu)).select(
+            "__vid", F.zip_with(F.col("x"), F.col("m"), lambda a, b: a - b).alias("c")
+        )
     )
     pc = power_iteration_pc(centered, vec_col="c", id_col="__vid", iters=iters, dim=dim)
     out = centered.crossJoin(F.broadcast(pc.select("pc"))).select(
