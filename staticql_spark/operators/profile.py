@@ -168,6 +168,13 @@ def exact_quantiles(
     vals = df.select(F.col(col).cast("double").alias("x")).filter(
         F.col("x").isNotNull()
     )
+    # vals feeds three passes (min/max/n stats, bucket counts, the
+    # target-bucket rank scan) but is deliberately NOT pinned here: AQE's
+    # ReusedExchange already shares the repeated subtree for plain-scan
+    # sources, and an r13 A/B measured a cache pin NET-NEGATIVE for
+    # derived-frame callers (events_time_to_convert 1.0 -> 1.7 s).
+    # Callers whose source re-evaluation is genuinely expensive pin it
+    # themselves (robust_outlier_summary).
     stats = vals.agg(
         F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
     )
@@ -404,14 +411,24 @@ def robust_outlier_summary(
     A zero-MAD column (>= half the values identical) reports 0 outliers
     by convention (robust z undefined).
     """
+    from .dedup import _persist_scoped
+
+    # one pinned pass over the source; the median pass, the deviation
+    # frame, and (via devs) the MAD pass all derive from this cache —
+    # unpinned, exact_quantiles(devs) re-evaluated devs per internal
+    # pass and each evaluation re-ran the ENTIRE median computation
+    # (r13: 162 parquet scans in the before plan, 2.4 s at sf0.1).
+    vals = _persist_scoped(
+        df.select(F.col(col).cast("double").alias("x")).filter(F.col("x").isNotNull())
+    )
     med = (
-        exact_quantiles(df, col, [0.5], num_buckets)
+        exact_quantiles(vals, "x", [0.5], num_buckets)
         .select(F.col("value").alias("__med"), F.col("n").alias("__n"))
     )
-    devs = df.select(F.col(col).cast("double").alias("x")).filter(
-        F.col("x").isNotNull()
-    ).crossJoin(F.broadcast(med)).select(
-        (F.abs(F.col("x") - F.col("__med"))).alias("dev"), "x", "__med", "__n"
+    devs = _persist_scoped(
+        vals.crossJoin(F.broadcast(med)).select(
+            (F.abs(F.col("x") - F.col("__med"))).alias("dev"), "x", "__med", "__n"
+        )
     )
     mad = (
         exact_quantiles(devs, "dev", [0.5], num_buckets)
