@@ -1416,10 +1416,21 @@ def kendall_tau_overlap(
     rounded once.  The shuffle carries only top-k result sets, never
     the corpus (the rbo_overlap cost profile).
     """
-    ra = a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
-    rb = b.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_b"))
-    hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
-        "query_id", "rank_a", "rank_b"
+    from .dedup import _persist_scoped
+
+    # ra/rb are k-rows-per-query result sets but their UPSTREAM is a
+    # whole retrieval pipeline (IVF probe / broadcast cosine scan) —
+    # consumed by hits (x3 via the self-join) plus the query-id union,
+    # an unpinned plan re-ran both pipelines ~4x each (r13: the
+    # ann_kendall_tau before plan held 24 parquet scans, 72 Windows).
+    ra = _persist_scoped(
+        a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
+    )
+    rb = _persist_scoped(
+        b.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_b"))
+    )
+    hits = _persist_scoped(
+        ra.join(rb, ["query_id", "neighbor_id"]).select("query_id", "rank_a", "rank_b")
     )
     x, y = hits.alias("x"), hits.alias("y")
     sgn = F.signum((F.col("y.rank_b") - F.col("x.rank_b")).cast("double"))
