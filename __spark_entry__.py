@@ -2302,8 +2302,12 @@ def q_ann_recall(spark, sf):
     # One semi join between the two result sets, 1-row summary.
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    exact = similarity.cosine_topk(queries, emb, k=5).select(
-        "query_id", "neighbor_id"
+    # exact is consumed twice (the semi-join probe + n_exact_pairs):
+    # pinned so the brute-force pass runs once (r13). |Q|·k rows.
+    exact = dedup._persist_scoped(
+        similarity.cosine_topk(queries, emb, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
     approx = similarity.ivf_topk(queries, emb, k=5, nprobe=3).select(
         "query_id", "neighbor_id"
@@ -3105,7 +3109,11 @@ def q_ann_pq_recall(spark, sf):
     approx = pq.pq_adc_topk(
         queries, idx.codes, idx.codebooks, k=5, m=4, dim=64
     ).select("query_id", "neighbor_id")
-    exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    # exact is consumed twice (semi-join probe + n_exact_pairs): pinned
+    # so the exact-L2 pass runs once (r13). |Q|·k rows.
+    exact = dedup._persist_scoped(
+        pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    )
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact_pairs"))
@@ -3193,7 +3201,11 @@ def q_ann_ivfpq_recall(spark, sf):
         queries, emb, idx.codes.drop("cell"), idx.codebooks,
         k=5, m=4, dim=64, coarse_stride=100, nprobe=3,
     ).select("query_id", "neighbor_id")
-    exact = pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    # exact is consumed twice (semi-join probe + n_exact_pairs): pinned
+    # so the exact-L2 pass runs once (r13). |Q|·k rows.
+    exact = dedup._persist_scoped(
+        pq.l2_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    )
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact_pairs"))

@@ -52,7 +52,7 @@ def normalize_text(col: Column) -> Column:
 # working set; serving sessions can also call release_persists() between
 # requests for an eager floor.
 
-_LIVE_PERSISTS: dict[int, DataFrame] = {}
+_LIVE_PERSISTS: dict[tuple, DataFrame] = {}
 _MAX_LIVE_PERSISTS = 6
 # Serving sessions share one SparkSession across request threads; the
 # pop/reinsert LRU mutation below is not atomic, so all registry access
@@ -63,7 +63,14 @@ _PERSISTS_LOCK = threading.Lock()
 
 def _persist_scoped(df: DataFrame) -> DataFrame:
     """Persist ``df`` through the bounded registry (see module note)."""
-    h = df.semanticHash()
+    # Output column NAMES are part of the key: plan canonicalization
+    # normalizes aliases away, so two projections of one upstream plan
+    # that differ ONLY in output names (rank_a vs rank_b over the same
+    # ranking — the a==b metric-operator case) are semanticHash-equal
+    # AND sameSemantics-true; keying on the hash alone substituted the
+    # first frame for the second, renaming its columns (r13 regression,
+    # caught by test_r13_operators_degenerate_inputs).
+    h = (df.semanticHash(), tuple(df.columns))
     with _PERSISTS_LOCK:
         hit = _LIVE_PERSISTS.pop(h, None)
         if hit is not None and df.sameSemantics(hit):

@@ -849,7 +849,14 @@ def reciprocal_topk_pairs(
     of the |corpus|·k neighbor list on the (id, id) pair key — never a
     vector shuffle.
     """
-    nbrs = (
+    from .dedup import _persist_scoped
+
+    # The neighbor list feeds BOTH sides of the mutuality self-join; an
+    # unpinned plan re-ran the entire retrieval (the |Q|x|corpus| scored
+    # cross join + window, or the injected ANN pipeline) once per side —
+    # the r13 before plan held 2 BroadcastNestedLoopJoins and 2 Windows.
+    # The pinned frame is |corpus|·k rows by construction, bounded.
+    nbrs = _persist_scoped(
         neighbors
         if neighbors is not None
         else cosine_topk(corpus, corpus, k=k, vec_col=vec_col, id_col=id_col)
@@ -1174,9 +1181,16 @@ def mrl_recall(
     by query).  At 1e9 vectors you'd swap the exact passes for the IVF
     probe (ivf_topk) per dim; the comparison logic is unchanged.
     """
+    from .dedup import _persist_scoped
+
     queries = emb.filter(F.col(id_col) % query_stride == 0)
-    exact = cosine_topk(queries, emb, k=k, vec_col=vec_col, id_col=id_col).select(
-        "query_id", "neighbor_id"
+    # The full-dim exact list is consumed TWICE PER dim (the hit
+    # semi-join probe + the n_exact_pairs count): unpinned, the whole
+    # brute-force pass re-ran 2·|dims| times (r13).  |Q|·k rows, bounded.
+    exact = _persist_scoped(
+        cosine_topk(queries, emb, k=k, vec_col=vec_col, id_col=id_col).select(
+            "query_id", "neighbor_id"
+        )
     )
     out = None
     for d in sorted(int(d) for d in dims):
@@ -1247,12 +1261,22 @@ def rbo_overlap(
     ``out_round`` — the repo-wide engine-stable fold.
     """
     w = rbo_weights(p, k)
+    from .dedup import _persist_scoped
+
     wmap = F.map_from_arrays(
         F.array(*[F.lit(m) for m in range(1, k + 1)]),
         F.array(*[F.lit(x) for x in w]),
     )
-    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
-    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    # Each input is consumed twice (the hits join + the query-id union),
+    # and each is a whole retrieval pipeline — unpinned, both pipelines
+    # re-ran once per consumer (r13, the kendall_tau finding).  The
+    # pinned frames are k-rows-per-query result sets, bounded.
+    ra = _persist_scoped(
+        a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    )
+    rb = _persist_scoped(
+        b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    )
     hits = ra.join(rb, ["query_id", "neighbor_id"]).select(
         "query_id",
         F.greatest("rank_a", "rank_b").alias("m"),
@@ -1302,8 +1326,15 @@ def mrr_first_hit(
     never the corpus (the rbo_overlap cost profile).  rr is a single
     division off an exact integer rank, rounded once.
     """
-    ra = a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
-    rb = b.select("query_id", "neighbor_id")
+    from .dedup import _persist_scoped
+
+    # Both inputs are consumed twice (hits join + query-id union); pin
+    # the k-rows-per-query projections so the upstream retrieval
+    # pipelines run once (r13, the kendall_tau finding).
+    ra = _persist_scoped(
+        a.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank_a"))
+    )
+    rb = _persist_scoped(b.select("query_id", "neighbor_id"))
     first = (
         ra.join(rb, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1359,9 +1390,18 @@ def ndcg_overlap(
     """
     import math
 
+    from .dedup import _persist_scoped
+
     idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
-    ra0 = a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
-    rb0 = b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    # Both inputs are consumed twice (the rank<=k filter feeding the
+    # hits join + the unfiltered query-id union); pin the projections so
+    # each upstream retrieval pipeline runs once (r13).
+    ra0 = _persist_scoped(
+        a.select("query_id", "neighbor_id", F.col("rank").alias("rank_a"))
+    )
+    rb0 = _persist_scoped(
+        b.select("query_id", "neighbor_id", F.col("rank").alias("rank_b"))
+    )
     ra = ra0.filter(F.col("rank_a") <= k)
     rb = rb0.filter(F.col("rank_b") <= k)
     hits = ra.join(rb, ["query_id", "neighbor_id"]).select(

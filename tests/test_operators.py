@@ -3311,6 +3311,30 @@ def test_persist_registry_hash_collision_returns_callers_frame(spark, docs):
         dedup.release_persists()
 
 
+def test_persist_registry_alias_only_projections_coexist(spark, docs):
+    # r13: plan canonicalization normalizes output aliases away, so two
+    # projections of ONE upstream plan that differ only in column names
+    # (rank_a vs rank_b over the same ranking — the a==b metric-operator
+    # case) are semanticHash-equal AND sameSemantics-true.  The registry
+    # must key on the output names too, or the second pin comes back as
+    # the FIRST frame with the wrong column names (AMBIGUOUS_REFERENCE
+    # downstream).
+    dedup.release_persists()
+    try:
+        base = docs.select("doc_id")
+        a = dedup._persist_scoped(base.select(F.col("doc_id").alias("id_a")))
+        b = dedup._persist_scoped(base.select(F.col("doc_id").alias("id_b")))
+        assert a.columns == ["id_a"]
+        assert b.columns == ["id_b"]
+        # both frames stay live — pinning b must not evict or rename a
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+        assert b.storageLevel.useMemory or b.storageLevel.useDisk
+        joined = a.join(b, a["id_a"] == b["id_b"]).select("id_a", "id_b")
+        assert joined.count() == docs.count()
+    finally:
+        dedup.release_persists()
+
+
 def test_lsh_pair_paths_construct_lazily(spark, monkeypatch):
     # r13 barrier removal: building the full-build / index-derived pair
     # frames must trigger NO driver action (the retired width gate ran a
