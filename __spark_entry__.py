@@ -3389,11 +3389,19 @@ def q_doc_dedup_funnel(spark, sf):
     # production pipeline publishes. Five count aggregates, each subtree
     # the stage's own shape; nothing materializes. r7-window candidate.
     docs = _t(spark, sf, "documents")
-    keepers = dedup.exact_dedup(docs)
-    held = keepers.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    # Each funnel stage's frame is consumed by its own count AND by the
+    # next stage's derivation; unpinned, the expensive subtrees (exact
+    # dedup, the n-gram decontamination) re-ran once per consumer (r13).
+    # keepers/held are id-width; decon is the surviving-doc frame.
+    keepers = dedup._persist_scoped(dedup.exact_dedup(docs))
+    held = dedup._persist_scoped(
+        keepers.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    )
     held_docs = docs.join(held, "doc_id")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
-    decon = text.decontaminate_keep(held_docs, bench, n=5, min_shared=1)
+    decon = dedup._persist_scoped(
+        text.decontaminate_keep(held_docs, bench, n=5, min_shared=1)
+    )
     qual = text.quality_score(decon).filter(F.col("quality") >= 0.5)
 
     def stage(df, idx, name):
@@ -3704,6 +3712,12 @@ def q_pipeline_curate_mixture(spark, sf):
     q = text.quality_score(docs).select("doc_id", "quality")
     kept = docs.join(q.filter(F.col("quality") >= 0.5).select("doc_id"), "doc_id")
     uniq = kept.join(dedup.exact_dedup(kept).select("doc_id"), "doc_id")
+    # NOT pinned (r13): capped is consumed 3x (dsir corpus + target +
+    # the final mixture join) and a pin halves the exec, but the cached
+    # partition layout reorders F.avg(dsir_w)'s double summation and the
+    # 4dp mean landed across a rounding boundary at sf0.01 (-11.0511 ->
+    # -11.051, oracle mismatch). Values win over speed; the internal
+    # dsir_weights LM pins (order-free counts) keep what is safe.
     capped = text.cap_per_stratum(uniq, cap=20, strata_col="source")
     w = text.dsir_weights(capped, capped.filter(F.col("lang") == "en"), buckets=4096)
     return (

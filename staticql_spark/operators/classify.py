@@ -388,6 +388,14 @@ def auc_score(
         )
         .withColumn("bucket", F.floor(F.col("su") / F.lit(1000)).cast("long"))
     )
+    # lvl feeds BOTH the within-bucket window chain and the per-bucket
+    # base-offset aggregate; unpinned, the whole upstream (often an
+    # expensive derived scorer, e.g. quality_score's regex cascade) ran
+    # once per consumer — the r13 doc_auc before plan held 2 full scan +
+    # score chains.  One row per distinct 6dp score level, bounded.
+    from .dedup import _persist_scoped
+
+    lvl = _persist_scoped(lvl)
     win_in = (
         Window.partitionBy("bucket")
         .orderBy("su")

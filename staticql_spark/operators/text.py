@@ -1347,10 +1347,20 @@ def dsir_weights(
             ).alias("__b"),
         )
 
+    from .dedup import _persist_scoped
+
     corpus_tok = tok_buckets(df)
     target_tok = tok_buckets(target)
-    raw_cnt = corpus_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__rc"))
-    tgt_cnt = target_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__tc"))
+    # Each LM count frame is consumed twice (its total + the log-ratio
+    # join); unpinned, the full tokenize+explode of the corpus/target ran
+    # once per consumer (3 corpus passes instead of the algorithm's 2).
+    # <= |buckets| rows each, bounded.
+    raw_cnt = _persist_scoped(
+        corpus_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__rc"))
+    )
+    tgt_cnt = _persist_scoped(
+        target_tok.groupBy("__b").agg(F.count("*").cast("double").alias("__tc"))
+    )
     # coalesce(total, 0): an EMPTY target must degrade to the uniform
     # add-1 prior (weight = ln(B/(R+B)) per token), not NULL weights
     raw_tot = raw_cnt.agg(F.coalesce(F.sum("__rc"), F.lit(0.0)).alias("__rt"))
