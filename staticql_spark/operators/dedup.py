@@ -1575,10 +1575,17 @@ def containment_pairs(
     never shuffles (same contract as the rest of this module).
     """
     if dsh is None:
-        dsh = _persist_scoped(doc_shingles(df, text_col, id_col, n))
-    sets = dsh.select(
-        F.col(id_col), F.array_sort(F.col("sh")).alias("arr"),
-        F.size(F.col("sh")).alias("n_sh"),
+        dsh = doc_shingles(df, text_col, id_col, n)
+    # sets feeds FOUR consumers (the inverted index, the probe side, and
+    # both verify sides); pin the sorted-array form directly so each
+    # reads a cache instead of re-deriving shingles + array_sort per
+    # consumer (r13 — previously only the raw dsh was pinned, so the
+    # sort and, for injected dsh, the whole upstream re-ran 4x).
+    sets = _persist_scoped(
+        dsh.select(
+            F.col(id_col), F.array_sort(F.col("sh")).alias("arr"),
+            F.size(F.col("sh")).alias("n_sh"),
+        )
     )
     inv = sets.select(F.col(id_col).alias("other"), F.explode("arr").alias("shv"))
     inv = (

@@ -722,8 +722,16 @@ def unigram_logprob(
     t = F.when(
         F.trim(F.col(text_col)) != "", F.split(norm, r"\s+")
     ).otherwise(F.array().cast("array<string>"))
+    from .dedup import _persist_scoped
+
     tok = df.select(F.col(id_col), F.explode(t).alias("term"))
-    freq = tok.groupBy("term").agg(F.count("*").cast("double").alias("__cnt"))
+    # freq is consumed twice (the grand total + the top-k vocab cut);
+    # unpinned, the full tokenize + term shuffle ran once per consumer
+    # (r13).  One row per distinct term — the LM table a CCNet-style
+    # build materializes anyway; persist spills to disk at corpus scale.
+    freq = _persist_scoped(
+        tok.groupBy("term").agg(F.count("*").cast("double").alias("__cnt"))
+    )
     total = freq.agg(F.sum("__cnt").alias("__total"))
     vocab = freq.orderBy(F.col("__cnt").desc(), "term").limit(vocab_k)
     lp = -F.log2(F.coalesce(F.col("__cnt"), F.lit(1.0)) / F.col("__total"))
@@ -763,21 +771,28 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    d = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % buckets
-        ).alias("__bkt"),
+    from .dedup import _persist_scoped
+
+    # the tokenized-count frame feeds both the within-bucket cumsum and
+    # the per-bucket totals; pin so the corpus tokenize runs once (r13).
+    # Narrow (id, n_tokens, bucket) rows, no text.
+    d = _persist_scoped(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("n_tokens"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % buckets
+            ).alias("__bkt"),
+        )
     )
     w_in = (
         Window.partitionBy("__bkt")
@@ -835,8 +850,12 @@ def rebalance_sample(
     shares = spark.createDataFrame(
         sorted(target_shares.items()), f"{strata_col} string, __share double"
     )
+    from .dedup import _persist_scoped
+
     counts = df.groupBy(strata_col).agg(F.count("*").cast("double").alias("__c"))
-    joined = counts.join(shares, strata_col, "inner")
+    # joined feeds both the binding-stratum total and the keep-fraction
+    # select; unpinned, the per-stratum corpus count ran twice (r13).
+    joined = _persist_scoped(counts.join(shares, strata_col, "inner"))
     total = joined.agg(F.min(F.col("__c") / F.col("__share")).alias("__t"))
     keep = (
         joined.crossJoin(F.broadcast(total))
@@ -1405,9 +1424,16 @@ def mixture_epochs(
     Scale: one map-side-combined aggregate to |strata| rows; the budget
     arithmetic runs on that tiny frame. The corpus is scanned once.
     """
-    counts = ensure_parallelism(df).groupBy(strata_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("n_tokens"),
+    from .dedup import _persist_scoped
+
+    # counts feeds both the stratum-count probe and the budget select;
+    # unpinned, the full corpus tokenize-and-count ran once per consumer
+    # (r13).  |strata| rows, bounded.
+    counts = _persist_scoped(
+        ensure_parallelism(df).groupBy(strata_col).agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("n_tokens"),
+        )
     )
     n_strata = counts.agg(F.count("*").cast("double").alias("__ns"))
     return (
@@ -1730,11 +1756,17 @@ def shuffle_shards(
     # 60-bit key: high bits via integer division keep bucket order aligned
     # with key order inside a shard (required for the offset math).
     span = (1 << 60) // pos_buckets
-    keyed = df.select(
-        F.col(id_col),
-        key.alias("_k"),
-        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
-        F.floor(key / F.lit(span)).cast("int").alias("_b"),
+    # keyed feeds both the per-bucket base-offset aggregate and the
+    # ranked join; pin so the corpus scan + md5 keying runs once (r13).
+    from .dedup import _persist_scoped
+
+    keyed = _persist_scoped(
+        df.select(
+            F.col(id_col),
+            key.alias("_k"),
+            F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+            F.floor(key / F.lit(span)).cast("int").alias("_b"),
+        )
     )
     base = (
         keyed.groupBy("shard", "_b")
@@ -1841,12 +1873,19 @@ def training_order(
         10,
     ).cast("long")
     span = (1 << 60) // pos_buckets
-    keyed = expanded.select(
-        F.col(id_col),
-        F.col("rep").cast("long").alias("rep"),
-        key.alias("_k"),
-        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
-        F.floor(key / F.lit(span)).cast("int").alias("_b"),
+    # keyed feeds both the per-bucket base-offset aggregate and the
+    # ranked join; unpinned, the plan join + epoch expansion re-ran once
+    # per consumer (r13).  Narrow (id, rep, key) instance rows.
+    from .dedup import _persist_scoped
+
+    keyed = _persist_scoped(
+        expanded.select(
+            F.col(id_col),
+            F.col("rep").cast("long").alias("rep"),
+            key.alias("_k"),
+            F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+            F.floor(key / F.lit(span)).cast("int").alias("_b"),
+        )
     )
     base = (
         keyed.groupBy("shard", "_b")
@@ -1894,8 +1933,14 @@ def temperature_weights(
     temperature arithmetic runs on that tiny frame (the normalizing
     constant rides in via a 1-row broadcast cross join).
     """
-    counts = ensure_parallelism(df).groupBy(strata_col).agg(
-        F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("nt")
+    from .dedup import _persist_scoped
+
+    # counts feeds both the normalizing total and the tempered-share
+    # select; unpinned, the corpus tokenize-and-count ran twice (r13).
+    counts = _persist_scoped(
+        ensure_parallelism(df).groupBy(strata_col).agg(
+            F.sum(F.size(tokens(F.col(text_col)))).cast("double").alias("nt")
+        )
     )
     tot = counts.agg(F.sum("nt").alias("__tot"))
     shared = counts.crossJoin(F.broadcast(tot)).withColumn(
@@ -2013,8 +2058,14 @@ def ccnet_buckets(
     # coarse ordering buckets: nll is rounded to 4dp and small (log2
     # space), so floor(nll*4) gives bounded per-(lang, bucket) windows
     # whose order equals nll order
+    from .dedup import _persist_scoped
+
     b = F.floor(F.col("nll") * 4).cast("long")
-    keyed = scored.withColumn("_b", b)
+    # keyed feeds both the per-bucket base-offset aggregate and the
+    # ranked join; unpinned, the whole unigram-NLL scoring (tokenize +
+    # LM join + per-doc fold) ran once per consumer (r13).  One narrow
+    # row per doc, no text column.
+    keyed = _persist_scoped(scored.withColumn("_b", b))
     base = (
         keyed.groupBy("lang", "_b")
         .agg(F.count("*").alias("_n"))
