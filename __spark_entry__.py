@@ -2420,13 +2420,19 @@ def q_events_funnel(spark, sf):
     # first purchase strictly after that, per user; one summary row of
     # stage survivors. Each stage is a keyed min-aggregate + equi join on
     # user_id — no window over the whole event stream.
+    from staticql_spark.operators.dedup import _persist_scoped
+
     ev = load_events(spark, f"{sf}/events.parquet")
-    clicks = (
+    # clicks feeds views AND the summary join; views feeds purchases AND
+    # the summary join — unpinned, the summary's three inputs re-derive
+    # the chain from raw events 1+2+3 times (r13).  Pinned, each per-user
+    # MIN frame is computed once.
+    clicks = _persist_scoped(
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    views = (
+    views = _persist_scoped(
         ev.filter(F.col("event_type") == "view")
         .join(clicks, "user_id")
         .filter(F.col("ts") > F.col("t1"))

@@ -102,7 +102,16 @@ def funnel_report(
     collect — so a bot user with 10^6 events costs aggregate time, not
     executor memory.
     """
-    stage = (
+    from .dedup import _persist_scoped
+
+    # Each stage frame is consumed TWICE: by the next stage's join and by
+    # the `reached` union branch.  Unpinned, branch i of the union re-ran
+    # stages 1..i from the raw events — 1+2+..+k = O(k²) event scans (the
+    # r13 before-plan showed 10 scans for 4 steps).  Pinning each stage
+    # (a bounded per-user (user, t) frame) computes every stage once: k
+    # event scans total.  Values are unchanged — persist is evaluation
+    # plumbing, not semantics.
+    stage = _persist_scoped(
         df.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("t"))
@@ -117,7 +126,7 @@ def funnel_report(
                 F.col(ts_col)
                 <= F.col("t") + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
             )
-        stage = (
+        stage = _persist_scoped(
             df.filter(F.col(type_col) == s)
             .join(stage, user_col)
             .filter(within)

@@ -982,7 +982,7 @@ def embedding_neardup_pairs(
         )
     side = ensure_parallelism(df).select(
         F.col(id_col), v.alias("v"), block_col.alias("blk")
-    ).withColumn("n", norm(F.col("v")))
+    ).withColumn("n", norm("v"))
     side = (
         side.withColumn("_bc", F.count("*").over(W.partitionBy("blk")))
         .filter(F.col("_bc") <= max_bucket)
@@ -991,7 +991,7 @@ def embedding_neardup_pairs(
     l = side.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "blk")
     r = side.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "blk")
     pairs = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -1034,7 +1034,7 @@ def cross_neardup_pairs(
             "",
         )
         out = df.select(F.col(id_col).alias(ida), v.alias(va), blk.alias("blk"))
-        return out.withColumn(na, norm(F.col(va)))
+        return out.withColumn(na, norm(va))
 
     l = side(ensure_parallelism(corpus), "id_a", "va", "na")
     l = (
@@ -1044,7 +1044,7 @@ def cross_neardup_pairs(
     )
     r = side(bench, "id_b", "vb", "nb")
     pairs = l.join(r, "blk")
-    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )
@@ -1094,7 +1094,7 @@ def semantic_dedup_pairs(
         assigned.withColumn("_cc", F.count("*").over(W.partitionBy("cell")))
         .filter(F.col("_cc") <= max_cell)
         .drop("_cc")
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", norm("v"))
         # no checkpoint pin for the self-join: AQE's exchange reuse
         # already shares one evaluation of the kmeans+assign chain across
         # both sides (A/B-measured at sf0.1 — a lazy localCheckpoint only
@@ -1107,7 +1107,7 @@ def semantic_dedup_pairs(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "cell"
     )
     pairs = l.join(r, "cell").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
     return pairs.select(
         "id_a", "id_b", "cell", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -1154,21 +1154,28 @@ def incremental_semantic_pairs(
     ov = ensure_parallelism(old_df).select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    na = ivf_assign(nv, centroids, vec_alias="v", id_alias="vid", nprobe=1).withColumn(
-        "is_new", F.lit(True)
+    # na is consumed twice (the touched-cells semi join AND the union) and
+    # `both` is consumed twice (the l and r sides of the pair join) —
+    # unpinned, each consumer re-ran the broadcast argmin assignment from
+    # the raw embeddings (r13).  Pinned, the assignment and the cell-cap
+    # window run once; values are unchanged.
+    na = _persist_scoped(
+        ivf_assign(nv, centroids, vec_alias="v", id_alias="vid", nprobe=1).withColumn(
+            "is_new", F.lit(True)
+        )
     )
     oa = ivf_assign(ov, centroids, vec_alias="v", id_alias="vid", nprobe=1).withColumn(
         "is_new", F.lit(False)
     )
     touched = na.select("cell").distinct()
     oa = oa.join(touched, "cell", "left_semi")
-    both = (
+    both = _persist_scoped(
         # unionByName: the semi join moved oa's "cell" to the front
         na.unionByName(oa.select(*na.columns))
         .withColumn("_cc", F.count("*").over(W.partitionBy("cell")))
         .filter(F.col("_cc") <= max_cell)
         .drop("_cc")
-        .withColumn("n", norm(F.col("v")))
+        .withColumn("n", norm("v"))
     )
     l = both.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
@@ -1184,7 +1191,7 @@ def incremental_semantic_pairs(
         & (F.col("id_a") < F.col("id_b"))
         & (F.col("new_a") | F.col("new_b")),
     )
-    cos = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = cosine_with_norms("va", "vb", F.col("na"), F.col("nb"))
     return pairs.select(
         "id_a", "id_b", l["cell"].alias("cell"), F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -46,13 +46,23 @@ from . import ensure_parallelism
 from .similarity import as_double, decimal_mean_array, dot
 
 
-def sqdist6(a: Column, b: Column) -> Column:
+def sqdist6(
+    a: "Column | str", b: "Column | str", unroll: int | None = None
+) -> Column:
     """L2² via three dot products, each rounded to 6 decimals BEFORE the
     combine — the documented engine-crossing boundary (DuckDB's
     list_dot_product and Spark's aggregate(zip_with) may sum in different
-    orders; rounding each dot first makes the combine exact)."""
+    orders; rounding each dot first makes the combine exact).
+
+    ``unroll`` threads the statically-known array length down to
+    :func:`similarity.dot`'s guarded codegen unroll (None keeps dot's
+    full-dim default — right for full-vector callers; subvector callers
+    pass their dsub)."""
+    kw = {} if unroll is None else {"unroll": unroll}
     return (
-        F.round(dot(a, a), 6) - 2 * F.round(dot(a, b), 6) + F.round(dot(b, b), 6)
+        F.round(dot(a, a, **kw), 6)
+        - 2 * F.round(dot(a, b, **kw), 6)
+        + F.round(dot(b, b, **kw), 6)
     )
 
 
@@ -73,6 +83,7 @@ def _assign(
     id_col: str,
     carry_sv: bool,
     carry_d: bool = False,
+    unroll: int | None = None,
 ) -> DataFrame:
     """Argmin-L2 code per (id, subspace): broadcast join on subspace, then
     min(struct(rounded dist, code)) — the map-side-combine shape from
@@ -84,7 +95,7 @@ def _assign(
         "subspace",
         "sv",
         "code",
-        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("d"),
+        F.round(sqdist6("sv", "centroid", unroll=unroll), 6).alias("d"),
     )
     aggs = [F.min(F.struct("d", "code")).alias("_m")]
     if carry_sv:
@@ -125,10 +136,10 @@ def pq_train(
         "subspace", F.col("vid").alias("code"), F.col("sv").alias("centroid")
     )
     for _ in range(iters):
-        assigned = _assign(sub, codebooks, "vid", carry_sv=True)
+        assigned = _assign(sub, codebooks, "vid", carry_sv=True, unroll=dsub)
         codebooks = (
             assigned.groupBy("subspace", "code")
-            .agg(decimal_mean_array(F.col("sv"), dsub).alias("centroid"))
+            .agg(decimal_mean_array("sv", dsub).alias("centroid"))
         )
     return codebooks
 
@@ -148,7 +159,9 @@ def pq_encode(
     vecs = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    return _assign(subvectors(vecs, m, dsub), codebooks, "vid", carry_sv=False)
+    return _assign(
+        subvectors(vecs, m, dsub), codebooks, "vid", carry_sv=False, unroll=dsub
+    )
 
 
 def pq_adc_topk(
@@ -177,7 +190,7 @@ def pq_adc_topk(
         "query_id",
         "subspace",
         "code",
-        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+        F.round(sqdist6("sv", "centroid", unroll=dsub), 6).alias("pd"),
     )
     scored = (
         codes.join(F.broadcast(dtable), ["subspace", "code"])
@@ -241,7 +254,7 @@ def ivfpq_topk(
         "query_id",
         "subspace",
         "code",
-        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+        F.round(sqdist6("sv", "centroid", unroll=dsub), 6).alias("pd"),
     )
     tagged = codes.join(cells, "vid")
     cands = tagged.join(F.broadcast(probes), "cell")
@@ -383,7 +396,7 @@ def l2_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(sqdist6(F.col("qv"), F.col("cv")), 6).alias("d"),
+            F.round(sqdist6("qv", "cv"), 6).alias("d"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
@@ -418,7 +431,12 @@ def pq_quant_error(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
     assigned = _assign(
-        subvectors(vecs, m, dsub), codebooks, "vid", carry_sv=False, carry_d=True
+        subvectors(vecs, m, dsub),
+        codebooks,
+        "vid",
+        carry_sv=False,
+        carry_d=True,
+        unroll=dsub,
     )
     return assigned.groupBy(F.col("subspace").cast("int").alias("subspace")).agg(
         F.count("*").cast("long").alias("n"),
@@ -628,7 +646,7 @@ def ivfpq_query(
         "query_id",
         "subspace",
         "code",
-        F.round(sqdist6(F.col("sv"), F.col("centroid")), 6).alias("pd"),
+        F.round(sqdist6("sv", "centroid", unroll=dsub), 6).alias("pd"),
     )
     cands = codes.join(F.broadcast(probes), "cell")
     scored = (

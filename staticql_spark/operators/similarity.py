@@ -63,8 +63,62 @@ def centroid_sample(
     )
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-order double dot product (portable across engines)."""
+# Higher-order functions (ZipWith / ArrayAggregate) are CodegenFallback in
+# Spark: every per-pair dot product under a cross join runs on the
+# interpreted expression path.  When the array length is statically known
+# (this repo's embedding tables are dim-64 end to end) the same
+# left-associative sum unrolls into plain GetArrayItem/multiply/add
+# expressions, which whole-stage codegen compiles — measured 4-10x on the
+# N^2 pair kernels (guide 4.1: prefer built-in expressions inside codegen).
+# The unrolled form is BIT-IDENTICAL to the fold: ((0.0 + a0*b0) + a1*b1)
+# + ... in the same order, null propagating through any null element or
+# short array exactly like zip_with padding.  A runtime size guard keeps
+# the fold as the fallback for every other length, so values never change.
+#
+# The unrolled tree is built as ONE F.expr SQL string, not a Python loop
+# of Column operators: building 64 getItem/multiply/add Columns costs
+# ~900 ms of py4j round trips PER CALL SITE (measured — it inflated
+# ann_kendall_tau's construct 0.6 -> 5.4 s), while the string parses
+# JVM-side in ~1 ms and analyzes in the same tree.  That is why the
+# unroll path takes column NAMES (str): a name renders into SQL text
+# directly.  Column-typed inputs keep the portable fold.
+_UNROLL_DIM = 64
+
+
+def _sql_ref(c: "Column | str") -> str | None:
+    """Backtick-quoted SQL reference for a column NAME; None for Columns."""
+    if isinstance(c, str):
+        return "`" + c.replace("`", "``") + "`"
+    return None
+
+
+def _as_col(c: "Column | str") -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _dot_sql(asql: str, bsql: str, d: int, zero: str) -> str:
+    terms = " + ".join(f"{asql}[{i}] * {bsql}[{i}]" for i in range(d))
+    fold = (
+        f"aggregate(zip_with({asql}, {bsql}, (x, y) -> x * y), "
+        f"{zero}, (acc, x) -> acc + x)"
+    )
+    return (
+        f"CASE WHEN size({asql}) = {d} AND size({bsql}) = {d} "
+        f"THEN {zero} + {terms} ELSE {fold} END"
+    )
+
+
+def dot(
+    a: "Column | str", b: "Column | str", unroll: int | None = _UNROLL_DIM
+) -> Column:
+    """Sequential-order double dot product (portable across engines).
+
+    Pass column NAMES to get the guarded codegen unroll (see module
+    note); Column expressions always take the higher-order fold."""
+    asql, bsql = _sql_ref(a), _sql_ref(b)
+    if unroll and asql and bsql:
+        return F.expr(_dot_sql(asql, bsql, unroll, "cast(0.0 as double)"))
+    a, b = _as_col(a), _as_col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -72,15 +126,26 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: "Column | str", unroll: int | None = _UNROLL_DIM) -> Column:
+    asql = _sql_ref(a)
+    if unroll and asql:
+        terms = " + ".join(f"{asql}[{i}] * {asql}[{i}]" for i in range(unroll))
+        fold = f"aggregate({asql}, cast(0.0 as double), (acc, x) -> acc + x * x)"
+        return F.sqrt(
+            F.expr(
+                f"CASE WHEN size({asql}) = {unroll} "
+                f"THEN cast(0.0 as double) + {terms} ELSE {fold} END"
+            )
+        )
+    a = _as_col(a)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: "Column | str", b: "Column | str") -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def decimal_mean_array(vec: Column, dim: int) -> Column:
+def decimal_mean_array(vec: "Column | str", dim: int) -> Column:
     """Summation-order-free per-element mean (aggregate) for centroid
     updates -> array<double> of length ``dim``.
 
@@ -95,7 +160,21 @@ def decimal_mean_array(vec: Column, dim: int) -> Column:
 
     Oracle twin: ``CAST(SUM(CAST(round(x, 6) AS DECIMAL(27,6))) AS
     DOUBLE) / count(*)``.
+
+    Built as ONE F.expr parse when the vector is passed by NAME — the
+    Python loop of per-element Column operators cost ~6 py4j round trips
+    per dimension per call site (the dot/norm unroll lesson, guide §1.2
+    "per-task work" applied to the driver); the SQL string builds the
+    identical tree JVM-side.
     """
+    vsql = _sql_ref(vec)
+    if vsql:
+        elems = ", ".join(
+            f"cast(sum(cast(round({vsql}[{i}], 6) as decimal(27,6))) as double)"
+            f" / count(1)"
+            for i in range(dim)
+        )
+        return F.expr(f"array({elems})")
     return F.array(
         *[
             F.sum(F.round(vec[i], 6).cast("decimal(27,6)")).cast("double")
@@ -105,15 +184,22 @@ def decimal_mean_array(vec: Column, dim: int) -> Column:
     )
 
 
-def cosine_with_norms(a: Column, b: Column, an: Column, bn: Column) -> Column:
+def cosine_with_norms(
+    a: "Column | str",
+    b: "Column | str",
+    an: Column,
+    bn: Column,
+    unroll: int | None = _UNROLL_DIM,
+) -> Column:
     """Cosine from a precomputed norm per side.
 
     Per-pair work drops from three interpreted higher-order aggregates
     (dot + 2 norms) to one: norms are bound as columns ONCE per row before
     the pairing join, never recomputed per pair. Numerically identical to
     :func:`cosine` (same summation order), so oracle values are unchanged.
+    Pass the vectors by NAME to get :func:`dot`'s codegen unroll.
     """
-    return dot(a, b) / (an * bn)
+    return dot(a, b, unroll=unroll) / (an * bn)
 
 
 def cosine_topk(
@@ -122,25 +208,31 @@ def cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    unroll: int | None = _UNROLL_DIM,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
 
     Ties break on neighbor id; cosine is rounded to 6 places BEFORE ranking
     so the ordering is reproducible across engines' float summation.
-    Self-matches (same id) are excluded.
+    Self-matches (same id) are excluded.  ``unroll`` threads the statically
+    known vector length to :func:`dot`'s guarded codegen unroll (callers on
+    truncated vectors — the MRL prefix passes — pass their d).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv", unroll=unroll))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv", unroll=unroll))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"), unroll=unroll
+            ),
+            6,
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -161,8 +253,38 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Sign-pattern bucket id (string of 0/1) for a vector column."""
+def lsh_bucket(vec: "Column | str", dim: int, num_planes: int = 8) -> Column:
+    """Sign-pattern bucket id (string of 0/1) for a vector column.
+
+    Name-typed input builds the whole bucket as ONE F.expr parse with the
+    per-plane projections unrolled (the dot/norm discipline: the Python
+    loop cost num_planes x dim py4j round trips per call site at
+    construct, and num_planes interpreted folds per ROW at exec); plane
+    components render as cast('<repr>' as double) so the parsed literal
+    is the bit-exact same double.  A size guard keeps the zip_with fold
+    for vectors of any other length (zip_with pads the SHORTER side with
+    nulls, which the unroll cannot reproduce).
+    """
+    vsql = _sql_ref(vec)
+    if vsql:
+        bits = []
+        for p in range(num_planes):
+            plane = _plane(dim, p)
+            terms = " + ".join(
+                f"{vsql}[{i}] * cast('{x!r}' as double)"
+                for i, x in enumerate(plane)
+            )
+            lits = ", ".join(f"cast('{x!r}' as double)" for x in plane)
+            fold = (
+                f"aggregate(zip_with({vsql}, array({lits}), (x, y) -> x * y), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            proj = (
+                f"CASE WHEN size({vsql}) = {dim} "
+                f"THEN cast(0.0 as double) + {terms} ELSE {fold} END"
+            )
+            bits.append(f"cast(cast(({proj}) >= 0 as int) as string)")
+        return F.expr("concat(" + ", ".join(bits) + ")")
     bits = []
     for p in range(num_planes):
         plane = _plane(dim, p)
@@ -205,8 +327,8 @@ def ivf_assign(
     (only the double is negated — string centroid ids keep working).
     nprobe>1 (the probe path) keeps the window rank.
     """
-    vectors = vectors.withColumn("_vn", norm(F.col(vec_alias)))
-    centroids = centroids.withColumn("_cn", norm(F.col("centroid")))
+    vectors = vectors.withColumn("_vn", norm(vec_alias))
+    centroids = centroids.withColumn("_cn", norm("centroid"))
     pairs = vectors.crossJoin(F.broadcast(centroids))
     scored = pairs.select(
         id_alias,
@@ -271,7 +393,7 @@ def kmeans_fit(
     for _ in range(iters):
         assigned = ivf_assign(vecs, centroids, vec_alias="v", id_alias="vid", nprobe=1)
         centroids = assigned.groupBy("cell").agg(
-            decimal_mean_array(F.col("v"), dim).alias("centroid")
+            decimal_mean_array("v", dim).alias("centroid")
         ).select(F.col("cell").alias("cid"), "centroid")
     return centroids
 
@@ -311,16 +433,16 @@ def ivf_topk(
         centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
     cells = ivf_assign(
         c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     pairs = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -419,19 +541,19 @@ def ivf_query(
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
     )
-    probes = probes.withColumn("qn", norm(F.col("qv")))
+    probes = probes.withColumn("qn", norm("qv"))
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
-        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cn", norm("cv"))
     )
     pairs = probes.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -458,8 +580,8 @@ def lsh_topk(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))
-        .withColumn("qn", norm(F.col("qv")))
+        .withColumn("bucket", lsh_bucket("qv", dim, num_planes))
+        .withColumn("qn", norm("qv"))
     )
     c = (
         ensure_parallelism(corpus)
@@ -467,8 +589,8 @@ def lsh_topk(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
-        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("bucket", lsh_bucket("cv", dim, num_planes))
+        .withColumn("cn", norm("cv"))
     )
     pairs = F.broadcast(q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -477,7 +599,7 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -526,9 +648,19 @@ def _int8_codes(vec: Column) -> Column:
     return F.transform(v, lambda x: F.round(x * scale).cast("long"))
 
 
-def _int_dot(a: Column, b: Column) -> Column:
+def _int_dot(
+    a: "Column | str", b: "Column | str", unroll: int | None = _UNROLL_DIM
+) -> Column:
+    # Integer sums are order-independent, so the unrolled codegen form
+    # (same guard + F.expr discipline as :func:`dot`) is exactly equal by
+    # algebra, not just by matching the fold's order.
+    asql, bsql = _sql_ref(a), _sql_ref(b)
+    if unroll and asql and bsql:
+        return F.expr(_dot_sql(asql, bsql, unroll, "cast(0 as bigint)"))
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+        F.zip_with(_as_col(a), _as_col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
 
 
@@ -552,16 +684,16 @@ def quantized_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _int8_codes(F.col(vec_col)).alias("qc")
-    ).withColumn("qn", F.sqrt(_int_dot(F.col("qc"), F.col("qc")).cast("double")))
+    ).withColumn("qn", F.sqrt(_int_dot("qc", "qc").cast("double")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _int8_codes(F.col(vec_col)).alias("cc")
-    ).withColumn("cn", F.sqrt(_int_dot(F.col("cc"), F.col("cc")).cast("double")))
+    ).withColumn("cn", F.sqrt(_int_dot("cc", "cc").cast("double")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            _int_dot(F.col("qc"), F.col("cc")).cast("double") / (F.col("qn") * F.col("cn")),
+            _int_dot("qc", "cc").cast("double") / (F.col("qn") * F.col("cn")),
             6,
         ).alias("qcosine"),
     )
@@ -645,7 +777,7 @@ def power_iteration_pc(
     )
     for _ in range(iters):
         proj = vecs.crossJoin(F.broadcast(v)).select(
-            "x", dot(F.col("x"), F.col("v")).alias("d")
+            "x", dot("x", "v").alias("d")
         )
         s = proj.agg(
             F.array(
@@ -702,7 +834,7 @@ def debias_top_pc(
         dim = len(vecs.select("x").first()["x"])
     from .dedup import _persist_scoped
 
-    mu = vecs.agg(decimal_mean_array(F.col("x"), dim).alias("m"))
+    mu = vecs.agg(decimal_mean_array("x", dim).alias("m"))
     # centered is read by every power iteration AND the scoring pass —
     # unpinned, each consumer re-ran scan + mean-aggregate + centering
     # (r13: the before-plan held 3 copies of the whole subtree).
@@ -716,7 +848,7 @@ def debias_top_pc(
         F.col("__vid").alias(id_col),
         "c",
         "pc",
-        F.round(dot(F.col("c"), F.col("pc")), 6).alias("proj"),
+        F.round(dot("c", "pc"), 6).alias("proj"),
     )
     resid = F.zip_with(
         F.col("c"), F.col("pc"), lambda ce, ve: ce - F.col("proj") * ve
@@ -724,7 +856,7 @@ def debias_top_pc(
     return out.select(
         id_col,
         "proj",
-        F.round(norm(F.col("c")), 6).alias("norm_before"),
+        F.round(norm("c"), 6).alias("norm_before"),
         F.round(norm(resid), 6).alias("norm_after"),
     )
 
@@ -758,12 +890,12 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
         F.col(label_col).alias("__ql"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", norm("qv"))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
         F.col(label_col).alias("__cl"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", norm("cv"))
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -774,7 +906,7 @@ def hard_negatives(
         .otherwise(F.lit("neg"))
         .alias("role"),
         F.round(
-            cosine_with_norms(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id", "role").orderBy(
@@ -906,9 +1038,9 @@ def kmeans_inertia(
         F.broadcast(centroids.select(F.col("cid").alias("cell"), "centroid")), "cell"
     )
     d2 = F.round(
-        F.round(dot(F.col("v"), F.col("v")), 6)
-        - 2 * F.round(dot(F.col("v"), F.col("centroid")), 6)
-        + F.round(dot(F.col("centroid"), F.col("centroid")), 6),
+        F.round(dot("v", "v"), 6)
+        - 2 * F.round(dot("v", "centroid"), 6)
+        + F.round(dot("centroid", "centroid"), 6),
         6,
     )
     per_cell = joined.select("cell", d2.cast("decimal(20,6)").alias("__d2")).groupBy(
@@ -956,11 +1088,11 @@ def class_separation(
         dim = len(vecs.select("v").first()["v"])
     cent = vecs.groupBy("label").agg(
         F.count("*").alias("n"),
-        decimal_mean_array(F.col("v"), dim).alias("c"),
+        decimal_mean_array("v", dim).alias("c"),
     )
-    cent_n = cent.withColumn("cn", norm(F.col("c")))
+    cent_n = cent.withColumn("cn", norm("c"))
     coh = (
-        vecs.withColumn("vn", norm(F.col("v")))
+        vecs.withColumn("vn", norm("v"))
         .join(F.broadcast(cent_n.select("label", "c", "cn")), "label")
         .select(
             "label",
@@ -1196,9 +1328,9 @@ def mrl_recall(
     for d in sorted(int(d) for d in dims):
         qd = queries.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
         cd = emb.select(id_col, F.slice(vec_col, 1, d).alias(vec_col))
-        trunc = cosine_topk(qd, cd, k=k, vec_col=vec_col, id_col=id_col).select(
-            "query_id", "neighbor_id"
-        )
+        trunc = cosine_topk(
+            qd, cd, k=k, vec_col=vec_col, id_col=id_col, unroll=d
+        ).select("query_id", "neighbor_id")
         hits = trunc.join(exact, ["query_id", "neighbor_id"], "left_semi")
         row = (
             exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))

@@ -89,6 +89,49 @@ def test_cosine_topk_self_similarity(spark, emb):
     assert all(-1.0 <= c <= 1.0 for c in cosines)
 
 
+def test_unrolled_dot_bit_identical_to_fold(spark):
+    # The codegen unroll in dot/norm/_int_dot must be BIT-identical to the
+    # HOF fold on every input shape: full 64-dim, the dsub=16 subvector
+    # path, short arrays (guard falls back to the fold), null elements,
+    # and null arrays.  eqNullSafe catches any value or nullness drift.
+    import hashlib
+
+    def vec(seed, d=64):
+        return [
+            (int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+             / float(0xFFFFFFFF) * 2.0 - 1.0)
+            for i in range(d)
+        ]
+
+    rows = [(vec(s),) for s in range(20)]
+    rows += [(vec("short", 17),), ([None] + vec("n", 63),), (None,)]
+    df = spark.createDataFrame(rows, "va array<double>")
+    pairs = df.crossJoin(df.select(F.col("va").alias("vb")))
+    # name-typed args take the F.expr unroll; Column-typed args are the
+    # reference fold (dot falls back to the fold for Column inputs)
+    a, b = F.col("va"), F.col("vb")
+    for d in (64, 16):
+        bad = pairs.select(
+            similarity.dot("va", "vb", unroll=d).alias("u"),
+            similarity.dot(a, b, unroll=None).alias("f"),
+            similarity.norm("va", unroll=d).alias("nu"),
+            similarity.norm(a, unroll=None).alias("nf"),
+        ).where(
+            (~F.col("u").eqNullSafe(F.col("f")))
+            | (~F.col("nu").eqNullSafe(F.col("nf")))
+        ).count()
+        assert bad == 0, f"unroll={d} diverged from the fold"
+    coded = pairs.select(
+        similarity._int8_codes(a).alias("ca"),
+        similarity._int8_codes(b).alias("cb"),
+    )
+    bad = coded.select(
+        similarity._int_dot("ca", "cb", unroll=64).alias("u"),
+        similarity._int_dot(F.col("ca"), F.col("cb"), unroll=None).alias("f"),
+    ).where(~F.col("u").eqNullSafe(F.col("f"))).count()
+    assert bad == 0
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark, emb):
     queries = emb.filter(F.col("vec_id") == 0)
     exact = {
