@@ -256,35 +256,15 @@ def _plane(dim: int, plane_idx: int) -> list[float]:
 def lsh_bucket(vec: "Column | str", dim: int, num_planes: int = 8) -> Column:
     """Sign-pattern bucket id (string of 0/1) for a vector column.
 
-    Name-typed input builds the whole bucket as ONE F.expr parse with the
-    per-plane projections unrolled (the dot/norm discipline: the Python
-    loop cost num_planes x dim py4j round trips per call site at
-    construct, and num_planes interpreted folds per ROW at exec); plane
-    components render as cast('<repr>' as double) so the parsed literal
-    is the bit-exact same double.  A size guard keeps the zip_with fold
-    for vectors of any other length (zip_with pads the SHORTER side with
-    nulls, which the unroll cannot reproduce).
+    Deliberately NOT unrolled (the dot/norm treatment was measured and
+    REVERTED here): num_planes x dim terms in one projection blow past
+    the JIT's huge-method limit, so the generated code runs as
+    interpreted bytecode — 2x SLOWER steady-state than the fold on this
+    per-row (linear, not N^2) kernel, plus ~3 s of Janino compile on
+    first use (micro-probe: unroll 0.40 s steady / 3.2 s first vs fold
+    0.18 s steady on 2000 rows).  The fold stays.
     """
-    vsql = _sql_ref(vec)
-    if vsql:
-        bits = []
-        for p in range(num_planes):
-            plane = _plane(dim, p)
-            terms = " + ".join(
-                f"{vsql}[{i}] * cast('{x!r}' as double)"
-                for i, x in enumerate(plane)
-            )
-            lits = ", ".join(f"cast('{x!r}' as double)" for x in plane)
-            fold = (
-                f"aggregate(zip_with({vsql}, array({lits}), (x, y) -> x * y), "
-                f"cast(0.0 as double), (acc, x) -> acc + x)"
-            )
-            proj = (
-                f"CASE WHEN size({vsql}) = {dim} "
-                f"THEN cast(0.0 as double) + {terms} ELSE {fold} END"
-            )
-            bits.append(f"cast(cast(({proj}) >= 0 as int) as string)")
-        return F.expr("concat(" + ", ".join(bits) + ")")
+    vec = _as_col(vec)
     bits = []
     for p in range(num_planes):
         plane = _plane(dim, p)
@@ -431,18 +411,25 @@ def ivf_topk(
     )
     if centroids is None:
         centroids = centroid_sample(corpus, vec_col, id_col, centroid_stride)
+    # fold, not unroll: the IVF candidate set is nprobe/num_cells of the
+    # corpus by design — far below the ~1M-pair break-even where the
+    # unrolled kernel's compile + plan mass pays for itself (measured on
+    # ann_hybrid_rrf: unroll made this path 2-5x slower; see lsh_bucket)
     cells = ivf_assign(
         c, centroids, vec_alias="cv", id_alias="neighbor_id", nprobe=1
-    ).withColumn("cn", norm("cv"))
+    ).withColumn("cn", norm(F.col("cv")))
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
-    ).withColumn("qn", norm("qv"))
+    ).withColumn("qn", norm(F.col("qv")))
     pairs = probes.join(cells, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -541,19 +528,22 @@ def ivf_query(
     probes = ivf_assign(
         F.broadcast(q), centroids, vec_alias="qv", id_alias="query_id", nprobe=nprobe
     )
-    probes = probes.withColumn("qn", norm("qv"))
+    probes = probes.withColumn("qn", norm(F.col("qv")))  # fold: probe-sized
     probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(probe_cells))
-        .withColumn("cn", norm("cv"))
+        .withColumn("cn", norm(F.col("cv")))
     )
     pairs = probes.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -581,7 +571,7 @@ def lsh_topk(
             as_double(F.col(vec_col)).alias("qv"),
         )
         .withColumn("bucket", lsh_bucket("qv", dim, num_planes))
-        .withColumn("qn", norm("qv"))
+        .withColumn("qn", norm(F.col("qv")))
     )
     c = (
         ensure_parallelism(corpus)
@@ -590,16 +580,21 @@ def lsh_topk(
             as_double(F.col(vec_col)).alias("cv"),
         )
         .withColumn("bucket", lsh_bucket("cv", dim, num_planes))
-        .withColumn("cn", norm("cv"))
+        .withColumn("cn", norm(F.col("cv")))
     )
     pairs = F.broadcast(q).join(c, "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # fold, not unroll: bucket-restricted candidates are a small fraction
+    # of corpus^2 (the point of LSH) — below the unroll break-even
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         F.round(
-            cosine_with_norms("qv", "cv", F.col("qn"), F.col("cn")), 6
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ),
+            6,
         ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
