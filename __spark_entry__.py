@@ -2420,7 +2420,7 @@ def q_events_funnel(spark, sf):
     # first purchase strictly after that, per user; one summary row of
     # stage survivors. Each stage is a keyed min-aggregate + equi join on
     # user_id — no window over the whole event stream.
-    from staticql_spark.operators.dedup import _persist_scoped
+    from staticql_spark.operators import _persist_scoped
 
     ev = load_events(spark, f"{sf}/events.parquet")
     # clicks feeds views AND the summary join; views feeds purchases AND
@@ -2852,7 +2852,14 @@ def q_simhash_pairs(spark, sf):
 def q_ann_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return similarity.cosine_topk(queries, emb, k=5)
+    # Pair-count-gated unroll (r14, r13 verdict #2): |Q| = |C|/50 here, so
+    # pairs = |C|^2/50 — 80k at sf0.1, far below the ~1M break-even where
+    # the unrolled kernel's codegen compile pays off (the r13 unroll
+    # regressed this key 0.40->0.61 s).  The estimate is statistics-only
+    # (no job); values are identical either way (unroll is bit-identical).
+    rows = similarity.estimated_rows(emb, row_bytes=8 * 64)
+    unroll = similarity.unroll_for_pairs(rows * rows / 50)
+    return similarity.cosine_topk(queries, emb, k=5, unroll=unroll)
 
 
 def q_ann_quantized(spark, sf):
@@ -3794,10 +3801,18 @@ def q_ann_knn_classify(spark, sf):
     from staticql_spark.operators.classify import knn_classify
 
     emb = _t(spark, sf, "embeddings")
+    # Pair-count-gated unroll (r14, r13 verdict #2): |Q| ~= |C|/20, so
+    # pairs ~= |C|^2/20 — 190k at sf0.1, below the ~1M break-even (the
+    # r13 unroll regressed this key 0.61->0.87 s).  Statistics-only
+    # estimate; the unroll is bit-identical to the fold, so values never
+    # depend on the gate.
+    rows = similarity.estimated_rows(emb, row_bytes=8 * 64)
+    unroll = similarity.unroll_for_pairs(rows * rows / 20)
     return knn_classify(
         emb.filter(F.col("vec_id") % 20 == 0),
         emb.filter(F.col("vec_id") % 20 != 0),
         k=5,
+        unroll=unroll,
     )
 
 

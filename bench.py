@@ -375,9 +375,25 @@ def main() -> None:
     )
     artifact_build_total = round(sum(artifact_build.values()), 3)
 
+    # r14 (r13 verdict #1/#2, measurement-bug fix, declared in
+    # OPTIMIZATION_r14.md): the operators' bounded persist registry used
+    # to survive across the 3 timed reps AND across sibling keys in this
+    # process, so min-of-3 reported a number that excluded a key's own
+    # pinned-frame computation (ann_rnn_pairs reps read [2.5, 0.16, 0.16])
+    # and some keys started warm off a sibling's persists (ann_ndcg via
+    # ann_mrr).  The registry is an optimization WITHIN one query
+    # evaluation (multi-consumed frames computed once per action), so the
+    # honest per-rep time releases it first: every rep is self-contained,
+    # min-of-3 is steady-state cold (rep 1 still eats one-time codegen
+    # compile), and "cold_sec" (rep-1) is recorded per key alongside the
+    # min.  Old-methodology numbers stay committed in BENCH_r13/
+    # BENCH_FULL artifacts for comparison.
+    from staticql_spark.operators import release_persists
+
     timings: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
     construct: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         # best of 3: run 1 includes one-time whole-stage-codegen class
         # compilation (measured 3-4x the steady-state on expression-heavy
@@ -397,6 +413,7 @@ def main() -> None:
         #   rounds): the noop write, i.e. engine throughput.
         runs, cruns = [], []
         for _ in range(3):
+            release_persists()  # every rep self-contained (note above)
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             t1 = time.perf_counter()
@@ -406,6 +423,7 @@ def main() -> None:
         timings[name] = min(runs)
         reps[name] = runs
         construct[name] = min(cruns)
+        cold[name] = runs[0]
 
     total = round(sum(timings.values()), 3)
     sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -418,6 +436,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": reps,
+        "cold_sec": cold,
+        "persist_policy": (
+            "operator persist registry released before EVERY rep (r14; "
+            "r13 verdict #1/#2): reps are self-contained, min-of-3 is "
+            "steady-state cold, cold_sec is rep-1 (includes one-time "
+            "codegen compile + the key's own persist builds)"
+        ),
         "construct_sec": construct,
         "construct_total": construct_total,
         "artifact_build_sec": artifact_build,
@@ -443,9 +468,16 @@ def main() -> None:
         ],
         "sf": sf_num,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    # r14 (r13 verdict finding #4): the fixed BENCH_FULL.json path let the
+    # driver's 8-core scaling run clobber the 32-core artifact.  The
+    # cpu-count-versioned file is the durable artifact (32- and 8-core
+    # runs coexist); BENCH_FULL.json remains the latest-run pointer for
+    # existing tooling.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    for fname in (f"BENCH_FULL_c{cpus}.json", "BENCH_FULL.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
 
     # spread health: per-query max/min rep ratio; worst offenders carry
     # their [min, med, max] triple so a contaminated run self-diagnoses
@@ -468,6 +500,9 @@ def main() -> None:
         "queries": {q: timings[q] for q in CORE if q in timings},
         "sf": sf_num,
         "n_queries": len(timings),
+        # r14: sum of per-key rep-1 (self-contained cold) times — the
+        # attributable companion to the min-of-3 headline (verdict #1)
+        "cold_total": round(sum(cold.values()), 3),
         "construct_total": construct_total,
         "artifact_build_total": artifact_build_total,
         # fixed-work drift sentinel: sf-independent 64M-row agg; normalize
@@ -478,7 +513,7 @@ def main() -> None:
             "median_ratio": rvals[len(rvals) // 2],
             "worst": worst,
         },
-        "full": "BENCH_FULL.json",
+        "full": f"BENCH_FULL_c{cpus}.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # the driver keeps a 2000-char stdout tail

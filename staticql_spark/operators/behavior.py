@@ -102,7 +102,7 @@ def funnel_report(
     collect — so a bot user with 10^6 events costs aggregate time, not
     executor memory.
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # Each stage frame is consumed TWICE: by the next stage's join and by
     # the `reached` union branch.  Unpinned, branch i of the union re-ran

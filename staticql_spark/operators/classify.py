@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import ensure_parallelism
+from .similarity import _UNROLL_DIM
 from .text import STOPWORDS_EN, tokens
 
 #: Latin diacritics the lang_id heuristic treats as de/fr/es evidence —
@@ -181,6 +182,7 @@ def knn_classify(
     id_col: str = "vec_id",
     label_col: str = "label",
     neighbors: DataFrame | None = None,
+    unroll: "int | None" = _UNROLL_DIM,
 ) -> DataFrame:
     """k-NN majority-vote classification over an embedding column — the
     label-propagation step a pipeline uses to extend a small labeled seed
@@ -199,7 +201,6 @@ def knn_classify(
     never shuffled. Swap cosine_topk for ivf_query/lsh_topk candidates to
     make the neighbor stage sublinear; the vote tail is unchanged.
     """
-    from pyspark.sql import Window
     from .similarity import cosine_topk
 
     # neighbors= injects a precomputed (query_id, neighbor_id) candidate
@@ -213,8 +214,10 @@ def knn_classify(
         nbrs = neighbors.select("query_id", "neighbor_id")
     else:
         nbrs = F.broadcast(
-            cosine_topk(queries, corpus, k=k, vec_col=vec_col, id_col=id_col)
-            .select("query_id", "neighbor_id")
+            cosine_topk(
+                queries, corpus, k=k, vec_col=vec_col, id_col=id_col,
+                unroll=unroll,
+            ).select("query_id", "neighbor_id")
         )
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
@@ -224,13 +227,25 @@ def knn_classify(
         .groupBy("query_id", "__nl")
         .agg(F.count("*").alias("votes"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("votes").desc(), F.col("__nl").asc()
-    )
+    # Majority pick is a true top-1, so it is ONE hash aggregate, not a
+    # rank window (r14, r13 verdict #5; same argmin-as-min(struct) idiom
+    # as similarity.ivf_assign's nprobe=1 path): min over (-votes, label)
+    # = max votes then min label — the identical (votes DESC, label ASC)
+    # tiebreak, null labels ordering first under both forms.  The window
+    # form cost an extra Exchange + two sorts per call (visible in the
+    # ann_knn_classify / ann_label_noise before-plans).
     pred = (
-        votes.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("query_id", F.col("__nl").alias("pred_label"), "votes")
+        votes.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("votes")).alias("nv"), F.col("__nl"))
+            ).alias("_m")
+        )
+        .select(
+            "query_id",
+            F.col("_m.__nl").alias("pred_label"),
+            (-F.col("_m.nv")).alias("votes"),
+        )
     )
     truth = queries.select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
@@ -251,6 +266,7 @@ def label_noise_report(
     id_col: str = "vec_id",
     label_col: str = "label",
     neighbors: DataFrame | None = None,
+    unroll: "int | None" = _UNROLL_DIM,
 ) -> DataFrame:
     """Confident-learning-lite label-noise audit (the cheap core of
     Northcutt et al. 2021): classify EVERY labeled vector by its k
@@ -268,7 +284,7 @@ def label_noise_report(
     """
     res = knn_classify(
         corpus, corpus, k=k, vec_col=vec_col, id_col=id_col,
-        label_col=label_col, neighbors=neighbors,
+        label_col=label_col, neighbors=neighbors, unroll=unroll,
     )
     return res.groupBy(F.col("true_label").alias("label")).agg(
         F.count("*").cast("long").alias("n"),
@@ -393,7 +409,7 @@ def auc_score(
     # expensive derived scorer, e.g. quality_score's regex cascade) ran
     # once per consumer — the r13 doc_auc before plan held 2 full scan +
     # score chains.  One row per distinct 6dp score level, bounded.
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     lvl = _persist_scoped(lvl)
     win_in = (

@@ -21,84 +21,29 @@ dedup pipelines drop stop-shingles.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from . import ensure_parallelism
+# The bounded persist registry grew up in this module (r11) and moved to
+# the operators package root in r14 (r13 ADVICE: entry/behavior/classify/
+# profile all imported an underscore-private helper from an unrelated
+# operator module).  Re-exported here so established call sites — and the
+# registry-internals soak/tests — read unchanged; _LIVE_PERSISTS is the
+# same dict object (mutated, never rebound).
+from . import (  # noqa: F401
+    _LIVE_PERSISTS,
+    _MAX_LIVE_PERSISTS,
+    _PERSISTS_LOCK,
+    _persist_scoped,
+    ensure_parallelism,
+    release_persists,
+)
 from .text import tokens
 
 
 def normalize_text(col: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-
-
-# --- persist lifecycle (r11: r10 verdict #3 / ADVICE) ------------------
-# Operators here persist intermediates (shingle frames, counted candidate
-# frames) whose useful life ends once the caller materializes the
-# returned lazy result — which this module never sees.  Left alone, a
-# long-lived serving session accumulates them without bound (the r10
-# soak measured a squatting 31M-pair persist degrading a later build
-# 5.4x).  So persists go through a BOUNDED registry keyed by the frame's
-# semantic hash: re-persisting the same logical plan (bench reps,
-# shared-dsh callers) reuses the existing entry instead of thrashing the
-# cache, and when the registry exceeds _MAX_LIVE_PERSISTS the oldest
-# frames are unpersisted.  Evicting a frame someone still holds lazily is
-# SAFE — unpersist() only drops cached blocks; re-evaluation recomputes,
-# values never change.  _MAX_LIVE_PERSISTS comfortably exceeds the most
-# any single operator call registers (3), so a call never evicts its own
-# working set; serving sessions can also call release_persists() between
-# requests for an eager floor.
-
-_LIVE_PERSISTS: dict[tuple, DataFrame] = {}
-_MAX_LIVE_PERSISTS = 6
-# Serving sessions share one SparkSession across request threads; the
-# pop/reinsert LRU mutation below is not atomic, so all registry access
-# goes through this lock (r11 ADVICE).  persist()/unpersist() are lazy
-# metadata calls — holding the lock across them is cheap.
-_PERSISTS_LOCK = threading.Lock()
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    """Persist ``df`` through the bounded registry (see module note)."""
-    # Output column NAMES are part of the key: plan canonicalization
-    # normalizes aliases away, so two projections of one upstream plan
-    # that differ ONLY in output names (rank_a vs rank_b over the same
-    # ranking — the a==b metric-operator case) are semanticHash-equal
-    # AND sameSemantics-true; keying on the hash alone substituted the
-    # first frame for the second, renaming its columns (r13 regression,
-    # caught by test_r13_operators_degenerate_inputs).
-    h = (df.semanticHash(), tuple(df.columns))
-    with _PERSISTS_LOCK:
-        hit = _LIVE_PERSISTS.pop(h, None)
-        if hit is not None and df.sameSemantics(hit):
-            _LIVE_PERSISTS[h] = hit  # refresh LRU position
-            return hit
-        if hit is not None:
-            # semanticHash is 32-bit: a collision between two live plans
-            # must NOT substitute the wrong frame (r11 ADVICE).  Evict
-            # the colliding entry (safe — re-evaluation recomputes) and
-            # persist the caller's frame fresh.
-            hit.unpersist()
-        df = df.persist()
-        _LIVE_PERSISTS[h] = df
-        while len(_LIVE_PERSISTS) > _MAX_LIVE_PERSISTS:
-            _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
-        return df
-
-
-def release_persists() -> int:
-    """Eagerly unpersist every registry frame; returns the count released.
-    For serving sessions that want a zero-footprint floor between
-    requests (the deferred LRU eviction already bounds steady state)."""
-    n = 0
-    with _PERSISTS_LOCK:
-        while _LIVE_PERSISTS:
-            _LIVE_PERSISTS.pop(next(iter(_LIVE_PERSISTS))).unpersist()
-            n += 1
-    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -444,29 +444,53 @@ def image_ahash_small(media: DataFrame, max_bits: int = 52) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    hx = F.hex(F.col("payload"))
+    # Per-row staging (r14, guide §4.1): the composed-expression form put
+    # hex(payload), the header regexes, and the whole luma transform
+    # INSIDE per-element lambdas — higher-order lambdas are interpreted
+    # with no common-subexpression elimination, so hex()/regex ran 3x per
+    # pixel and the total re-ran the full luma decode once per BIT
+    # (~8k hex() evaluations per row; measured 1.3-1.5 s for the 128-row
+    # fixture).  Staged as real columns the decode runs once; each staged
+    # alias is non-cheap and multiply-referenced, so CollapseProject
+    # keeps the projections apart.  Same expressions, same order —
+    # values are bit-identical.
+    hx = F.col("_hx")
     header = F.regexp_extract(hx, r"^50360A(?:..)*?0A(?:..)*?0A", 0)
-    off = F.length(header)  # hex chars; raster starts at off+1 (1-based)
-    width = F.expr(
-        "CAST(decode(unhex(regexp_extract(hex(payload),"
-        " '^50360A((?:..)*?)20', 1)), 'UTF-8') AS INT)"
-    )
-    height = F.expr(
-        "CAST(decode(unhex(regexp_extract(hex(payload),"
-        " '^50360A(?:..)*?20((?:..)*?)0A', 1)), 'UTF-8') AS INT)"
-    )
-    npix = (width * height).cast("long")
+    width = F.decode(
+        F.unhex(F.regexp_extract(hx, "^50360A((?:..)*?)20", 1)), "UTF-8"
+    ).cast("int")
+    height = F.decode(
+        F.unhex(F.regexp_extract(hx, "^50360A(?:..)*?20((?:..)*?)0A", 1)), "UTF-8"
+    ).cast("int")
 
     def byte_at(hpos: "F.Column") -> "F.Column":
         return F.conv(F.substring(hx, hpos, 2), 16, 10).cast("long")
 
-    idx = F.sequence(F.lit(0).cast("long"), npix - 1)
-    luma = F.transform(
-        idx,
-        lambda i: byte_at(off + 6 * i + 1)
-        + byte_at(off + 6 * i + 3)
-        + byte_at(off + 6 * i + 5),
+    staged = (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", F.hex(F.col("payload")).alias("_hx"))
+        .select(
+            "media_id",
+            "_hx",
+            F.length(header).alias("_off"),  # raster starts at _off+1 (1-based)
+            width.alias("width"),
+            height.alias("height"),
+        )
+        .withColumn("_npix", (F.col("width") * F.col("height")).cast("long"))
+        .withColumn(
+            "_luma",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_npix") - 1),
+                lambda i: byte_at(F.col("_off") + 6 * i + 1)
+                + byte_at(F.col("_off") + 6 * i + 3)
+                + byte_at(F.col("_off") + 6 * i + 5),
+            ),
+        )
     )
+    npix = F.col("_npix")
+    luma = F.col("_luma")
+    # total folds the STAGED luma attribute, so its per-bit re-evaluation
+    # inside the zip_with lambda is 52 long-adds, not a payload re-decode
     total = F.aggregate(luma, F.lit(0).cast("long"), lambda a, x: a + x)
     ahash = F.aggregate(
         F.zip_with(
@@ -479,9 +503,7 @@ def image_ahash_small(media: DataFrame, max_bits: int = 52) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    imgs = media.filter(F.col("kind") == "image").select(
-        "media_id", width.alias("width"), height.alias("height"), ahash.alias("ahash")
-    )
+    imgs = staged.select("media_id", "width", "height", ahash.alias("ahash"))
     w = Window.partitionBy("ahash")
     return imgs.select(
         "media_id",
@@ -520,7 +542,14 @@ def audio_energy_hash_small(media: DataFrame, blocks: int = 8) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    hx = F.hex(F.col("payload"))
+    # Per-row staging (r14, guide §4.1) — same fix as image_ahash_small:
+    # the composed form re-ran hex(payload) + the int16 decode inside
+    # every per-element lambda (2 hex substrings per sample, re-decoded
+    # per block and per bit).  Staged columns decode once; the staged
+    # aliases are non-cheap and multiply-referenced, so CollapseProject
+    # keeps the stages apart.  Same expressions, same order — values are
+    # bit-identical.
+    hx = F.col("_hx")
 
     def byte_at(hpos):
         return F.conv(F.substring(hx, hpos, 2), 16, 10).cast("long")
@@ -531,27 +560,42 @@ def audio_energy_hash_small(media: DataFrame, blocks: int = 8) -> DataFrame:
         + 65536 * byte_at(F.lit(85))
         + 16777216 * byte_at(F.lit(87))
     )
-    n_samples = (data_size / 2).cast("long")
-    blk = F.floor(n_samples / blocks).cast("long")
-    used = (blk * blocks).cast("int")
 
     def sample_at(i):
         raw = byte_at(F.lit(89) + 4 * i) + 256 * byte_at(F.lit(91) + 4 * i)
         return F.when(raw >= 32768, raw - 65536).otherwise(raw)
 
-    absarr = F.transform(
-        F.sequence(F.lit(0).cast("long"), used.cast("long") - 1),
-        lambda i: F.abs(sample_at(i)),
+    staged = (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", F.hex(F.col("payload")).alias("_hx"))
+        .withColumn("_nsamp", (data_size / 2).cast("long"))
+        .withColumn("_blk", F.floor(F.col("_nsamp") / blocks).cast("long"))
+        .withColumn("_used", (F.col("_blk") * blocks).cast("int"))
+        .withColumn(
+            "_absarr",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("_used").cast("long") - 1),
+                lambda i: F.abs(sample_at(i)),
+            ),
+        )
+        .withColumn(
+            "_total",
+            F.aggregate(F.col("_absarr"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
     )
+    blk = F.col("_blk")
+    total = F.col("_total")
+    # block energies re-slice the STAGED |sample| array (long adds), not
+    # the hex payload; the energies array itself is consumed once, as the
+    # zip_with input (row-level, evaluated once)
     energies = F.transform(
         F.sequence(F.lit(0), F.lit(blocks - 1)),
         lambda b: F.aggregate(
-            F.slice(absarr, (b * blk + 1).cast("int"), blk.cast("int")),
+            F.slice(F.col("_absarr"), (b * blk + 1).cast("int"), blk.cast("int")),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         ),
     )
-    total = F.aggregate(absarr, F.lit(0).cast("long"), lambda a, x: a + x)
     ehash = F.aggregate(
         F.zip_with(
             energies,
@@ -563,10 +607,10 @@ def audio_energy_hash_small(media: DataFrame, blocks: int = 8) -> DataFrame:
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    auds = media.filter(F.col("kind") == "audio").select(
+    auds = staged.select(
         "media_id",
-        n_samples.alias("n_samples"),
-        total.alias("total_energy"),
+        F.col("_nsamp").alias("n_samples"),
+        F.col("_total").alias("total_energy"),
         ehash.alias("ehash"),
     )
     w = Window.partitionBy("ehash")

@@ -411,7 +411,7 @@ def robust_outlier_summary(
     A zero-MAD column (>= half the values identical) reports 0 outliers
     by convention (robust z undefined).
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # one pinned pass over the source; the median pass, the deviation
     # frame, and (via devs) the MAD pass all derive from this cache —

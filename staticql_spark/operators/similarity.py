@@ -84,6 +84,61 @@ def centroid_sample(
 # directly.  Column-typed inputs keep the portable fold.
 _UNROLL_DIM = 64
 
+# Rendered-unroll Column cache (r14, r13 verdict #3 construct mass): the
+# 64-term SQL strings parse JVM-side per F.expr call (~1-18 ms each); the
+# same (col-names, dim) sites recur on every construct of every bench rep,
+# so the parsed UNRESOLVED Column is memoized per SQL text.  An unresolved
+# expression holds no data and no session/plan state — attribute
+# references resolve against whatever DataFrame it is applied to — so
+# reuse across constructs/sessions in one process is safe.  The key space
+# is the handful of static (names, dim) call sites; no eviction needed.
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _cached_expr(sql: str) -> Column:
+    col = _EXPR_CACHE.get(sql)
+    if col is None:
+        col = F.expr(sql)
+        _EXPR_CACHE[sql] = col
+    return col
+
+
+# Measured break-even for the unrolled pair kernel (r13/r14, 64-dim
+# embeddings, local[32]): below ~1M scored pairs the one-time whole-stage-
+# codegen compile of the wide unrolled projection plus its plan mass cost
+# more than the per-pair interpreted-fold overhead they remove — the r13
+# driver bench measured ann_cosine_topk (80k pairs) 0.40->0.61 s and
+# ann_knn_classify (190k pairs) 0.61->0.87 s under the unroll, while
+# ann_label_noise (4M pairs) improved 7.2->4.3 s cold.  Callers that know
+# their pair count gate the unroll on it; the threshold is a one-order-of-
+# magnitude decision, so a rough row estimate is enough.
+UNROLL_PAIR_BREAK_EVEN = 1_000_000
+
+
+def estimated_rows(df: DataFrame, row_bytes: int) -> int:
+    """Catalyst-statistics row-count estimate: sizeInBytes / row_bytes.
+
+    No job runs — sizeInBytes for a file source is the on-disk byte count
+    from the (already listed) file index.  ``row_bytes`` is the caller's
+    width estimate; for this repo's embedding tables the 8 x dim vector
+    payload dominates and random doubles do not compress, so 8 * dim is
+    within ~25% of truth (measured: 512 est vs ~400 actual at sf0.1).
+    Returns 0 when statistics are unavailable (callers treat 0 as
+    below-break-even, i.e. the portable fold)."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 0
+    return max(size // max(row_bytes, 1), 0)
+
+
+def unroll_for_pairs(est_pairs: float, dim: int = _UNROLL_DIM) -> int | None:
+    """Unroll width for a pair kernel expected to score ``est_pairs``
+    pairs: ``dim`` above the measured break-even, None (fold) below.
+    Values are unchanged either way — the unroll is bit-identical to the
+    fold — this gates only the physical form."""
+    return dim if est_pairs >= UNROLL_PAIR_BREAK_EVEN else None
+
 
 def _sql_ref(c: "Column | str") -> str | None:
     """Backtick-quoted SQL reference for a column NAME; None for Columns."""
@@ -117,7 +172,7 @@ def dot(
     note); Column expressions always take the higher-order fold."""
     asql, bsql = _sql_ref(a), _sql_ref(b)
     if unroll and asql and bsql:
-        return F.expr(_dot_sql(asql, bsql, unroll, "cast(0.0 as double)"))
+        return _cached_expr(_dot_sql(asql, bsql, unroll, "cast(0.0 as double)"))
     a, b = _as_col(a), _as_col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -132,7 +187,7 @@ def norm(a: "Column | str", unroll: int | None = _UNROLL_DIM) -> Column:
         terms = " + ".join(f"{asql}[{i}] * {asql}[{i}]" for i in range(unroll))
         fold = f"aggregate({asql}, cast(0.0 as double), (acc, x) -> acc + x * x)"
         return F.sqrt(
-            F.expr(
+            _cached_expr(
                 f"CASE WHEN size({asql}) = {unroll} "
                 f"THEN cast(0.0 as double) + {terms} ELSE {fold} END"
             )
@@ -174,7 +229,7 @@ def decimal_mean_array(vec: "Column | str", dim: int) -> Column:
             f" / count(1)"
             for i in range(dim)
         )
-        return F.expr(f"array({elems})")
+        return _cached_expr(f"array({elems})")
     return F.array(
         *[
             F.sum(F.round(vec[i], 6).cast("decimal(27,6)")).cast("double")
@@ -616,14 +671,33 @@ def quantize_int8(
     quantizer bit-for-bit without shipping arrays through comparators that
     crash on list cells.
 
-    Map-only: higher-order functions inside codegen, zero shuffles, no
-    Python. Zero vectors pass through with null scale (nothing to scale).
+    Map-only: higher-order functions, zero shuffles, no Python. Zero
+    vectors pass through with null scale (nothing to scale).
+
+    Per-row staging (r14): the double-cast vector, its max|x|, and the
+    code array are materialized as REAL columns across stacked
+    projections instead of one composed expression.  Higher-order
+    lambdas are interpreted with no common-subexpression elimination, so
+    the composed form re-evaluated the whole array_max(transform(abs))
+    subtree inside every per-element lambda — 2 x 64 max-scans per row —
+    and the code array itself three more times (one per summary).
+    CollapseProject keeps the stages apart because each staged alias is
+    non-cheap and referenced more than once.  Same ops, same order,
+    evaluated once: values are bit-identical.
     """
-    v = as_double(F.col(vec_col))
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs)
-    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
-    return ensure_parallelism(df).select(
+    staged = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_ma", F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))))
+    )
+    scale = F.when(F.col("_ma") > 0, F.lit(127.0) / F.col("_ma"))
+    coded = staged.select(
+        F.col(id_col),
+        F.transform(F.col("_v"), lambda x: F.round(x * scale).cast("int")).alias("_q"),
+        F.round(scale, 6).alias("scale_r"),
+    )
+    q = F.col("_q")
+    return coded.select(
         F.col(id_col),
         F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
         F.aggregate(
@@ -631,16 +705,40 @@ def quantize_int8(
             lambda acc, x: acc + (x != 0).cast("long"),
         ).alias("q_nnz"),
         F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_max"),
-        F.round(scale, 6).alias("scale_r"),
+        "scale_r",
     )
 
 
 def _int8_codes(vec: Column) -> Column:
-    """Symmetric int8 codes of a float vector (see quantize_int8)."""
+    """Symmetric int8 codes of a float vector (see quantize_int8) as one
+    composed expression — the per-row scale subtree sits INSIDE the
+    per-element lambda, so prefer :func:`_with_int8_codes` (staged
+    columns) wherever a DataFrame is at hand."""
     v = as_double(vec)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs)
     return F.transform(v, lambda x: F.round(x * scale).cast("long"))
+
+
+def _with_int8_codes(df: DataFrame, vec_col: str, id_out: Column, code_col: str) -> DataFrame:
+    """(id_out, <code_col>: array<long>) — int8 codes with the per-row
+    max|x| STAGED as a real column (r14, guide §4.1 per-task work):
+    composing the scale inline puts the array_max(transform(abs)) subtree
+    inside the per-element lambda, and higher-order lambdas are
+    interpreted with no common-subexpression elimination — measured as
+    2 x 64 max-scans per row in the ann_quantized before-plan.  Stages
+    survive CollapseProject (non-cheap aliases, each referenced twice).
+    Same ops, same order, evaluated once: bit-identical values.
+    """
+    staged = df.select(id_out, as_double(F.col(vec_col)).alias("_v")).withColumn(
+        "_ma", F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+    )
+    scale = F.when(F.col("_ma") > 0, F.lit(127.0) / F.col("_ma"))
+    id_name = staged.columns[0]
+    return staged.select(
+        id_name,
+        F.transform(F.col("_v"), lambda x: F.round(x * scale).cast("long")).alias(code_col),
+    )
 
 
 def _int_dot(
@@ -651,7 +749,7 @@ def _int_dot(
     # algebra, not just by matching the fold's order.
     asql, bsql = _sql_ref(a), _sql_ref(b)
     if unroll and asql and bsql:
-        return F.expr(_dot_sql(asql, bsql, unroll, "cast(0 as bigint)"))
+        return _cached_expr(_dot_sql(asql, bsql, unroll, "cast(0 as bigint)"))
     return F.aggregate(
         F.zip_with(_as_col(a), _as_col(b), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -677,11 +775,11 @@ def quantized_topk(
     integer kernel is also what a SIMD int8 GEMM would run on a real
     serving path.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _int8_codes(F.col(vec_col)).alias("qc")
+    q = _with_int8_codes(
+        queries, vec_col, F.col(id_col).alias("query_id"), "qc"
     ).withColumn("qn", F.sqrt(_int_dot("qc", "qc").cast("double")))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _int8_codes(F.col(vec_col)).alias("cc")
+    c = _with_int8_codes(
+        ensure_parallelism(corpus), vec_col, F.col(id_col).alias("neighbor_id"), "cc"
     ).withColumn("cn", F.sqrt(_int_dot("cc", "cc").cast("double")))
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
@@ -755,7 +853,7 @@ def power_iteration_pc(
         # round-robin Exchange onto every pass (r13).
         vecs = corpus.select(as_double(F.col(vec_col)).alias("x"))
     else:
-        from .dedup import _persist_scoped
+        from . import _persist_scoped
 
         # each iteration is a full pass over vecs: without a pin the
         # scan + repartition subtree re-executes once PER iteration
@@ -827,7 +925,7 @@ def debias_top_pc(
     )
     if dim is None:
         dim = len(vecs.select("x").first()["x"])
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     mu = vecs.agg(decimal_mean_array("x", dim).alias("m"))
     # centered is read by every power iteration AND the scoring pass —
@@ -976,7 +1074,7 @@ def reciprocal_topk_pairs(
     of the |corpus|·k neighbor list on the (id, id) pair key — never a
     vector shuffle.
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # The neighbor list feeds BOTH sides of the mutuality self-join; an
     # unpinned plan re-ran the entire retrieval (the |Q|x|corpus| scored
@@ -1308,7 +1406,7 @@ def mrl_recall(
     by query).  At 1e9 vectors you'd swap the exact passes for the IVF
     probe (ivf_topk) per dim; the comparison logic is unchanged.
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     queries = emb.filter(F.col(id_col) % query_stride == 0)
     # The full-dim exact list is consumed TWICE PER dim (the hit
@@ -1388,7 +1486,7 @@ def rbo_overlap(
     ``out_round`` — the repo-wide engine-stable fold.
     """
     w = rbo_weights(p, k)
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     wmap = F.map_from_arrays(
         F.array(*[F.lit(m) for m in range(1, k + 1)]),
@@ -1453,7 +1551,7 @@ def mrr_first_hit(
     never the corpus (the rbo_overlap cost profile).  rr is a single
     division off an exact integer rank, rounded once.
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # Both inputs are consumed twice (hits join + query-id union); pin
     # the k-rows-per-query projections so the upstream retrieval
@@ -1517,7 +1615,7 @@ def ndcg_overlap(
     """
     import math
 
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     idcg = sum((k + 1 - d) / math.log2(1 + d) for d in range(1, k + 1))
     # Both inputs are consumed twice (the rank<=k filter feeding the
@@ -1583,7 +1681,7 @@ def kendall_tau_overlap(
     rounded once.  The shuffle carries only top-k result sets, never
     the corpus (the rbo_overlap cost profile).
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # ra/rb are k-rows-per-query result sets but their UPSTREAM is a
     # whole retrieval pipeline (IVF probe / broadcast cosine scan) —

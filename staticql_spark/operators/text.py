@@ -722,7 +722,7 @@ def unigram_logprob(
     t = F.when(
         F.trim(F.col(text_col)) != "", F.split(norm, r"\s+")
     ).otherwise(F.array().cast("array<string>"))
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     tok = df.select(F.col(id_col), F.explode(t).alias("term"))
     # freq is consumed twice (the grand total + the top-k vocab cut);
@@ -771,7 +771,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # the tokenized-count frame feeds both the within-bucket cumsum and
     # the per-bucket totals; pin so the corpus tokenize runs once (r13).
@@ -850,7 +850,7 @@ def rebalance_sample(
     shares = spark.createDataFrame(
         sorted(target_shares.items()), f"{strata_col} string, __share double"
     )
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     counts = df.groupBy(strata_col).agg(F.count("*").cast("double").alias("__c"))
     # joined feeds both the binding-stratum total and the keep-fraction
@@ -1366,7 +1366,7 @@ def dsir_weights(
             ).alias("__b"),
         )
 
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     corpus_tok = tok_buckets(df)
     target_tok = tok_buckets(target)
@@ -1424,7 +1424,7 @@ def mixture_epochs(
     Scale: one map-side-combined aggregate to |strata| rows; the budget
     arithmetic runs on that tiny frame. The corpus is scanned once.
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # counts feeds both the stratum-count probe and the budget select;
     # unpinned, the full corpus tokenize-and-count ran once per consumer
@@ -1758,7 +1758,7 @@ def shuffle_shards(
     span = (1 << 60) // pos_buckets
     # keyed feeds both the per-bucket base-offset aggregate and the
     # ranked join; pin so the corpus scan + md5 keying runs once (r13).
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     keyed = _persist_scoped(
         df.select(
@@ -1876,7 +1876,7 @@ def training_order(
     # keyed feeds both the per-bucket base-offset aggregate and the
     # ranked join; unpinned, the plan join + epoch expansion re-ran once
     # per consumer (r13).  Narrow (id, rep, key) instance rows.
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     keyed = _persist_scoped(
         expanded.select(
@@ -1933,7 +1933,7 @@ def temperature_weights(
     temperature arithmetic runs on that tiny frame (the normalizing
     constant rides in via a 1-row broadcast cross join).
     """
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     # counts feeds both the normalizing total and the tempered-share
     # select; unpinned, the corpus tokenize-and-count ran twice (r13).
@@ -2058,7 +2058,7 @@ def ccnet_buckets(
     # coarse ordering buckets: nll is rounded to 4dp and small (log2
     # space), so floor(nll*4) gives bounded per-(lang, bucket) windows
     # whose order equals nll order
-    from .dedup import _persist_scoped
+    from . import _persist_scoped
 
     b = F.floor(F.col("nll") * 4).cast("long")
     # keyed feeds both the per-bucket base-offset aggregate and the

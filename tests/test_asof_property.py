@@ -5,6 +5,8 @@ ts, ties resolved by the declared tiebreak, absent matches null."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ KEYS = ["a", "b"]
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_asof_matches_bruteforce(spark, left, right):
     if not left:
         return

@@ -6,6 +6,8 @@ reference computation.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings
@@ -79,6 +81,7 @@ def test_retention_matches_bruteforce(spark, events):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_funnel_matches_bruteforce(spark, events):
     steps = ["a", "b", "c"]
     got = {

@@ -4,6 +4,8 @@ invariants on arbitrary corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -122,6 +124,7 @@ def test_shuffle_shards_matches_reference_rank(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_exact_quantiles_property(spark, vals, qs, num_buckets):
     # two-phase bucketed quantiles == value at ceil(q*n) of the sorted
     # list, for arbitrary floats, quantiles, and bucket counts

@@ -5,6 +5,8 @@ equal the direct definition."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -32,6 +34,7 @@ samples = st.lists(st.integers(0, 40), min_size=5, max_size=40)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_numeric_psi_matches_bruteforce(spark, old, new):
     odf = spark.createDataFrame([(float(x),) for x in old], "x double")
     ndf = spark.createDataFrame([(float(x),) for x in new], "x double")

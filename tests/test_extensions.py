@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import subprocess
 import sys
@@ -65,6 +67,7 @@ def test_ssg_export_writes_json(herbal, tmp_path):
     assert data["pageInfo"]["endCursor"]
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_cli_generate_index_full(content_dir, tmp_path):
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(CONFIG))
@@ -246,6 +249,7 @@ def test_cli_export_shards_jsonl(spark, content_dir, tmp_path, capsys):
     assert len(lines) == 3 and all("slug" in r and "raw" not in r for r in lines)
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_snapshot_facade_roundtrip_and_integrity(spark, tmp_path):
     # r9 (PLANS.md roadmap #2): one build/load/verify surface for every
     # persisted index kind, with an XOR-digest manifest that catches a

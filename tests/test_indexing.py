@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from staticql_spark.indexing import index_entries, load_index, save_indexes
@@ -65,6 +67,7 @@ def test_apply_diff_merge_semantics(spark):
     assert out == {"a": 1, "b": 20, "d": 4}
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_refresh_removes_emptied_prefix_partition(spark, content_dir, tmp_path):
     """A changed value that moves to a different prefix partition must purge
     its old shard — including DELETING the directory when it empties

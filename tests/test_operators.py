@@ -89,6 +89,7 @@ def test_cosine_topk_self_similarity(spark, emb):
     assert all(-1.0 <= c <= 1.0 for c in cosines)
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_unrolled_dot_bit_identical_to_fold(spark):
     # The codegen unroll in dot/norm/_int_dot must be BIT-identical to the
     # HOF fold on every input shape: full 64-dim, the dsub=16 subvector
@@ -3067,6 +3068,7 @@ def test_artifact_dirs_distinct_across_processes(tmp_path):
         assert os.path.isdir(d)
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_lsh_append_equals_full_rebuild(spark, docs, tmp_path):
     # r8: persisted LSH index. Per-doc signatures depend only on the doc
     # itself, so build(old)+append(new) must be ROW-identical to a
@@ -3724,6 +3726,7 @@ def test_cusum_counts_matches_recursion(spark):
     assert not any(a for (g, _), (_, a) in got.items() if g == "steady")
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_iteration_artifacts_equal_inline_derivations(spark):
     # r12 construct-trim rewires: the parquet-hopped bt_ratings /
     # bt_ties / pagerank artifacts must be VALUE-IDENTICAL to the
@@ -4234,3 +4237,64 @@ def test_expand_pairs_chunked_property(spark):
         assert got == want
 
     inner()
+
+
+def test_unroll_guard_paths_bit_identical_fast(spark):
+    # Fast sibling of test_unrolled_dot_bit_identical_to_fold (slow, 4M
+    # pairs): runs in the default gate.  Covers the r13 ADVICE gaps:
+    # (a) rows of EXACTLY 16 elements, so the dsub=16 THEN branch really
+    #     fires (the slow test's fixture has sizes 64/17/63, so its
+    #     unroll=16 loop compared fold vs fold);
+    # (b) decimal_mean_array by NAME (one-parse F.expr) vs by Column
+    #     (portable form) inside the same groupBy;
+    # (c) the staged int8 code path (_with_int8_codes, r14) vs the
+    #     composed _int8_codes expression;
+    # plus short/null-element/null-array guard rows for all three.
+    import hashlib
+
+    def vec(seed, d):
+        return [
+            (int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+             / float(0xFFFFFFFF) * 2.0 - 1.0)
+            for i in range(d)
+        ]
+
+    rows = [(i, i % 3, vec(i, 16)) for i in range(12)]
+    rows += [
+        (12, 0, [None] + vec("n", 15)),
+        (13, 1, None),
+        (14, 2, vec("short", 7)),
+    ]
+    df = spark.createDataFrame(rows, "rid long, g int, va array<double>")
+
+    pairs = df.crossJoin(df.select(F.col("va").alias("vb")))
+    bad = pairs.select(
+        similarity.dot("va", "vb", unroll=16).alias("u"),
+        similarity.dot(F.col("va"), F.col("vb"), unroll=None).alias("f"),
+        similarity.norm("va", unroll=16).alias("nu"),
+        similarity.norm(F.col("va"), unroll=None).alias("nf"),
+    ).where(
+        (~F.col("u").eqNullSafe(F.col("f")))
+        | (~F.col("nu").eqNullSafe(F.col("nf")))
+    ).count()
+    assert bad == 0, "16-wide unroll diverged from the fold"
+
+    # decimal_mean_array contracts fixed-width input (both its forms index
+    # [0..d-1] unconditionally — ANSI throws on the short row); null
+    # elements and null arrays stay in
+    dm = df.filter(F.col("rid") != 14)
+    named = dm.groupBy("g").agg(similarity.decimal_mean_array("va", 16).alias("m"))
+    coly = dm.groupBy("g").agg(
+        similarity.decimal_mean_array(F.col("va"), 16).alias("m2")
+    )
+    bad = named.join(coly, "g").where(
+        ~F.col("m").eqNullSafe(F.col("m2"))
+    ).count()
+    assert bad == 0, "decimal_mean_array name/Column forms diverged"
+
+    staged = similarity._with_int8_codes(df, "va", F.col("rid"), "c")
+    composed = df.select("rid", similarity._int8_codes(F.col("va")).alias("c2"))
+    bad = staged.join(composed, "rid").where(
+        ~F.col("c").eqNullSafe(F.col("c2"))
+    ).count()
+    assert bad == 0, "staged int8 codes diverged from the composed form"

@@ -25,6 +25,7 @@ _val = st.one_of(st.none(), st.text(alphabet="abcd", min_size=0, max_size=3))
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_pageinfo_forward_walk_and_before_inverse(spark, vals, page_size, desc):
     rows = [(f"s{i:02d}", v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "slug string, name string")

@@ -28,6 +28,7 @@ from staticql_spark.plans.pagination import keyset_page_df
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_keyset_paging_total_ordered_exactly_once(spark, page_size, n, dup_mod, desc):
     rows = [(i, f"g{i % dup_mod}") for i in range(n)]
     df = spark.createDataFrame(rows, "key long, grp string")

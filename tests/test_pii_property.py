@@ -10,6 +10,8 @@ fails here before it fails the oracle.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -40,6 +42,7 @@ _pii = st.one_of(_email, _ip, _phone)
 
 @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(parts=st.lists(st.one_of(_words.map(" ".join), _pii), min_size=0, max_size=6))
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_scrub_complete_and_idempotent(spark, parts):
     from staticql_spark.operators.text import pii_scrub
 

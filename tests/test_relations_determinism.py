@@ -48,6 +48,7 @@ def _run(local, foreign):
     )
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_first_match_arrays_stable_under_partitions_and_aqe(spark, dup_heavy):
     local, foreign = dup_heavy
     baseline = None

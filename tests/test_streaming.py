@@ -3,6 +3,8 @@ checked against the batch twin (same code path, SURVEY §2.9 note)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from staticql_spark.streaming import (
@@ -24,6 +26,7 @@ def _events_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_stream_windowed_agg_matches_batch(spark, tmp_path_factory):
     d = _events_dir(spark, tmp_path_factory)
     batch = windowed_agg(spark.read.parquet(d), window="1 hour")
@@ -54,6 +57,7 @@ def test_stream_windowed_agg_matches_batch(spark, tmp_path_factory):
         assert expected[k] == v, k
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_streaming_first_seen_matches_batch(spark, tmp_path_factory):
     from staticql_spark.streaming import streaming_first_seen
 
@@ -140,6 +144,7 @@ def test_stream_diff_refresh_updates_index(spark, content_dir, tmp_path):
     assert "ゴツゴラ" in after
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_watermark_drops_late_events(spark, tmp_path):
     """Late-data bound: an event older than the watermark must NOT reopen
     its already-emitted window. Two availableNow runs share one checkpoint
@@ -201,6 +206,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got[(dt.datetime(2024, 1, 1, 0, 0), "click")] == 3
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     """Streaming temporal join: two checkpointed availableNow runs with
     time-ordered drops must reproduce the exact batch as-of join (arrivals
@@ -570,6 +576,7 @@ def test_stream_kmv_grouped_matches_batch(spark, tmp_path_factory):
     assert got == batch
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_stream_pq_neardup_stream_matches_batch(spark, tmp_path):
     """Streaming PQ-code near-dup: a 2-micro-batch vector stream probed
     against the static code index must emit exactly the batch twin's
@@ -1130,6 +1137,7 @@ def test_stream_arena_sliding_matches_batch(spark, tmp_path_factory):
     assert got == batch
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_stream_arena_sliding_ttl_still_matches_batch(spark, tmp_path_factory):
     # with a state TTL configured (the unbounded-run state bound), a
     # single availableNow pass must still equal the batch operator: the
@@ -1560,6 +1568,7 @@ def test_stream_rater_severity_matches_batch(spark, tmp_path_factory):
     assert got == batch
 
 
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_stream_rater_severity_ttl_plumbing_matches_batch(spark, tmp_path_factory):
     # the TTL path (setTimeoutDuration per batch, hasTimedOut removal)
     # must not disturb results when no eviction can fire mid-run: a

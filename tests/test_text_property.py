@@ -6,6 +6,8 @@ orders) the operators must equal the direct definitions.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -35,6 +37,7 @@ corpus_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_gini_property_matches_bruteforce(spark, docs):
     rows = [(i, " ".join(toks), lang) for i, (lang, toks) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
@@ -74,6 +77,7 @@ rankings_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak-grade: excluded from the default gate (pytest.ini)
 def test_kendall_tau_property_matches_bruteforce(spark, qs):
     a_rows, b_rows = [], []
     for q, perm_a, perm_b, ka, kb in qs:
