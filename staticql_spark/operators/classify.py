@@ -183,6 +183,7 @@ def knn_classify(
     label_col: str = "label",
     neighbors: DataFrame | None = None,
     unroll: "int | None" = _UNROLL_DIM,
+    symmetric: bool = False,
 ) -> DataFrame:
     """k-NN majority-vote classification over an embedding column — the
     label-propagation step a pipeline uses to extend a small labeled seed
@@ -216,7 +217,7 @@ def knn_classify(
         nbrs = F.broadcast(
             cosine_topk(
                 queries, corpus, k=k, vec_col=vec_col, id_col=id_col,
-                unroll=unroll,
+                unroll=unroll, symmetric=symmetric,
             ).select("query_id", "neighbor_id")
         )
     labels = corpus.select(
@@ -282,9 +283,12 @@ def label_noise_report(
     path at web scale — corpus-as-queries is exactly the case where you
     would); the audit tail is a |labels|-row aggregate.
     """
+    # corpus-as-queries: the exact neighbor pass is symmetric, so it
+    # scores only the id_a < id_b half and mirrors (see cosine_topk)
     res = knn_classify(
         corpus, corpus, k=k, vec_col=vec_col, id_col=id_col,
         label_col=label_col, neighbors=neighbors, unroll=unroll,
+        symmetric=neighbors is None,
     )
     return res.groupBy(F.col("true_label").alias("label")).agg(
         F.count("*").cast("long").alias("n"),

@@ -264,6 +264,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     unroll: int | None = _UNROLL_DIM,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
 
@@ -272,6 +273,15 @@ def cosine_topk(
     Self-matches (same id) are excluded.  ``unroll`` threads the statically
     known vector length to :func:`dot`'s guarded codegen unroll (callers on
     truncated vectors — the MRL prefix passes — pass their d).
+
+    ``symmetric=True`` is a caller-asserted contract that ``queries`` IS
+    ``corpus`` (same rows, same filters — the corpus-as-queries audits:
+    label-noise, reciprocal kNN).  Cosine is symmetric, so the kernel then
+    scores only the id_a < id_b half of the cross join and mirrors each
+    row map-side — HALF the dominant per-pair work.  Bit-identical: the
+    unrolled/fold sum runs the same k-order either direction (IEEE
+    multiplication commutes term-by-term) and qn*cn commutes, so the
+    mirrored cosine equals the one the full join would compute.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -279,7 +289,12 @@ def cosine_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm("cv", unroll=unroll))
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    pair_filter = (
+        (F.col("query_id") < F.col("neighbor_id"))
+        if symmetric
+        else (F.col("query_id") != F.col("neighbor_id"))
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(pair_filter)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -290,6 +305,22 @@ def cosine_topk(
             6,
         ).alias("cosine"),
     )
+    if symmetric:
+        # mirror each scored half-pair map-side; the cosine alias is
+        # referenced by both structs, so CollapseProject cannot inline
+        # (and re-evaluate) the kernel into the explode
+        scored = scored.select(
+            F.explode(
+                F.array(
+                    F.struct("query_id", "neighbor_id", "cosine"),
+                    F.struct(
+                        F.col("neighbor_id").alias("query_id"),
+                        F.col("query_id").alias("neighbor_id"),
+                        F.col("cosine"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.*")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1084,7 +1115,12 @@ def reciprocal_topk_pairs(
     nbrs = _persist_scoped(
         neighbors
         if neighbors is not None
-        else cosine_topk(corpus, corpus, k=k, vec_col=vec_col, id_col=id_col)
+        # symmetric: queries IS corpus here, so the exact path scores
+        # only the id_a < id_b half and mirrors (bit-identical, half the
+        # per-pair kernel work — see cosine_topk)
+        else cosine_topk(
+            corpus, corpus, k=k, vec_col=vec_col, id_col=id_col, symmetric=True
+        )
     )
     fwd = nbrs.filter(F.col("query_id") < F.col("neighbor_id")).select(
         F.col("query_id").alias("id_a"),
