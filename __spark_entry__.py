@@ -4894,6 +4894,43 @@ def q_events_rater_agreement(spark, sf):
 # registry order to fill the 50.  5 + 5 + 36 + 4 = 50; after r13
 # greens, r7 vintage clears and max driver-signal staleness stays <= 5
 # rounds (r8 vintage, 43 keys — the committed r14 backfill head).
+# r14 window (50), composed per the standing rotation policy: (1) the 9
+# keys whose PHYSICAL PLAN changed in this optimization round (values
+# identical, oracle re-proven — but the driver must independently verify
+# the changed code): ann_cosine_topk / ann_knn_classify (pair-count-gated
+# unroll; knn majority vote = min(struct) hash agg instead of the rank
+# window), ann_label_noise / ann_rnn_pairs (corpus-as-queries cosine now
+# scores only the id_a < id_b half and mirrors map-side), ann_quantized /
+# embedding_quantize (int8 codes staged once as real columns, out of the
+# HOF lambdas), multimodal_ahash / multimodal_audio_hash /
+# pipeline_media_manifest (hex payload decode staged out of per-pixel /
+# per-bit lambdas); (2) 41 of the 43-key COMMITTED r8-vintage backfill
+# verbatim from COVERAGE.md's "committed r14 backfill head" (registry
+# order).  9 + 41 = 50; the 2 keys that no longer fit (ship_priority,
+# forecast_revenue — the newest r8-vintage signal) defer to the r15
+# backfill head, max staleness 6 rounds for exactly those two.
+_R14_HEAD = [
+    # -- changed in r14 (optimization round; plans changed, values pinned) --
+    "ann_cosine_topk", "ann_knn_classify", "ann_label_noise",
+    "ann_rnn_pairs", "ann_quantized", "embedding_quantize",
+    "multimodal_ahash", "multimodal_audio_hash", "pipeline_media_manifest",
+    # -- committed r8-vintage backfill (COVERAGE.md r13 section, verbatim;
+    # -- first 41 of 43 in registry order) --
+    "stream_funnel", "stream_transitions", "stream_psi", "ann_pq_adc",
+    "ann_ivf_pq", "ann_pq_recall", "ann_ivfpq_recall",
+    "ann_pq_quant_error", "stream_pq_neardup", "ann_ivfpq_persisted",
+    "ann_ivf_trained", "embedding_prototypes", "kmeans_inertia",
+    "dedup_semantic", "dedup_semantic_keep", "dedup_semantic_incr",
+    "doc_contamination_by_source", "doc_decontaminate_excise",
+    "doc_split_leakfree", "dedup_cluster_stats", "dedup_jaccard_hist",
+    "dedup_keep", "dedup_triangles", "dedup_canonical_meta",
+    "events_lpa_incr", "where_eq", "where_startswith", "where_in",
+    "where_and", "point_lookup", "projection_prune", "has_one_join",
+    "has_many_agg", "has_many_collect", "belongs_to_join",
+    "through_count", "through_rows", "order_page1", "cursor_after",
+    "cursor_before", "set_intersect",
+]
+
 _R13_HEAD = [
     # -- new in r13 --
     "stream_rater_severity", "doc_gini", "ann_kendall_tau",
@@ -5375,16 +5412,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7 ordering for the tail.  Keys are asserted present so a typo
     # fails loudly rather than silently shrinking the head.
     for ledger in (
-        _R13_HEAD, _R12_HEAD, _R11_HEAD, _R10_HEAD,
+        _R14_HEAD, _R13_HEAD, _R12_HEAD, _R11_HEAD, _R10_HEAD,
         _R9_HEAD, _R8_HEAD, _R7_HEAD,
     ):
         missing = [k for k in ledger if k not in q]
         assert not missing, f"rotation keys absent from registry: {missing}"
-    head = {k: q[k] for k in _R13_HEAD}
+    head = {k: q[k] for k in _R14_HEAD}
     mid = {
         k: q[k]
-        for k in _R12_HEAD + _R11_HEAD + _R10_HEAD + _R9_HEAD + _R8_HEAD
-        + _R7_HEAD
+        for k in _R13_HEAD + _R12_HEAD + _R11_HEAD + _R10_HEAD + _R9_HEAD
+        + _R8_HEAD + _R7_HEAD
         if k not in head
     }
     tail = {k: v for k, v in q.items() if k not in head and k not in mid}
